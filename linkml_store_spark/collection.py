@@ -1,0 +1,486 @@
+"""Collection: a DataFrame-backed table with CRUDSI operations.
+
+Mirrors the reference Collection surface
+(``src/linkml_store/api/collection.py:57-1265``) re-expressed Spark-first:
+
+  * insert/replace/upsert/update/delete/delete_where  (§2.2)
+  * find/find_iter/get/get_one/peek/rows/size/query   (§2.4)
+  * query_facets/group_by/describe                    (§2.5)
+  * attach_indexer/index_objects/search               (§2.8)
+  * diff/apply_patches                                (§2.2 patches)
+
+Storage: in-memory DataFrames by default; parquet-backed when the owning
+Database has a warehouse path. Mutations on parquet are overwrite-rewrites
+(read, transform, write) — semantically identical to the reference's
+delete+insert and the standard pattern on plain parquet; at 100 TB the same
+API maps to Delta MERGE/DELETE, and inserts are plain appends either way.
+
+Every query path is a lazy DataFrame plan: filters compile to native Column
+predicates (pushed to the scan), projections prune columns, counts and pages
+share one plan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from typing import TYPE_CHECKING, Any, Dict, Iterable, Iterator, List, Optional, Sequence, Union
+
+from pyspark.sql import DataFrame, Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from linkml_store_spark.facets import DEFAULT_FACET_LIMIT, query_facets
+from linkml_store_spark.query import Query, QueryResult
+from linkml_store_spark.schema_utils import induce_schema
+from linkml_store_spark.where import WhereClause, apply_where, compile_where, path_col
+
+if TYPE_CHECKING:
+    from linkml_store_spark.database import Database
+    from linkml_store_spark.index.indexer import Indexer
+
+DEFAULT_LIMIT = 100  # reference sql_utils.py:96-97; limit=-1 => unlimited
+
+OBJECT = Dict[str, Any]
+
+
+def _rows_to_dicts(rows: List[Row]) -> List[OBJECT]:
+    return [r.asDict(recursive=True) for r in rows]
+
+
+class Collection:
+    """An organized set of objects of the same or similar type
+    (reference ``api/collection.py:57-74``)."""
+
+    def __init__(
+        self,
+        name: str,
+        database: "Database",
+        alias: Optional[str] = None,
+        identifier_attribute: Optional[str] = None,
+    ):
+        self.name = name
+        self.alias = alias or name
+        self.database = database
+        self.identifier_attribute = identifier_attribute
+        self._df: Optional[DataFrame] = None
+        self._indexers: Dict[str, "Indexer"] = {}
+        self._index_dfs: Dict[str, DataFrame] = {}
+
+    # ------------------------------------------------------------------ #
+    # plumbing
+    # ------------------------------------------------------------------ #
+    @property
+    def spark(self):
+        return self.database.spark
+
+    @property
+    def df(self) -> DataFrame:
+        """The collection as a (lazy) DataFrame."""
+        if self._df is None:
+            loaded = self.database._load_collection_df(self.alias)
+            if loaded is None:
+                raise ValueError(f"collection {self.alias!r} has no data yet")
+            self._df = loaded
+        return self._df
+
+    def exists(self) -> bool:
+        if self._df is not None:
+            return True
+        return self.database._collection_data_exists(self.alias)
+
+    def _set_df(self, df: DataFrame, persist: bool = True) -> None:
+        self._df = df
+        if persist:
+            self.database._save_collection_df(self.alias, df)
+        self._post_modification_hook()
+
+    def _post_modification_hook(self) -> None:
+        # reference reindexes shadow collections on any modification
+        # (collection.py:289-295); we drop cached index DataFrames so the
+        # next search rebuilds them lazily.
+        self._index_dfs.clear()
+
+    # ------------------------------------------------------------------ #
+    # identity
+    # ------------------------------------------------------------------ #
+    @property
+    def pk(self) -> Optional[str]:
+        return self.identifier_attribute
+
+    def set_identifier_attribute_name(self, name: str) -> None:
+        self.identifier_attribute = name
+
+    @staticmethod
+    def object_identifier_col() -> F.Column:
+        """Fallback identity when no pk: md5 of the serialized object
+        (reference ``collection.py:1046-1063``)."""
+        return F.md5(F.to_json(F.struct("*")))
+
+    # ------------------------------------------------------------------ #
+    # mutation (§2.2)
+    # ------------------------------------------------------------------ #
+    def _objects_to_df(self, objs: Union[OBJECT, Sequence[OBJECT]]) -> DataFrame:
+        if isinstance(objs, dict):
+            objs = [objs]
+        objs = list(objs)
+        if self._df is not None or self.exists():
+            schema = self.df.schema
+        else:
+            schema = induce_schema(objs)
+        return self.spark.createDataFrame(objs, schema=schema)
+
+    @staticmethod
+    def _align(df: DataFrame, schema: T.StructType) -> DataFrame:
+        """Project ``df`` onto ``schema`` column order, null-filling missing
+        columns (reference insert null-fill, duckdb_collection.py:24-47)."""
+        cols = []
+        for field in schema.fields:
+            if field.name in df.columns:
+                cols.append(F.col(field.name).cast(field.dataType))
+            else:
+                cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+        return df.select(*cols)
+
+    def insert(self, objs: Union[OBJECT, Sequence[OBJECT], DataFrame]) -> int:
+        """Append objects; induces schema + creates the table on first insert."""
+        new_df = objs if isinstance(objs, DataFrame) else self._objects_to_df(objs)
+        if self.exists():
+            base = self.df
+            new_df = self._align(new_df, base.schema)
+            combined = base.unionByName(new_df)
+        else:
+            combined = new_df
+        n = new_df.count()
+        self._set_df(combined)
+        return n
+
+    def replace(self, objs: Union[OBJECT, Sequence[OBJECT], DataFrame]) -> int:
+        """delete-all + insert (reference collection.py:179-195)."""
+        new_df = objs if isinstance(objs, DataFrame) else self._objects_to_df_fresh(objs)
+        n = new_df.count()
+        self._set_df(new_df)
+        return n
+
+    def _objects_to_df_fresh(self, objs: Union[OBJECT, Sequence[OBJECT]]) -> DataFrame:
+        if isinstance(objs, dict):
+            objs = [objs]
+        objs = list(objs)
+        return self.spark.createDataFrame(objs, schema=induce_schema(objs))
+
+    def delete(self, objs: Union[OBJECT, Sequence[OBJECT]]) -> int:
+        """Delete rows matching ALL fields of each object
+        (reference duckdb_collection.py:49-66)."""
+        if isinstance(objs, dict):
+            objs = [objs]
+        base = self.df
+        cond = None
+        for obj in objs:
+            c = compile_where(dict(obj), base)
+            cond = c if cond is None else (cond | c)
+        if cond is None:
+            return 0
+        before = base.count()
+        remaining = base.filter(~cond)
+        after = remaining.count()
+        self._set_df(remaining)
+        return before - after
+
+    def delete_where(self, where: WhereClause = None, missing_ok: bool = True) -> int:
+        """Delete by filter; returns number deleted
+        (reference duckdb_collection.py:68-93)."""
+        if not self.exists():
+            if missing_ok:
+                return 0
+            raise ValueError(f"collection {self.alias!r} does not exist")
+        base = self.df
+        cond = compile_where(where, base)
+        if cond is None:
+            n = base.count()
+            self._set_df(base.limit(0))
+            return n
+        n = base.filter(cond).count()
+        self._set_df(base.filter(~cond | cond.isNull()))
+        return n
+
+    def update(self, objs: Union[OBJECT, Sequence[OBJECT]]) -> int:
+        """Per-pk SET of provided fields (reference collection.py:362-370).
+
+        Spark-first: one broadcast join of the updates against the table,
+        coalescing updated fields — the Delta-MERGE shape on plain parquet.
+        """
+        if isinstance(objs, dict):
+            objs = [objs]
+        pk = self._require_pk()
+        base = self.df
+        upd = self.spark.createDataFrame(list(objs))
+        upd_cols = [c for c in upd.columns if c != pk]
+        joined = base.alias("t").join(
+            F.broadcast(upd).alias("u"), on=F.col(f"t.{pk}") == F.col(f"u.{pk}"), how="left"
+        )
+        sel = []
+        for field in base.schema.fields:
+            c = field.name
+            if c in upd_cols:
+                sel.append(F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}")).alias(c))
+            else:
+                sel.append(F.col(f"t.{c}").alias(c))
+        self._set_df(joined.select(*sel))
+        return len(objs)
+
+    def upsert(
+        self,
+        objs: Union[OBJECT, Sequence[OBJECT]],
+        filter_fields: Optional[List[str]] = None,
+        update_fields: Optional[List[str]] = None,
+    ) -> int:
+        """Insert-or-update keyed by ``filter_fields``
+        (reference collection.py:234-258, mongodb_collection.py:91-129).
+
+        MERGE semantics on a DataFrame: anti-join finds inserts, join+coalesce
+        applies updates; one shuffle total, broadcast when updates are small.
+        """
+        if isinstance(objs, dict):
+            objs = [objs]
+        objs = list(objs)
+        if not self.exists():
+            return self.insert(objs)
+        if filter_fields is None:
+            filter_fields = [self._require_pk()]
+        base = self.df
+        incoming = self._align(self.spark.createDataFrame(objs), base.schema)
+        if update_fields is None:
+            update_fields = [c for c in incoming.columns if c not in filter_fields]
+        matched_keys = [F.col(f"t.{k}").eqNullSafe(F.col(f"u.{k}")) for k in filter_fields]
+        on = matched_keys[0]
+        for k in matched_keys[1:]:
+            on = on & k
+        joined = base.alias("t").join(F.broadcast(incoming).alias("u"), on=on, how="left")
+        sel = []
+        for field in base.schema.fields:
+            c = field.name
+            if c in update_fields:
+                sel.append(F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}")).alias(c))
+            else:
+                sel.append(F.col(f"t.{c}").alias(c))
+        updated = joined.select(*sel)
+        inserts = incoming.alias("u").join(
+            base.select(*filter_fields).alias("t"), on=filter_fields, how="left_anti"
+        )
+        self._set_df(updated.unionByName(inserts.select(*[f.name for f in base.schema.fields])))
+        return len(objs)
+
+    # ------------------------------------------------------------------ #
+    # retrieval (§2.4)
+    # ------------------------------------------------------------------ #
+    def _require_pk(self) -> str:
+        if not self.identifier_attribute:
+            raise ValueError(f"collection {self.alias!r} has no identifier attribute")
+        return self.identifier_attribute
+
+    def query(self, query: Query) -> QueryResult:
+        """Execute the declarative Query IR (reference collection.py:375-398)."""
+        if not self.exists():
+            return QueryResult(num_rows=0, rows=[], query=query)
+        df = apply_where(self.df, query.where_clause)
+        num_rows = df.count()  # pre-pagination total (queries.py:41-44)
+        page = df
+        if query.sort_by:
+            page = page.orderBy(*[_sort_col(s) for s in query.sort_by])
+        if query.offset:
+            page = page.offset(query.offset)
+        limit = DEFAULT_LIMIT if query.limit is None else query.limit
+        if limit is not None and limit >= 0:
+            page = page.limit(limit)
+        if query.select_cols:
+            page = page.select(*[path_col(c).alias(c.replace(".", "_")) if "." in c else F.col(c) for c in query.select_cols])
+        rows = _rows_to_dicts(page.collect())
+        facet_counts = None
+        if query.include_facet_counts:
+            facet_counts = query_facets(
+                self.df, query.where_clause, query.facet_slots
+            )
+        return QueryResult(num_rows=num_rows, rows=rows, facet_counts=facet_counts, query=query)
+
+    def find(
+        self,
+        where: WhereClause = None,
+        select_cols: Optional[List[str]] = None,
+        limit: Optional[int] = None,
+        offset: Optional[int] = None,
+        sort_by: Optional[List[str]] = None,
+        **kwargs,
+    ) -> QueryResult:
+        """Filter + project + paginate; returns page AND pre-limit total count
+        (reference collection.py:460-504; default LIMIT 100; limit=-1 means
+        unlimited per sql_utils.py:94-104)."""
+        q = Query(
+            from_table=self.alias,
+            where_clause=where,
+            select_cols=select_cols,
+            limit=limit,
+            offset=offset,
+            sort_by=sort_by,
+            **kwargs,
+        )
+        return self.query(q)
+
+    def find_iter(
+        self, where: WhereClause = None, page_size: int = 100
+    ) -> Iterator[OBJECT]:
+        """Streaming iteration without pagination re-scans: Spark's
+        toLocalIterator fetches partition-at-a-time
+        (reference offset-paging collection.py:506-529)."""
+        df = apply_where(self.df, where)
+        for row in df.toLocalIterator(prefetchPartitions=True):
+            yield row.asDict(recursive=True)
+
+    def get(self, ids: Union[Any, List[Any]]) -> QueryResult:
+        """pk lookup, multi-id via $in (reference collection.py:425-458)."""
+        pk = self._require_pk()
+        if not isinstance(ids, list):
+            ids = [ids]
+        return self.find({pk: {"$in": ids}}, limit=-1)
+
+    def get_one(self, id: Any) -> Optional[OBJECT]:
+        res = self.get([id])
+        return res.rows[0] if res.rows else None
+
+    def peek(self, limit: int = 10) -> List[OBJECT]:
+        return _rows_to_dicts(self.df.limit(limit).collect())
+
+    def rows(self) -> List[OBJECT]:
+        return _rows_to_dicts(self.df.collect())
+
+    def rows_iter(self) -> Iterator[OBJECT]:
+        for row in self.df.toLocalIterator():
+            yield row.asDict(recursive=True)
+
+    def size(self) -> int:
+        return self.df.count() if self.exists() else 0
+
+    # ------------------------------------------------------------------ #
+    # aggregation (§2.5)
+    # ------------------------------------------------------------------ #
+    def query_facets(
+        self,
+        where: WhereClause = None,
+        facet_columns: Optional[Sequence] = None,
+        facet_limit: int = DEFAULT_FACET_LIMIT,
+        facet_min_count: int = 1,
+    ):
+        return query_facets(self.df, where, facet_columns, facet_limit, facet_min_count)
+
+    def group_by(
+        self,
+        group_by_fields: Union[str, List[str]],
+        inlined_field: str = "objects",
+        agg_map: Optional[Dict[str, List[str]]] = None,
+        where: WhereClause = None,
+    ) -> List[OBJECT]:
+        """Group rows into {group_keys, objects:[rows]} shapes
+        (reference collection.py:625-664).
+
+        One shuffle via collect_list(struct(...)) — replaces the reference's
+        N+1 per-group queries (duckdb_collection.py:228-303) wholesale.
+        """
+        from linkml_store_spark.operators.groupby import group_by_objects
+
+        gdf = group_by_objects(
+            apply_where(self.df, where), group_by_fields, inlined_field, agg_map
+        )
+        return _rows_to_dicts(gdf.collect())
+
+    def describe(self, columns: Optional[List[str]] = None):
+        """Column statistics (reference cli.py:656-671 pandas describe)."""
+        from linkml_store_spark.operators.describe import describe
+
+        return describe(self.df if columns is None else self.df.select(*columns))
+
+    # ------------------------------------------------------------------ #
+    # search / index (§2.8)
+    # ------------------------------------------------------------------ #
+    def attach_indexer(self, indexer=None, name: Optional[str] = None, auto_index: bool = True):
+        from linkml_store_spark.index.indexer import SimpleIndexer
+
+        if indexer is None or indexer == "simple":
+            indexer = SimpleIndexer(name=name or "simple")
+        if name:
+            indexer.name = name
+        self._indexers[indexer.name] = indexer
+        if auto_index:
+            self.index_objects(indexer.name)
+        return indexer
+
+    def index_objects(self, index_name: str = "simple") -> DataFrame:
+        """Build the shadow index DataFrame ``{**obj, __index__: vector}``
+        (reference collection.py:810-943; shadow collection
+        internal__index__{alias}__{name}, indexer.py:86-87)."""
+        indexer = self._indexers[index_name]
+        idx_df = indexer.index_dataframe(self.df)
+        self._index_dfs[index_name] = idx_df
+        return idx_df
+
+    def search(
+        self,
+        query: str,
+        where: WhereClause = None,
+        index_name: Optional[str] = None,
+        limit: int = 10,
+        select_cols: Optional[List[str]] = None,
+        mmr_relevance_factor: Optional[float] = None,
+    ) -> QueryResult:
+        """Vector search: embed query, cosine against the shadow index,
+        top-k desc; optional MMR diversification
+        (reference collection.py:531-623, indexer.py:158-211)."""
+        if not self._indexers:
+            self.attach_indexer()  # auto-create default (collection.py:576-592)
+        if index_name is None:
+            index_name = next(iter(self._indexers))
+        if index_name not in self._index_dfs:
+            self.index_objects(index_name)
+        indexer = self._indexers[index_name]
+        idx_df = self._index_dfs[index_name]
+        from linkml_store_spark.index.search import vector_search
+
+        ranked = vector_search(
+            idx_df,
+            indexer.text_to_vector(query),
+            where=where,
+            limit=limit,
+            mmr_relevance_factor=mmr_relevance_factor,
+        )
+        rows = []
+        for score, obj in ranked:
+            obj = {k: v for k, v in obj.items() if k != "__index__"}
+            if select_cols:
+                obj = {k: obj.get(k) for k in select_cols}
+            rows.append((score, obj))
+        return QueryResult(
+            num_rows=len(rows), rows=[o for _, o in rows], ranked_rows=rows
+        )
+
+    # ------------------------------------------------------------------ #
+    # diff / patch (§2.2)
+    # ------------------------------------------------------------------ #
+    def diff(self, other: "Collection") -> List[dict]:
+        from linkml_store_spark.patches import diff_collections
+
+        return diff_collections(self, other)
+
+    def apply_patches(self, patches: List[dict]) -> None:
+        from linkml_store_spark.patches import apply_patches
+
+        apply_patches(self, patches)
+
+
+def _sort_col(spec: str):
+    """'-col' means descending (reference ibis_collection.py:275-286)."""
+    spec = spec.strip()
+    if spec.startswith("-"):
+        return F.col(spec[1:]).desc()
+    if spec.lower().endswith(" desc"):
+        return F.col(spec[: -len(" desc")].strip()).desc()
+    if spec.lower().endswith(" asc"):
+        return F.col(spec[: -len(" asc")].strip()).asc()
+    return F.col(spec).asc()

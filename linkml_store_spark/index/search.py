@@ -1,0 +1,150 @@
+"""Vector search: distributed brute-force cosine top-k + driver-side MMR.
+
+Reference semantics: ``src/linkml_store/api/collection.py:531-623`` and
+``index/indexer.py:158-211`` — embed query, cosine against every indexed
+vector, sort desc, truncate. The reference materializes the ENTIRE collection
+client-side (its main scalability cliff, collection.py:600); here scoring is
+a native Column expression over the index DataFrame, so the scan, score, and
+top-k all run distributed and only k rows come back to the driver.
+
+MMR (``utils/vector_utils.py:94-158``) is inherently sequential: we fetch a
+bounded candidate pool (4*limit by default) via the distributed top-k, then
+run the iterative argmax on the driver — the candidate pool, not the
+collection, bounds driver memory.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Sequence, Tuple
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkml_store_spark.functions.vector import cosine_similarity, vec_lit
+from linkml_store_spark.index.indexer import INDEX_COLUMN
+from linkml_store_spark.where import WhereClause, apply_where
+
+
+def knn(
+    df: DataFrame,
+    query_vector: Sequence[float],
+    vector_col: str = INDEX_COLUMN,
+    k: int = 10,
+    score_col: str = "score",
+) -> DataFrame:
+    """Distributed brute-force top-k: score every row, TakeOrdered k.
+
+    Catalyst turns orderBy+limit into TakeOrderedAndProject — per-partition
+    heaps of size k, no full sort, no full shuffle. This is the correct
+    brute-force plan at any scale.
+    """
+    scored = df.withColumn(
+        score_col, cosine_similarity(F.col(vector_col), vec_lit(query_vector))
+    )
+    return scored.orderBy(F.desc(score_col)).limit(k)
+
+
+def vector_search(
+    index_df: DataFrame,
+    query_vector: Sequence[float],
+    where: WhereClause = None,
+    limit: int = 10,
+    mmr_relevance_factor: Optional[float] = None,
+    candidate_multiplier: int = 4,
+) -> List[Tuple[float, dict]]:
+    """Search the shadow index; returns [(score, obj), ...] desc.
+
+    ``where`` prefilters rows (pushed to the scan). With MMR, a candidate
+    pool of ``candidate_multiplier * limit`` is fetched and re-ranked on the
+    driver.
+    """
+    df = apply_where(index_df, where)
+    pool = limit if mmr_relevance_factor is None else max(limit, candidate_multiplier * limit)
+    top = knn(df, query_vector, k=pool).collect()
+    results = [
+        (float(r["score"]), {k: v for k, v in r.asDict(recursive=True).items() if k != "score"})
+        for r in top
+    ]
+    if mmr_relevance_factor is not None:
+        qv = np.asarray(query_vector, dtype=float)
+        vecs = [np.asarray(obj[INDEX_COLUMN], dtype=float) for _, obj in results]
+        order = mmr_diversified_search(qv, vecs, mmr_relevance_factor, top_n=limit)
+        results = [results[i] for i in order]
+    return results[:limit]
+
+
+def mmr_diversified_search(
+    query_vector: np.ndarray,
+    vectors: List[np.ndarray],
+    relevance_factor: float = 0.5,
+    top_n: Optional[int] = None,
+) -> List[int]:
+    """Maximal Marginal Relevance: iteratively pick
+    argmax(λ·rel − (1−λ)·max-sim-to-selected)
+    (reference vector_utils.py:94-158)."""
+    if not vectors:
+        return []
+    n = len(vectors)
+    top_n = n if top_n is None else min(top_n, n)
+    mat = np.stack(vectors)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    qn = np.linalg.norm(query_vector) or 1.0
+    rel = (mat @ query_vector) / (norms * qn)
+    sim = (mat @ mat.T) / np.outer(norms, norms)
+    selected: List[int] = []
+    remaining = set(range(n))
+    while len(selected) < top_n and remaining:
+        if not selected:
+            best = int(np.argmax(rel))
+        else:
+            best, best_score = -1, -np.inf
+            max_sim = sim[:, selected].max(axis=1)
+            for i in remaining:
+                score = relevance_factor * rel[i] - (1 - relevance_factor) * max_sim[i]
+                if score > best_score:
+                    best, best_score = i, score
+        selected.append(best)
+        remaining.discard(best)
+    return selected
+
+
+def find_matches(
+    left: DataFrame,
+    right: DataFrame,
+    vector_col: str = INDEX_COLUMN,
+    left_id: str = "id",
+    right_id: str = "id",
+    metric: str = "cosine",
+    top_n: int = 1,
+    threshold: Optional[float] = None,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """kNN between two collections (reference
+    ``utils/embedding_matcher.py:104-361``): cross-score + per-left-row
+    window top-n. At scale, swap the crossJoin for an LSH-bucketed candidate
+    join (operators/similarity.py) — same downstream ranking.
+    """
+    from pyspark.sql.window import Window
+    from linkml_store_spark.functions.vector import DISTANCE_METRICS
+
+    lhs = left.select(F.col(left_id).alias("left_id"), F.col(vector_col).alias("__lv"))
+    rhs = right.select(F.col(right_id).alias("right_id"), F.col(vector_col).alias("__rv"))
+    pairs = lhs.crossJoin(rhs)
+    if exclude_self:
+        pairs = pairs.filter(F.col("left_id") != F.col("right_id"))
+    fn = DISTANCE_METRICS[metric]
+    scored = pairs.withColumn("score", fn(F.col("__lv"), F.col("__rv")))
+    if threshold is not None:
+        asc_metrics = {"euclidean", "manhattan"}
+        scored = scored.filter(
+            F.col("score") <= threshold if metric in asc_metrics else F.col("score") >= threshold
+        )
+    order = F.asc("score") if metric in {"euclidean", "manhattan"} else F.desc("score")
+    w = Window.partitionBy("left_id").orderBy(order, F.asc("right_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select("left_id", "right_id", "score", "rank")
+    )

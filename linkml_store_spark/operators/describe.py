@@ -1,0 +1,90 @@
+"""describe: per-column statistics (pandas describe(include='all') analog).
+
+Reference: ``src/linkml_store/cli.py:656-671`` — count/unique/top/freq for all
+columns plus mean/std/min/quartiles/max for numerics.
+
+Spark-first: one aggregate pass computes count/mean/std/min/max/quantiles for
+every numeric column simultaneously (single job, map-side partial aggs);
+unique/top/freq need per-column distinct counts — approx_count_distinct keeps
+that a single pass too. Quartiles use approx_percentile (t-digest-style
+sketch), the only honest choice at 100 TB.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def describe(df: DataFrame) -> DataFrame:
+    """Return a DataFrame with one row per input column:
+    (column, count, unique, top, freq, mean, std, min_value, q25, median,
+    q75, max_value). String-typed stats are null for numerics' mean etc.
+    """
+    numeric = {
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.NumericType,))
+    }
+    aggs: List = []
+    for c in df.columns:
+        aggs.append(F.count(F.col(c)).alias(f"{c}__count"))
+        aggs.append(F.approx_count_distinct(F.col(c)).alias(f"{c}__unique"))
+        if c in numeric:
+            aggs += [
+                F.avg(c).alias(f"{c}__mean"),
+                F.stddev_samp(c).alias(f"{c}__std"),
+                F.min(c).alias(f"{c}__min"),
+                F.expr(f"approx_percentile({c}, array(0.25, 0.5, 0.75))").alias(
+                    f"{c}__q"
+                ),
+                F.max(c).alias(f"{c}__max"),
+            ]
+    stats = df.agg(*aggs).collect()[0].asDict()
+
+    # top/freq (mode) per column: one tiny groupBy per column over the same
+    # scan; computed lazily here as they require a second aggregation level.
+    rows = []
+    for c in df.columns:
+        top_row = (
+            df.groupBy(c).count().orderBy(F.desc("count"), F.asc(c)).limit(1).collect()
+        )
+        top, freq = (top_row[0][0], top_row[0][1]) if top_row else (None, None)
+        q = stats.get(f"{c}__q")
+        rows.append(
+            {
+                "column": c,
+                "count": stats[f"{c}__count"],
+                "unique": stats[f"{c}__unique"],
+                "top": str(top) if top is not None else None,
+                "freq": freq,
+                "mean": float(stats[f"{c}__mean"]) if c in numeric and stats[f"{c}__mean"] is not None else None,
+                "std": float(stats[f"{c}__std"]) if c in numeric and stats[f"{c}__std"] is not None else None,
+                "min_value": float(stats[f"{c}__min"]) if c in numeric and stats[f"{c}__min"] is not None else None,
+                "q25": float(q[0]) if q else None,
+                "median": float(q[1]) if q else None,
+                "q75": float(q[2]) if q else None,
+                "max_value": float(stats[f"{c}__max"]) if c in numeric and stats[f"{c}__max"] is not None else None,
+            }
+        )
+    spark = df.sparkSession
+    schema = T.StructType(
+        [
+            T.StructField("column", T.StringType()),
+            T.StructField("count", T.LongType()),
+            T.StructField("unique", T.LongType()),
+            T.StructField("top", T.StringType()),
+            T.StructField("freq", T.LongType()),
+            T.StructField("mean", T.DoubleType()),
+            T.StructField("std", T.DoubleType()),
+            T.StructField("min_value", T.DoubleType()),
+            T.StructField("q25", T.DoubleType()),
+            T.StructField("median", T.DoubleType()),
+            T.StructField("q75", T.DoubleType()),
+            T.StructField("max_value", T.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema=schema)

@@ -1,0 +1,111 @@
+"""JSON-Patch diff/apply between pk-keyed collections.
+
+Reference semantics (``src/linkml_store/api/collection.py:1187-1218``,
+``utils/patch_utils.py:6-122``): ``diff`` emits an RFC-6902 patch list
+transforming self -> other, keyed by primary key, None-stripped, sorted by
+(path, op); ``apply_patches`` mutates the collection accordingly.
+
+Spark-first diff: ONE full-outer join on the pk, struct comparison JVM-side;
+only differing rows are collected to build patch objects. At 100 TB the join
+shuffles once on the pk (or not at all if both sides are bucketed by pk) and
+the collect is bounded by the number of *changed* rows.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Any, Dict, List
+
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:
+    from linkml_store_spark.collection import Collection
+
+
+def _strip_nones(obj: Any) -> Any:
+    if isinstance(obj, dict):
+        return {k: _strip_nones(v) for k, v in obj.items() if v is not None}
+    if isinstance(obj, list):
+        return [_strip_nones(v) for v in obj]
+    return obj
+
+
+def diff_collections(src: "Collection", dst: "Collection") -> List[dict]:
+    pk = src._require_pk()
+    left = src.df.alias("l")
+    right = dst.df.alias("r")
+    joined = left.join(right, on=F.col(f"l.{pk}").eqNullSafe(F.col(f"r.{pk}")), how="full_outer")
+    # JVM-side change detection: only rows where the structs differ survive
+    changed = joined.filter(
+        ~F.struct(*[F.col(f"l.{c}") for c in src.df.columns]).eqNullSafe(
+            F.struct(*[F.col(f"r.{c}") for c in src.df.columns])
+        )
+    )
+    l_cols = [F.col(f"l.{c}").alias(f"l_{c}") for c in src.df.columns]
+    r_cols = [F.col(f"r.{c}").alias(f"r_{c}") for c in dst.df.columns]
+    rows = changed.select(*l_cols, *r_cols).collect()
+
+    patches: List[dict] = []
+    n_cols = src.df.columns
+    for row in rows:
+        d = row.asDict(recursive=True)
+        lobj = _strip_nones({c: d[f"l_{c}"] for c in n_cols})
+        robj = _strip_nones({c: d[f"r_{c}"] for c in n_cols})
+        l_id, r_id = d[f"l_{pk}"], d[f"r_{pk}"]
+        if l_id is None and r_id is not None:
+            patches.append({"op": "add", "path": f"/{r_id}", "value": robj})
+        elif r_id is None and l_id is not None:
+            patches.append({"op": "remove", "path": f"/{l_id}"})
+        else:
+            for c in n_cols:
+                lv, rv = lobj.get(c), robj.get(c)
+                if lv == rv:
+                    continue
+                if rv is None:
+                    patches.append({"op": "remove", "path": f"/{l_id}/{c}"})
+                elif lv is None:
+                    patches.append({"op": "add", "path": f"/{l_id}/{c}", "value": rv})
+                else:
+                    patches.append({"op": "replace", "path": f"/{l_id}/{c}", "value": rv})
+    patches.sort(key=lambda p: (p["path"], p["op"]))
+    return patches
+
+
+def apply_patches(coll: "Collection", patches: List[dict]) -> None:
+    """Apply RFC-6902-style patches produced by diff_collections.
+
+    Translated to set-based operations: removes -> one delete_where($in),
+    adds -> one insert, replaces -> one upsert batch. No per-row queries.
+    """
+    pk = coll._require_pk()
+    removes, adds, updates = [], [], {}
+    for p in patches:
+        parts = [seg for seg in p["path"].split("/") if seg]
+        key: Any = parts[0]
+        key = _coerce_key(coll, pk, key)
+        if p["op"] == "remove" and len(parts) == 1:
+            removes.append(key)
+        elif p["op"] == "add" and len(parts) == 1:
+            adds.append(p["value"])
+        elif len(parts) == 2:
+            field = parts[1]
+            upd = updates.setdefault(key, {pk: key})
+            upd[field] = None if p["op"] == "remove" else p["value"]
+        else:
+            raise ValueError(f"unsupported patch shape: {p}")
+    if removes:
+        coll.delete_where({pk: {"$in": removes}})
+    if updates:
+        coll.upsert(list(updates.values()), filter_fields=[pk])
+    if adds:
+        coll.insert(adds)
+
+
+def _coerce_key(coll: "Collection", pk: str, key: str) -> Any:
+    from pyspark.sql import types as T
+
+    dtype = coll.df.schema[pk].dataType
+    if isinstance(dtype, (T.LongType, T.IntegerType, T.ShortType)):
+        return int(key)
+    if isinstance(dtype, (T.DoubleType, T.FloatType)):
+        return float(key)
+    return key

@@ -1,0 +1,54 @@
+"""Declarative Query / QueryResult IR.
+
+Wire-compatible with the reference's tiny IR
+(``src/linkml_store/api/queries.py:16-69``): a Query carries
+from_table/select/where/sort/limit/offset/facets; a QueryResult carries the
+*pre-pagination* total count (``num_rows``), the page of rows, optional
+ranked rows (vector search), and optional facet counts.
+
+In this engine a Query compiles to a DataFrame logical plan; Catalyst handles
+pushdown/pruning. ``num_rows`` costs one extra count job over the filtered
+plan — the filtered DataFrame is shared so the scan+filter is identical work,
+and at scale both jobs prune partitions the same way.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple, Union
+
+from linkml_store_spark.where import WhereClause
+
+
+@dataclass
+class Query:
+    from_table: Optional[str] = None
+    select_cols: Optional[List[str]] = None
+    where_clause: WhereClause = None
+    sort_by: Optional[List[str]] = None
+    limit: Optional[int] = None
+    offset: Optional[int] = None
+    include_facet_counts: bool = False
+    facet_slots: Optional[List[Union[str, Tuple[str, ...]]]] = None
+
+
+FacetCounts = Dict[Union[str, Tuple[str, ...]], List[Tuple[Any, int]]]
+
+
+@dataclass
+class QueryResult:
+    num_rows: int = 0
+    rows: List[dict] = field(default_factory=list)
+    ranked_rows: Optional[List[Tuple[float, dict]]] = None
+    facet_counts: Optional[FacetCounts] = None
+    query: Optional[Query] = None
+
+    @property
+    def rows_dataframe(self):
+        """Lazy pandas view of the rows (reference: queries.py:57-63)."""
+        import pandas as pd
+
+        return pd.DataFrame(self.rows)
+
+    def __len__(self) -> int:
+        return len(self.rows)

@@ -1,0 +1,63 @@
+"""SparkSession factory tuned for both local testing and large-cluster use.
+
+At 100 TB the same code runs unchanged on a real cluster: the settings below
+that matter at scale (AQE, skew-join handling, partition coalescing, Arrow
+batched Python UDFs) are enabled here; local-only settings (shuffle partition
+count, driver memory) are parameterized by environment.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "linkml-store-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    Local defaults follow the harness contract: ``local[$SPARK_GRAFT_CPUS]``
+    with ``spark.sql.shuffle.partitions`` matched to the core count so small
+    benchmarks are not dominated by empty-partition scheduling. On a cluster,
+    pass ``master=None`` with a real deployment and AQE coalesces shuffle
+    partitions at runtime.
+    """
+    # Executor Python workers must be able to import this package (pandas
+    # UDFs pickle references to it). Driver-side sys.path edits don't reach
+    # workers, so export the package root on PYTHONPATH before the JVM forks.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime re-planning, skew-join splitting, partition coalescing.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for any pandas_udf / toPandas path (vectorized transfer).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Timestamps: keep parquet INT96-free round trips deterministic.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

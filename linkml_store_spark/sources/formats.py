@@ -1,0 +1,260 @@
+"""Format readers/writers -> DataFrames.
+
+Reference surface: ``src/linkml_store/utils/format_utils.py:166-505``
+(load_objects / render_output / write_output over JSON, JSONL, YAML, YAMLL,
+CSV, TSV, XML, Parquet, XLSX, TEXT, TEXTLINES, FASTA, GMT, OBO, DAT, RDF).
+
+Spark-first split:
+  * big-data formats (parquet, json/jsonl, csv/tsv, textlines) go straight to
+    ``spark.read.*`` — distributed scans with pushdown and schema inference;
+  * document formats (yaml, xml, xlsx, toml) parse driver-side (they are
+    whole-file by nature) then ``createDataFrame``;
+  * record formats with custom delimiters (fasta, obo, gmt) read distributed
+    via ``spark.read.text`` with custom line/record handling.
+
+Compression: .gz is transparent for the spark.read paths (Hadoop codecs).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import json
+import os
+import re
+from typing import Any, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _open(path: str):
+    if path.endswith(".gz"):
+        return io.TextIOWrapper(gzip.open(path, "rb"), encoding="utf-8")
+    return open(path, encoding="utf-8")
+
+
+def guess_format(path: str) -> str:
+    base = path[:-3] if path.endswith(".gz") else path
+    ext = os.path.splitext(base)[1].lstrip(".").lower()
+    return {
+        "jsonl": "jsonl",
+        "ndjson": "jsonl",
+        "json": "json",
+        "yaml": "yaml",
+        "yml": "yaml",
+        "yamll": "yamll",
+        "csv": "csv",
+        "tsv": "tsv",
+        "parquet": "parquet",
+        "pq": "parquet",
+        "txt": "textlines",
+        "fasta": "fasta",
+        "fa": "fasta",
+        "gmt": "gmt",
+        "obo": "obo",
+        "toml": "toml",
+        "xml": "xml",
+        "md": "markdown",
+    }.get(ext, ext or "json")
+
+
+# --------------------------------------------------------------------- #
+# readers
+# --------------------------------------------------------------------- #
+def read_objects_df(
+    spark: SparkSession,
+    path: str,
+    fmt: Optional[str] = None,
+    header_comment_token: Optional[str] = None,
+    multiline_json: Optional[bool] = None,
+) -> DataFrame:
+    """Load a file as a DataFrame (reference load_objects,
+    format_utils.py:297-358)."""
+    fmt = (fmt or guess_format(path)).lower()
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    if fmt in ("jsonl", "ndjson"):
+        return spark.read.json(path)
+    if fmt == "json":
+        # whole-doc JSON: may be an array of objects or a single object
+        return spark.read.json(path, multiLine=True)
+    if fmt in ("csv", "tsv"):
+        sep = "\t" if fmt == "tsv" else ","
+        reader = spark.read.option("header", True).option("inferSchema", True)
+        if header_comment_token:
+            reader = reader.option("comment", header_comment_token)
+        return reader.csv(path, sep=sep)
+    if fmt in ("yaml", "yamll", "toml", "xml"):
+        objs = _read_document_objects(path, fmt)
+        return spark.createDataFrame(objs)
+    if fmt == "textlines":
+        # one object per line (format_utils.py:183-184)
+        return spark.read.text(path).withColumnRenamed("value", "line")
+    if fmt == "text":
+        # whole-file stats object (format_utils.py:206-217)
+        df = spark.read.text(path, wholetext=True)
+        return df.select(
+            F.lit(os.path.basename(path)).alias("name"),
+            F.lit(path).alias("path"),
+            F.col("value").alias("content"),
+            F.length("value").alias("size"),
+            (F.size(F.split(F.col("value"), "\n"))).alias("lines"),
+            F.md5(F.col("value").cast("binary")).alias("md5"),
+        )
+    if fmt == "fasta":
+        return _read_fasta(spark, path)
+    if fmt == "gmt":
+        return _read_gmt(spark, path)
+    if fmt == "obo":
+        return _read_obo(spark, path)
+    raise ValueError(f"unsupported format: {fmt}")
+
+
+def _read_document_objects(path: str, fmt: str) -> List[dict]:
+    if fmt in ("yaml", "yamll"):
+        import yaml
+
+        with _open(path) as f:
+            docs = list(yaml.safe_load_all(f))
+        if fmt == "yaml" and len(docs) == 1 and isinstance(docs[0], list):
+            return docs[0]
+        return [d for d in docs if d is not None]
+    if fmt == "toml":
+        import tomllib
+
+        with open(path, "rb") as f:
+            return [tomllib.load(f)]
+    if fmt == "xml":
+        try:
+            import xmltodict
+        except ImportError as e:
+            raise NotImplementedError("xml support requires xmltodict") from e
+        with _open(path) as f:
+            return [xmltodict.parse(f.read())]
+    raise ValueError(fmt)
+
+
+def _read_fasta(spark: SparkSession, path: str) -> DataFrame:
+    """'>'-delimited records -> (id, description, sequence)
+    (reference format_utils.py:233-245). Distributed via a custom record
+    delimiter so multi-GB FASTA files split across executors."""
+    rdd = spark.sparkContext.newAPIHadoopFile(
+        path,
+        "org.apache.hadoop.mapreduce.lib.input.TextInputFormat",
+        "org.apache.hadoop.io.LongWritable",
+        "org.apache.hadoop.io.Text",
+        conf={"textinputformat.record.delimiter": "\n>"},
+    ).map(lambda kv: kv[1])
+
+    def parse(record: str):
+        record = record.lstrip(">").strip()
+        if not record:
+            return None
+        header, _, seq = record.partition("\n")
+        parts = header.split(None, 1)
+        return (
+            parts[0],
+            parts[1] if len(parts) > 1 else None,
+            seq.replace("\n", ""),
+        )
+
+    rows = rdd.map(parse).filter(lambda r: r is not None)
+    return spark.createDataFrame(rows, schema="id string, description string, sequence string")
+
+
+def _read_gmt(spark: SparkSession, path: str) -> DataFrame:
+    """GMT gene sets: name<TAB>description<TAB>gene1<TAB>gene2...
+    (reference format_utils.py:218-232)."""
+    lib = os.path.basename(path).rsplit(".", 1)[0]
+    df = spark.read.text(path)
+    parts = F.split(F.col("value"), "\t")
+    return df.select(
+        F.lit(lib).alias("library"),
+        parts.getItem(0).alias("name"),
+        parts.getItem(1).alias("description"),
+        F.slice(parts, 3, F.size(parts) - 2).alias("genes"),
+    ).withColumn("uid", F.concat_ws(":", F.lit(lib), F.col("name")))
+
+
+def _read_obo(spark: SparkSession, path: str) -> DataFrame:
+    """OBO stanzas: blank-line-delimited blocks with an id line
+    (reference format_utils.py:246-254). Custom record delimiter '\\n\\n'."""
+    rdd = spark.sparkContext.newAPIHadoopFile(
+        path,
+        "org.apache.hadoop.mapreduce.lib.input.TextInputFormat",
+        "org.apache.hadoop.io.LongWritable",
+        "org.apache.hadoop.io.Text",
+        conf={"textinputformat.record.delimiter": "\n\n"},
+    ).map(lambda kv: kv[1])
+
+    id_re = re.compile(r"^id: (\S+)", re.MULTILINE)
+
+    def parse(block: str):
+        block = block.strip()
+        if not block.startswith("[Term]"):
+            return None
+        m = id_re.search(block)
+        return (m.group(1) if m else None, block)
+
+    rows = rdd.map(parse).filter(lambda r: r is not None)
+    return spark.createDataFrame(rows, schema="id string, content string")
+
+
+def read_rdf_triples(spark: SparkSession, path: str, pivot: bool = False) -> DataFrame:
+    """N-Triples-ish -> (subject, predicate, object) DataFrame; optional pivot
+    subject x predicate -> first(object) (reference format_utils.py:260-281)."""
+    line = F.regexp_extract(F.col("value"), r"^\s*(\S+)\s+(\S+)\s+(.+?)\s*\.\s*$", 0)
+    df = (
+        spark.read.text(path)
+        .filter(F.col("value").rlike(r"^\s*[^#\s]"))
+        .select(
+            F.regexp_extract("value", r"^\s*(\S+)\s+(\S+)\s+(.+?)\s*\.\s*$", 1).alias("subject"),
+            F.regexp_extract("value", r"^\s*(\S+)\s+(\S+)\s+(.+?)\s*\.\s*$", 2).alias("predicate"),
+            F.regexp_extract("value", r"^\s*(\S+)\s+(\S+)\s+(.+?)\s*\.\s*$", 3).alias("object"),
+        )
+        .filter(F.col("subject") != "")
+    )
+    if pivot:
+        return df.groupBy("subject").pivot("predicate").agg(F.first("object"))
+    return df
+
+
+# --------------------------------------------------------------------- #
+# writers
+# --------------------------------------------------------------------- #
+def write_collection(df: DataFrame, path: str, fmt: str = "parquet") -> str:
+    """Write a DataFrame in the requested format (reference write_output,
+    format_utils.py:383-505). Distributed formats write spark datasets;
+    document formats render driver-side."""
+    fmt = fmt.lower()
+    if fmt == "parquet":
+        df.write.mode("overwrite").parquet(path + ".parquet")
+        return path + ".parquet"
+    if fmt in ("jsonl", "json"):
+        df.write.mode("overwrite").json(path + ".jsonl")
+        return path + ".jsonl"
+    if fmt in ("csv", "tsv"):
+        sep = "\t" if fmt == "tsv" else ","
+        df.write.mode("overwrite").option("header", True).csv(path + f".{fmt}", sep=sep)
+        return path + f".{fmt}"
+    if fmt == "yaml":
+        import yaml
+
+        objs = [r.asDict(recursive=True) for r in df.collect()]
+        out = path + ".yaml"
+        with open(out, "w", encoding="utf-8") as f:
+            yaml.safe_dump_all(objs, f, sort_keys=False)
+        return out
+    if fmt == "markdown":
+        rows = [r.asDict(recursive=True) for r in df.collect()]
+        out = path + ".md"
+        with open(out, "w", encoding="utf-8") as f:
+            if rows:
+                cols = list(rows[0])
+                f.write("| " + " | ".join(cols) + " |\n")
+                f.write("|" + "|".join(["---"] * len(cols)) + "|\n")
+                for r in rows:
+                    f.write("| " + " | ".join(str(r[c]) for c in cols) + " |\n")
+        return out
+    raise ValueError(f"unsupported output format: {fmt}")

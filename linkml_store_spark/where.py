@@ -1,0 +1,228 @@
+"""Mongo-style where-clause -> pyspark ``Column`` predicate compiler.
+
+This is the semantic core of the engine. The reference accepts three forms of
+where clause (reference: ``src/linkml_store/api/queries.py:25``,
+``src/linkml_store/utils/sql_utils.py:35-79``,
+``src/linkml_store/utils/query_utils.py:4-13``):
+
+  * ``None``            -> no filter
+  * ``str``             -> raw SQL passthrough (we hand it to ``F.expr``)
+  * ``list[str]``       -> raw SQL fragments, ANDed
+  * ``dict``            -> MongoDB-flavored conjunction:
+        {col: value}                  equality (None -> IS NULL)
+        {col: {"$op": value, ...}}    operators, ANDed
+        {col: {">=": value}}          raw SQL operator passthrough
+        top-level keys                implicit AND
+
+Operator set for parity (the reference has NO $or/$and/$not/$exists):
+``$eq $ne $gt $gte $lt $lte $in $nin $like $regex $contains`` plus raw
+operator strings. ``$ne: None`` means IS NOT NULL
+(``dremio_collection.py:141-146``). ``$in`` against an array-typed column
+means overlap ("any x in b", ``query_utils.py:11``); ``$contains`` means
+array membership (``sql_utils.py:20-25,73``).
+
+Dotted paths (``a.b.c``) navigate nested structs; ``a.b[0].c`` indexes into
+arrays (``utils/object_utils.py:64-100``).
+
+Everything compiles to native Column expressions — the whole predicate stays
+JVM-side, participates in whole-stage codegen, and is pushed down to the
+parquet scan by Catalyst. No Python UDFs anywhere in this module.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import reduce
+from typing import Any, Optional, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+WhereClause = Union[None, str, list, dict]
+
+_PATH_SEG = re.compile(r"([^\[\]]+)|\[(\d+)\]")
+
+
+def path_col(path: str) -> Column:
+    """Resolve a dotted/bracketed path (``a.b[0].c``) to a Column.
+
+    Plain dotted paths map straight to nested struct access; ``[i]`` segments
+    become ``getItem`` calls. Reference: ``object_path_get`` at
+    ``utils/object_utils.py:64-100``.
+    """
+    if "[" not in path:
+        return F.col(path)
+    col: Optional[Column] = None
+    for part in path.split("."):
+        for m in _PATH_SEG.finditer(part):
+            name, idx = m.group(1), m.group(2)
+            if name is not None:
+                col = F.col(name) if col is None else col.getField(name)
+            else:
+                if col is None:
+                    raise ValueError(f"path cannot start with an index: {path}")
+                col = col.getItem(int(idx))
+    if col is None:
+        raise ValueError(f"empty path: {path}")
+    return col
+
+
+def _field_type(schema: T.StructType, path: str) -> Optional[T.DataType]:
+    """Walk a dotted path through a StructType; None if not resolvable.
+
+    Field access THROUGH an array of structs maps over the array (Spark
+    semantics: ``history.organization`` on array<struct> -> array<string>),
+    so the result is wrapped back into ArrayType in that case.
+    """
+    cur: T.DataType = schema
+    through_array = False
+    for seg in re.sub(r"\[\d+\]", "", path).split("."):
+        if isinstance(cur, T.ArrayType):
+            cur = cur.elementType
+            through_array = True
+        if not isinstance(cur, T.StructType):
+            return None
+        try:
+            cur = cur[seg].dataType
+        except KeyError:
+            return None
+    if through_array and not isinstance(cur, T.ArrayType):
+        return T.ArrayType(cur)
+    return cur
+
+
+def _is_array(df: Optional[DataFrame], path: str) -> bool:
+    if df is None:
+        return False
+    t = _field_type(df.schema, path)
+    return isinstance(t, T.ArrayType)
+
+
+def _eq(col: Column, value: Any, is_array: bool) -> Column:
+    if value is None:
+        return col.isNull()
+    return col == F.lit(value)
+
+
+def _ne(col: Column, value: Any, is_array: bool) -> Column:
+    if value is None:
+        return col.isNotNull()
+    # SQL != is null-rejecting; parity with the DuckDB/SQL backends.
+    return col != F.lit(value)
+
+
+def _in(col: Column, value: Any, is_array: bool) -> Column:
+    if not isinstance(value, (list, tuple, set)):
+        value = [value]
+    value = list(value)
+    if is_array:
+        # array-typed lhs: "any element of col in value" -> overlap
+        return F.arrays_overlap(col, F.lit(value))
+    return col.isin(value)
+
+
+def _nin(col: Column, value: Any, is_array: bool) -> Column:
+    return ~_in(col, value, is_array)
+
+
+def _contains(col: Column, value: Any, is_array: bool) -> Column:
+    if is_array:
+        return F.array_contains(col, F.lit(value))
+    # string containment fallback (chromadb-flavored $contains on text)
+    return col.contains(value)
+
+
+_OPERATORS = {
+    "$eq": _eq,
+    "$ne": _ne,
+    "$gt": lambda c, v, a: c > F.lit(v),
+    "$gte": lambda c, v, a: c >= F.lit(v),
+    "$lt": lambda c, v, a: c < F.lit(v),
+    "$lte": lambda c, v, a: c <= F.lit(v),
+    "$in": _in,
+    "$nin": _nin,
+    "$like": lambda c, v, a: c.like(v),
+    "$regex": lambda c, v, a: c.rlike(v),
+    "$contains": _contains,
+}
+
+# raw SQL operator passthrough, per sql_utils.py:74-75 ("unrecognized dict key
+# treated as raw operator")
+_RAW_OPERATORS = {
+    "=": _eq,
+    "==": _eq,
+    "!=": _ne,
+    "<>": _ne,
+    ">": _OPERATORS["$gt"],
+    ">=": _OPERATORS["$gte"],
+    "<": _OPERATORS["$lt"],
+    "<=": _OPERATORS["$lte"],
+    "in": _in,
+    "like": _OPERATORS["$like"],
+}
+
+
+def _compile_condition(path: str, spec: Any, df: Optional[DataFrame]) -> Column:
+    col = path_col(path)
+    is_array = _is_array(df, path)
+    if isinstance(spec, dict):
+        conds = []
+        for op, v in spec.items():
+            fn = _OPERATORS.get(op) or _RAW_OPERATORS.get(op)
+            if fn is None:
+                raise ValueError(f"unsupported where operator: {op!r} on {path!r}")
+            conds.append(fn(col, v, is_array))
+        return reduce(lambda a, b: a & b, conds)
+    if isinstance(spec, (list, tuple)) and not is_array:
+        # scalar column matched against a list -> IN (mongo implicit-$in shape)
+        return _in(col, spec, is_array)
+    return _eq(col, spec, is_array)
+
+
+def compile_where(where: WhereClause, df: Optional[DataFrame] = None) -> Optional[Column]:
+    """Compile any accepted where-clause form to a single Column predicate.
+
+    Returns None for an empty clause (caller skips ``.filter``).
+    """
+    if where is None:
+        return None
+    if isinstance(where, str):
+        return F.expr(where) if where.strip() else None
+    if isinstance(where, (list, tuple)):
+        exprs = [compile_where(w, df) for w in where]
+        exprs = [e for e in exprs if e is not None]
+        if not exprs:
+            return None
+        return reduce(lambda a, b: a & b, exprs)
+    if isinstance(where, dict):
+        if not where:
+            return None
+        conds = [_compile_condition(k, v, df) for k, v in where.items()]
+        return reduce(lambda a, b: a & b, conds)
+    raise TypeError(f"unsupported where clause type: {type(where)}")
+
+
+def exclude_column(where: WhereClause, column: str) -> WhereClause:
+    """Drop conjuncts that reference ``column`` (facet exclusion rewrite).
+
+    The reference excludes the facet column's own condition from the WHERE
+    when computing that column's facet counts (Solr-style multi-select
+    faceting; ``sql_utils.py:110-116``). The reference does this with a string
+    prefix hack; we operate on the structured clause — dict keys are dropped
+    when they equal the column or are a dotted descendant of it.
+    String/list clauses cannot be analyzed and are returned unchanged.
+    """
+    if isinstance(where, dict):
+        return {
+            k: v
+            for k, v in where.items()
+            if k != column and not k.startswith(column + ".")
+        }
+    return where
+
+
+def apply_where(df: DataFrame, where: WhereClause) -> DataFrame:
+    """Filter ``df`` by ``where`` (no-op for empty clauses)."""
+    cond = compile_where(where, df)
+    return df.filter(cond) if cond is not None else df

@@ -1,0 +1,166 @@
+"""Collection CRUDSI behavior (reference test strategy: test_api.py)."""
+
+import pytest
+
+from linkml_store_spark.client import Client
+from linkml_store_spark.query import Query
+
+
+@pytest.fixture()
+def db(spark):
+    return Client(spark).attach_database("memory")
+
+
+def test_insert_find_roundtrip(db, countries):
+    coll = db.create_collection("Country", identifier_attribute="code")
+    n = coll.insert(countries)
+    assert n == len(countries)
+    res = coll.find({"code": "FR"})
+    assert res.num_rows == 1
+    assert res.rows[0]["name"] == "France"
+    assert res.rows[0]["languages"] == ["French"]
+
+
+def test_find_default_limit_and_total_count(db):
+    coll = db.create_collection("Nums")
+    coll.insert([{"i": i} for i in range(250)])
+    res = coll.find()
+    assert res.num_rows == 250  # pre-pagination total
+    assert len(res.rows) == 100  # default LIMIT 100
+    res = coll.find(limit=-1)
+    assert len(res.rows) == 250  # limit=-1 => unlimited
+    res = coll.find(limit=10, offset=240, sort_by=["i"])
+    assert [r["i"] for r in res.rows] == list(range(240, 250))
+
+
+def test_sort_desc(db, countries):
+    coll = db.create_collection("Country")
+    coll.insert(countries)
+    res = coll.find(sort_by=["-code"], limit=2)
+    assert [r["code"] for r in res.rows] == ["US", "MX"]
+
+
+def test_get_and_peek(db, countries):
+    coll = db.create_collection("Country", identifier_attribute="code")
+    coll.insert(countries)
+    assert coll.get_one("JP")["capital"] == "Tokyo"
+    assert coll.get(["JP", "FR"]).num_rows == 2
+    assert len(coll.peek(3)) == 3
+    assert coll.size() == len(countries)
+
+
+def test_select_cols_nested(db, persons):
+    coll = db.create_collection("Person", identifier_attribute="id")
+    coll.insert(persons)
+    res = coll.find({"id": 1}, select_cols=["name", "age_in_years"])
+    assert res.rows == [{"name": "n1", "age_in_years": 25}]
+
+
+def test_schema_induction_nested(db, persons):
+    coll = db.create_collection("Person", identifier_attribute="id")
+    coll.insert(persons)
+    res = coll.find({"history.organization": {"$contains": "Org2"}}, limit=-1)
+    assert [r["id"] for r in res.rows] == [2]
+
+
+def test_delete_where(db, countries):
+    coll = db.create_collection("Country", identifier_attribute="code")
+    coll.insert(countries)
+    n = coll.delete_where({"continent": "Europe"})
+    assert n == 4
+    assert coll.size() == len(countries) - 4
+    assert coll.find({"continent": "Europe"}).num_rows == 0
+
+
+def test_delete_objects(db, countries):
+    coll = db.create_collection("Country", identifier_attribute="code")
+    coll.insert(countries)
+    n = coll.delete([{"code": "FR", "name": "France"}])
+    assert n == 1
+    assert coll.size() == len(countries) - 1
+
+
+def test_update(db, countries):
+    coll = db.create_collection("Country", identifier_attribute="code")
+    coll.insert(countries)
+    coll.update([{"code": "FR", "capital": "PARIS"}])
+    assert coll.get_one("FR")["capital"] == "PARIS"
+    assert coll.get_one("FR")["name"] == "France"  # untouched fields survive
+    assert coll.size() == len(countries)
+
+
+def test_upsert(db, countries):
+    coll = db.create_collection("Country", identifier_attribute="code")
+    coll.insert(countries)
+    coll.upsert(
+        [
+            {"code": "FR", "name": "France", "capital": "Paris!", "continent": "Europe", "languages": ["French"]},
+            {"code": "ES", "name": "Spain", "capital": "Madrid", "continent": "Europe", "languages": ["Spanish"]},
+        ]
+    )
+    assert coll.size() == len(countries) + 1
+    assert coll.get_one("FR")["capital"] == "Paris!"
+    assert coll.get_one("ES")["name"] == "Spain"
+
+
+def test_replace(db, countries):
+    coll = db.create_collection("Country", identifier_attribute="code")
+    coll.insert(countries)
+    coll.replace([{"code": "XX", "name": "Only", "capital": "One", "continent": "None", "languages": []}])
+    assert coll.size() == 1
+
+
+def test_query_ir(db, countries):
+    coll = db.create_collection("Country")
+    coll.insert(countries)
+    res = coll.query(Query(from_table="Country", where_clause={"continent": "Asia"}, sort_by=["code"]))
+    assert [r["code"] for r in res.rows] == ["IN", "JP"]
+
+
+def test_find_iter(db, countries):
+    coll = db.create_collection("Country")
+    coll.insert(countries)
+    rows = list(coll.find_iter({"continent": "Europe"}))
+    assert len(rows) == 4
+
+
+def test_execute_sql(db, countries):
+    coll = db.create_collection("Country")
+    coll.insert(countries)
+    res = db.execute_sql("SELECT continent, COUNT(*) AS n FROM Country GROUP BY continent ORDER BY n DESC")
+    assert res.rows[0]["continent"] in ("Europe", "North America")
+
+
+def test_parquet_persistence(spark, countries, tmp_path):
+    client = Client(spark)
+    db = client.attach_database(f"spark://{tmp_path}/wh")
+    coll = db.create_collection("Country", identifier_attribute="code")
+    coll.insert(countries)
+    # fresh database instance sees the persisted collection
+    db2 = client.attach_database(f"spark://{tmp_path}/wh")
+    coll2 = db2.get_collection("Country")
+    assert coll2.size() == len(countries)
+    coll2.delete_where({"continent": "Europe"})
+    db3 = client.attach_database(f"spark://{tmp_path}/wh")
+    assert db3.get_collection("Country").size() == len(countries) - 4
+
+
+def test_store(db, countries, persons):
+    db.store({"countries": countries, "persons": persons})
+    assert db.get_collection("countries").size() == len(countries)
+    assert db.get_collection("persons").size() == len(persons)
+
+
+def test_referential_integrity(db):
+    db.store(
+        {
+            "Person": [{"id": 1, "org": "Org1"}, {"id": 2, "org": "OrgMissing"}],
+            "Organization": [{"id": "Org1", "name": "org one"}],
+        }
+    )
+    violations = db.validate_referential_integrity(
+        {"Person": [("org", "Organization", "id")]}
+    )
+    assert violations == [
+        {"collection": "Person", "slot": "org", "target": "Organization", "value": "OrgMissing"}
+    ]

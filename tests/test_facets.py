@@ -1,0 +1,74 @@
+"""Facet engine semantics (reference §2.5: exclusion rewrite, explode,
+compound tuples, min-count, top-k)."""
+
+import pytest
+
+from linkml_store_spark.client import Client
+
+
+@pytest.fixture()
+def coll(spark, countries):
+    db = Client(spark).attach_database("memory")
+    c = db.create_collection("Country", identifier_attribute="code")
+    c.insert(countries)
+    return c
+
+
+def test_single_facet(coll):
+    fc = coll.query_facets(facet_columns=["continent"])
+    counts = dict(fc["continent"])
+    assert counts["Europe"] == 4
+    assert counts["North America"] == 3
+    # descending by count
+    values = [c for _, c in fc["continent"]]
+    assert values == sorted(values, reverse=True)
+
+
+def test_multivalued_facet_explodes(coll):
+    fc = coll.query_facets(facet_columns=["languages"])
+    counts = dict(fc["languages"])
+    assert counts["English"] == 4
+    assert counts["French"] == 3
+    assert counts["Romansh"] == 1
+
+
+def test_facet_exclusion_rewrite(coll):
+    # Solr-style multi-select: the facet column's own condition is dropped
+    fc = coll.query_facets(
+        where={"continent": "Europe"}, facet_columns=["continent", "capital"]
+    )
+    assert dict(fc["continent"])["North America"] == 3  # not filtered to Europe
+    assert len(fc["capital"]) == 4  # capital facet IS filtered to Europe
+
+
+def test_compound_facet(coll):
+    fc = coll.query_facets(facet_columns=[("continent", "capital")])
+    counts = dict(fc[("continent", "capital")])
+    assert counts[("Europe", "Paris")] == 1
+
+
+def test_facet_limit_and_mincount(coll):
+    fc = coll.query_facets(facet_columns=["languages"], facet_limit=2)
+    assert len(fc["languages"]) == 2
+    fc = coll.query_facets(facet_columns=["languages"], facet_min_count=3)
+    assert all(c >= 3 for _, c in fc["languages"])
+
+
+def test_default_facet_columns_all(coll):
+    fc = coll.query_facets(facet_limit=5)
+    assert set(fc) == {"name", "code", "capital", "continent", "languages"}
+
+
+def test_group_by(coll):
+    groups = coll.group_by("continent", agg_map={"list": ["name", "capital"]})
+    by_key = {g["continent"]: g for g in groups}
+    assert len(by_key["Europe"]["objects"]) == 4
+    assert {o["name"] for o in by_key["Asia"]["objects"]} == {"Japan", "India"}
+
+
+def test_describe(spark, coll):
+    desc = coll.describe()
+    rows = {r["column"]: r for r in desc.collect()}
+    assert rows["code"]["count"] == 12
+    assert rows["continent"]["top"] == "Europe"
+    assert rows["continent"]["freq"] == 4

@@ -1,0 +1,92 @@
+"""Where-compiler semantics (reference §2.3: eq/ne/gt/gte/lt/lte/in/nin/
+like/regex/contains, dotted paths, implicit AND, None -> IS NULL)."""
+
+import pytest
+
+from linkml_store_spark.where import apply_where, compile_where
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    rows = [
+        {"id": 1, "name": "alpha", "n": 10, "tags": ["x", "y"], "meta": {"k": "a", "depth": 1}},
+        {"id": 2, "name": "beta", "n": 20, "tags": ["y"], "meta": {"k": "b", "depth": 2}},
+        {"id": 3, "name": "gamma", "n": 30, "tags": [], "meta": {"k": "a", "depth": 3}},
+        {"id": 4, "name": None, "n": None, "tags": None, "meta": None},
+    ]
+    return spark.createDataFrame(
+        rows,
+        schema="id long, name string, n long, tags array<string>, meta struct<k:string,depth:long>",
+    )
+
+
+def ids(df, where):
+    return sorted(r["id"] for r in apply_where(df, where).collect())
+
+
+def test_none_where(df):
+    assert ids(df, None) == [1, 2, 3, 4]
+    assert ids(df, {}) == [1, 2, 3, 4]
+
+
+def test_equality(df):
+    assert ids(df, {"name": "alpha"}) == [1]
+
+
+def test_equality_none_is_null(df):
+    assert ids(df, {"name": None}) == [4]
+
+
+def test_ne(df):
+    assert ids(df, {"name": {"$ne": "alpha"}}) == [2, 3]  # null-rejecting, SQL parity
+    assert ids(df, {"name": {"$ne": None}}) == [1, 2, 3]  # IS NOT NULL
+
+
+def test_comparisons(df):
+    assert ids(df, {"n": {"$gt": 10}}) == [2, 3]
+    assert ids(df, {"n": {"$gte": 10, "$lt": 30}}) == [1, 2]
+    assert ids(df, {"n": {"$lte": 10}}) == [1]
+
+
+def test_in_nin(df):
+    assert ids(df, {"name": {"$in": ["alpha", "beta"]}}) == [1, 2]
+    assert ids(df, {"name": {"$nin": ["alpha", "beta"]}}) == [3]
+    # implicit-IN when a scalar column meets a list value
+    assert ids(df, {"name": ["alpha", "gamma"]}) == [1, 3]
+
+
+def test_in_on_array_column_is_overlap(df):
+    assert ids(df, {"tags": {"$in": ["x"]}}) == [1]
+    assert ids(df, {"tags": {"$in": ["y"]}}) == [1, 2]
+
+
+def test_contains_on_array(df):
+    assert ids(df, {"tags": {"$contains": "y"}}) == [1, 2]
+
+
+def test_like_regex(df):
+    assert ids(df, {"name": {"$like": "a%"}}) == [1]
+    assert ids(df, {"name": {"$regex": "^(alpha|beta)$"}}) == [1, 2]
+
+
+def test_raw_operator_passthrough(df):
+    assert ids(df, {"n": {">=": 20}}) == [2, 3]
+
+
+def test_dotted_paths(df):
+    assert ids(df, {"meta.k": "a"}) == [1, 3]
+    assert ids(df, {"meta.depth": {"$gte": 2}}) == [2, 3]
+
+
+def test_implicit_and(df):
+    assert ids(df, {"meta.k": "a", "n": {"$gt": 10}}) == [3]
+
+
+def test_string_and_list_clauses(df):
+    assert ids(df, "n > 15") == [2, 3]
+    assert ids(df, ["n > 5", "n < 25"]) == [1, 2]
+
+
+def test_unknown_operator_raises(df):
+    with pytest.raises(ValueError):
+        compile_where({"n": {"$bogus": 1}}, df)
