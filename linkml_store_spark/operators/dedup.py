@@ -1,0 +1,339 @@
+"""Deduplication operators for large-scale text pipelines.
+
+Beyond the reference surface (north-star extension): exact, MinHash+LSH,
+SimHash, n-gram Jaccard, embedding-cosine near-dup. All are pure DataFrame
+compositions — hashing via ``F.hash``/``F.xxhash64`` (JVM, codegen), the only
+shuffles are the groupBys/joins inherent to the algorithms.
+
+Scale notes (100 TB):
+  * exact dedup shuffles once on the hash of the dedup key;
+  * MinHash: explode-to-shingles is the big intermediate — it never
+    materializes (flows straight into per-doc min aggregation, map-side
+    combined); candidate generation joins on (band_idx, band_hash), which is
+    uniformly distributed by construction, so no skew;
+  * pair verification is bounded by candidate count, not corpus size.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+# --------------------------------------------------------------------- #
+# exact
+# --------------------------------------------------------------------- #
+def exact_duplicates(
+    df: DataFrame, key_cols: Optional[List[str]] = None, id_col: str = "doc_id"
+) -> DataFrame:
+    """Rows that duplicate an earlier row on ``key_cols`` (hash-groupBy).
+
+    Returns the duplicate rows (keeping the min-id row as canonical), with
+    ``dup_of`` pointing at the kept id. One shuffle on the key hash.
+    """
+    key_cols = key_cols or [c for c in df.columns if c != id_col]
+    key = F.xxhash64(*[F.col(c) for c in key_cols])
+    w = Window.partitionBy(key).orderBy(F.asc(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("dup_of", F.first(F.col(id_col)).over(w))
+        .filter(F.col("__rn") > 1)
+        .drop("__rn")
+    )
+
+
+def dedup_exact(df: DataFrame, key_cols: Optional[List[str]] = None) -> DataFrame:
+    """Keep one row per key (arbitrary winner — dropDuplicates semantics)."""
+    return df.dropDuplicates(key_cols)
+
+
+# --------------------------------------------------------------------- #
+# shingles / tokens
+# --------------------------------------------------------------------- #
+def _tokens(text_col: Column) -> Column:
+    return F.split(F.lower(F.trim(text_col)), r"\s+")
+
+
+def _shingles(text_col: Column, k: int = 3) -> Column:
+    """Word k-shingles as an array<string> (distinct)."""
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.array_distinct(
+        F.when(
+            n >= k,
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+# --------------------------------------------------------------------- #
+# MinHash + LSH
+# --------------------------------------------------------------------- #
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """(id, minhash array<bigint>[num_perm]) via seeded xxhash64 min-agg.
+
+    Permutation i is simulated by xxhash64(shingle, seed=i) — standard
+    one-pass minhash. Explode + groupBy(id) with per-column min: map-side
+    partial aggregation keeps the shuffle tiny (num_perm longs per doc).
+    """
+    shingled = df.select(
+        F.col(id_col), F.explode(_shingles(F.col(text_col), shingle_size)).alias("__sh")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("__sh"), F.lit(i))).alias(f"mh_{i}")
+        for i in range(num_perm)
+    ]
+    sig = shingled.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"mh_{i}") for i in range(num_perm)]).alias("minhash"),
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Banding: docs sharing any (band_idx, band_hash) bucket become
+    candidate pairs (left_id < right_id). Self-join on the bucket key —
+    uniform hash keys, no skew; bucket fanout bounded by collision rate."""
+    rows_per_band = num_perm // bands
+    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_idx")
+    banded = signatures.select(F.col(id_col), F.col("minhash"), band_idx)
+    banded = banded.select(
+        id_col,
+        "band_idx",
+        F.xxhash64(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice("minhash", F.col("band_idx") * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ).alias("band_hash"),
+    )
+    left = banded.select(
+        F.col(id_col).alias("left_id"), "band_idx", "band_hash"
+    )
+    right = banded.select(
+        F.col(id_col).alias("right_id"), "band_idx", "band_hash"
+    )
+    return (
+        left.join(right, on=["band_idx", "band_hash"])
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id")
+        .distinct()
+    )
+
+
+def minhash_jaccard(sig_a: Column, sig_b: Column) -> Column:
+    """Estimated Jaccard = fraction of agreeing minhash slots."""
+    return F.aggregate(
+        F.zip_with(sig_a, sig_b, lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.size(sig_a)
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full pipeline: signatures -> LSH candidates -> verified near-dup pairs
+    with estimated jaccard >= threshold."""
+    sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_size)
+    cand = lsh_candidate_pairs(sig, id_col, num_perm, bands)
+    l = sig.select(F.col(id_col).alias("left_id"), F.col("minhash").alias("__ml"))
+    r = sig.select(F.col(id_col).alias("right_id"), F.col("minhash").alias("__mr"))
+    return (
+        cand.join(l, "left_id")
+        .join(r, "right_id")
+        .withColumn("jaccard", minhash_jaccard(F.col("__ml"), F.col("__mr")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("left_id", "right_id", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------- #
+# SimHash
+# --------------------------------------------------------------------- #
+def simhash(
+    df: DataFrame, text_col: str, id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """(id, simhash bigint): per-token xxhash64, sign-sum each bit, collapse
+    to a fingerprint. Explode + one groupBy; the 64 per-bit sums ride the
+    same shuffle as one row of 64 ints (map-side combined)."""
+    toks = df.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("__tok")
+    ).withColumn("__h", F.xxhash64("__tok"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b_{i}")
+        for i in range(bits)
+    ]
+    sums = toks.groupBy(id_col).agg(*bit_aggs)
+    fingerprint = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b_{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        term = bit * F.lit(1 << i).cast("long") if i < 63 else F.when(
+            F.col(f"b_{i}") > 0, F.lit(-(1 << 63)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return sums.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance <= max_hamming.
+
+    Pigeonhole blocking: split the 64-bit fingerprint into ``blocks`` chunks;
+    any pair within hamming <= blocks-1 shares at least one exact chunk, so
+    join on (chunk_idx, chunk_value) then verify with POPCOUNT(xor).
+    """
+    fp = simhash(df, text_col, id_col)
+    width = 64 // blocks
+    chunk_vals = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(
+                F.lit((1 << width) - 1)
+            )
+            for i in range(blocks)
+        ]
+    )
+    chunked = fp.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(chunk_vals).alias("chunk_idx", "chunk_val"),
+    )
+    l = chunked.select(
+        F.col(id_col).alias("left_id"), F.col("simhash").alias("__sl"), "chunk_idx", "chunk_val"
+    )
+    r = chunked.select(
+        F.col(id_col).alias("right_id"), F.col("simhash").alias("__sr"), "chunk_idx", "chunk_val"
+    )
+    pairs = (
+        l.join(r, on=["chunk_idx", "chunk_val"])
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id", "__sl", "__sr")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("__sl").bitwiseXOR(F.col("__sr")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("left_id", "right_id", "hamming")
+    )
+
+
+# --------------------------------------------------------------------- #
+# n-gram Jaccard (exact, for candidate verification or small corpora)
+# --------------------------------------------------------------------- #
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+    threshold: float = 0.5,
+    candidates: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Exact Jaccard over word shingles. With ``candidates`` given
+    (left_id, right_id), verifies only those pairs; otherwise all pairs
+    (quadratic — small corpora only, the LSH path is the scale path)."""
+    sh = df.select(
+        F.col(id_col), _shingles(F.col(text_col), shingle_size).alias("__sh")
+    )
+    if candidates is None:
+        l = sh.select(F.col(id_col).alias("left_id"), F.col("__sh").alias("__shl"))
+        r = sh.select(F.col(id_col).alias("right_id"), F.col("__sh").alias("__shr"))
+        pairs = l.crossJoin(r).filter(F.col("left_id") < F.col("right_id"))
+    else:
+        pairs = (
+            candidates.join(
+                sh.select(F.col(id_col).alias("left_id"), F.col("__sh").alias("__shl")),
+                "left_id",
+            ).join(
+                sh.select(F.col(id_col).alias("right_id"), F.col("__sh").alias("__shr")),
+                "right_id",
+            )
+        )
+    inter = F.size(F.array_intersect("__shl", "__shr"))
+    union = F.size(F.array_union("__shl", "__shr"))
+    jac = F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("left_id", "right_id", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------- #
+# embedding cosine near-dup
+# --------------------------------------------------------------------- #
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vector_col: str,
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    hyperplanes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs with cosine >= threshold, via random-hyperplane LSH
+    bucketing + within-bucket exact verify.
+
+    Hyperplanes are generated deterministically from ``seed`` (numpy) and
+    enter the plan as literals — broadcast by codegen, no join. High-cosine
+    pairs agree on most hyperplane signs, so bucketing on the full signature
+    catches near-identical vectors; lower thresholds need multi-probe
+    (several signatures with different seeds).
+    """
+    import numpy as np
+
+    from linkml_store_spark.functions.vector import cosine_similarity, vec_lit
+
+    rng = np.random.RandomState(seed)
+    dim = len(df.select(vector_col).first()[0])
+    planes = rng.randn(hyperplanes, dim)
+
+    sig: Column = F.lit(0).cast("long")
+    for i in range(hyperplanes):
+        from linkml_store_spark.functions.vector import dot
+
+        d = dot(F.col(vector_col), vec_lit(planes[i]))
+        sig = sig + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
+    bucketed = df.select(F.col(id_col), F.col(vector_col)).withColumn("__bucket", sig)
+    l = bucketed.select(
+        F.col(id_col).alias("left_id"), F.col(vector_col).alias("__vl"), "__bucket"
+    )
+    r = bucketed.select(
+        F.col(id_col).alias("right_id"), F.col(vector_col).alias("__vr"), "__bucket"
+    )
+    pairs = l.join(r, "__bucket").filter(F.col("left_id") < F.col("right_id"))
+    return (
+        pairs.withColumn("cosine", cosine_similarity(F.col("__vl"), F.col("__vr")))
+        .filter(F.col("cosine") >= threshold)
+        .select("left_id", "right_id", "cosine")
+    )

@@ -1,0 +1,170 @@
+"""Multimodal columns: binary payloads with typed metadata.
+
+North-star extension: image/audio/video ride as opaque ``binary`` columns
+with a struct of metadata; decode / feature-extract / resize / frame-sample
+run as Arrow-batched ``mapInPandas`` stages.
+
+The decode step is STUBBED (no image/audio libraries in this container):
+``decode_fn=None`` uses a deterministic fake (shape/«pixels» derived from the
+payload hash) so the Spark-side plumbing — schema, batch shape, partition
+behavior, UDF signatures — is real and tested. Swap ``decode_fn`` for a
+PIL/torchaudio call in a real deployment; nothing else changes.
+
+Scale notes: binary columns are parquet-native; mapInPandas streams Arrow
+batches so a 100 TB image table never materializes rows in Python lists;
+``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds per-batch memory
+(set it low for large payloads).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("format", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def synthetic_media_df(spark, n: int = 64, kind: str = "image") -> DataFrame:
+    """Deterministic fake media table for tests (payload = seeded bytes)."""
+    rows = []
+    for i in range(n):
+        payload = hashlib.sha256(f"media-{i}".encode()).digest() * 4
+        rows.append(
+            {
+                "media_id": i,
+                "kind": kind,
+                "payload": bytearray(payload),
+                "meta": {
+                    "format": "fake",
+                    "width": 32 + (i % 8) * 16,
+                    "height": 32 + (i % 5) * 16,
+                    "duration_ms": 1000 + i * 37,
+                },
+            }
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic stand-in for an image decoder: seeds a tiny 'pixel'
+    array from the payload hash. Replace with PIL.Image.open in production."""
+    seed = int.from_bytes(hashlib.sha1(payload).digest()[:4], "big")
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(min(height, 8), min(width, 8), 3), dtype=np.uint8)
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("payload_bytes", T.LongType()),
+        T.StructField("mean_pixel", T.DoubleType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def extract_features(
+    df: DataFrame,
+    decode_fn: Optional[Callable[[bytes, int, int], np.ndarray]] = None,
+    feature_dim: int = 16,
+) -> DataFrame:
+    """Decode + featurize each media row (Arrow-batched mapInPandas).
+
+    With decode_fn=None the deterministic fake decoder runs; a real decoder
+    drops in without touching the distributed plumbing. Raises cleanly for
+    kinds a decoder can't handle.
+    """
+    decode = decode_fn or _fake_decode
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                meta = row["meta"]
+                pixels = decode(bytes(row["payload"]), meta["width"], meta["height"])
+                flat = pixels.astype(np.float64).ravel()
+                # fixed-dim pooled feature: mean over equal chunks
+                chunks = np.array_split(flat, feature_dim)
+                feature = [float(c.mean()) if len(c) else 0.0 for c in chunks]
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "kind": row["kind"],
+                        "payload_bytes": len(row["payload"]),
+                        "mean_pixel": float(flat.mean()),
+                        "feature": feature,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(process, schema=FEATURE_SCHEMA)
+
+
+def resize_images(
+    df: DataFrame,
+    target_width: int,
+    target_height: int,
+    resize_fn: Optional[Callable[[bytes, int, int], bytes]] = None,
+) -> DataFrame:
+    """Resize stage: payload -> payload' with updated meta. The default
+    implementation STUBS the actual resampling (raises NotImplementedError
+    when asked to do real pixel work without a library) but keeps the
+    schema/metadata plumbing honest."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if resize_fn is None:
+                raise NotImplementedError(
+                    "real image resampling requires an image library; "
+                    "pass resize_fn=... (e.g. PIL-based)"
+                )
+            def apply(row):
+                row = dict(row)
+                row["payload"] = resize_fn(bytes(row["payload"]), target_width, target_height)
+                meta = dict(row["meta"])
+                meta["width"], meta["height"] = target_width, target_height
+                row["meta"] = meta
+                return row
+
+            yield pd.DataFrame([apply(r) for _, r in pdf.iterrows()])
+
+    return df.mapInPandas(process, schema=df.schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_ms: int = 1000,
+) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per sampled timestamp
+    (frame decode itself stubbed as payload passthrough + frame_ts)."""
+    frames = df.withColumn(
+        "frame_ts",
+        F.explode(
+            F.sequence(F.lit(0), F.col("meta.duration_ms"), F.lit(every_ms))
+        ),
+    )
+    return frames.select("media_id", "kind", "frame_ts", "payload", "meta")

@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns: brute-force baseline + scale paths.
+
+North-star extension operators. The brute-force cosine top-k (knn in
+index/search.py) is the exact baseline — it is already distributed and
+becomes a TakeOrderedAndProject (per-partition heaps, no full sort). The two
+scale paths here trade recall for candidate pruning:
+
+  * ``lsh_knn`` — random-hyperplane signatures; probe buckets within a
+    hamming radius of the query signature. Sub-linear scan at high recall
+    for near-duplicate-ish queries.
+  * ``ivf_knn`` — inverted-file: k-means-style centroids (sampled + refined
+    driver-side on a bounded sample), each vector assigned to its nearest
+    centroid (one pass, JVM expressions); queries probe ``nprobe`` nearest
+    centroid partitions. This is the FAISS-IVF layout expressed relationally;
+    at 100 TB the assignment column doubles as a partition key so probes
+    prune parquet partitions.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from linkml_store_spark.functions.vector import (
+    cosine_similarity,
+    dot,
+    vec_lit,
+)
+from linkml_store_spark.index.search import knn  # re-export of the baseline
+
+__all__ = ["knn", "lsh_knn", "build_ivf", "ivf_knn", "hyperplane_signature"]
+
+
+def hyperplane_signature(
+    vector_col: Column, planes: np.ndarray
+) -> Column:
+    """Pack sign(v·plane_i) bits into a bigint signature (deterministic)."""
+    sig: Column = F.lit(0).cast("long")
+    for i in range(planes.shape[0]):
+        d = dot(vector_col, vec_lit(planes[i]))
+        sig = sig + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
+    return sig
+
+
+def lsh_knn(
+    df: DataFrame,
+    query_vector: Sequence[float],
+    vector_col: str = "embedding",
+    k: int = 10,
+    hyperplanes: int = 12,
+    max_hamming: int = 2,
+    seed: int = 42,
+    score_col: str = "score",
+) -> DataFrame:
+    """Approximate top-k: scan only rows whose hyperplane signature is within
+    ``max_hamming`` bits of the query's, then exact-rank that candidate set.
+
+    The signature filter is a cheap bit_count on a precomputable column —
+    with the signature persisted (one long per row), the scan avoids reading
+    the vector column at all for non-candidates (columnar pruning).
+    """
+    rng = np.random.RandomState(seed)
+    dim = len(query_vector)
+    planes = rng.randn(hyperplanes, dim)
+    qsig = 0
+    qv = np.asarray(query_vector, dtype=float)
+    for i in range(hyperplanes):
+        if float(planes[i] @ qv) > 0:
+            qsig |= 1 << i
+    sig = hyperplane_signature(F.col(vector_col), planes)
+    cand = df.withColumn("__sig", sig).filter(
+        F.bit_count(F.col("__sig").bitwiseXOR(F.lit(qsig))) <= max_hamming
+    )
+    scored = cand.withColumn(
+        score_col, cosine_similarity(F.col(vector_col), vec_lit(query_vector))
+    ).drop("__sig")
+    return scored.orderBy(F.desc(score_col)).limit(k)
+
+
+# --------------------------------------------------------------------- #
+# IVF
+# --------------------------------------------------------------------- #
+def _kmeans(sample: np.ndarray, n_centroids: int, iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Small deterministic Lloyd's k-means on a driver-side sample."""
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)
+    centroids = sample[idx].astype(float)
+    for _ in range(iters):
+        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def _nearest_centroid_expr(vector_col: Column, centroids: np.ndarray) -> Column:
+    """argmin_c ||v - centroid_c||^2 as a pure Column expression.
+
+    Uses -2·v·c + |c|^2 (|v|^2 constant per row) — one dot product per
+    centroid, all JVM-side.
+    """
+    best_idx: Column = F.lit(0)
+    best_val: Column = None
+    for i, c in enumerate(centroids):
+        val = F.lit(float(c @ c)) - 2.0 * dot(vector_col, vec_lit(c))
+        if best_val is None:
+            best_val = val
+        else:
+            cond = val < best_val
+            best_idx = F.when(cond, F.lit(i)).otherwise(best_idx)
+            best_val = F.when(cond, val).otherwise(best_val)
+    return best_idx
+
+
+def build_ivf(
+    df: DataFrame,
+    vector_col: str = "embedding",
+    n_centroids: int = 16,
+    sample_size: int = 10_000,
+    seed: int = 42,
+):
+    """Assign every vector to its nearest centroid; returns (assigned_df,
+    centroids). Persist/partition ``assigned_df`` by ``__centroid`` to make
+    probes partition-pruned at scale."""
+    sample_rows = (
+        df.select(vector_col)
+        .sample(fraction=1.0, seed=seed)
+        .limit(sample_size)
+        .collect()
+    )
+    sample = np.array([r[0] for r in sample_rows], dtype=float)
+    centroids = _kmeans(sample, n_centroids, seed=seed)
+    assigned = df.withColumn(
+        "__centroid", _nearest_centroid_expr(F.col(vector_col), centroids)
+    )
+    return assigned, centroids
+
+
+def ivf_knn(
+    assigned_df: DataFrame,
+    centroids: np.ndarray,
+    query_vector: Sequence[float],
+    vector_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+    score_col: str = "score",
+) -> DataFrame:
+    """Probe the ``nprobe`` centroids nearest the query; exact-rank within."""
+    qv = np.asarray(query_vector, dtype=float)
+    d = ((centroids - qv[None, :]) ** 2).sum(axis=1)
+    probe = [int(i) for i in d.argsort()[:nprobe]]
+    cand = assigned_df.filter(F.col("__centroid").isin(probe))
+    scored = cand.withColumn(
+        score_col, cosine_similarity(F.col(vector_col), vec_lit(query_vector))
+    )
+    return scored.orderBy(F.desc(score_col)).limit(k).drop("__centroid")

@@ -1,0 +1,150 @@
+"""Text-analysis operators for training-data pipelines (north-star extension).
+
+Language-ID (n-gram/stopword heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and document fingerprinting. Everything is
+built from native pyspark.sql.functions — no Python UDFs — so these run
+inside whole-stage codegen over 100 TB of text.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword profiles (heuristic language-ID; extend freely)
+_STOPWORDS: Dict[str, List[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "pour", "avec", "dans"],
+    "es": ["el", "la", "los", "y", "es", "no", "una", "para", "con", "por"],
+}
+
+_CJK_RANGE = r"[一-鿿]"
+
+# BPE-ish tokenization: word pieces, numbers, punctuation runs — a regex
+# approximation of GPT-style pre-tokenization (no vocab lookup).
+_BPE_SPLIT = r"\s*(?:[A-Za-z]+|\d{1,3}|[^\sA-Za-z\d]+)"
+
+
+def whitespace_token_count(text: Column) -> Column:
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Count BPE-ish pre-tokens via regexp_count — a cheap, stable proxy for
+    LLM token budgets (≈1 token per piece)."""
+    return F.regexp_count(text, F.lit(_BPE_SPLIT))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS[lang]])
+    hits = F.size(F.array_intersect(F.array_distinct(words), sw))
+    in_text = F.aggregate(
+        F.transform(words, lambda w: F.array_contains(sw, w).cast("int")),
+        F.lit(0),
+        lambda a, b: a + b,
+    )
+    return F.when(F.size(words) == 0, F.lit(0.0)).otherwise(
+        in_text / F.size(words)
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    punct = n - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(punct / n)
+
+
+def upper_ratio(text: Column) -> Column:
+    n = F.length(text)
+    upper = n - F.length(F.regexp_replace(text, r"[A-Z]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(upper / n)
+
+
+def mean_word_length(text: Column) -> Column:
+    words = F.split(F.trim(text), r"\s+")
+    return F.when(F.size(words) == 0, F.lit(0.0)).otherwise(
+        F.aggregate(
+            F.transform(words, lambda w: F.length(w)),
+            F.lit(0),
+            lambda a, b: a + b,
+        )
+        / F.size(words)
+    )
+
+
+def language_id(text: Column) -> Column:
+    """Heuristic language-ID: CJK character presence, else argmax stopword
+    hit-rate across profiles; 'und' when nothing matches."""
+    lowered = F.lower(text)
+    words = F.array_distinct(F.split(lowered, r"\s+"))
+    scores = {
+        lang: F.size(
+            F.array_intersect(words, F.array(*[F.lit(w) for w in sw]))
+        )
+        for lang, sw in _STOPWORDS.items()
+    }
+    cjk = F.regexp_count(text, F.lit(_CJK_RANGE))
+    best_lang: Column = F.lit("und")
+    best_score: Column = F.lit(0)
+    for lang, score in scores.items():
+        cond = score > best_score
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(cond, score).otherwise(best_score)
+    return F.when(cjk > 0, F.lit("zh")).otherwise(best_lang)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality: length sweet-spot, low punctuation noise,
+    reasonable word lengths, some stopwords (prose-ness)."""
+    n = F.length(text)
+    length_score = F.least(n / F.lit(500.0), F.lit(1.0)) * F.when(
+        n > 20000, F.lit(0.5)
+    ).otherwise(F.lit(1.0))
+    punct_penalty = F.lit(1.0) - F.least(punct_ratio(text) * 4.0, F.lit(1.0))
+    wl = mean_word_length(text)
+    word_len_score = F.when((wl >= 3.0) & (wl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    sw_score = F.least(stopword_ratio(text) * 5.0, F.lit(1.0))
+    return (length_score + punct_penalty + word_len_score + sw_score) / 4.0
+
+
+def fingerprint(text: Column) -> Column:
+    """Order-sensitive 64-bit document fingerprint: rolling combination of
+    token hashes (xxhash64 of token, position) — stable across runs."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    # per-token hashes are position-salted, so XOR-folding stays
+    # order-sensitive; no multiplication (ANSI mode forbids long overflow)
+    return F.aggregate(
+        F.zip_with(
+            toks,
+            F.sequence(F.lit(1), F.size(toks)),
+            lambda t, i: F.xxhash64(t, i),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, h: acc.bitwiseXOR(h),
+    )
+
+
+def analyze_documents(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One-pass text profile per document."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        whitespace_token_count(t).alias("n_tokens_ws"),
+        bpe_token_count(t).alias("n_tokens_bpe"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(mean_word_length(t), 6).alias("mean_word_len"),
+        language_id(t).alias("lang_pred"),
+        F.round(quality_score(t), 6).alias("quality"),
+        fingerprint(t).alias("fingerprint"),
+    )

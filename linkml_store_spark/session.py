@@ -55,6 +55,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Timestamps: keep parquet INT96-free round trips deterministic.
         .config("spark.sql.session.timeZone", "UTC")
+        # Spark cannot read parquet TIMESTAMP(NANOS) natively (SPARK-40819);
+        # read as long and convert via sources.tables.ts_from_nanos.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

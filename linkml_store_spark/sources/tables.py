@@ -1,0 +1,69 @@
+"""Canonical loaders for the benchmark/test parquet tables.
+
+The driver's testdata (``/root/testdata/sf*/``) is a TPC-H-ish set of ten
+tables plus LLM-pipeline extras (documents, embeddings, events). One quirk
+needs central handling: ``events.ts`` is written as parquet TIMESTAMP(NANOS),
+which Spark cannot read natively (SPARK-40819) — with
+``spark.sql.legacy.parquet.nanosAsLong=true`` (set in session.py) it scans as
+BIGINT nanoseconds. ``load_table`` converts it back to a proper
+``TimestampType`` so every downstream operator (windows, watermarks,
+date_trunc) sees real event time.
+
+The conversion uses integer division (``div``), not float division: epoch
+nanoseconds (~1.7e18) exceed double's 53-bit mantissa, so a float path would
+corrupt microseconds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+#: columns stored as TIMESTAMP(NANOS) in parquet, scanned as long nanoseconds
+_NANOS_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
+
+
+def ts_from_nanos(col: str) -> F.Column:
+    """BIGINT epoch-nanoseconds -> TimestampType (microsecond precision).
+
+    ``div`` keeps the arithmetic in 64-bit integers; ``/`` would promote to
+    double and lose sub-millisecond precision at 2024-era epochs.
+    """
+    return F.timestamp_micros(F.expr(f"`{col}` div 1000"))
+
+
+def normalize_timestamps(df: DataFrame, table: str) -> DataFrame:
+    """Convert any known nanos-as-long columns of ``table`` to timestamps."""
+    for c in _NANOS_TS_COLS.get(table, []):
+        if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):
+            df = df.withColumn(c, ts_from_nanos(c))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one benchmark table with normalized column types."""
+    return normalize_timestamps(spark.read.parquet(f"{sf_dir}/{name}.parquet"), name)
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for ``spark.sql`` access."""
+    for name, df in load_all(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

