@@ -1,10 +1,19 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (TPC-H Q1 shape through the engine's
+where-compiler + aggregation path) at sf0.001. ``queries()`` exposes one
+callable per implemented operator from SURVEY.md §2 (plus the north-star
+extension operators); ``oracle_sql()`` gives the DuckDB-equivalent SQL the
+driver hash-compares against at sf0.01.
+
+Conventions:
+  * every computed column is aliased identically in the Spark plan and the
+    oracle SQL (the driver sorts columns by name before hashing);
+  * floating aggregates are ``round``-ed in BOTH engines (doubles sum in
+    different orders);
+  * timestamps never appear raw in outputs — they are formatted to strings
+    (``date_format`` vs ``strftime``) so value hashing is representation-free;
+  * results with LIMIT are given a total order (unique tiebreaker columns).
 """
 
 from __future__ import annotations
@@ -12,27 +21,490 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from linkml_store_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+def _where(df: DataFrame, clause) -> DataFrame:
+    from linkml_store_spark.where import apply_where
+
+    return apply_where(df, clause)
+
+
+# --------------------------------------------------------------------- #
+# §2.3/2.4 — where-language + retrieval
+# --------------------------------------------------------------------- #
+def q_find_eq(spark, sf):
+    df = _where(
+        _t(spark, sf, "lineitem"),
+        {"l_returnflag": "R", "l_linestatus": "F"},
+    )
+    return (
+        df.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+def q_find_range(spark, sf):
+    df = _where(
+        _t(spark, sf, "orders"),
+        {"o_totalprice": {"$gte": 100000.0, "$lt": 200000.0}},
+    )
+    return df.agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_find_in(spark, sf):
+    df = _where(
+        _t(spark, sf, "customer"),
+        {"c_mktsegment": {"$in": ["BUILDING", "AUTOMOBILE"]}},
+    )
+    return df.agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_find_nin(spark, sf):
+    df = _where(
+        _t(spark, sf, "orders"),
+        {"o_orderpriority": {"$nin": ["5-LOW", "4-NOT SPECIFIED"]}},
+    )
+    return df.agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_find_like(spark, sf):
+    df = _where(_t(spark, sf, "part"), {"p_name": {"$like": "%red%"}})
+    return df.agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_find_regex(spark, sf):
+    df = _where(
+        _t(spark, sf, "supplier"), {"s_name": {"$regex": "Supplier#0+1[0-9]$"}}
+    )
+    return df.select("s_suppkey", "s_name").orderBy("s_suppkey")
+
+
+def q_find_notnull(spark, sf):
+    df = _where(_t(spark, sf, "events"), {"props": {"$ne": None}})
+    return df.agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_sort_topk(spark, sf):
+    df = _t(spark, sf, "orders")
+    return (
+        df.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_distinct_status(spark, sf):
+    return _t(spark, sf, "orders").select("o_orderstatus").distinct()
+
+
+# --------------------------------------------------------------------- #
+# §2.5 — facets / group-by / pivot / describe
+# --------------------------------------------------------------------- #
+def q_facet_priority(spark, sf):
+    from linkml_store_spark.facets import facet_df
+
+    return facet_df(_t(spark, sf, "orders"), None, "o_orderpriority")
+
+
+def q_facet_multiselect(spark, sf):
+    # facet ON o_orderpriority with a condition on it: exclusion rewrite
+    # keeps only the o_orderstatus conjunct (Solr multi-select semantics)
+    from linkml_store_spark.facets import facet_df
+
+    return facet_df(
+        _t(spark, sf, "orders"),
+        {"o_orderpriority": "1-URGENT", "o_orderstatus": "F"},
+        "o_orderpriority",
+    )
+
+
+def q_facet_compound(spark, sf):
+    from linkml_store_spark.facets import facet_df
+
+    return facet_df(
+        _t(spark, sf, "lineitem"), None, ("l_returnflag", "l_linestatus")
+    )
+
+
+def q_groupby_tpch_q1(spark, sf):
+    df = _where(
+        _t(spark, sf, "lineitem"),
+        {"l_shipdate": {"$lte": "1998-09-02 00:00:00"}},
+    )
+    return (
+        df.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_pivot_status_priority(spark, sf):
+    from linkml_store_spark.operators.pivot import pivot_agg
+
+    return pivot_agg(
+        _t(spark, sf, "orders"),
+        index="o_orderstatus",
+        columns="o_orderpriority",
+        values=["1-URGENT", "2-HIGH", "3-MEDIUM"],
+        out_names=["n_urgent", "n_high", "n_medium"],
+    )
+
+
+def q_describe_totalprice(spark, sf):
+    from linkml_store_spark.operators.describe import numeric_summary
+
+    return numeric_summary(_t(spark, sf, "orders"), "o_totalprice")
+
+
+# --------------------------------------------------------------------- #
+# §2.6 — joins (incl. referential integrity anti-join)
+# --------------------------------------------------------------------- #
+def q_join_revenue_by_segment(spark, sf):
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_join_supplier_geo(spark, sf):
+    # dims broadcast: region (5 rows) and nation (25 rows) never shuffle
+    region = F.broadcast(_t(spark, sf, "region"))
+    nation = F.broadcast(_t(spark, sf, "nation"))
+    supp = _t(spark, sf, "supplier")
+    return (
+        supp.join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def q_referential_integrity(spark, sf):
+    # orders with no lineitems: left-anti probe (SURVEY §2.6, database.py:703-747)
+    orders = _t(spark, sf, "orders")
+    lineitem = _t(spark, sf, "lineitem")
+    return (
+        orders.join(
+            lineitem.select(F.col("l_orderkey").alias("o_orderkey")),
+            "o_orderkey",
+            "left_anti",
+        )
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------- #
+# §2.9 extension — windows / event-time rollups
+# --------------------------------------------------------------------- #
+def q_window_latest_event(spark, sf):
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+        .orderBy("user_id")
+    )
+
+
+def q_window_hourly_rollup(spark, sf):
+    from linkml_store_spark.streaming.events import windowed_event_counts_batch
+
+    return windowed_event_counts_batch(_t(spark, sf, "events"))
+
+
+# --------------------------------------------------------------------- #
+# §2.8 + north-star — vector search / dedup / text analysis
+# --------------------------------------------------------------------- #
+def q_knn_cosine(spark, sf):
+    from linkml_store_spark.index.search import knn
+
+    emb = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    top = knn(emb.filter(F.col("vec_id") != 0), qv, vector_col="embedding", k=10)
+    return top.select("vec_id", F.round(F.col("score"), 4).alias("score"))
+
+
+def q_dedup_exact(spark, sf):
+    from linkml_store_spark.operators.dedup import exact_duplicates
+
+    docs = _t(spark, sf, "documents")
+    return exact_duplicates(docs, key_cols=["text"], id_col="doc_id").select(
+        "doc_id", "dup_of"
+    )
+
+
+def q_dedup_minhash(spark, sf):
+    # no SQL oracle (LSH banding); driver records a rows-only check
+    from linkml_store_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = _t(spark, sf, "documents")
+    return minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.5).select(
+        "left_id", "right_id", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+def q_dedup_simhash(spark, sf):
+    # no SQL oracle (bit-fiddling fingerprints); rows-only check
+    from linkml_store_spark.operators.dedup import simhash_near_pairs
+
+    docs = _t(spark, sf, "documents")
+    return simhash_near_pairs(docs, "text", "doc_id", max_hamming=3)
+
+
+def q_text_stats(spark, sf):
+    from linkml_store_spark.operators.textanalysis import (
+        bpe_token_count,
+        punct_ratio,
+        whitespace_token_count,
+    )
+
+    docs = _t(spark, sf, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.length(t).alias("nchars"),
+        whitespace_token_count(t).alias("n_tokens_ws"),
+        bpe_token_count(t).alias("n_tokens_bpe"),
+        F.round(punct_ratio(t), 6).alias("p_ratio"),
+    ).orderBy("doc_id")
+
+
+def q_text_lang_facet(spark, sf):
+    from linkml_store_spark.facets import facet_df
+
+    return facet_df(_t(spark, sf, "documents"), None, "lang")
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "find_eq": q_find_eq,
+    "find_range": q_find_range,
+    "find_in": q_find_in,
+    "find_nin": q_find_nin,
+    "find_like": q_find_like,
+    "find_regex": q_find_regex,
+    "find_notnull": q_find_notnull,
+    "sort_topk": q_sort_topk,
+    "distinct_status": q_distinct_status,
+    "facet_priority": q_facet_priority,
+    "facet_multiselect": q_facet_multiselect,
+    "facet_compound": q_facet_compound,
+    "groupby_tpch_q1": q_groupby_tpch_q1,
+    "pivot_status_priority": q_pivot_status_priority,
+    "describe_totalprice": q_describe_totalprice,
+    "join_revenue_by_segment": q_join_revenue_by_segment,
+    "join_supplier_geo": q_join_supplier_geo,
+    "referential_integrity": q_referential_integrity,
+    "window_latest_event": q_window_latest_event,
+    "window_hourly_rollup": q_window_hourly_rollup,
+    "knn_cosine": q_knn_cosine,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "text_stats": q_text_stats,
+    "text_lang_facet": q_text_lang_facet,
+}
+
+
+ORACLES: dict[str, str] = {
+    "find_eq": """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem
+        WHERE l_returnflag = 'R' AND l_linestatus = 'F'
+        ORDER BY l_orderkey, l_linenumber
+        LIMIT 100
+    """,
+    "find_range": """
+        SELECT COUNT(*) AS n FROM orders
+        WHERE o_totalprice >= 100000.0 AND o_totalprice < 200000.0
+    """,
+    "find_in": """
+        SELECT COUNT(*) AS n FROM customer
+        WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+    """,
+    "find_nin": """
+        SELECT COUNT(*) AS n FROM orders
+        WHERE o_orderpriority NOT IN ('5-LOW', '4-NOT SPECIFIED')
+    """,
+    "find_like": """
+        SELECT COUNT(*) AS n FROM part WHERE p_name LIKE '%red%'
+    """,
+    "find_regex": """
+        SELECT s_suppkey, s_name FROM supplier
+        WHERE regexp_matches(s_name, 'Supplier#0+1[0-9]$')
+        ORDER BY s_suppkey
+    """,
+    "find_notnull": """
+        SELECT COUNT(*) AS n FROM events WHERE props IS NOT NULL
+    """,
+    "sort_topk": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+    "distinct_status": """
+        SELECT DISTINCT o_orderstatus FROM orders
+    """,
+    "facet_priority": """
+        SELECT o_orderpriority, COUNT(*) AS count FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY count DESC, o_orderpriority ASC LIMIT 100
+    """,
+    "facet_multiselect": """
+        SELECT o_orderpriority, COUNT(*) AS count FROM orders
+        WHERE o_orderstatus = 'F'
+        GROUP BY o_orderpriority
+        ORDER BY count DESC, o_orderpriority ASC LIMIT 100
+    """,
+    "facet_compound": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS count FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY count DESC, l_returnflag ASC, l_linestatus ASC LIMIT 100
+    """,
+    "groupby_tpch_q1": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(AVG(l_quantity), 4) AS avg_qty,
+               ROUND(AVG(l_discount), 4) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "pivot_status_priority": """
+        SELECT o_orderstatus,
+               COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+               COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS n_high,
+               COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS n_medium
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "describe_totalprice": """
+        SELECT COUNT(o_totalprice) AS count_n,
+               COUNT(DISTINCT o_totalprice) AS n_distinct,
+               ROUND(MIN(o_totalprice), 2) AS min_v,
+               ROUND(MAX(o_totalprice), 2) AS max_v,
+               ROUND(AVG(o_totalprice), 2) AS mean_v
+        FROM orders
+    """,
+    "join_revenue_by_segment": """
+        SELECT c_mktsegment,
+               ROUND(SUM(o_totalprice), 2) AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "join_supplier_geo": """
+        SELECT r_name,
+               COUNT(*) AS n_suppliers,
+               ROUND(SUM(s_acctbal), 2) AS total_acctbal
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
+    """,
+    "referential_integrity": """
+        SELECT o_orderkey FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        ORDER BY o_orderkey
+    """,
+    "window_latest_event": """
+        SELECT user_id, event_id, event_type FROM (
+            SELECT user_id, event_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1 ORDER BY user_id
+    """,
+    "window_hourly_rollup": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+               event_type,
+               COUNT(*) AS n,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM events
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "knn_cosine": """
+        WITH q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+        )
+        SELECT vec_id,
+               ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS score
+        FROM embeddings e, q
+        WHERE e.vec_id != 0
+        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC,
+                 e.vec_id ASC
+        LIMIT 10
+    """,
+    "dedup_exact": """
+        SELECT d.doc_id, m.dup_of FROM documents d
+        JOIN (
+            SELECT text, MIN(doc_id) AS dup_of, COUNT(*) AS c
+            FROM documents GROUP BY text
+        ) m ON d.text = m.text
+        WHERE m.c > 1 AND d.doc_id != m.dup_of
+    """,
+    "text_stats": """
+        SELECT doc_id,
+               LENGTH(text) AS nchars,
+               CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END
+                   AS n_tokens_ws,
+               len(regexp_extract_all(text,
+                   '\\s*(?:[A-Za-z]+|\\d{1,3}|[^\\sA-Za-z\\d]+)')) AS n_tokens_bpe,
+               ROUND((LENGTH(text) - LENGTH(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                     / CAST(LENGTH(text) AS DOUBLE), 6) AS p_ratio
+        FROM documents ORDER BY doc_id
+    """,
+    "text_lang_facet": """
+        SELECT lang, COUNT(*) AS count FROM documents
+        GROUP BY lang ORDER BY count DESC, lang ASC LIMIT 100
+    """,
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_groupby_tpch_q1(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

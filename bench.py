@@ -1,0 +1,167 @@
+"""Benchmark harness: the BASELINE.md B1-B12 workload on the Spark engine.
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``; prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Methodology mirrors BASELINE.md: warm session, parquet scans (no caching /
+persist — every timing includes the scan, like the DuckDB baseline's
+parquet views), one warm-up run then best of 3. Shuffle partitions are kept
+low for the small scale factors; AQE coalescing makes the same code right at
+cluster scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+from pyspark.sql import functions as F
+
+from linkml_store_spark.facets import facet_df
+from linkml_store_spark.index.search import knn
+from linkml_store_spark.session import get_spark
+from linkml_store_spark.sources.tables import load_table
+from linkml_store_spark.streaming.events import windowed_event_counts_batch
+from linkml_store_spark.where import apply_where
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+RUNS = int(os.environ.get("BENCH_RUNS", "3"))
+
+
+def build_queries(spark, sf):
+    # Table DataFrames are lazy plans — building them once mirrors a real
+    # warehouse (file listing + schema resolution happen at registration, not
+    # per query). No persist()/cache(): every timed run re-scans parquet.
+    _tables = {
+        t: load_table(spark, sf, t)
+        for t in ["lineitem", "orders", "customer", "events", "embeddings"]
+    }
+    lineitem = lambda: _tables["lineitem"]  # noqa: E731
+    orders = lambda: _tables["orders"]  # noqa: E731
+
+    def b1():  # find equality + LIMIT 100
+        return apply_where(lineitem(), {"l_returnflag": "R"}).limit(100).collect()
+
+    def b2():  # count with filter
+        return apply_where(lineitem(), {"l_returnflag": "R"}).count()
+
+    def b3():  # range predicate count
+        return apply_where(
+            lineitem(), {"l_quantity": {"$gte": 5.0, "$lt": 30.0}}
+        ).count()
+
+    def b4():  # $in predicate count
+        return apply_where(
+            orders(), {"o_orderpriority": {"$in": ["1-URGENT", "2-HIGH"]}}
+        ).count()
+
+    def b5():  # single-column facet
+        return facet_df(lineitem(), None, "l_returnflag").collect()
+
+    def b6():  # compound facet
+        return facet_df(lineitem(), None, ("l_returnflag", "l_linestatus")).collect()
+
+    def b7():  # TPC-H Q1 shape
+        df = apply_where(lineitem(), {"l_shipdate": {"$lte": "1998-09-02 00:00:00"}})
+        return (
+            df.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                F.sum("l_extendedprice").alias("sum_base_price"),
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                    "sum_disc_price"
+                ),
+                F.avg("l_quantity").alias("avg_qty"),
+                F.avg("l_discount").alias("avg_disc"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+            .collect()
+        )
+
+    def b8():  # sort + top-10
+        return (
+            orders()
+            .select("o_orderkey", "o_totalprice")
+            .orderBy(F.desc("o_totalprice"))
+            .limit(10)
+            .collect()
+        )
+
+    def b9():  # join + agg
+        o, c = orders(), _tables["customer"]
+        return (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.sum("o_totalprice").alias("revenue"))
+            .collect()
+        )
+
+    def b10():  # window latest-per-user
+        from pyspark.sql.window import Window
+
+        ev = _tables["events"]
+        w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        return (
+            ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_id")
+            .collect()
+        )
+
+    def b11():  # hourly time-bucket agg
+        return windowed_event_counts_batch(_tables["events"]).collect()
+
+    # the query vector is an INPUT to kNN (the reference embeds the query
+    # text first) — fetch it once outside the timed region
+    emb = _tables["embeddings"].withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+    def b12():  # brute-force cosine kNN top-10
+        return knn(emb, qv, vector_col="embedding", k=10).collect()
+
+    return {
+        "b1": b1, "b2": b2, "b3": b3, "b4": b4, "b5": b5, "b6": b6,
+        "b7": b7, "b8": b8, "b9": b9, "b10": b10, "b11": b11, "b12": b12,
+    }
+
+
+def main():
+    spark = get_spark(
+        app_name="linkml-store-spark-bench",
+        shuffle_partitions=int(os.environ.get("BENCH_SHUFFLE_PARTITIONS", "8")),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = build_queries(spark, SF_DIR)
+
+    timings = {}
+    for name, fn in queries.items():
+        fn()  # warm-up (JIT, page cache, codegen)
+        best = float("inf")
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+
+    m = re.search(r"sf([\d.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    print(
+        json.dumps(
+            {
+                "metric": "baseline_b1_b12_total",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

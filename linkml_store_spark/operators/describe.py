@@ -19,6 +19,21 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def numeric_summary(df: DataFrame, column: str) -> DataFrame:
+    """Exact one-column summary (count, distinct, min, max, mean) — the
+    deterministic subset of ``describe`` used for oracle comparison. One
+    aggregate pass; the exact distinct count is its own shuffle (use
+    ``describe`` with approx_count_distinct at scale)."""
+    c = F.col(column)
+    return df.agg(
+        F.count(c).alias("count_n"),
+        F.count_distinct(c).alias("n_distinct"),
+        F.round(F.min(c), 2).alias("min_v"),
+        F.round(F.max(c), 2).alias("max_v"),
+        F.round(F.avg(c), 2).alias("mean_v"),
+    )
+
+
 def describe(df: DataFrame) -> DataFrame:
     """Return a DataFrame with one row per input column:
     (column, count, unique, top, freq, mean, std, min_value, q25, median,

@@ -54,8 +54,27 @@ def normalize_timestamps(df: DataFrame, table: str) -> DataFrame:
     return df
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Confs a foreign session (e.g. the round driver's) may lack.
+
+    Without ``nanosAsLong`` Spark refuses TIMESTAMP(NANOS) parquet outright
+    ([PARQUET_TYPE_ILLEGAL]); both are runtime-settable. UTC keeps
+    ``date_trunc``/``window`` wall-clock identical to DuckDB's naive
+    timestamps regardless of the host timezone.
+    """
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one benchmark table with normalized column types."""
+    _ensure_session_confs(spark)
     return normalize_timestamps(spark.read.parquet(f"{sf_dir}/{name}.parquet"), name)
 
 

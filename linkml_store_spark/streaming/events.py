@@ -83,6 +83,25 @@ def windowed_event_counts(
     )
 
 
+def windowed_event_counts_batch(events: DataFrame) -> DataFrame:
+    """Batch equivalent of the hourly rollup: date_trunc bucket per
+    event_type with count + sum. The bucket is emitted as a formatted string
+    so downstream hashing is representation-independent."""
+    return (
+        events.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
 def run_to_sink(
     stream_df: DataFrame,
     checkpoint_dir: str,
