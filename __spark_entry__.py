@@ -309,6 +309,87 @@ def q_text_lang_facet(spark, sf):
     return facet_df(_t(spark, sf, "documents"), None, "lang")
 
 
+# --------------------------------------------------------------------- #
+# §2.6 derived / §2.12 inference / §2.5 enrichment / §2.8 embedding stats
+# --------------------------------------------------------------------- #
+def q_derived_projection(spark, sf):
+    from linkml_store_spark.operators.derived import derive_collection
+
+    return derive_collection(
+        _t(spark, sf, "customer"),
+        {
+            "id": "c_custkey",
+            "name_u": "upper(c_name)",
+            "balance_2x": "round(c_acctbal * 2, 2)",
+        },
+        where={"c_mktsegment": "BUILDING"},
+    ).orderBy("id")
+
+
+def q_rule_inference(spark, sf):
+    from linkml_store_spark.inference import RuleBasedInferenceEngine
+
+    eng = RuleBasedInferenceEngine()
+    eng.add_rule({"o_totalprice": {"$gte": 300000.0}}, {"tier": "big"})
+    eng.add_rule({"o_totalprice": {"$lt": 300000.0}}, {"tier": "small"})
+    eng.add_rule({}, {"price_k": {"expr": "round(o_totalprice / 1000, 0)"}})
+    return (
+        eng.predict_df(_t(spark, sf, "orders"))
+        .select("o_orderkey", "tier_pred", "price_k_pred")
+        .orderBy("o_orderkey")
+    )
+
+
+def q_embedding_stats(spark, sf):
+    from linkml_store_spark.operators.embeddings import embedding_stats
+
+    return embedding_stats(_t(spark, sf, "embeddings"), "embedding", group_by="label")
+
+
+def q_lag_lead(spark, sf):
+    from linkml_store_spark.operators.windows import with_lag_lead
+
+    ev = _t(spark, sf, "events")
+    return (
+        with_lag_lead(ev, "user_id", [F.col("ts"), F.col("event_id")], "value")
+        .select(
+            "user_id",
+            "event_id",
+            F.round("value_lag", 2).alias("v_lag"),
+            F.round("value_lead", 2).alias("v_lead"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+def q_sessionize(spark, sf):
+    from linkml_store_spark.operators.windows import sessionize
+
+    ev = _t(spark, sf, "events")
+    s = sessionize(ev, "user_id", "ts", gap="30 minutes")
+    return (
+        s.groupBy("user_id")
+        .agg(F.count_distinct("session_id").alias("n_sessions"))
+        .orderBy("user_id")
+    )
+
+
+def q_enrichment(spark, sf):
+    # Fisher-exact enrichment of sources per language (rows-only: no SQL
+    # fisher test in DuckDB)
+    from linkml_store_spark.operators.enrichment import enriched_categories
+
+    docs = _t(spark, sf, "documents")
+    return enriched_categories(
+        docs, sample_key="lang", classification_key="source", min_occurrences=3,
+        p_value_threshold=0.2,
+    ).select(
+        "sample", "category", F.round("fold_change", 4).alias("fold_change"),
+        F.round("original_p_value", 6).alias("p"),
+        F.round("adjusted_p_value", 6).alias("p_adj"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "find_eq": q_find_eq,
     "find_range": q_find_range,
@@ -336,6 +417,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "text_stats": q_text_stats,
     "text_lang_facet": q_text_lang_facet,
+    "derived_projection": q_derived_projection,
+    "rule_inference": q_rule_inference,
+    "embedding_stats": q_embedding_stats,
+    "lag_lead": q_lag_lead,
+    "sessionize": q_sessionize,
+    "enrichment": q_enrichment,
 }
 
 
@@ -493,6 +580,52 @@ ORACLES: dict[str, str] = {
     "text_lang_facet": """
         SELECT lang, COUNT(*) AS count FROM documents
         GROUP BY lang ORDER BY count DESC, lang ASC LIMIT 100
+    """,
+    "derived_projection": """
+        SELECT c_custkey AS id, UPPER(c_name) AS name_u,
+               ROUND(c_acctbal * 2, 2) AS balance_2x
+        FROM customer WHERE c_mktsegment = 'BUILDING' ORDER BY id
+    """,
+    "rule_inference": """
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice < 300000.0 THEN 'small'
+                    ELSE CASE WHEN o_totalprice >= 300000.0 THEN 'big' END
+               END AS tier_pred,
+               ROUND(o_totalprice / 1000, 0) AS price_k_pred
+        FROM orders ORDER BY o_orderkey
+    """,
+    "embedding_stats": """
+        SELECT label,
+               COUNT(*) AS n_vectors,
+               ROUND(AVG(nrm), 6) AS mean_norm,
+               ROUND(STDDEV_SAMP(nrm), 6) AS std_norm,
+               ROUND(MIN(nrm), 6) AS min_norm,
+               ROUND(MAX(nrm), 6) AS max_norm
+        FROM (
+            SELECT label,
+                   sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                                x -> x * x))) AS nrm
+            FROM embeddings
+        )
+        GROUP BY label ORDER BY label
+    """,
+    "lag_lead": """
+        SELECT user_id, event_id,
+               ROUND(LAG(value) OVER w, 2) AS v_lag,
+               ROUND(LEAD(value) OVER w, 2) AS v_lead
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id, event_id
+    """,
+    "sessionize": """
+        SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions FROM (
+            SELECT user_id,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+        ) GROUP BY user_id ORDER BY user_id
     """,
 }
 

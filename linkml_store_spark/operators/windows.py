@@ -1,0 +1,100 @@
+"""Window-function operators (north-star extension; absent from reference).
+
+SURVEY §2.9: the reference has no window functions at all. At 100 TB these
+are core pipeline tools, so the engine exposes the idiomatic Spark set:
+ranking / lag / lead per key, latest-per-key, time bucketing, and gap-based
+sessionization — all single-shuffle ``Window.partitionBy`` plans.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _order_cols(order_by: Union[str, List]) -> list:
+    if isinstance(order_by, (str, Column)):
+        order_by = [order_by]
+    return [F.col(c) if isinstance(c, str) else c for c in order_by]
+
+
+def with_rank(
+    df: DataFrame,
+    partition_by: Union[str, List[str]],
+    order_by: Union[str, List],
+    method: str = "row_number",
+    out_col: str = "rank",
+) -> DataFrame:
+    if isinstance(partition_by, str):
+        partition_by = [partition_by]
+    w = Window.partitionBy(*partition_by).orderBy(*_order_cols(order_by))
+    fn = {"row_number": F.row_number, "rank": F.rank, "dense_rank": F.dense_rank}[method]
+    return df.withColumn(out_col, fn().over(w))
+
+
+def latest_per_key(
+    df: DataFrame,
+    partition_by: Union[str, List[str]],
+    order_by: Union[str, List],
+) -> DataFrame:
+    """Most-recent row per key: row_number window + rn=1 filter — shuffles
+    once on the key; AQE handles skewed keys."""
+    ranked = with_rank(df, partition_by, order_by, out_col="__rn")
+    return ranked.filter(F.col("__rn") == 1).drop("__rn")
+
+
+def with_lag_lead(
+    df: DataFrame,
+    partition_by: Union[str, List[str]],
+    order_by: Union[str, List],
+    col: str,
+    lag_n: int = 1,
+    lead_n: int = 1,
+) -> DataFrame:
+    if isinstance(partition_by, str):
+        partition_by = [partition_by]
+    w = Window.partitionBy(*partition_by).orderBy(*_order_cols(order_by))
+    return df.withColumn(f"{col}_lag", F.lag(col, lag_n).over(w)).withColumn(
+        f"{col}_lead", F.lead(col, lead_n).over(w)
+    )
+
+
+def time_bucket(
+    df: DataFrame,
+    ts_col: str,
+    granularity: str = "hour",
+    out_col: str = "bucket",
+) -> DataFrame:
+    """date_trunc bucketing (the reference's only time-ish op is the plot
+    CLI's period bucketing, plotting/cli.py:454)."""
+    return df.withColumn(out_col, F.date_trunc(granularity, F.col(ts_col)))
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap: str = "30 minutes",
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Gap-based sessions: a new session starts when the time since the
+    previous event exceeds ``gap``. lag + conditional cumsum — the classic
+    two-window formulation, one shuffle on the user key. The streaming
+    analog is ``F.session_window`` (streaming/events.py)."""
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc())
+    prev = F.lag(ts_col).over(w)
+    gap_expr = F.expr(f"INTERVAL {gap}")
+    new_session = (
+        prev.isNull()
+        | (F.col(ts_col).cast("timestamp") > prev.cast("timestamp") + gap_expr)
+    ).cast("long")
+    cum = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn("__new", new_session).withColumn(
+        session_col,
+        F.concat_ws("-", F.col(user_col).cast("string"), F.sum("__new").over(cum).cast("string")),
+    ).drop("__new")

@@ -1,0 +1,95 @@
+"""Derived collections, embedding utils, window operators."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from linkml_store_spark.operators.derived import derive_collection
+from linkml_store_spark.operators.embeddings import (
+    dimension_means,
+    embedding_stats,
+    sample_embeddings,
+)
+from linkml_store_spark.operators.windows import (
+    latest_per_key,
+    sessionize,
+    with_lag_lead,
+    with_rank,
+)
+
+
+def test_derive_collection(spark):
+    src = spark.createDataFrame(
+        [{"first": "Ada", "last": "L", "age_in_years": 36},
+         {"first": "Bob", "last": "M", "age_in_years": 20}]
+    )
+    out = derive_collection(
+        src,
+        {"full_name": "concat(first, ' ', last)", "age_months": "age_in_years * 12"},
+        where={"age_in_years": {"$gte": 30}},
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["full_name"] == "Ada L" and out[0]["age_months"] == 432
+
+
+def test_embedding_stats(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    stats = embedding_stats(emb, "embedding").first()
+    assert stats["n_vectors"] == emb.count()
+    assert stats["mean_norm"] > 0
+    per_label = embedding_stats(emb, "embedding", group_by="label").collect()
+    assert sum(r["n_vectors"] for r in per_label) == emb.count()
+
+
+def test_dimension_means(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.first()["embedding"])
+    means = dimension_means(emb, "embedding")
+    assert len(means) == dim
+
+
+def test_sample_embeddings(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    total = emb.count()
+    s = sample_embeddings(emb, fraction=0.5, seed=1)
+    assert 0 < s.count() < total
+    strat = sample_embeddings(emb, fraction=0.5, stratify_by="label", seed=1)
+    assert 0 < strat.count() < total
+    topn = sample_embeddings(emb, n=10)
+    assert topn.count() <= 10
+
+
+def test_rank_and_latest(spark):
+    df = spark.createDataFrame(
+        [{"u": 1, "t": 3, "v": "c"}, {"u": 1, "t": 1, "v": "a"},
+         {"u": 2, "t": 5, "v": "z"}, {"u": 1, "t": 2, "v": "b"}]
+    )
+    latest = {r["u"]: r["v"] for r in latest_per_key(df, "u", F.desc("t")).collect()}
+    assert latest == {1: "c", 2: "z"}
+    ranked = with_rank(df, "u", "t").filter("u = 1").orderBy("rank").collect()
+    assert [r["v"] for r in ranked] == ["a", "b", "c"]
+
+
+def test_lag_lead(spark):
+    df = spark.createDataFrame([{"u": 1, "t": i, "v": float(i)} for i in range(3)])
+    out = {r["t"]: r.asDict() for r in with_lag_lead(df, "u", "t", "v").collect()}
+    assert out[1]["v_lag"] == 0.0 and out[1]["v_lead"] == 2.0
+    assert out[0]["v_lag"] is None and out[2]["v_lead"] is None
+
+
+def test_sessionize(spark):
+    rows = [
+        {"u": 1, "ts": datetime(2024, 1, 1, 0, 0)},
+        {"u": 1, "ts": datetime(2024, 1, 1, 0, 10)},   # same session
+        {"u": 1, "ts": datetime(2024, 1, 1, 2, 0)},    # gap > 30m -> new
+        {"u": 2, "ts": datetime(2024, 1, 1, 0, 5)},
+    ]
+    df = spark.createDataFrame(rows)
+    out = sessionize(df, "u", "ts", gap="30 minutes").collect()
+    sessions = {(r["u"], r["ts"].hour): r["session_id"] for r in out}
+    assert sessions[(1, 0)] == "1-1"
+    assert sessions[(1, 2)] == "1-2"
+    assert sessions[(2, 0)] == "2-1"
+    # the two 0-hour events of user 1 share a session
+    u1_hour0 = [r["session_id"] for r in out if r["u"] == 1 and r["ts"].hour == 0]
+    assert set(u1_hour0) == {"1-1"}
