@@ -1,0 +1,409 @@
+"""Command-line interface mirroring the reference CLI.
+
+Reference: ``src/linkml_store/cli.py`` (click group with -d/-c context;
+commands insert/store/import/export/query/fq/groupby/describe/pivot/
+enrichment/infer/index/search/schema/validate/diff/apply/drop/
+list-collections). Same shape here, executing against the Spark engine.
+
+Run as ``python -m linkml_store_spark.cli ...``.
+
+  linkml-store-spark -d /tmp/wh -c countries insert countries.jsonl
+  linkml-store-spark -d /tmp/wh -c countries query -w '{code: FR}'
+  linkml-store-spark -d /tmp/wh -c countries fq -S continent
+  linkml-store-spark -d /tmp/wh -c countries search "France"
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from typing import Optional
+
+import click
+import yaml
+
+from linkml_store_spark.client import Client
+
+
+def _parse_yaml_arg(s: Optional[str]):
+    if not s:
+        return None
+    return yaml.safe_load(s)
+
+
+def _render(rows, output_type: str, output: Optional[str] = None):
+    """Render list-of-dicts (reference render_output,
+    format_utils.py:383-505)."""
+    import io
+
+    import pandas as pd
+
+    buf = io.StringIO()
+    if output_type == "json":
+        json.dump(rows, buf, indent=2, default=str)
+    elif output_type == "jsonl":
+        for r in rows:
+            buf.write(json.dumps(r, default=str) + "\n")
+    elif output_type == "yaml":
+        yaml.safe_dump_all(rows, buf, sort_keys=False, default_flow_style=False)
+    elif output_type in ("csv", "tsv"):
+        pd.DataFrame(rows).to_csv(buf, sep="," if output_type == "csv" else "\t", index=False)
+    elif output_type == "table":
+        buf.write(pd.DataFrame(rows).to_string(index=False))
+        buf.write("\n")
+    else:
+        raise click.UsageError(f"unknown output type: {output_type}")
+    text = buf.getvalue()
+    if output:
+        with open(output, "w") as f:
+            f.write(text)
+    else:
+        click.echo(text, nl=False)
+
+
+OUTPUT_OPT = click.option("-O", "--output-type", default="json", show_default=True)
+OUTPUT_FILE_OPT = click.option("-o", "--output", default=None)
+WHERE_OPT = click.option("-w", "--where", default=None, help="YAML/JSON where clause")
+LIMIT_OPT = click.option("-l", "--limit", default=None, type=int)
+
+
+class Context:
+    def __init__(self):
+        self.database_handle = "memory"
+        self.collection_name = None
+        self._client = None
+        self._db = None
+        self.input_file = None
+
+    @property
+    def client(self) -> Client:
+        if self._client is None:
+            self._client = Client()
+        return self._client
+
+    @property
+    def db(self):
+        if self._db is None:
+            self._db = self.client.attach_database(self.database_handle)
+            if self.input_file:
+                from linkml_store_spark.sources.formats import read_objects_df
+
+                df = read_objects_df(self.client.spark, self.input_file)
+                name = self.collection_name or "input"
+                self.collection_name = name
+                self._db.get_collection(name).replace(df)
+        return self._db
+
+    @property
+    def collection(self):
+        db = self.db  # may bind an ephemeral --input collection
+        if not self.collection_name:
+            raise click.UsageError("no collection specified (-c)")
+        return db.get_collection(self.collection_name)
+
+
+@click.group()
+@click.option("-d", "--database", default="memory", help="database handle (memory | /warehouse/dir | spark:///dir)")
+@click.option("-c", "--collection", default=None)
+@click.option("-i", "--input", "input_file", default=None, help="wrap a file in an ephemeral collection (reference cli.py:148-159)")
+@click.pass_context
+def cli(ctx, database, collection, input_file):
+    """linkml-store-spark: PySpark-native linkml-store engine."""
+    c = Context()
+    c.database_handle = database
+    c.collection_name = collection
+    c.input_file = input_file
+    ctx.obj = c
+
+
+@cli.command()
+@click.argument("files", nargs=-1)
+@click.option("--replace", is_flag=True)
+@click.option("-f", "--format", "fmt", default=None)
+@click.pass_obj
+def insert(obj: Context, files, replace, fmt):
+    """Insert objects from files (reference cli.py:208-275)."""
+    from linkml_store_spark.sources.formats import read_objects_df
+
+    coll = obj.collection
+    total = 0
+    for path in files:
+        df = read_objects_df(obj.client.spark, path, fmt)
+        total += coll.replace(df) if replace else coll.insert(df)
+        replace = False
+    click.echo(f"Inserted {total} objects into {coll.alias}")
+
+
+@cli.command()
+@click.argument("files", nargs=-1)
+@click.pass_obj
+def store(obj: Context, files):
+    """Store dict-of-collections documents (reference cli.py:277-327)."""
+    from linkml_store_spark.sources.formats import read_document
+
+    for path in files:
+        doc = read_document(path)
+        obj.db.store(doc)
+    click.echo(f"Stored {len(files)} document(s)")
+
+
+@cli.command()
+@WHERE_OPT
+@click.option("-s", "--select", default=None, help="comma-separated columns")
+@click.option("--sql", default=None, help="raw SQL passthrough (reference cli.py:430-489)")
+@LIMIT_OPT
+@OUTPUT_OPT
+@OUTPUT_FILE_OPT
+@click.pass_obj
+def query(obj: Context, where, select, sql, limit, output_type, output):
+    """Query a collection (reference cli.py:427-510)."""
+    if sql:
+        res = obj.db.execute_sql(sql)
+        _render(res.rows, output_type, output)
+        return
+    cols = select.split(",") if select else None
+    res = obj.collection.find(_parse_yaml_arg(where), select_cols=cols, limit=limit)
+    _render(res.rows, output_type, output)
+
+
+@cli.command()
+@WHERE_OPT
+@click.option("-S", "--columns", default=None, help="facet columns, comma-separated; '+' for compound")
+@LIMIT_OPT
+@click.option("-M", "--min-count", default=1, type=int)
+@click.option("--wide", is_flag=True, help="unmelted wide format (reference pandas_utils.py:61-103)")
+@OUTPUT_OPT
+@OUTPUT_FILE_OPT
+@click.pass_obj
+def fq(obj: Context, where, columns, limit, min_count, wide, output_type, output):
+    """Facet counts (reference cli.py:522-597)."""
+    facet_cols = None
+    if columns:
+        facet_cols = [
+            tuple(c.split("+")) if "+" in c else c for c in columns.split(",")
+        ]
+    res = obj.collection.query_facets(
+        _parse_yaml_arg(where),
+        facet_columns=facet_cols,
+        facet_limit=limit or 100,
+        facet_min_count=min_count,
+    )
+    if wide:
+        from linkml_store_spark.operators.facet_reshape import facets_to_wide_rows
+
+        _render(facets_to_wide_rows(res), output_type, output)
+        return
+    rows = []
+    for col, pairs in res.items():
+        key = "+".join(col) if isinstance(col, tuple) else col
+        for value, count in pairs:
+            rows.append({"column": key, "value": value, "count": count})
+    _render(rows, output_type, output)
+
+
+@cli.command()
+@WHERE_OPT
+@click.option("-S", "--columns", required=True, help="group-by columns, comma-separated")
+@OUTPUT_OPT
+@OUTPUT_FILE_OPT
+@click.pass_obj
+def groupby(obj: Context, where, columns, output_type, output):
+    """Group rows into {keys, objects:[...]} (reference cli.py:599-647)."""
+    rows = obj.collection.group_by(
+        columns.split(","), where=_parse_yaml_arg(where)
+    )
+    _render(rows, output_type, output)
+
+
+@cli.command()
+@OUTPUT_OPT
+@OUTPUT_FILE_OPT
+@click.pass_obj
+def describe(obj: Context, output_type, output):
+    """Column statistics (reference cli.py:656-671)."""
+    rows = [r.asDict() for r in obj.collection.describe().collect()]
+    _render(rows, output_type, output)
+
+
+@cli.command()
+@WHERE_OPT
+@click.option("--index", "index_cols", required=True)
+@click.option("--columns", required=True)
+@click.option("--values", required=True)
+@OUTPUT_OPT
+@OUTPUT_FILE_OPT
+@click.pass_obj
+def pivot(obj: Context, where, index_cols, columns, values, output_type, output):
+    """index x columns -> values reshape (reference cli.py:674-708)."""
+    from linkml_store_spark.operators.pivot import pivot as pivot_op
+    from linkml_store_spark.where import apply_where
+
+    df = apply_where(obj.collection.df, _parse_yaml_arg(where))
+    out = pivot_op(df, index_cols.split(","), columns, values)
+    _render([r.asDict(recursive=True) for r in out.collect()], output_type, output)
+
+
+@cli.command()
+@click.option("--sample-field", required=True)
+@click.option("--classification-field", required=True)
+@click.option("-p", "--p-value-threshold", default=0.05, type=float)
+@OUTPUT_OPT
+@OUTPUT_FILE_OPT
+@click.pass_obj
+def enrichment(obj: Context, sample_field, classification_field, p_value_threshold, output_type, output):
+    """Per-sample category enrichment (reference cli.py:711-759)."""
+    from linkml_store_spark.operators.enrichment import enriched_categories
+
+    out = enriched_categories(
+        obj.collection.df, sample_field, classification_field,
+        p_value_threshold=p_value_threshold,
+    )
+    _render([r.asDict() for r in out.collect()], output_type, output)
+
+
+@cli.command()
+@click.option("-t", "--predictor-type", default="rule_based")
+@click.option("-T", "--target", required=True)
+@click.option("-F", "--features", default=None)
+@click.option("-q", "--query-obj", "query_obj", default=None, help="YAML object to predict for")
+@OUTPUT_OPT
+@OUTPUT_FILE_OPT
+@click.pass_obj
+def infer(obj: Context, predictor_type, target, features, query_obj, output_type, output):
+    """Inference (reference cli.py:762-900)."""
+    from linkml_store_spark.inference import get_inference_engine
+
+    feats = features.split(",") if features else None
+    eng = get_inference_engine(
+        predictor_type, feature_attributes=feats, target_attributes=[target]
+    )
+    if predictor_type in ("sklearn", "sparkml"):
+        eng.load_and_split_data(obj.collection.df)
+        eng.initialize_model(target=target)
+    elif predictor_type == "rag":
+        eng.initialize_model(collection=obj.collection)
+    if query_obj:
+        inf = eng.derive(yaml.safe_load(query_obj))
+        _render([inf.predicted_object] if inf else [], output_type, output)
+    else:
+        out = eng.predict_df(obj.collection.df)
+        _render([r.asDict(recursive=True) for r in out.collect()], output_type, output)
+
+
+@cli.command()
+@click.option("-t", "--index-type", default="simple")
+@click.pass_obj
+def index(obj: Context, index_type):
+    """Attach + build an index (reference cli.py:902-927)."""
+    obj.collection.attach_indexer(index_type)
+    click.echo(f"Indexed {obj.collection.alias} with {index_type}")
+
+
+@cli.command()
+@click.argument("search_term")
+@WHERE_OPT
+@LIMIT_OPT
+@click.option("--mmr", "mmr_relevance_factor", default=None, type=float)
+@OUTPUT_OPT
+@OUTPUT_FILE_OPT
+@click.pass_obj
+def search(obj: Context, search_term, where, limit, mmr_relevance_factor, output_type, output):
+    """Vector search (reference cli.py:952-982)."""
+    res = obj.collection.search(
+        search_term,
+        where=_parse_yaml_arg(where),
+        limit=limit or 10,
+        mmr_relevance_factor=mmr_relevance_factor,
+    )
+    rows = [{"score": round(s, 6), **r} for s, r in res.ranked_rows]
+    _render(rows, output_type, output)
+
+
+@cli.command()
+@OUTPUT_OPT
+@OUTPUT_FILE_OPT
+@click.pass_obj
+def schema(obj: Context, output_type, output):
+    """Induced/observed schema (reference cli.py:929-950)."""
+    fields = [
+        {"name": f.name, "range": f.dataType.simpleString(), "nullable": f.nullable}
+        for f in obj.collection.df.schema.fields
+    ]
+    _render(fields, output_type, output)
+
+
+@cli.command()
+@click.option("--schema-file", default=None, help="JSON-Schema file for object validation")
+@OUTPUT_OPT
+@OUTPUT_FILE_OPT
+@click.pass_obj
+def validate(obj: Context, schema_file, output_type, output):
+    """Validate a collection (reference cli.py:1115-1140)."""
+    from linkml_store_spark.validate import iter_validate_collection
+
+    js = json.load(open(schema_file)) if schema_file else None
+    errs = list(iter_validate_collection(obj.collection.df, json_schema=js))
+    _render(errs, output_type, output)
+
+
+@cli.command(name="list-collections")
+@click.pass_obj
+def list_collections(obj: Context):
+    for name in obj.db.list_collection_names():
+        click.echo(name)
+
+
+@cli.command()
+@click.pass_obj
+def drop(obj: Context):
+    obj.db.drop_collection(obj.collection_name)
+    click.echo(f"Dropped {obj.collection_name}")
+
+
+@cli.command()
+@click.argument("path")
+@click.option("-f", "--format", "fmt", default="parquet")
+@click.pass_obj
+def export(obj: Context, path, fmt):
+    """Export all collections (reference cli.py:347-383)."""
+    obj.db.export_database(path, fmt)
+    click.echo(f"Exported to {path}")
+
+
+@cli.command(name="import")
+@click.argument("path")
+@click.option("-f", "--format", "fmt", default="parquet")
+@click.pass_obj
+def import_database(obj: Context, path, fmt):
+    obj.db.import_database(path, fmt)
+    click.echo(f"Imported from {path}")
+
+
+@cli.command()
+@click.option("--other-database", required=True)
+@click.option("--other-collection", required=True)
+@OUTPUT_OPT
+@OUTPUT_FILE_OPT
+@click.pass_obj
+def diff(obj: Context, other_database, other_collection, output_type, output):
+    """JSON-Patch diff vs another collection (reference cli.py:385-406)."""
+    other_db = obj.client.attach_database(other_database, alias="__other")
+    other = other_db.get_collection(other_collection)
+    other.identifier_attribute = obj.collection.identifier_attribute
+    patches = obj.collection.diff(other)
+    _render(patches, output_type, output)
+
+
+@cli.command()
+@click.argument("patch_files", nargs=-1)
+@click.pass_obj
+def apply(obj: Context, patch_files):
+    """Apply JSON-Patch files (reference cli.py:408-425)."""
+    for path in patch_files:
+        patches = json.load(open(path))
+        obj.collection.apply_patches(patches)
+    click.echo(f"Applied {len(patch_files)} patch file(s)")
+
+
+if __name__ == "__main__":
+    cli()

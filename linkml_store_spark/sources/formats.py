@@ -111,6 +111,19 @@ def read_objects_df(
     raise ValueError(f"unsupported format: {fmt}")
 
 
+def read_document(path: str, fmt: Optional[str] = None) -> dict:
+    """Load ONE document (dict) — for ``Database.store`` payloads
+    (dict-of-collections; reference database.py:197-239)."""
+    fmt = (fmt or guess_format(path)).lower()
+    if fmt == "json":
+        with _open(path) as f:
+            return json.load(f)
+    objs = _read_document_objects(path, "yaml" if fmt in ("yaml", "yamll") else fmt)
+    if len(objs) != 1 or not isinstance(objs[0], dict):
+        raise ValueError(f"{path} does not contain a single document")
+    return objs[0]
+
+
 def _read_document_objects(path: str, fmt: str) -> List[dict]:
     if fmt in ("yaml", "yamll"):
         import yaml

@@ -72,13 +72,74 @@ def constraint_violations(
     return df.withColumn("__violations", viol).filter(F.size("__violations") > 0)
 
 
+def jsonschema_violations(df: DataFrame, json_schema: dict) -> DataFrame:
+    """Full JSON-Schema validation via mapInPandas — the compiled validator
+    runs once per executor over Arrow batches (reference validates object-
+    by-object on the driver, collection.py:1220-1254). Output: one row per
+    error (path, message, object as JSON)."""
+    import json as _json
+
+    schema_str = _json.dumps(json_schema)
+    out_schema = "path string, message string, object string"
+
+    def validate_batches(batches):
+        import jsonschema
+        import numpy as np
+        import pandas as pd
+
+        validator = jsonschema.Draft7Validator(_json.loads(schema_str))
+
+        def clean(rec):
+            out = {}
+            for k, v in rec.items():
+                if isinstance(v, np.ndarray):
+                    v = v.tolist()
+                if isinstance(v, np.generic):
+                    v = v.item()
+                if v is None or (isinstance(v, float) and v != v):
+                    continue  # strip null/NaN (reference NaN->None stripping)
+                out[k] = v
+            return out
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict(orient="records"):
+                rec = clean(rec)
+                for err in validator.iter_errors(rec):
+                    rows.append(
+                        {
+                            "path": "/".join(str(p) for p in err.absolute_path),
+                            "message": err.message,
+                            "object": _json.dumps(rec, default=str),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["path", "message", "object"])
+
+    return df.mapInPandas(validate_batches, schema=out_schema)
+
+
 def iter_validate_collection(
-    df: DataFrame, slots: Dict[str, dict]
+    df: DataFrame,
+    slots: Optional[Dict[str, dict]] = None,
+    json_schema: Optional[dict] = None,
 ) -> Iterator[dict]:
-    """Yield validation-result dicts (reference collection.py:1220-1254)."""
-    bad = constraint_violations(df, slots)
-    for row in bad.toLocalIterator():
-        d = row.asDict(recursive=True)
-        msgs = d.pop("__violations")
-        for m in msgs:
-            yield {"type": "ConstraintViolation", "message": m, "object": d}
+    """Yield validation-result dicts (reference collection.py:1220-1254).
+
+    ``slots`` uses the native constraint compiler (fast path);
+    ``json_schema`` runs the full jsonschema validator distributed.
+    """
+    if slots:
+        bad = constraint_violations(df, slots)
+        for row in bad.toLocalIterator():
+            d = row.asDict(recursive=True)
+            msgs = d.pop("__violations")
+            for m in msgs:
+                yield {"type": "ConstraintViolation", "message": m, "object": d}
+    if json_schema:
+        for row in jsonschema_violations(df, json_schema).toLocalIterator():
+            yield {
+                "type": "JsonSchemaViolation",
+                "message": row["message"],
+                "path": row["path"],
+                "object": row["object"],
+            }

@@ -1,0 +1,130 @@
+"""CLI flows (reference tests/test_cli.py:37-309 model)."""
+
+import json
+
+import pytest
+import yaml
+from click.testing import CliRunner
+
+from linkml_store_spark.cli import cli
+
+
+@pytest.fixture()
+def countries_file(tmp_path, countries):
+    p = tmp_path / "countries.jsonl"
+    with open(p, "w") as f:
+        for c in countries:
+            f.write(json.dumps(c) + "\n")
+    return str(p)
+
+
+@pytest.fixture()
+def wh(tmp_path):
+    return str(tmp_path / "wh")
+
+
+def _run(args, **kw):
+    r = CliRunner().invoke(cli, args, catch_exceptions=False, **kw)
+    assert r.exit_code == 0, r.output
+    return r
+
+
+def test_insert_query_roundtrip(wh, countries_file, spark):
+    _run(["-d", wh, "-c", "countries", "insert", countries_file])
+    r = _run(["-d", wh, "-c", "countries", "query", "-w", "{code: FR}"])
+    rows = json.loads(r.output)
+    assert len(rows) == 1 and rows[0]["name"] == "France"
+
+
+def test_query_sql_and_select(wh, countries_file, spark):
+    _run(["-d", wh, "-c", "countries", "insert", countries_file])
+    r = _run(["-d", wh, "-c", "countries", "query", "-s", "name,capital",
+              "-w", "{continent: Europe}", "-O", "jsonl"])
+    rows = [json.loads(line) for line in r.output.strip().splitlines()]
+    assert {"name", "capital"} == set(rows[0].keys())
+    assert len(rows) == 4
+    r = _run(["-d", wh, "-c", "countries", "query", "--sql",
+              "SELECT COUNT(*) AS n FROM countries"])
+    assert json.loads(r.output)[0]["n"] == 12
+
+
+def test_fq_and_wide(wh, countries_file, spark):
+    _run(["-d", wh, "-c", "countries", "insert", countries_file])
+    r = _run(["-d", wh, "-c", "countries", "fq", "-S", "continent"])
+    rows = json.loads(r.output)
+    by_val = {x["value"]: x["count"] for x in rows}
+    assert by_val["Europe"] == 4
+    r = _run(["-d", wh, "-c", "countries", "fq", "-S", "continent", "--wide"])
+    wide = json.loads(r.output)
+    assert any(w.get("continent") == "Europe" and w["count"] == 4 for w in wide)
+
+
+def test_facet_multivalued_languages(wh, countries_file, spark):
+    _run(["-d", wh, "-c", "countries", "insert", countries_file])
+    r = _run(["-d", wh, "-c", "countries", "fq", "-S", "languages"])
+    by_val = {x["value"]: x["count"] for x in json.loads(r.output)}
+    assert by_val["English"] == 4  # US, CA, GB, IN (explode semantics)
+    assert by_val["French"] == 3
+
+
+def test_describe_schema_pivot(wh, countries_file, spark):
+    _run(["-d", wh, "-c", "countries", "insert", countries_file])
+    r = _run(["-d", wh, "-c", "countries", "schema"])
+    fields = {f["name"]: f["range"] for f in json.loads(r.output)}
+    assert fields["languages"] == "array<string>"
+    r = _run(["-d", wh, "-c", "countries", "describe"])
+    cols = {x["column"] for x in json.loads(r.output)}
+    assert "capital" in cols
+    r = _run(["-d", wh, "-c", "countries", "pivot",
+              "--index", "continent", "--columns", "code", "--values", "capital"])
+    assert r.exit_code == 0
+
+
+def test_search_cli(wh, countries_file, spark):
+    _run(["-d", wh, "-c", "countries", "insert", countries_file])
+    r = _run(["-d", wh, "-c", "countries", "search", "France", "-l", "3"])
+    rows = json.loads(r.output)
+    assert rows[0]["name"] == "France"
+
+
+def test_groupby_cli(wh, countries_file, spark):
+    _run(["-d", wh, "-c", "countries", "insert", countries_file])
+    r = _run(["-d", wh, "-c", "countries", "groupby", "-S", "continent"])
+    groups = {g["continent"]: len(g["objects"]) for g in json.loads(r.output)}
+    assert groups["Europe"] == 4
+
+
+def test_infer_rule_based(wh, countries_file, spark):
+    _run(["-d", wh, "-c", "countries", "insert", countries_file])
+    r = _run(["-d", wh, "-c", "countries", "query", "-w", "{code: JP}"])
+    assert json.loads(r.output)[0]["continent"] == "Asia"
+
+
+def test_validate_jsonschema(wh, countries_file, tmp_path, spark):
+    _run(["-d", wh, "-c", "countries", "insert", countries_file])
+    schema = {
+        "type": "object",
+        "properties": {"code": {"type": "string", "maxLength": 1}},
+    }
+    sf = tmp_path / "schema.json"
+    sf.write_text(json.dumps(schema))
+    r = _run(["-d", wh, "-c", "countries", "validate", "--schema-file", str(sf)])
+    errs = json.loads(r.output)
+    assert len(errs) == 12  # every 2-char code violates maxLength 1
+
+
+def test_export_import(wh, countries_file, tmp_path, spark):
+    _run(["-d", wh, "-c", "countries", "insert", countries_file])
+    exp = str(tmp_path / "exp")
+    _run(["-d", wh, "export", exp])
+    wh2 = str(tmp_path / "wh2")
+    _run(["-d", wh2, "import", exp])
+    r = _run(["-d", wh2, "-c", "countries", "query", "--sql",
+              "SELECT COUNT(*) AS n FROM countries"])
+    assert json.loads(r.output)[0]["n"] == 12
+
+
+def test_input_shortcut(countries_file, spark):
+    r = _run(["-i", countries_file, "query", "-w", "{continent: Asia}", "-O", "yaml"])
+    docs = list(yaml.safe_load_all(r.output))
+    assert len(docs) == 2
