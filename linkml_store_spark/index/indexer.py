@@ -153,4 +153,41 @@ class LLMIndexer(Indexer):
             vecs = embed_fn(texts.fillna("").tolist())
             return pd.Series(vecs)
 
-        return df.withColumn(INDEX_COLUMN, embed(self._text_col(df)))
+        if not self.cache_path:
+            return df.withColumn(INDEX_COLUMN, embed(self._text_col(df)))
+        return self._index_with_cache(df, embed)
+
+    def _index_with_cache(self, df: DataFrame, embed) -> DataFrame:
+        """Embedding cache keyed (md5(text), model_id) — reference keeps a
+        DuckDB table probed per text (llm_indexer.py:117-182, a known N-query
+        hot spot); here hits come from ONE join and only misses pay the
+        embedding call, then the cache is appended for next time."""
+        import os
+
+        spark = df.sparkSession
+        keyed = df.withColumn("__text", self._text_col(df)).withColumn(
+            "__h", F.md5(F.col("__text"))
+        )
+        cache = None
+        if os.path.exists(self.cache_path):
+            cache = spark.read.parquet(self.cache_path).filter(
+                F.col("model_id") == self.model_id
+            )
+        if cache is None:
+            misses, hits = keyed, None
+        else:
+            lookup = cache.select("__h", F.col("vector").alias(INDEX_COLUMN))
+            hits = keyed.join(F.broadcast(lookup), "__h", "inner")
+            misses = keyed.join(lookup.select("__h"), "__h", "left_anti")
+        # persist: the embedding UDF must run ONCE per miss, not once per
+        # downstream action (cache write + result scan)
+        embedded = misses.withColumn(INDEX_COLUMN, embed(F.col("__text"))).persist()
+        new_entries = embedded.select(
+            "__h",
+            F.lit(self.model_id).alias("model_id"),
+            F.col(INDEX_COLUMN).alias("vector"),
+        ).dropDuplicates(["__h"])
+        if new_entries.take(1):
+            new_entries.write.mode("append").parquet(self.cache_path)
+        out = embedded if hits is None else embedded.unionByName(hits)
+        return out.drop("__text", "__h")

