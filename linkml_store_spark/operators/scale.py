@@ -1,0 +1,139 @@
+"""Scale primitives: skew-safe joins, co-location, bucketed storage.
+
+These are the knobs a 100 TB deployment needs beyond AQE's automatics:
+
+  * ``salted_join`` — explicit key-salting for joins whose skew AQE can't
+    fix (e.g. one hot key receiving >GBs); replicates the small side R times
+    and splits the big side's hot keys across R salt buckets.
+  * ``colocate`` — repartition two DataFrames identically so a later join
+    is shuffle-free at execution (both sides hash-partitioned on the key).
+  * ``write_bucketed`` / ``read_bucketed`` — persistent bucketing via the
+    table catalog: repeated joins/aggregations on the bucket key skip the
+    shuffle entirely.
+  * ``top_hot_keys`` — find skewed keys cheaply (sampled count) to decide
+    what to salt.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def top_hot_keys(
+    df: DataFrame, key: str, n: int = 10, sample_fraction: Optional[float] = None
+) -> List[Tuple]:
+    """The n heaviest keys (optionally from a sample — at 100 TB sampling
+    1% bounds the cost and hot keys by definition survive sampling)."""
+    d = df.sample(fraction=sample_fraction, seed=7) if sample_fraction else df
+    rows = (
+        d.groupBy(key)
+        .count()
+        .orderBy(F.desc("count"))
+        .limit(n)
+        .collect()
+    )
+    return [(r[0], r["count"]) for r in rows]
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Equi-join where ``big``'s key distribution is skewed.
+
+    Each big-side row gets a random salt in [0, R); the small side is
+    replicated R times (explode of a literal range — R·|small| rows, fine
+    for dimension-sized tables). The shuffle key becomes (key, salt), so a
+    hot key spreads over R reducers instead of one.
+
+    Use when AQE's skew-join splitting isn't available (e.g. the skew is in
+    a groupBy feeding the join) or measured insufficient.
+    """
+    salted_big = big.withColumn(
+        "__salt", (F.rand(seed=7) * salt_buckets).cast("int")
+    )
+    salted_small = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = salted_big.join(salted_small, on=[on, "__salt"], how=how)
+    return out.drop("__salt")
+
+
+def salted_aggregate(
+    df: DataFrame,
+    key: str,
+    aggs: Sequence[F.Column],
+    salt_buckets: int = 16,
+):
+    """Two-phase aggregation for skewed groupBy keys.
+
+    Only works for algebraic aggregates passed as (partial, merge) pairs is
+    overkill here — Spark already partial-aggregates map-side; this helper
+    exists for the pattern where the DISTINCT values per key are the skew
+    (e.g. collect_set on a hot key): phase 1 aggregates (key, salt), phase 2
+    merges per key.
+    """
+    p1 = (
+        df.withColumn("__salt", (F.rand(seed=7) * salt_buckets).cast("int"))
+        .groupBy(key, "__salt")
+        .agg(*aggs)
+    )
+    agg_cols = [c for c in p1.columns if c not in (key, "__salt")]
+    # merge phase: sums/counts re-sum; min/max re-min/max — caller's aggs
+    # must be decomposable (sum, count, min, max)
+    merged = p1.groupBy(key)
+    merge_exprs = []
+    for c in agg_cols:
+        if c.startswith("count") or c.startswith("sum") or c.startswith("n_"):
+            merge_exprs.append(F.sum(c).alias(c))
+        elif c.startswith("min"):
+            merge_exprs.append(F.min(c).alias(c))
+        elif c.startswith("max"):
+            merge_exprs.append(F.max(c).alias(c))
+        else:
+            merge_exprs.append(F.sum(c).alias(c))
+    return merged.agg(*merge_exprs)
+
+
+def colocate(
+    left: DataFrame, right: DataFrame, on: str, partitions: Optional[int] = None
+) -> Tuple[DataFrame, DataFrame]:
+    """Hash-partition both sides identically on the join key. A following
+    ``left.join(right, on)`` reuses the partitioning (no extra shuffle at
+    join time); useful when several joins share the key."""
+    if partitions:
+        return (
+            left.repartition(partitions, F.col(on)),
+            right.repartition(partitions, F.col(on)),
+        )
+    return left.repartition(F.col(on)), right.repartition(F.col(on))
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: str,
+    num_buckets: int = 32,
+    sort_by: Optional[str] = None,
+    path: Optional[str] = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist with catalog bucketing: joins/groupBys on ``bucket_by``
+    between bucketed tables skip the shuffle (bucket-wise join). This is the
+    durable co-location strategy for fact tables queried daily at 100 TB."""
+    w = df.write.mode(mode).format("parquet").bucketBy(num_buckets, bucket_by)
+    if sort_by:
+        w = w.sortBy(sort_by)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark, table: str) -> DataFrame:
+    return spark.table(table)

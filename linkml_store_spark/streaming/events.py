@@ -127,8 +127,11 @@ def stream_upsert_into(
     collection,
     checkpoint_dir: str,
     filter_fields=None,
+    output_mode: str = "update",
 ):
-    """foreachBatch streaming upsert into a Collection (CDC-style apply)."""
+    """foreachBatch streaming upsert into a Collection (CDC-style apply).
+    ``update`` output mode suits stateful upstream operators (running
+    aggregates re-emit per batch; the upsert makes them idempotent)."""
 
     def apply_batch(batch_df: DataFrame, batch_id: int):
         rows = [r.asDict(recursive=True) for r in batch_df.collect()]
@@ -138,6 +141,7 @@ def stream_upsert_into(
     q = (
         stream_df.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
