@@ -390,6 +390,49 @@ def q_enrichment(spark, sf):
     )
 
 
+def q_find_matches(spark, sf):
+    # kNN between collections (embedding matcher, SURVEY §2.8): top-3
+    # nearest labeled vectors for each of the first 50 vectors
+    from linkml_store_spark.index.search import find_matches
+
+    emb = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    left = emb.filter(F.col("vec_id") < 50)
+    right = emb.filter(F.col("vec_id") >= 50)
+    out = find_matches(
+        left, right, vector_col="embedding", left_id="vec_id",
+        right_id="vec_id", top_n=3,
+    )
+    return out.select(
+        "left_id", "right_id", F.round("score", 4).alias("score"), "rank"
+    ).orderBy("left_id", "rank")
+
+
+def q_groupby_objects(spark, sf):
+    # group_by collapses rows into per-group object lists (one
+    # collect_list(struct) shuffle); verify via per-group summary
+    from linkml_store_spark.operators.groupby import group_by_objects
+
+    g = group_by_objects(_t(spark, sf, "customer"), ["c_mktsegment"])
+    return g.select(
+        "c_mktsegment",
+        F.size("objects").alias("n_objects"),
+        F.expr("array_min(transform(objects, o -> o.c_custkey))").alias("min_key"),
+    ).orderBy("c_mktsegment")
+
+
+def q_text_search(spark, sf):
+    from linkml_store_spark.operators.textsearch import search_text
+
+    docs = _t(spark, sf, "documents")
+    out = search_text(
+        docs, "spark merge window", fields={"text": 1.0}, limit=10,
+        tiebreak_cols=["doc_id"],
+    )
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "find_eq": q_find_eq,
     "find_range": q_find_range,
@@ -423,6 +466,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lag_lead": q_lag_lead,
     "sessionize": q_sessionize,
     "enrichment": q_enrichment,
+    "find_matches": q_find_matches,
+    "groupby_objects": q_groupby_objects,
+    "text_search": q_text_search,
 }
 
 
@@ -626,6 +672,42 @@ ORACLES: dict[str, str] = {
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
         ) GROUP BY user_id ORDER BY user_id
+    """,
+    "find_matches": """
+        WITH l AS (
+            SELECT vec_id AS left_id, CAST(embedding AS DOUBLE[]) AS lv
+            FROM embeddings WHERE vec_id < 50
+        ), r AS (
+            SELECT vec_id AS right_id, CAST(embedding AS DOUBLE[]) AS rv
+            FROM embeddings WHERE vec_id >= 50
+        ), scored AS (
+            SELECT left_id, right_id,
+                   list_cosine_similarity(lv, rv) AS raw_score,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY left_id
+                       ORDER BY list_cosine_similarity(lv, rv) DESC, right_id ASC
+                   ) AS rank
+            FROM l, r
+        )
+        SELECT left_id, right_id, ROUND(raw_score, 4) AS score, rank
+        FROM scored WHERE rank <= 3 ORDER BY left_id, rank
+    """,
+    "groupby_objects": """
+        SELECT c_mktsegment,
+               COUNT(*) AS n_objects,
+               MIN(c_custkey) AS min_key
+        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "text_search": """
+        WITH scored AS (
+            SELECT doc_id,
+                   (len(list_intersect(
+                        list_distinct(string_split_regex(lower(text), '[^a-z0-9]+')),
+                        ['spark', 'merge', 'window'])) / 3.0) * 1.01 AS raw
+            FROM documents
+        )
+        SELECT doc_id, ROUND(raw, 6) AS score FROM scored
+        WHERE raw > 0 ORDER BY raw DESC, doc_id ASC LIMIT 10
     """,
 }
 

@@ -33,6 +33,7 @@ def search_text(
     fields: Optional[Dict[str, float]] = None,
     limit: int = 10,
     score_col: str = "score",
+    tiebreak_cols: Optional[List[str]] = None,
 ) -> DataFrame:
     """edismax-ish ranking: for each field, fraction of query tokens present
     (weighted by boost); total = max over fields + small sum tiebreak.
@@ -65,9 +66,10 @@ def search_text(
     for s in per_field[1:]:
         tiebreak = tiebreak + s
     score = total + tiebreak * 0.01
+    order = [F.desc(score_col)] + [F.asc(c) for c in (tiebreak_cols or [])]
     return (
         df.withColumn(score_col, score)
         .filter(F.col(score_col) > 0)
-        .orderBy(F.desc(score_col))
+        .orderBy(*order)
         .limit(limit)
     )
