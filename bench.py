@@ -138,9 +138,15 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     queries = build_queries(spark, SF_DIR)
 
+    # global warm-up pass: JVM JIT compilation of the scan/agg/codegen paths
+    # is shared across queries — one full sweep first, then per-query timing
+    # (mirrors BASELINE.md's "best of 5 after warm-up" methodology)
+    for fn in queries.values():
+        fn()
+
     timings = {}
     for name, fn in queries.items():
-        fn()  # warm-up (JIT, page cache, codegen)
+        fn()  # per-query warm-up
         best = float("inf")
         for _ in range(RUNS):
             t0 = time.perf_counter()
