@@ -53,6 +53,10 @@ def guess_format(path: str) -> str:
         "fa": "fasta",
         "gmt": "gmt",
         "obo": "obo",
+        "dat": "dat",
+        "pkl": "pkl",
+        "pickle": "pkl",
+        "xlsx": "xlsx",
         "toml": "toml",
         "xml": "xml",
         "md": "markdown",
@@ -108,7 +112,37 @@ def read_objects_df(
         return _read_gmt(spark, path)
     if fmt == "obo":
         return _read_obo(spark, path)
+    if fmt == "dat":
+        return _read_dat(spark, path)
+    if fmt in ("pkl", "pickle"):
+        # pandas pickle (reference format_utils.py:198-201)
+        import pandas as pd
+
+        return spark.createDataFrame(pd.read_pickle(path))
+    if fmt == "xlsx":
+        # sheet -> collection (reference format_utils.py:203-205); openpyxl
+        # is optional in this environment
+        try:
+            import pandas as pd
+
+            return spark.createDataFrame(pd.read_excel(path))
+        except ImportError as e:
+            raise NotImplementedError("xlsx support requires openpyxl") from e
     raise ValueError(f"unsupported format: {fmt}")
+
+
+def _read_dat(spark: SparkSession, path: str) -> DataFrame:
+    """SIB/Expasy records (reference utils/dat_parser.py). These are
+    curated-metadata files (MB scale), parsed driver-side with exact
+    reference semantics, then distributed."""
+    from linkml_store_spark.schema_utils import induce_schema
+    from linkml_store_spark.sources.dat_parser import parse_sib_format
+
+    with _open(path) as f:
+        _, entries = parse_sib_format(f.read())
+    if not entries:
+        return spark.createDataFrame([], schema="ID string")
+    return spark.createDataFrame(entries, schema=induce_schema(entries))
 
 
 def read_document(path: str, fmt: Optional[str] = None) -> dict:

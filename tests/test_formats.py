@@ -1,0 +1,115 @@
+"""Format readers/writers (SURVEY §2.1)."""
+
+import json
+
+import pytest
+
+from linkml_store_spark.sources.formats import (
+    guess_format,
+    read_objects_df,
+    write_collection,
+)
+
+
+def test_guess_format():
+    assert guess_format("a.jsonl") == "jsonl"
+    assert guess_format("a.json.gz") == "json"
+    assert guess_format("a.tsv") == "tsv"
+    assert guess_format("a.dat") == "dat"
+    assert guess_format("a.fasta") == "fasta"
+
+
+def test_read_jsonl_csv_yaml(spark, tmp_path, countries):
+    p = tmp_path / "c.jsonl"
+    p.write_text("\n".join(json.dumps(c) for c in countries))
+    df = read_objects_df(spark, str(p))
+    assert df.count() == len(countries)
+
+    import yaml
+
+    y = tmp_path / "c.yaml"
+    y.write_text(yaml.safe_dump([{"a": 1, "b": "x"}, {"a": 2, "b": "y"}]))
+    assert read_objects_df(spark, str(y)).count() == 2
+
+    c = tmp_path / "c.csv"
+    c.write_text("x,y\n1,a\n2,b\n")
+    df = read_objects_df(spark, str(c))
+    assert df.count() == 2 and df.first()["x"] == 1
+
+
+def test_read_fasta(spark, tmp_path):
+    p = tmp_path / "seqs.fasta"
+    p.write_text(">seq1 first sequence\nACGT\nACGT\n>seq2\nGGCC\n")
+    rows = {r["id"]: r for r in read_objects_df(spark, str(p)).collect()}
+    assert rows["seq1"]["sequence"] == "ACGTACGT"
+    assert rows["seq2"]["sequence"] == "GGCC"
+
+
+def test_read_gmt(spark, tmp_path):
+    p = tmp_path / "sets.gmt"
+    p.write_text("SET1\tdesc one\tG1\tG2\tG3\nSET2\tdesc two\tG9\n")
+    rows = {r["name"]: r for r in read_objects_df(spark, str(p)).collect()}
+    assert list(rows["SET1"]["genes"]) == ["G1", "G2", "G3"]
+
+
+def test_read_obo(spark, tmp_path):
+    p = tmp_path / "onto.obo"
+    p.write_text(
+        "[Term]\nid: X:1\nname: alpha\n\n[Term]\nid: X:2\nname: beta\n"
+    )
+    df = read_objects_df(spark, str(p))
+    ids = {r["id"] for r in df.collect()}
+    assert ids == {"X:1", "X:2"}
+
+
+def test_read_dat_sib_semantics(spark, tmp_path):
+    text = (
+        "CC Example header comment\n"
+        "//\n"
+        "ID 1.1.1.1\n"
+        "DE Alcohol dehydrogenase.\n"
+        "AN Aldehyde reductase.\n"
+        "CC -!- Acts on primary or secondary alcohols\n"
+        "CC     continuation of the comment.\n"
+        "CC -!- Second comment.\n"
+        "//\n"
+        "ID 1.1.1.2\n"
+        "DE Other enzyme.\n"
+        "//\n"
+    )
+    p = tmp_path / "enzymes.dat"
+    p.write_text(text)
+    rows = {r["ID"]: r.asDict() for r in read_objects_df(spark, str(p)).collect()}
+    assert rows["1.1.1.1"]["DE"] == "Alcohol dehydrogenase"  # DE keeps first part
+    assert list(rows["1.1.1.1"]["AN"]) == ["Aldehyde reductase"]
+    ccs = list(rows["1.1.1.1"]["CC"])
+    assert len(ccs) == 2 and ccs[0].startswith("-!- Acts on")
+    assert "continuation of the comment." in ccs[0]
+
+
+def test_read_pkl(spark, tmp_path):
+    import pandas as pd
+
+    p = tmp_path / "frame.pkl"
+    pd.DataFrame({"a": [1, 2], "b": ["x", "y"]}).to_pickle(p)
+    df = read_objects_df(spark, str(p))
+    assert df.count() == 2
+
+
+def test_write_roundtrip(spark, tmp_path, countries):
+    df = spark.createDataFrame(countries)
+    for fmt in ["parquet", "jsonl", "csv"]:
+        out = str(tmp_path / f"out_{fmt}")
+        written = write_collection(
+            df.drop("languages") if fmt == "csv" else df, out, fmt
+        )
+        back = read_objects_df(spark, written, fmt)
+        assert back.count() == len(countries)
+
+
+def test_textlines_and_text(spark, tmp_path):
+    p = tmp_path / "lines.txt"
+    p.write_text("one\ntwo\nthree\n")
+    assert read_objects_df(spark, str(p), "textlines").count() == 3
+    stats = read_objects_df(spark, str(p), "text").first()
+    assert stats["lines"] >= 3 and stats["md5"] is not None
