@@ -433,6 +433,33 @@ def q_text_search(spark, sf):
     return out.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def q_graph_traverse(spark, sf):
+    # edge-collection traversal (graph projection, SURVEY §1/§2.6):
+    # supplier -[located_in]-> nation -[in_region]-> region, as typed-id
+    # edge DataFrames + iterated joins
+    from linkml_store_spark.operators.graph import GraphProjection
+
+    supplier = _t(spark, sf, "supplier")
+    nation = _t(spark, sf, "nation")
+    e1 = GraphProjection.from_foreign_key(
+        supplier.select(
+            F.concat(F.lit("s:"), "s_suppkey").alias("id"),
+            F.concat(F.lit("n:"), "s_nationkey").alias("nk"),
+        ),
+        "id", "nk", "located_in",
+    )
+    e2 = GraphProjection.from_foreign_key(
+        nation.select(
+            F.concat(F.lit("n:"), "n_nationkey").alias("id"),
+            F.concat(F.lit("r:"), "n_regionkey").alias("rk"),
+        ),
+        "id", "rk", "in_region",
+    )
+    g = GraphProjection(e1.union(e2))
+    start = [f"s:{i}" for i in range(100)]
+    return g.traverse(start, ["located_in", "in_region"]).orderBy("start", "end")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "find_eq": q_find_eq,
     "find_range": q_find_range,
@@ -469,6 +496,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "find_matches": q_find_matches,
     "groupby_objects": q_groupby_objects,
     "text_search": q_text_search,
+    "graph_traverse": q_graph_traverse,
 }
 
 
@@ -708,6 +736,12 @@ ORACLES: dict[str, str] = {
         )
         SELECT doc_id, ROUND(raw, 6) AS score FROM scored
         WHERE raw > 0 ORDER BY raw DESC, doc_id ASC LIMIT 10
+    """,
+    "graph_traverse": """
+        SELECT 's:' || s_suppkey AS start, 'r:' || n_regionkey AS "end"
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_suppkey < 100
+        ORDER BY start, "end"
     """,
 }
 

@@ -1,0 +1,138 @@
+"""Graph projection: node/edge collections + join-based traversal.
+
+Reference semantics (``src/linkml_store/graphs/graph_map.py:13-24``,
+``api/stores/neo4j/neo4j_collection.py:21-254``): collections project to
+graphs as node collections (id + category label) and edge collections
+(subject / predicate / object); queries are edge matches with endpoint id
+filters (``MATCH (s)-[r:pred]->(o)``).
+
+Spark-first: the graph IS two DataFrames; every traversal is an equi-join
+(GraphFrames-style, but plain joins cover the reference surface). k-hop
+expansion is iterated joins — each hop shuffles on the frontier key only;
+dimension-sized node tables broadcast.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+S, P, O = "subject", "predicate", "object"
+
+
+class GraphProjection:
+    """A property graph projected from collections.
+
+    ``edges`` must have subject/predicate/object columns; ``nodes`` an
+    ``id`` column (plus any properties).
+    """
+
+    def __init__(
+        self,
+        edges: DataFrame,
+        nodes: Optional[DataFrame] = None,
+        node_id: str = "id",
+    ):
+        self.edges = edges
+        self.nodes = nodes
+        self.node_id = node_id
+
+    @staticmethod
+    def from_foreign_key(
+        src: DataFrame, src_id: str, fk: str, predicate: str
+    ) -> DataFrame:
+        """Project a FK slot to an edge DataFrame (the reference's implicit
+        graph: slot range -> target class)."""
+        return src.select(
+            F.col(src_id).cast("string").alias(S),
+            F.lit(predicate).alias(P),
+            F.col(fk).cast("string").alias(O),
+        ).filter(F.col(O).isNotNull())
+
+    def match_edges(
+        self,
+        subjects: Optional[Sequence] = None,
+        predicate: Optional[str] = None,
+        objects: Optional[Sequence] = None,
+    ) -> DataFrame:
+        """MATCH (s)-[r:pred]->(o) with endpoint filters
+        (neo4j_collection.py:198-254)."""
+        e = self.edges
+        if predicate is not None:
+            e = e.filter(F.col(P) == predicate)
+        if subjects is not None:
+            e = e.filter(F.col(S).isin([str(s) for s in subjects]))
+        if objects is not None:
+            e = e.filter(F.col(O).isin([str(o) for o in objects]))
+        return e
+
+    def neighbors(
+        self,
+        node_ids: Sequence,
+        predicate: Optional[str] = None,
+        direction: str = "out",
+    ) -> DataFrame:
+        """One-hop adjacent node ids (out / in / both)."""
+        ids = [str(n) for n in node_ids]
+        out_df = self.match_edges(subjects=ids, predicate=predicate).select(
+            F.col(O).alias("neighbor")
+        )
+        in_df = self.match_edges(objects=ids, predicate=predicate).select(
+            F.col(S).alias("neighbor")
+        )
+        if direction == "out":
+            return out_df.distinct()
+        if direction == "in":
+            return in_df.distinct()
+        return out_df.union(in_df).distinct()
+
+    def traverse(
+        self, start_ids: Sequence, predicates: List[str]
+    ) -> DataFrame:
+        """Fixed path traversal: start -[p1]-> -[p2]-> ... Returns
+        (start, end). One join per hop; the frontier stays distinct so
+        fan-out never duplicates work."""
+        frontier = self.edges.sparkSession.createDataFrame(
+            [(str(s),) for s in start_ids], ["start"]
+        ).withColumn("node", F.col("start"))
+        for pred in predicates:
+            hop = self.match_edges(predicate=pred).select(
+                F.col(S).alias("node"), F.col(O).alias("__next")
+            )
+            frontier = (
+                frontier.join(hop, "node")
+                .select("start", F.col("__next").alias("node"))
+                .distinct()
+            )
+        return frontier.withColumnRenamed("node", "end")
+
+    def k_hop(self, start_ids: Sequence, k: int, predicate: Optional[str] = None) -> DataFrame:
+        """All nodes reachable within k hops (BFS by iterated join)."""
+        spark = self.edges.sparkSession
+        visited = spark.createDataFrame([(str(s),) for s in start_ids], ["node"])
+        frontier = visited
+        for _ in range(k):
+            nxt = (
+                frontier.join(
+                    self.match_edges(predicate=predicate).select(
+                        F.col(S).alias("node"), F.col(O).alias("__next")
+                    ),
+                    "node",
+                )
+                .select(F.col("__next").alias("node"))
+                .distinct()
+                .join(visited, "node", "left_anti")
+            )
+            if not nxt.take(1):
+                break
+            visited = visited.union(nxt).distinct()
+            frontier = nxt
+        return visited
+
+    def degree(self, direction: str = "out") -> DataFrame:
+        col = S if direction == "out" else O
+        return self.edges.groupBy(F.col(col).alias("node")).agg(
+            F.count(F.lit(1)).alias("degree")
+        )
