@@ -433,6 +433,22 @@ def q_text_search(spark, sf):
     return out.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def q_json_extract(spark, sf):
+    # linkml:Any / inlined-object columns stored as JSON strings (SURVEY
+    # §1.2): extraction + typed aggregation stays native (get_json_object)
+    ev = _t(spark, sf, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_graph_traverse(spark, sf):
     # edge-collection traversal (graph projection, SURVEY §1/§2.6):
     # supplier -[located_in]-> nation -[in_region]-> region, as typed-id
@@ -497,6 +513,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "groupby_objects": q_groupby_objects,
     "text_search": q_text_search,
     "graph_traverse": q_graph_traverse,
+    "json_extract": q_json_extract,
 }
 
 
@@ -742,6 +759,13 @@ ORACLES: dict[str, str] = {
         FROM supplier JOIN nation ON s_nationkey = n_nationkey
         WHERE s_suppkey < 100
         ORDER BY start, "end"
+    """,
+    "json_extract": """
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+               MAX(CAST(props ->> '$.k' AS BIGINT)) AS max_k
+        FROM events GROUP BY event_type ORDER BY event_type
     """,
 }
 

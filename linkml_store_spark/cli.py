@@ -94,25 +94,32 @@ class Context:
                 self._db.get_collection(name).replace(df)
         return self._db
 
+    identifier = None
+
     @property
     def collection(self):
         db = self.db  # may bind an ephemeral --input collection
         if not self.collection_name:
             raise click.UsageError("no collection specified (-c)")
-        return db.get_collection(self.collection_name)
+        coll = db.get_collection(self.collection_name)
+        if self.identifier:
+            coll.identifier_attribute = self.identifier
+        return coll
 
 
 @click.group()
 @click.option("-d", "--database", default="memory", help="database handle (memory | /warehouse/dir | spark:///dir)")
 @click.option("-c", "--collection", default=None)
 @click.option("-i", "--input", "input_file", default=None, help="wrap a file in an ephemeral collection (reference cli.py:148-159)")
+@click.option("-I", "--identifier", default=None, help="identifier attribute (primary key) of the collection")
 @click.pass_context
-def cli(ctx, database, collection, input_file):
+def cli(ctx, database, collection, input_file, identifier):
     """linkml-store-spark: PySpark-native linkml-store engine."""
     c = Context()
     c.database_handle = database
     c.collection_name = collection
     c.input_file = input_file
+    c.identifier = identifier
     ctx.obj = c
 
 
@@ -344,6 +351,44 @@ def validate(obj: Context, schema_file, output_type, output):
     js = json.load(open(schema_file)) if schema_file else None
     errs = list(iter_validate_collection(obj.collection.df, json_schema=js))
     _render(errs, output_type, output)
+
+
+@cli.command(name="find-matches")
+@click.option("--target-collection", required=True)
+@click.option("--metric", default="cosine")
+@click.option("-n", "--max-matches", default=1, type=int)
+@click.option("--threshold", default=None, type=float)
+@OUTPUT_OPT
+@OUTPUT_FILE_OPT
+@click.pass_obj
+def find_matches_cmd(obj: Context, target_collection, metric, max_matches, threshold, output_type, output):
+    """kNN between two collections (reference cli.py:998-1112)."""
+    from linkml_store_spark.index.search import find_matches
+
+    src = obj.collection
+    tgt = obj.db.get_collection(target_collection)
+    tgt.identifier_attribute = tgt.identifier_attribute or obj.identifier
+    for coll in (src, tgt):
+        if not coll._indexers:
+            coll.attach_indexer("simple")
+        if "simple" not in coll._index_dfs and coll._indexers:
+            coll.index_objects(next(iter(coll._indexers)))
+    src_idx = next(iter(src._index_dfs.values()))
+    tgt_idx = next(iter(tgt._index_dfs.values()))
+    pk_s, pk_t = src._require_pk(), tgt._require_pk()
+    out = find_matches(
+        src_idx, tgt_idx, left_id=pk_s, right_id=pk_t,
+        metric=metric, top_n=max_matches, threshold=threshold,
+    )
+    _render([r.asDict() for r in out.collect()], output_type, output)
+
+
+@cli.command()
+@click.pass_obj
+def indexes(obj: Context):
+    """List attached indexers (reference cli.py:984-996)."""
+    for name, idx in obj.collection._indexers.items():
+        click.echo(f"{name}: {type(idx).__name__}")
 
 
 @cli.command(name="list-collections")
