@@ -58,11 +58,15 @@ class Collection:
         database: "Database",
         alias: Optional[str] = None,
         identifier_attribute: Optional[str] = None,
+        derived_from: Optional[Dict[str, Any]] = None,
     ):
         self.name = name
         self.alias = alias or name
         self.database = database
         self.identifier_attribute = identifier_attribute
+        #: {"source": <collection name>, "mappings": {slot: expr}, "where": ...}
+        #: — materialized on first touch (reference collection.py:260-272,727-777)
+        self.derived_from = derived_from
         self._df: Optional[DataFrame] = None
         self._indexers: Dict[str, "Indexer"] = {}
         self._index_dfs: Dict[str, DataFrame] = {}
@@ -79,14 +83,69 @@ class Collection:
         """The collection as a (lazy) DataFrame."""
         if self._df is None:
             loaded = self.database._load_collection_df(self.alias)
+            if loaded is None and self.derived_from:
+                loaded = self._materialize_derived()
             if loaded is None:
                 raise ValueError(f"collection {self.alias!r} has no data yet")
             self._df = loaded
         return self._df
 
+    def _materialize_derived(self) -> DataFrame:
+        """Pre-query-hook materialization of a derived collection
+        (reference collection.py:727-777): the source collection projected
+        through the slot mappings — one codegen'd select, persisted like any
+        other collection data."""
+        from linkml_store_spark.operators.derived import derive_collection
+
+        src = self.database.get_collection(self.derived_from["source"])
+        out = derive_collection(
+            src.df,
+            self.derived_from["mappings"],
+            where=self.derived_from.get("where"),
+        )
+        self._df = out
+        self.database._save_collection_df(self.alias, out)
+        return self._df
+
+    def load_from_source(
+        self,
+        local_path: str,
+        format: Optional[str] = None,
+        json_path: Optional[str] = None,
+        replace: bool = True,
+    ) -> int:
+        """Declarative source load (reference collection.py:689-722,
+        config.py:27-56): read the file, optional JSONPath preselection,
+        then replace/insert."""
+        from linkml_store_spark.sources.formats import read_objects_df
+
+        if json_path:
+            from linkml_store_spark.functions.objects import jsonpath_select
+            from linkml_store_spark.sources.formats import _read_document_objects, guess_format
+
+            fmt = (format or guess_format(local_path)).lower()
+            if fmt in ("yaml", "yamll", "toml", "xml"):
+                objs = _read_document_objects(local_path, fmt)
+            else:
+                import json as _json
+
+                with open(local_path) as f:
+                    objs = _json.load(f)
+                    if isinstance(objs, dict):
+                        objs = [objs]
+            selected = jsonpath_select(objs, json_path)
+            df = self.spark.createDataFrame(
+                selected, schema=induce_schema(selected)
+            )
+        else:
+            df = read_objects_df(self.spark, local_path, format)
+        return self.replace(df) if replace else self.insert(df)
+
     def exists(self) -> bool:
         if self._df is not None:
             return True
+        if self.derived_from:
+            return True  # materializes on first touch
         return self.database._collection_data_exists(self.alias)
 
     def _set_df(self, df: DataFrame, persist: bool = True) -> None:

@@ -53,12 +53,17 @@ class Database:
         alias: Optional[str] = None,
         identifier_attribute: Optional[str] = None,
         recreate_if_exists: bool = False,
+        derived_from: Optional[dict] = None,
     ) -> Collection:
         alias = alias or name
         if recreate_if_exists and alias in self._collections:
             self.drop_collection(alias)
         coll = Collection(
-            name, self, alias=alias, identifier_attribute=identifier_attribute
+            name,
+            self,
+            alias=alias,
+            identifier_attribute=identifier_attribute,
+            derived_from=derived_from,
         )
         self._collections[alias] = coll
         return coll

@@ -164,3 +164,32 @@ def test_referential_integrity(db):
     assert violations == [
         {"collection": "Person", "slot": "org", "target": "Organization", "value": "OrgMissing"}
     ]
+
+
+def test_derived_collection_materializes_on_first_touch(db, countries):
+    src = db.create_collection("dc_src", identifier_attribute="code")
+    src.insert(countries)
+    derived = db.create_collection(
+        "dc_caps",
+        derived_from={
+            "source": "dc_src",
+            "mappings": {"code": "code", "cap_u": "upper(capital)"},
+            "where": {"continent": "Europe"},
+        },
+    )
+    assert derived.exists()
+    res = derived.find({}, limit=-1)
+    assert res.num_rows == 4
+    assert {r["cap_u"] for r in res.rows} == {"LONDON", "PARIS", "BERLIN", "BERN"}
+
+
+def test_load_from_source_jsonpath(db, tmp_path):
+    import json
+
+    doc = {"wrapper": {"items": [{"a": 1}, {"a": 2}, {"a": 3}]}}
+    p = tmp_path / "doc.json"
+    p.write_text(json.dumps(doc))
+    coll = db.create_collection("lfs")
+    n = coll.load_from_source(str(p), format="json", json_path="$.wrapper.items[*]")
+    assert n == 3
+    assert coll.find({"a": {"$gte": 2}}).num_rows == 2
