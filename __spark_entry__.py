@@ -433,6 +433,27 @@ def q_text_search(spark, sf):
     return out.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def q_histogram(spark, sf):
+    from linkml_store_spark.operators.plotdata import histogram
+
+    return histogram(
+        _t(spark, sf, "orders"), "o_totalprice", bins=20,
+        min_value=0.0, max_value=500000.0,
+    )
+
+
+def q_heatmap(spark, sf):
+    from linkml_store_spark.operators.plotdata import heatmap
+
+    return heatmap(_t(spark, sf, "orders"), "o_orderstatus", "o_orderpriority")
+
+
+def q_boxplot_stats(spark, sf):
+    from linkml_store_spark.operators.plotdata import boxplot_stats
+
+    return boxplot_stats(_t(spark, sf, "lineitem"), "l_quantity", group_by="l_returnflag")
+
+
 def q_json_extract(spark, sf):
     # linkml:Any / inlined-object columns stored as JSON strings (SURVEY
     # §1.2): extraction + typed aggregation stays native (get_json_object)
@@ -514,6 +535,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_search": q_text_search,
     "graph_traverse": q_graph_traverse,
     "json_extract": q_json_extract,
+    "histogram": q_histogram,
+    "heatmap": q_heatmap,
+    "boxplot_stats": q_boxplot_stats,
 }
 
 
@@ -766,6 +790,32 @@ ORACLES: dict[str, str] = {
                CAST(SUM(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sum_k,
                MAX(CAST(props ->> '$.k' AS BIGINT)) AS max_k
         FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "histogram": """
+        SELECT bin,
+               ROUND(0.0 + bin * 25000.0, 6) AS lo,
+               ROUND(0.0 + (bin + 1) * 25000.0, 6) AS hi,
+               COUNT(*) AS count
+        FROM (
+            SELECT LEAST(CAST(FLOOR(o_totalprice / 25000.0) AS INT), 19) AS bin
+            FROM orders
+            WHERE o_totalprice IS NOT NULL
+              AND o_totalprice >= 0.0 AND o_totalprice <= 500000.0
+        ) GROUP BY bin ORDER BY bin
+    """,
+    "heatmap": """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS count
+        FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "boxplot_stats": """
+        SELECT l_returnflag,
+               COUNT(l_quantity) AS n,
+               ROUND(quantile_cont(l_quantity, 0.0), 6) AS whisker_lo,
+               ROUND(quantile_cont(l_quantity, 0.25), 6) AS q1,
+               ROUND(quantile_cont(l_quantity, 0.5), 6) AS median,
+               ROUND(quantile_cont(l_quantity, 0.75), 6) AS q3,
+               ROUND(quantile_cont(l_quantity, 1.0), 6) AS whisker_hi
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 }
 
