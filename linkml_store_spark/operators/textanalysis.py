@@ -150,6 +150,17 @@ def fingerprint(text: Column) -> Column:
     return _fingerprint_w(_words(text))
 
 
+def truncate_by_tokens(text: Column, budget: int) -> Column:
+    """Truncate text to ~``budget`` BPE-ish tokens (reference
+    ``utils/llm_utils.py:44-108`` truncates by tiktoken budget; this is the
+    native-expression analog using the same pre-tokenizer as
+    ``bpe_token_count``). The capture pattern keeps each token's leading
+    whitespace, so joining the kept tokens reproduces a prefix of the
+    original text."""
+    toks = F.regexp_extract_all(text, F.lit(f"({_BPE_SPLIT})"))
+    return F.array_join(F.slice(toks, 1, budget), "")
+
+
 def analyze_documents(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -58,9 +58,40 @@ def get_spark(
         # Spark cannot read parquet TIMESTAMP(NANOS) natively (SPARK-40819);
         # read as long and convert via sources.tables.ts_from_nanos.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # push MIN/MAX/COUNT straight into parquet footers (statistics-only
+        # answers for unfiltered aggregates — metadata reads at any scale)
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def cluster_conf(
+    executor_memory_gb: int = 16,
+    target_partition_mb: int = 256,
+    shuffle_partitions: int = 2000,
+) -> dict:
+    """Recommended conf overrides for a real multi-executor cluster at the
+    100 TB tier — pass as ``get_spark(extra_conf=cluster_conf(...))``.
+
+    Sizing logic: scan partitions target ``target_partition_mb`` so a task's
+    working set (decompressed columns of one partition) stays well under an
+    executor core's memory share; ``shuffle_partitions`` starts high (AQE
+    coalesces down, it cannot split up except for skew); shuffle compression
+    + spill settings assume NVMe-local scratch.
+    """
+    return {
+        "spark.sql.files.maxPartitionBytes": f"{target_partition_mb}m",
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128m",
+        "spark.sql.autoBroadcastJoinThreshold": "64m",
+        "spark.executor.memory": f"{executor_memory_gb}g",
+        "spark.memory.fraction": "0.6",
+        "spark.shuffle.compress": "true",
+        "spark.shuffle.spill.compress": "true",
+        "spark.sql.parquet.enableVectorizedReader": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256m",
+    }

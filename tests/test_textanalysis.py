@@ -132,3 +132,24 @@ def test_streaming_windowed_counts(spark, sf_dir, tmp_path):
     assert len(joined) > 0
     for r in joined:
         assert r["n_batch"] is not None and r["n"] == r["n_batch"]
+
+
+def test_truncate_by_tokens(spark):
+    from linkml_store_spark.operators.textanalysis import (
+        bpe_token_count,
+        truncate_by_tokens,
+    )
+
+    df = spark.createDataFrame(
+        [{"doc_id": 0, "text": "hello world, this is a test with 12345 numbers!"}]
+    )
+    out = df.select(
+        F.col("text"),
+        truncate_by_tokens(F.col("text"), 5).alias("t5"),
+        bpe_token_count(truncate_by_tokens(F.col("text"), 5)).alias("n5"),
+    ).first()
+    assert out["n5"] <= 5
+    assert out["text"].startswith(out["t5"])
+    # a huge budget is the identity
+    full = df.select(truncate_by_tokens(F.col("text"), 1000).alias("t")).first()
+    assert full["t"] == out["text"]
