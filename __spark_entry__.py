@@ -433,6 +433,43 @@ def q_text_search(spark, sf):
     return out.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def q_collection_api(spark, sf):
+    # end-to-end CRUDSI path: parquet -> Collection.insert -> find() with
+    # where + sort + offset + limit; the QueryResult page comes back as a
+    # DataFrame so the driver can hash it against plain SQL
+    from linkml_store_spark.client import Client
+
+    client = Client(spark)
+    db = client.attach_database("memory", alias="entrydb")
+    coll = db.create_collection(
+        "orders_api", identifier_attribute="o_orderkey", recreate_if_exists=True
+    )
+    coll.insert(_t(spark, sf, "orders"))
+    res = coll.find(
+        {"o_orderstatus": "F", "o_totalprice": {"$gte": 200000.0}},
+        select_cols=["o_orderkey", "o_totalprice"],
+        sort_by=["-o_totalprice", "o_orderkey"],
+        limit=20,
+        offset=5,
+    )
+    rows = [
+        {"o_orderkey": r["o_orderkey"], "o_totalprice": r["o_totalprice"]}
+        for r in res.rows
+    ]
+    return spark.createDataFrame(rows, schema="o_orderkey long, o_totalprice double")
+
+
+def q_facet_multivalued(spark, sf):
+    # facet over an ARRAY column (explode/UNNEST semantics,
+    # sql_utils.py:129-133): part-name words
+    from linkml_store_spark.facets import facet_df
+
+    parts = _t(spark, sf, "part").withColumn(
+        "name_words", F.split(F.col("p_name"), " ")
+    )
+    return facet_df(parts, None, "name_words")
+
+
 def q_histogram(spark, sf):
     from linkml_store_spark.operators.plotdata import histogram
 
@@ -538,6 +575,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "histogram": q_histogram,
     "heatmap": q_heatmap,
     "boxplot_stats": q_boxplot_stats,
+    "collection_api": q_collection_api,
+    "facet_multivalued": q_facet_multivalued,
 }
 
 
@@ -816,6 +855,18 @@ ORACLES: dict[str, str] = {
                ROUND(quantile_cont(l_quantity, 0.75), 6) AS q3,
                ROUND(quantile_cont(l_quantity, 1.0), 6) AS whisker_hi
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "collection_api": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_orderstatus = 'F' AND o_totalprice >= 200000.0
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 20 OFFSET 5
+    """,
+    "facet_multivalued": """
+        SELECT name_words, COUNT(*) AS count FROM (
+            SELECT unnest(string_split(p_name, ' ')) AS name_words FROM part
+        ) GROUP BY name_words
+        ORDER BY count DESC, name_words ASC LIMIT 100
     """,
 }
 
