@@ -85,12 +85,89 @@ def facet_df(
     return gdf
 
 
+def _one_pass_eligible(
+    df: DataFrame, where: WhereClause, facet_columns: Sequence[FacetKey]
+) -> bool:
+    """The grouping-sets fast path applies when every facet is a scalar
+    top-level column and the WHERE doesn't mention any facet column (so the
+    per-facet exclusion rewrite is a no-op for all of them)."""
+    if len(facet_columns) < 2:
+        return False
+    for c in facet_columns:
+        if not isinstance(c, str) or "." in c or _is_array_col(df, c):
+            return False
+        if isinstance(where, dict) and any(
+            k == c or k.startswith(c + ".") for k in where
+        ):
+            return False
+    if where is not None and not isinstance(where, dict) and where != []:
+        # raw-SQL clauses can't be analyzed for exclusion — stay per-column
+        return False
+    return True
+
+
+def query_facets_one_pass(
+    df: DataFrame,
+    where: WhereClause,
+    facet_columns: Sequence[str],
+    facet_limit: int = DEFAULT_FACET_LIMIT,
+    facet_min_count: int = 1,
+) -> Dict[FacetKey, List[Tuple]]:
+    """All single-column facets in ONE scan via GROUPING SETS.
+
+    The per-column path scans the (filtered) table once per facet; at 100 TB
+    N facets = N full scans. Grouping sets compute every per-column count in
+    a single pass; ``grouping_id`` tells which set a row belongs to (and
+    keeps genuine NULL facet values distinct from aggregated-away columns).
+    Per-set top-k is a window over the tiny aggregate, not the input.
+    """
+    from pyspark.sql.window import Window
+
+    fdf = apply_where(df, where)
+    sets = [[c] for c in facet_columns]
+    agg = fdf.groupingSets(sets, *facet_columns).agg(
+        F.count(F.lit(1)).alias("count"), F.grouping_id().alias("__gid")
+    )
+    if facet_min_count > 1:
+        agg = agg.filter(F.col("count") >= facet_min_count)
+    # gid bitmask: bit j set => column j aggregated away; set [cj] has all
+    # bits set EXCEPT j
+    n = len(facet_columns)
+    full_mask = (1 << n) - 1
+    w = Window.partitionBy("__gid").orderBy(F.desc("count"))
+    if facet_limit and facet_limit > 0:
+        agg = agg.withColumn("__rn", F.row_number().over(w)).filter(
+            F.col("__rn") <= facet_limit
+        )
+    rows = agg.collect()
+    results: Dict[FacetKey, List[Tuple]] = {c: [] for c in facet_columns}
+    for r in rows:
+        gid = r["__gid"]
+        j = None
+        for i in range(n):
+            if gid == full_mask ^ (1 << (n - 1 - i)):
+                j = i
+                break
+        if j is None:
+            continue
+        c = facet_columns[j]
+        results[c].append((r[c], r["count"]))
+    for c in facet_columns:
+        # tie order matches the per-column path: count desc, value asc with
+        # nulls first (Spark ASC default)
+        results[c].sort(key=lambda vc: (-vc[1], vc[0] is not None, str(vc[0])))
+        if facet_limit and facet_limit > 0:
+            results[c] = results[c][:facet_limit]
+    return results
+
+
 def query_facets(
     df: DataFrame,
     where: WhereClause = None,
     facet_columns: Optional[Sequence[FacetKey]] = None,
     facet_limit: int = DEFAULT_FACET_LIMIT,
     facet_min_count: int = 1,
+    one_pass: Optional[bool] = None,
 ) -> Dict[FacetKey, List[Tuple]]:
     """Compute facet counts for each requested column.
 
@@ -98,9 +175,18 @@ def query_facets(
     ``[((v1, v2, ...), count), ...]`` (reference ``collection.py:400-423``).
     Defaults to all top-level columns when none given
     (``duckdb_collection.py:103-106``).
+
+    ``one_pass=None`` auto-selects the grouping-sets single-scan path when
+    the semantics allow (scalar columns, no exclusion interplay).
     """
     if facet_columns is None:
         facet_columns = list(df.columns)
+    if one_pass is None:
+        one_pass = _one_pass_eligible(df, where, facet_columns)
+    if one_pass:
+        return query_facets_one_pass(
+            df, where, list(facet_columns), facet_limit, facet_min_count
+        )
     results: Dict[FacetKey, List[Tuple]] = {}
     for column in facet_columns:
         gdf = facet_df(df, where, column, facet_limit, facet_min_count)

@@ -72,3 +72,47 @@ def test_describe(spark, coll):
     assert rows["code"]["count"] == 12
     assert rows["continent"]["top"] == "Europe"
     assert rows["continent"]["freq"] == 4
+
+
+def test_one_pass_equals_per_column(coll):
+    from linkml_store_spark.facets import query_facets
+
+    cols = ["continent", "capital"]
+    slow = query_facets(coll.df, None, cols, one_pass=False)
+    fast = query_facets(coll.df, None, cols, one_pass=True)
+    assert slow == fast
+
+
+def test_one_pass_with_where_on_other_column(coll):
+    from linkml_store_spark.facets import query_facets
+
+    where = {"languages": {"$contains": "English"}}
+    cols = ["continent", "capital"]
+    slow = query_facets(coll.df, where, cols, one_pass=False)
+    fast = query_facets(coll.df, where, cols, one_pass=True)
+    assert slow == fast
+
+
+def test_one_pass_auto_disabled_when_exclusion_needed(coll):
+    from linkml_store_spark.facets import _one_pass_eligible
+
+    # where mentions a facet column -> exclusion rewrite differs per facet
+    assert not _one_pass_eligible(
+        coll.df, {"continent": "Europe"}, ["continent", "capital"]
+    )
+    # array columns need explode -> per-column path
+    assert not _one_pass_eligible(coll.df, None, ["languages", "capital"])
+    assert _one_pass_eligible(coll.df, None, ["continent", "capital"])
+
+
+def test_one_pass_single_scan_plan(coll):
+    from linkml_store_spark.facets import query_facets_one_pass
+    # plan shape: grouping sets expand rows 2x but scan once
+    from pyspark.sql import functions as F
+
+    df = coll.df
+    agg = df.groupingSets([["continent"], ["capital"]], "continent", "capital").agg(
+        F.count(F.lit(1)).alias("count")
+    )
+    plan = agg._sc._jvm.PythonSQLUtils.explainString(agg._jdf.queryExecution(), "simple")
+    assert plan.count("Scan") <= 1 or plan.count("LogicalRDD") <= 1
