@@ -93,3 +93,20 @@ def test_sessionize(spark):
     # the two 0-hour events of user 1 share a session
     u1_hour0 = [r["session_id"] for r in out if r["u"] == 1 and r["ts"].hour == 0]
     assert set(u1_hour0) == {"1-1"}
+
+
+def test_pca_project(spark, sf_dir):
+    import pytest
+    from linkml_store_spark.operators.dimreduce import pca_project, tsne_project
+    from linkml_store_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = pca_project(emb, "embedding", k=2)
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    assert all(len(r["pca"]) == 2 for r in rows)
+    # PCA components carry variance: coordinates are not all identical
+    xs = {round(r["pca"][0], 6) for r in rows}
+    assert len(xs) > 10
+    with pytest.raises(NotImplementedError):
+        tsne_project(emb, "embedding", sample_size=50)
