@@ -85,18 +85,22 @@ def windowed_event_counts(
 
 def windowed_event_counts_batch(events: DataFrame) -> DataFrame:
     """Batch equivalent of the hourly rollup: date_trunc bucket per
-    event_type with count + sum. The bucket is emitted as a formatted string
-    so downstream hashing is representation-independent."""
+    event_type with count + sum. Grouping happens on the (8-byte) truncated
+    timestamp; the human-readable string renders AFTER aggregation — string
+    group keys would hash/compare 19-byte strings per input row."""
     return (
         events.groupBy(
-            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
-                "hour"
-            ),
-            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("__hour"), "event_type"
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("__hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n",
+            "sum_value",
         )
         .orderBy("hour", "event_type")
     )
