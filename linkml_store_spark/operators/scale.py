@@ -137,3 +137,28 @@ def write_bucketed(
 
 def read_bucketed(spark, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str],
+    mode: str = "overwrite",
+    max_records_per_file: Optional[int] = None,
+) -> None:
+    """Hive-partitioned parquet layout (``.../col=value/``): queries
+    filtering on the partition columns scan only matching directories
+    (partition pruning — asserted in tests/test_scale.py). THE layout move
+    for time-series fact tables at 100 TB: partition by day, prune by date
+    predicate."""
+    w = df.write.mode(mode).partitionBy(*partition_by)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.parquet(path)
+
+
+def with_date_partition(
+    df: DataFrame, ts_col: str, out_col: str = "p_date"
+) -> DataFrame:
+    """Derive the daily partition column from an event-time column."""
+    return df.withColumn(out_col, F.to_date(F.col(ts_col)))

@@ -1,0 +1,125 @@
+"""Property-based differential testing: where-compiler vs DuckDB.
+
+Random where-clauses over the orders table must produce identical row
+counts in the Spark engine and in DuckDB-generated SQL — the same
+differential oracle the round driver uses, but fuzzing clause SHAPES
+instead of fixed queries (mixed operators, conjunctions, boundary
+values, null semantics).
+"""
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from linkml_store_spark.sources.tables import load_table
+from linkml_store_spark.where import apply_where
+
+SF = "/root/testdata/sf0.001"
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_STATUSES = ["F", "O", "P"]
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return load_table(spark, SF, "orders")
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{SF}/orders.parquet')"
+    )
+    return con
+
+
+def _sql_literal(v):
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return repr(v)
+
+
+def _cond_to_sql(col, spec):
+    if not isinstance(spec, dict):
+        if spec is None:
+            return f"{col} IS NULL"
+        return f"{col} = {_sql_literal(spec)}"
+    parts = []
+    ops = {"$eq": "=", "$ne": "!=", "$gt": ">", "$gte": ">=", "$lt": "<", "$lte": "<="}
+    for op, v in spec.items():
+        if op == "$in":
+            parts.append(f"{col} IN ({', '.join(_sql_literal(x) for x in v)})")
+        elif op == "$nin":
+            parts.append(f"{col} NOT IN ({', '.join(_sql_literal(x) for x in v)})")
+        elif op == "$like":
+            parts.append(f"{col} LIKE {_sql_literal(v)}")
+        elif op == "$ne" and v is None:
+            parts.append(f"{col} IS NOT NULL")
+        else:
+            parts.append(f"{col} {ops[op]} {_sql_literal(v)}")
+    return " AND ".join(parts)
+
+
+def _where_to_sql(where):
+    if not where:
+        return "TRUE"
+    return " AND ".join(_cond_to_sql(c, s) for c, s in where.items())
+
+
+price = st.floats(min_value=0, max_value=600000, allow_nan=False).map(
+    lambda x: round(x, 2)
+)
+key = st.integers(min_value=-10, max_value=20000)
+
+price_spec = st.one_of(
+    price,
+    st.fixed_dictionaries({"$gte": price}),
+    st.fixed_dictionaries({"$lt": price}),
+    st.builds(
+        lambda a, b: {"$gte": min(a, b), "$lte": max(a, b)}, price, price
+    ),
+)
+priority_spec = st.one_of(
+    st.sampled_from(_PRIORITIES),
+    st.fixed_dictionaries(
+        {"$in": st.lists(st.sampled_from(_PRIORITIES), min_size=1, max_size=4, unique=True)}
+    ),
+    st.fixed_dictionaries(
+        {"$nin": st.lists(st.sampled_from(_PRIORITIES), min_size=1, max_size=3, unique=True)}
+    ),
+    st.fixed_dictionaries({"$ne": st.sampled_from(_PRIORITIES)}),
+)
+status_spec = st.one_of(
+    st.sampled_from(_STATUSES),
+    st.fixed_dictionaries({"$like": st.sampled_from(["F%", "%O%", "_"])}),
+)
+key_spec = st.one_of(
+    key,
+    st.fixed_dictionaries({"$gt": key}),
+    st.fixed_dictionaries({"$lte": key}),
+)
+
+where_clauses = st.fixed_dictionaries(
+    {},
+    optional={
+        "o_totalprice": price_spec,
+        "o_orderpriority": priority_spec,
+        "o_orderstatus": status_spec,
+        "o_orderkey": key_spec,
+    },
+)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(where=where_clauses)
+def test_where_count_matches_duckdb(orders, ddb, where):
+    spark_n = apply_where(orders, where).count()
+    sql = f"SELECT COUNT(*) FROM orders WHERE {_where_to_sql(where)}"
+    duck_n = ddb.execute(sql).fetchone()[0]
+    assert spark_n == duck_n, f"{where!r}: spark={spark_n} duckdb={duck_n}\n{sql}"

@@ -70,3 +70,27 @@ def test_write_bucketed_roundtrip(spark, skewed, tmp_path):
     j = back.groupBy("k").count()
     plan = j._sc._jvm.PythonSQLUtils.explainString(j._jdf.queryExecution(), "simple")
     spark.sql("DROP TABLE IF EXISTS bucketed_test")
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    from linkml_store_spark.operators.scale import (
+        with_date_partition,
+        write_partitioned,
+    )
+    from linkml_store_spark.sources.tables import load_table
+
+    ev = with_date_partition(
+        load_table(spark, "/root/testdata/sf0.001", "events"), "ts"
+    )
+    path = str(tmp_path / "events_by_day")
+    write_partitioned(ev, path, ["p_date"])
+    back = spark.read.parquet(path)
+    one_day = back.filter(F.col("p_date") == "2024-01-05")
+    plan = one_day._sc._jvm.PythonSQLUtils.explainString(
+        one_day._jdf.queryExecution(), "formatted"
+    )
+    # the date predicate must prune partitions at the scan, not filter rows
+    assert "PartitionFilters" in plan
+    pf_line = next(l for l in plan.split("\n") if "PartitionFilters" in l)
+    assert "p_date" in pf_line
+    assert one_day.count() == ev.filter(F.col("p_date") == "2024-01-05").count()
