@@ -134,7 +134,13 @@ def query_facets_one_pass(
     # bits set EXCEPT j
     n = len(facet_columns)
     full_mask = (1 << n) - 1
-    w = Window.partitionBy("__gid").orderBy(F.desc("count"))
+    # tie order within a set: value asc, nulls first (within one gid every
+    # non-member column is NULL, so this effectively sorts by the member
+    # column) — matches the per-column path and keeps facet_limit=1
+    # (mode/top) deterministic
+    w = Window.partitionBy("__gid").orderBy(
+        F.desc("count"), *[F.asc_nulls_first(c) for c in facet_columns]
+    )
     if facet_limit and facet_limit > 0:
         agg = agg.withColumn("__rn", F.row_number().over(w)).filter(
             F.col("__rn") <= facet_limit

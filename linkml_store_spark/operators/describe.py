@@ -60,14 +60,35 @@ def describe(df: DataFrame) -> DataFrame:
             ]
     stats = df.agg(*aggs).collect()[0].asDict()
 
-    # top/freq (mode) per column: one tiny groupBy per column over the same
-    # scan; computed lazily here as they require a second aggregation level.
+    # top/freq (mode) per column: ONE grouping-sets pass over all scalar
+    # columns (the facet engine's single-scan path) instead of a groupBy
+    # per column; non-scalar columns (arrays/structs) fall back per-column.
+    from linkml_store_spark.facets import query_facets_one_pass
+
+    scalar_cols = [
+        f.name
+        for f in df.schema.fields
+        if not isinstance(f.dataType, (T.ArrayType, T.StructType, T.MapType))
+    ]
+    modes = {}
+    if len(scalar_cols) >= 2:
+        facet_tops = query_facets_one_pass(df, None, scalar_cols, facet_limit=1)
+        for c, pairs in facet_tops.items():
+            if pairs:
+                modes[c] = pairs[0]
     rows = []
     for c in df.columns:
-        top_row = (
-            df.groupBy(c).count().orderBy(F.desc("count"), F.asc(c)).limit(1).collect()
-        )
-        top, freq = (top_row[0][0], top_row[0][1]) if top_row else (None, None)
+        if c in modes:
+            top, freq = modes[c]
+        else:
+            top_row = (
+                df.groupBy(c)
+                .count()
+                .orderBy(F.desc("count"), F.asc(c))
+                .limit(1)
+                .collect()
+            )
+            top, freq = (top_row[0][0], top_row[0][1]) if top_row else (None, None)
         q = stats.get(f"{c}__q")
         rows.append(
             {
