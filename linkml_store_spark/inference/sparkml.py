@@ -135,6 +135,53 @@ class SparkMLInferenceEngine(InferenceEngine):
             predicted_object={self._target: row[f"{self._target}_pred"]},
         )
 
+    def save_model(self, path: str) -> None:
+        """Persist pipeline + engine metadata (reference save_model /
+        export_model contract, inference_engine.py:181-199). The Spark ML
+        writer is itself distributed (model params as parquet)."""
+        import json
+        import os
+
+        if self._model is None:
+            raise ValueError("no trained model to save")
+        self._model.write().overwrite().save(os.path.join(path, "pipeline"))
+        meta = {
+            "target": self._target,
+            "features": self._features,
+            "labels": list(self._label_values),
+            "max_depth": self.max_depth,
+            "random_seed": self.random_seed,
+        }
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "engine.json"), "w") as f:
+            json.dump(meta, f)
+
+    @classmethod
+    def load_model(cls, path: str) -> "SparkMLInferenceEngine":
+        import json
+        import os
+
+        from pyspark.ml import PipelineModel
+        from pyspark.ml.feature import IndexToString
+
+        with open(os.path.join(path, "engine.json")) as f:
+            meta = json.load(f)
+        eng = cls(
+            max_depth=meta["max_depth"],
+            random_seed=meta["random_seed"],
+            feature_attributes=meta["features"],
+        )
+        eng._model = PipelineModel.load(os.path.join(path, "pipeline"))
+        eng._target = meta["target"]
+        eng._features = meta["features"]
+        eng._label_values = meta["labels"]
+        eng._decoder = IndexToString(
+            inputCol="prediction",
+            outputCol=f"{meta['target']}_pred",
+            labels=meta["labels"],
+        )
+        return eng
+
 
 def predictive_power(
     df: DataFrame,

@@ -103,3 +103,18 @@ def test_registry():
     assert isinstance(get_inference_engine("rule_based"), RuleBasedInferenceEngine)
     with pytest.raises(ValueError):
         get_inference_engine("nope")
+
+
+def test_sparkml_save_load_roundtrip(spark, tmp_path):
+    rows = [{"x": float(i), "label": "hi" if i > 50 else "lo"} for i in range(100)]
+    df = spark.createDataFrame(rows)
+    eng = SparkMLInferenceEngine(feature_attributes=["x"])
+    eng.initialize_model(df, "label")
+    path = str(tmp_path / "model")
+    eng.save_model(path)
+
+    loaded = SparkMLInferenceEngine.load_model(path)
+    inf = loaded.derive({"x": 99.0})
+    assert inf.predicted_object["label"] == "hi"
+    inf = loaded.derive({"x": 1.0})
+    assert inf.predicted_object["label"] == "lo"
