@@ -123,3 +123,32 @@ def test_where_count_matches_duckdb(orders, ddb, where):
     sql = f"SELECT COUNT(*) FROM orders WHERE {_where_to_sql(where)}"
     duck_n = ddb.execute(sql).fetchone()[0]
     assert spark_n == duck_n, f"{where!r}: spark={spark_n} duckdb={duck_n}\n{sql}"
+
+
+facet_cols = st.lists(
+    st.sampled_from(["o_orderpriority", "o_orderstatus"]),
+    min_size=1, max_size=2, unique=True,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(where=where_clauses, cols=facet_cols)
+def test_facets_match_duckdb_with_exclusion(orders, ddb, where, cols):
+    """The facet engine (incl. the multi-select exclusion rewrite and the
+    one-pass auto path) must agree with per-column SQL that drops the facet
+    column's own conjunct from the WHERE."""
+    from linkml_store_spark.facets import query_facets
+
+    got = query_facets(orders, where, cols, facet_limit=-1)
+    for c in cols:
+        minus = {k: v for k, v in where.items() if k != c}
+        sql = (
+            f"SELECT {c} AS v, COUNT(*) AS n FROM orders "
+            f"WHERE {_where_to_sql(minus)} GROUP BY {c}"
+        )
+        want = {r[0]: r[1] for r in ddb.execute(sql).fetchall()}
+        assert dict(got[c]) == want, f"{c} {where!r}"
