@@ -520,6 +520,21 @@ class Collection:
         )
 
     # ------------------------------------------------------------------ #
+    # set operations (§2.7 extension surface — free in Spark)
+    # ------------------------------------------------------------------ #
+    def union(self, other: "Collection") -> DataFrame:
+        return self.df.unionByName(other.df, allowMissingColumns=True)
+
+    def intersect(self, other: "Collection") -> DataFrame:
+        return self.df.intersect(other.df.select(*self.df.columns))
+
+    def except_all(self, other: "Collection") -> DataFrame:
+        return self.df.exceptAll(other.df.select(*self.df.columns))
+
+    def distinct(self, cols: Optional[List[str]] = None) -> DataFrame:
+        return (self.df.select(*cols) if cols else self.df).distinct()
+
+    # ------------------------------------------------------------------ #
     # diff / patch (§2.2)
     # ------------------------------------------------------------------ #
     def diff(self, other: "Collection") -> List[dict]:

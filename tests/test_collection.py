@@ -193,3 +193,16 @@ def test_load_from_source_jsonpath(db, tmp_path):
     n = coll.load_from_source(str(p), format="json", json_path="$.wrapper.items[*]")
     assert n == 3
     assert coll.find({"a": {"$gte": 2}}).num_rows == 2
+
+
+def test_set_operations(db, countries):
+    a = db.create_collection("set_a", identifier_attribute="code")
+    a.insert(countries[:8])
+    b = db.create_collection("set_b", identifier_attribute="code")
+    b.insert(countries[4:])
+    assert a.union(b).count() == len(countries) + 4  # bag union
+    assert a.intersect(b).count() == 4
+    assert a.except_all(b).count() == 4
+    assert a.distinct(["continent"]).count() == len(
+        {c["continent"] for c in countries[:8]}
+    )
