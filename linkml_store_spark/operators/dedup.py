@@ -338,44 +338,59 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     hyperplanes: int = 16,
     seed: int = 42,
+    n_tables: int = 4,
 ) -> DataFrame:
     """Near-dup pairs with cosine >= threshold, via random-hyperplane LSH
     bucketing + within-bucket exact verify.
 
-    Hyperplanes are generated deterministically from ``seed`` (numpy) and
-    enter the plan as literals — broadcast by codegen, no join. High-cosine
-    pairs agree on most hyperplane signs, so bucketing on the full signature
-    catches near-identical vectors; lower thresholds need multi-probe
-    (several signatures with different seeds).
+    Multi-probe recall: a single 16-bit signature misses pairs that flip any
+    one plane (P[all agree] ≈ (1-θ/π)^16), so ``n_tables`` independent
+    signature tables are probed and their candidates unioned — recall
+    1-(1-p)^T at T× candidate cost, the standard LSH recall/cost dial.
+    Hyperplanes are deterministic from ``seed`` and enter the plan as
+    literals (broadcast by codegen, no join). Candidates dedup on
+    (left, right) before the exact cosine verify.
     """
     import numpy as np
 
-    from linkml_store_spark.functions.vector import cosine_similarity, vec_lit
+    from linkml_store_spark.functions.vector import cosine_similarity, dot, vec_lit
 
     rng = np.random.RandomState(seed)
     dim = len(df.select(vector_col).first()[0])
-    planes = rng.randn(hyperplanes, dim)
 
-    sig: Column = F.lit(0).cast("long")
-    for i in range(hyperplanes):
-        from linkml_store_spark.functions.vector import dot
+    base = df.select(F.col(id_col), F.col(vector_col))
+    sig_cols = []
+    for t in range(n_tables):
+        planes = rng.randn(hyperplanes, dim)
+        sig: Column = F.lit(0).cast("long")
+        for i in range(hyperplanes):
+            d = dot(F.col(vector_col), vec_lit(planes[i]))
+            sig = sig + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
+        sig_cols.append(sig.alias(f"__sig{t}"))
+    # one pass computes every table's signature; persisted because each
+    # table's bucket self-join reads it twice
+    signed = base.select(id_col, vector_col, *sig_cols).persist()
 
-        d = dot(F.col(vector_col), vec_lit(planes[i]))
-        sig = sig + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
-    # persist: the 16-hyperplane signature expression feeds both sides of
-    # the bucket self-join
-    bucketed = (
-        df.select(F.col(id_col), F.col(vector_col)).withColumn("__bucket", sig).persist()
-    )
-    l = bucketed.select(
-        F.col(id_col).alias("left_id"), F.col(vector_col).alias("__vl"), "__bucket"
-    )
-    r = bucketed.select(
-        F.col(id_col).alias("right_id"), F.col(vector_col).alias("__vr"), "__bucket"
-    )
-    pairs = l.join(r, "__bucket").filter(F.col("left_id") < F.col("right_id"))
+    cand = None
+    for t in range(n_tables):
+        l = signed.select(
+            F.col(id_col).alias("left_id"), F.col(f"__sig{t}").alias("__b")
+        )
+        r = signed.select(
+            F.col(id_col).alias("right_id"), F.col(f"__sig{t}").alias("__b")
+        )
+        p = l.join(r, "__b").filter(F.col("left_id") < F.col("right_id")).select(
+            "left_id", "right_id"
+        )
+        cand = p if cand is None else cand.union(p)
+    cand = cand.distinct()
+
+    lv = signed.select(F.col(id_col).alias("left_id"), F.col(vector_col).alias("__vl"))
+    rv = signed.select(F.col(id_col).alias("right_id"), F.col(vector_col).alias("__vr"))
     return (
-        pairs.withColumn("cosine", cosine_similarity(F.col("__vl"), F.col("__vr")))
+        cand.join(lv, "left_id")
+        .join(rv, "right_id")
+        .withColumn("cosine", cosine_similarity(F.col("__vl"), F.col("__vr")))
         .filter(F.col("cosine") >= threshold)
         .select("left_id", "right_id", "cosine")
     )

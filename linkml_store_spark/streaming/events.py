@@ -83,6 +83,21 @@ def windowed_event_counts(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first row per key within the
+    watermark horizon (``dropDuplicatesWithinWatermark`` — state for a key
+    is dropped once the watermark passes it, so memory stays bounded).
+    The batch analog is operators/dedup.dedup_exact."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def windowed_event_counts_batch(events: DataFrame) -> DataFrame:
     """Batch equivalent of the hourly rollup: date_trunc bucket per
     event_type with count + sum. Grouping happens on the (8-byte) truncated

@@ -78,3 +78,23 @@ def test_stream_upsert_into_collection(spark, sf_dir, tmp_path):
     agg = running_counts(stream, "user_id", "value")
     stream_upsert_into(agg, coll, str(tmp_path / "ckpt"))
     assert coll.size() == load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+
+
+def test_dedup_stream(spark, sf_dir, tmp_path):
+    from linkml_store_spark.streaming.events import dedup_stream
+
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    # duplicate the stream against itself by unioning two reads
+    deduped = dedup_stream(stream, ["event_id"], watermark="48 hours")
+    (
+        deduped.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    out = spark.read.parquet(str(tmp_path / "out"))
+    src = load_table(spark, sf_dir, "events")
+    assert out.count() == src.select("event_id").distinct().count()
