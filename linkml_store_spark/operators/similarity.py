@@ -141,6 +141,35 @@ def build_ivf(
     return assigned, centroids
 
 
+def write_ivf_index(
+    assigned_df: DataFrame, path: str, centroids: np.ndarray, mode: str = "overwrite"
+) -> None:
+    """Persist the IVF layout: vectors hive-partitioned by centroid plus a
+    centroids sidecar. Probes then PRUNE partitions at the scan — at 100 TB
+    a 4-of-64-centroid probe reads ~6% of the files (asserted in
+    tests/test_similarity.py)."""
+    import json
+    import os
+
+    assigned_df.write.mode(mode).partitionBy("__centroid").parquet(
+        os.path.join(path, "vectors")
+    )
+    meta = {"centroids": centroids.tolist()}
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "centroids.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def read_ivf_index(spark, path: str):
+    import json
+    import os
+
+    with open(os.path.join(path, "centroids.json")) as f:
+        centroids = np.array(json.load(f)["centroids"], dtype=float)
+    vectors = spark.read.parquet(os.path.join(path, "vectors"))
+    return vectors, centroids
+
+
 def ivf_knn(
     assigned_df: DataFrame,
     centroids: np.ndarray,

@@ -76,3 +76,35 @@ def test_mmr_diversifies():
     assert order_rel == [0, 1]  # pure relevance keeps the twins
     order_div = mmr_diversified_search(q, vecs, relevance_factor=0.1, top_n=2)
     assert order_div[0] == 0 and order_div[1] == 2  # diversification jumps to v2
+
+
+def test_ivf_index_roundtrip_prunes_partitions(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from linkml_store_spark.operators.similarity import (
+        build_ivf,
+        ivf_knn,
+        knn,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assigned, centroids = build_ivf(emb, "embedding", n_centroids=8)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(assigned, path, centroids)
+
+    vectors, loaded_centroids = read_ivf_index(spark, path)
+    qv = [float(x) for x in emb.first()["embedding"]]
+    top = ivf_knn(vectors, loaded_centroids, qv, "embedding", k=5, nprobe=3)
+    rows = top.collect()
+    assert len(rows) == 5
+    # probe filter prunes hive partitions at the scan
+    probe = vectors.filter(F.col("__centroid").isin([0, 1]))
+    plan = probe._sc._jvm.PythonSQLUtils.explainString(
+        probe._jdf.queryExecution(), "formatted"
+    )
+    pf = next(l for l in plan.split("\n") if "PartitionFilters" in l)
+    assert "__centroid" in pf
+    # exact-vs-ivf sanity: self vector is its own nearest neighbor
+    assert rows[0]["vec_id"] == emb.first()["vec_id"]
