@@ -179,10 +179,22 @@ class Collection:
     # ------------------------------------------------------------------ #
     # mutation (§2.2)
     # ------------------------------------------------------------------ #
+    @staticmethod
+    def _strip_nan(obj):
+        """NaN -> None recursively (reference strips NaN on load,
+        format_utils.py:124-142, asserted by its test_api.py:100-106)."""
+        if isinstance(obj, dict):
+            return {k: Collection._strip_nan(v) for k, v in obj.items()}
+        if isinstance(obj, list):
+            return [Collection._strip_nan(v) for v in obj]
+        if isinstance(obj, float) and obj != obj:
+            return None
+        return obj
+
     def _objects_to_df(self, objs: Union[OBJECT, Sequence[OBJECT]]) -> DataFrame:
         if isinstance(objs, dict):
             objs = [objs]
-        objs = list(objs)
+        objs = [self._strip_nan(o) for o in objs]
         if self._df is not None or self.exists():
             schema = self.df.schema
         else:
@@ -224,7 +236,7 @@ class Collection:
     def _objects_to_df_fresh(self, objs: Union[OBJECT, Sequence[OBJECT]]) -> DataFrame:
         if isinstance(objs, dict):
             objs = [objs]
-        objs = list(objs)
+        objs = [self._strip_nan(o) for o in objs]
         return self.spark.createDataFrame(objs, schema=induce_schema(objs))
 
     def delete(self, objs: Union[OBJECT, Sequence[OBJECT]]) -> int:

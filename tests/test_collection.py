@@ -206,3 +206,16 @@ def test_set_operations(db, countries):
     assert a.distinct(["continent"]).count() == len(
         {c["continent"] for c in countries[:8]}
     )
+
+
+def test_nan_stripped_to_null_on_insert(db):
+    coll = db.create_collection("nanstrip", identifier_attribute="id")
+    coll.insert([
+        {"id": 1, "x": float("nan"), "tags": [1.0, float("nan")]},
+        {"id": 2, "x": 3.5, "tags": None},
+    ])
+    rows = {r["id"]: r for r in coll.rows()}
+    assert rows[1]["x"] is None           # NaN -> null (reference parity)
+    assert rows[1]["tags"][1] is None
+    assert coll.find({"x": None}).num_rows == 1
+    assert coll.find({"x": {"$ne": None}}).num_rows == 1
