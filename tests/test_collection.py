@@ -219,3 +219,16 @@ def test_nan_stripped_to_null_on_insert(db):
     assert rows[1]["tags"][1] is None
     assert coll.find({"x": None}).num_rows == 1
     assert coll.find({"x": {"$ne": None}}).num_rows == 1
+
+
+def test_schema_induction_conflicting_ranges_raise():
+    import pytest
+
+    from linkml_store_spark.schema_utils import induce_schema
+
+    # int+float coerce (reference collection.py:1128-1136)
+    s = induce_schema([{"v": 1}, {"v": 2.5}])
+    assert s["v"].dataType.simpleString() == "double"
+    # string+int conflict raises (reference collection.py:1144-1153)
+    with pytest.raises(ValueError):
+        induce_schema([{"v": 1}, {"v": "two"}])
