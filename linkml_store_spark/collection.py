@@ -148,16 +148,31 @@ class Collection:
             return True  # materializes on first touch
         return self.database._collection_data_exists(self.alias)
 
-    def _set_df(self, df: DataFrame, persist: bool = True) -> None:
+    def _set_df(
+        self,
+        df: DataFrame,
+        persist: bool = True,
+        appended: Optional[DataFrame] = None,
+    ) -> None:
         self._df = df
         if persist:
             self.database._save_collection_df(self.alias, df)
-        self._post_modification_hook()
+        self._post_modification_hook(appended)
 
-    def _post_modification_hook(self) -> None:
-        # reference reindexes shadow collections on any modification
-        # (collection.py:289-295); we drop cached index DataFrames so the
-        # next search rebuilds them lazily.
+    def _post_modification_hook(self, appended: Optional[DataFrame] = None) -> None:
+        # The reference fully reindexes shadow collections on ANY
+        # modification (collection.py:289-295) — a documented hot spot. Here
+        # pure appends refresh incrementally: only the new rows are embedded
+        # and unioned onto the existing index plan. Updates/deletes/replaces
+        # still invalidate (correct, conservative).
+        if appended is not None and self._index_dfs:
+            for name, idx_df in list(self._index_dfs.items()):
+                indexer = self._indexers.get(name)
+                if indexer is not None:
+                    self._index_dfs[name] = idx_df.unionByName(
+                        indexer.index_dataframe(appended)
+                    )
+            return
         self._index_dfs.clear()
 
     # ------------------------------------------------------------------ #
@@ -223,7 +238,7 @@ class Collection:
         else:
             combined = new_df
         n = new_df.count()
-        self._set_df(combined)
+        self._set_df(combined, appended=new_df)
         return n
 
     def replace(self, objs: Union[OBJECT, Sequence[OBJECT], DataFrame]) -> int:
