@@ -232,3 +232,21 @@ def test_schema_induction_conflicting_ranges_raise():
     # string+int conflict raises (reference collection.py:1144-1153)
     with pytest.raises(ValueError):
         induce_schema([{"v": 1}, {"v": "two"}])
+
+
+def test_find_with_facet_counts(db, countries):
+    coll = db.create_collection("fcc", identifier_attribute="code")
+    coll.insert(countries)
+    res = coll.query(
+        Query(
+            from_table="fcc",
+            where_clause={"continent": "Europe"},
+            include_facet_counts=True,
+            facet_slots=["continent", "languages"],
+        )
+    )
+    assert res.num_rows == 4
+    # facet on the where'd column sees ALL continents (multi-select exclusion)
+    assert dict(res.facet_counts["continent"])["Asia"] == 2
+    # facet on the array column is exploded AND filtered by the where
+    assert dict(res.facet_counts["languages"])["German"] == 2  # DE, CH
