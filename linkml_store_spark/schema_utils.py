@@ -115,6 +115,41 @@ def induce_schema(
     return _induce_struct(sample)
 
 
+_SPARK_TO_RANGE = {
+    T.StringType: "string",
+    T.LongType: "integer",
+    T.IntegerType: "integer",
+    T.ShortType: "integer",
+    T.DoubleType: "float",
+    T.FloatType: "float",
+    T.BooleanType: "boolean",
+    T.DateType: "date",
+    T.TimestampType: "datetime",
+}
+
+
+def struct_to_linkml_slots(schema: T.StructType) -> dict:
+    """Inverse compiler: StructType -> {slot: {range, multivalued, ...}}
+    (the introspection direction; reference duckdb_database.py:212-255 maps
+    information_schema types back to LinkML the same way)."""
+    slots: dict = {}
+    for f in schema.fields:
+        dtype = f.dataType
+        spec: dict = {}
+        if isinstance(dtype, T.ArrayType):
+            spec["multivalued"] = True
+            dtype = dtype.elementType
+        if isinstance(dtype, T.StructType):
+            spec["range"] = "object"
+            spec["slots"] = struct_to_linkml_slots(dtype)
+        else:
+            spec["range"] = _SPARK_TO_RANGE.get(type(dtype), "string")
+        if not f.nullable:
+            spec["required"] = True
+        slots[f.name] = spec
+    return slots
+
+
 def linkml_slots_to_struct(slots: dict) -> T.StructType:
     """Compile a {slot_name: {range, multivalued, inlined...}} spec to a StructType.
 

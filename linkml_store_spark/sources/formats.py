@@ -75,6 +75,14 @@ def read_objects_df(
 ) -> DataFrame:
     """Load a file as a DataFrame (reference load_objects,
     format_utils.py:297-358)."""
+    if path.startswith(("http://", "https://")):
+        # reference downloads + caches via pystow (format_utils.py:100-121);
+        # no network access in this environment — fail loudly rather than
+        # hang. A real deployment drops in urllib/pystow here.
+        raise NotImplementedError(
+            "URL sources require network access (reference uses a pystow "
+            "download cache); download the file and pass a local path"
+        )
     fmt = (fmt or guess_format(path)).lower()
     if fmt == "parquet":
         return spark.read.parquet(path)

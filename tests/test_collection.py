@@ -250,3 +250,24 @@ def test_find_with_facet_counts(db, countries):
     assert dict(res.facet_counts["continent"])["Asia"] == 2
     # facet on the array column is exploded AND filtered by the where
     assert dict(res.facet_counts["languages"])["German"] == 2  # DE, CH
+
+
+def test_struct_to_linkml_roundtrip():
+    from linkml_store_spark.schema_utils import (
+        induce_schema,
+        linkml_slots_to_struct,
+        struct_to_linkml_slots,
+    )
+
+    objs = [
+        {"id": 1, "name": "a", "score": 1.5, "tags": ["x"], "nested": {"k": "v"}},
+    ]
+    schema = induce_schema(objs)
+    slots = struct_to_linkml_slots(schema)
+    assert slots["id"]["range"] == "integer"
+    assert slots["tags"] == {"multivalued": True, "range": "string"}
+    assert slots["nested"]["range"] == "object"
+    # roundtrip back to a StructType preserves shape
+    back = linkml_slots_to_struct(slots)
+    assert back["tags"].dataType.simpleString() == "array<string>"
+    assert back["nested"].dataType.simpleString() == "struct<k:string>"

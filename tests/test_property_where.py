@@ -152,3 +152,47 @@ def test_facets_match_duckdb_with_exclusion(orders, ddb, where, cols):
         )
         want = {r[0]: r[1] for r in ddb.execute(sql).fetchall()}
         assert dict(got[c]) == want, f"{c} {where!r}"
+
+
+sort_specs = st.lists(
+    st.sampled_from(
+        ["o_totalprice", "-o_totalprice", "o_orderkey", "-o_orderkey"]
+    ),
+    min_size=1, max_size=2, unique_by=lambda s: s.lstrip("-"),
+)
+limits = st.integers(min_value=1, max_value=50)
+offsets = st.integers(min_value=0, max_value=30)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(where=where_clauses, sort=sort_specs, limit=limits, offset=offsets)
+def test_pagination_matches_duckdb(spark, orders, ddb, where, sort, limit, offset):
+    """find()-style sort+offset+limit pages must match SQL exactly.
+
+    The sort is made total by always appending the pk as the last key."""
+    from linkml_store_spark.collection import _sort_col
+    from linkml_store_spark.where import apply_where
+
+    sort = sort + ["o_orderkey"] if "o_orderkey" not in [s.lstrip("-") for s in sort] else sort
+    page = (
+        apply_where(orders, where)
+        .orderBy(*[_sort_col(s) for s in sort])
+        .offset(offset)
+        .limit(limit)
+        .select("o_orderkey")
+        .collect()
+    )
+    got = [r[0] for r in page]
+    order_sql = ", ".join(
+        f"{s.lstrip('-')} {'DESC' if s.startswith('-') else 'ASC'}" for s in sort
+    )
+    sql = (
+        f"SELECT o_orderkey FROM orders WHERE {_where_to_sql(where)} "
+        f"ORDER BY {order_sql} LIMIT {limit} OFFSET {offset}"
+    )
+    want = [r[0] for r in ddb.execute(sql).fetchall()]
+    assert got == want, f"{where!r} {sort!r} l={limit} o={offset}"
