@@ -576,12 +576,17 @@ class Collection:
 
 
 def _sort_col(spec: str):
-    """'-col' means descending (reference ibis_collection.py:275-286)."""
+    """'-col' means descending (reference ibis_collection.py:275-286).
+
+    Null placement follows the reference's canonical backend (DuckDB):
+    NULLS LAST for BOTH directions. Spark's defaults differ (asc -> nulls
+    first), so the null ordering is pinned explicitly.
+    """
     spec = spec.strip()
     if spec.startswith("-"):
-        return F.col(spec[1:]).desc()
+        return F.col(spec[1:]).desc_nulls_last()
     if spec.lower().endswith(" desc"):
-        return F.col(spec[: -len(" desc")].strip()).desc()
+        return F.col(spec[: -len(" desc")].strip()).desc_nulls_last()
     if spec.lower().endswith(" asc"):
-        return F.col(spec[: -len(" asc")].strip()).asc()
-    return F.col(spec).asc()
+        return F.col(spec[: -len(" asc")].strip()).asc_nulls_last()
+    return F.col(spec).asc_nulls_last()

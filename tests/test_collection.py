@@ -271,3 +271,16 @@ def test_struct_to_linkml_roundtrip():
     back = linkml_slots_to_struct(slots)
     assert back["tags"].dataType.simpleString() == "array<string>"
     assert back["nested"].dataType.simpleString() == "struct<k:string>"
+
+
+def test_sort_null_placement_matches_duckdb(db):
+    # DuckDB (the reference's canonical backend) sorts NULLS LAST in both
+    # directions; Spark's asc default is nulls-first — pinned in _sort_col
+    coll = db.create_collection("nullsort", identifier_attribute="id")
+    coll.insert([
+        {"id": 1, "v": 5}, {"id": 2, "v": None}, {"id": 3, "v": 1},
+    ])
+    asc = [r["id"] for r in coll.find(sort_by=["v"]).rows]
+    assert asc == [3, 1, 2]     # null last
+    desc = [r["id"] for r in coll.find(sort_by=["-v"]).rows]
+    assert desc == [1, 3, 2]    # null last
