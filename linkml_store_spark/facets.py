@@ -42,6 +42,14 @@ DEFAULT_FACET_LIMIT = 100
 
 
 def _is_array_col(df: DataFrame, name: str) -> bool:
+    """Array detection for plain AND dotted paths: ``history.event`` through
+    an array<struct> column is array-valued (the reference $unwind-chains
+    dotted facet paths, mongodb_collection.py:227-246)."""
+    from linkml_store_spark.where import _field_type
+
+    if "." in name or "[" in name:
+        t = _field_type(df.schema, name)
+        return isinstance(t, T.ArrayType)
     try:
         return isinstance(df.schema[name].dataType, T.ArrayType)
     except KeyError:

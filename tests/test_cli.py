@@ -128,3 +128,15 @@ def test_input_shortcut(countries_file, spark):
     r = _run(["-i", countries_file, "query", "-w", "{continent: Asia}", "-O", "yaml"])
     docs = list(yaml.safe_load_all(r.output))
     assert len(docs) == 2
+
+
+def test_infer_sparkml_cli(wh, tmp_path, spark):
+    rows = [{"x": float(i), "label": "hi" if i > 50 else "lo"} for i in range(100)]
+    p = tmp_path / "train.jsonl"
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    _run(["-d", wh, "-c", "train", "insert", str(p)])
+    r = _run(["-d", wh, "-c", "train", "infer", "-t", "sparkml",
+              "-T", "label", "-F", "x", "-q", "{x: 99.0}"])
+    assert json.loads(r.output)[0]["label"] == "hi"

@@ -116,3 +116,29 @@ def test_one_pass_single_scan_plan(coll):
     )
     plan = agg._sc._jvm.PythonSQLUtils.explainString(agg._jdf.queryExecution(), "simple")
     assert plan.count("Scan") <= 1 or plan.count("LogicalRDD") <= 1
+
+
+def test_facet_dotted_path_through_array(spark):
+    from linkml_store_spark.facets import query_facets
+
+    df = spark.createDataFrame(
+        [
+            {"id": 1, "history": [{"event": "hire"}, {"event": "move"}]},
+            {"id": 2, "history": [{"event": "hire"}]},
+            {"id": 3, "history": None},
+        ],
+        schema="id long, history array<struct<event: string>>",
+    )
+    got = query_facets(df, None, ["history.event"])
+    counts = dict(got["history.event"])
+    assert counts["hire"] == 2 and counts["move"] == 1
+
+
+def test_group_by_agg_map(coll):
+    out = coll.group_by(
+        "continent",
+        agg_map={"first": ["continent"], "list": ["name", "capital"]},
+    )
+    europe = next(g for g in out if g["continent"] == "Europe")
+    assert len(europe["objects"]) == 4
+    assert {"name", "capital"} == set(europe["objects"][0].keys())
