@@ -433,6 +433,20 @@ def q_text_search(spark, sf):
     return out.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def q_set_ops(spark, sf):
+    # set operations (§2.7): customers in BUILDING that also appear among
+    # high-value order placers — intersect of two key sets
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    big_spenders = orders.filter(F.col("o_totalprice") >= 400000.0).select(
+        F.col("o_custkey").alias("k")
+    ).distinct()
+    return building.intersect(big_spenders).orderBy("k")
+
+
 def q_collection_api(spark, sf):
     # end-to-end CRUDSI path: parquet -> Collection.insert -> find() with
     # where + sort + offset + limit; the QueryResult page comes back as a
@@ -577,6 +591,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boxplot_stats": q_boxplot_stats,
     "collection_api": q_collection_api,
     "facet_multivalued": q_facet_multivalued,
+    "set_ops": q_set_ops,
 }
 
 
@@ -867,6 +882,12 @@ ORACLES: dict[str, str] = {
             SELECT unnest(string_split(p_name, ' ')) AS name_words FROM part
         ) GROUP BY name_words
         ORDER BY count DESC, name_words ASC LIMIT 100
+    """,
+    "set_ops": """
+        SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice >= 400000.0
+        ORDER BY k
     """,
 }
 

@@ -15,12 +15,14 @@ from linkml_store_spark.inference.base import (
 from linkml_store_spark.inference.rule_based import RuleBasedInferenceEngine
 from linkml_store_spark.inference.sparkml import SparkMLInferenceEngine
 from linkml_store_spark.inference.rag import RAGInferenceEngine
+from linkml_store_spark.inference.llm import LLMInferenceEngine
 
 _REGISTRY = {
     "rule_based": RuleBasedInferenceEngine,
     "sklearn": SparkMLInferenceEngine,  # reference name; Spark ML implementation
     "sparkml": SparkMLInferenceEngine,
     "rag": RAGInferenceEngine,
+    "llm": LLMInferenceEngine,
 }
 
 
@@ -39,6 +41,7 @@ __all__ = [
     "RuleBasedInferenceEngine",
     "SparkMLInferenceEngine",
     "RAGInferenceEngine",
+    "LLMInferenceEngine",
     "get_inference_engine",
     "evaluate_predictor",
 ]

@@ -118,3 +118,18 @@ def test_sparkml_save_load_roundtrip(spark, tmp_path):
     assert inf.predicted_object["label"] == "hi"
     inf = loaded.derive({"x": 1.0})
     assert inf.predicted_object["label"] == "lo"
+
+
+def test_llm_direct_engine_stub(spark, countries):
+    from linkml_store_spark.inference import LLMInferenceEngine
+
+    eng = LLMInferenceEngine(
+        feature_attributes=["name"], target_attributes=["continent"],
+        num_examples=3,
+    )
+    eng.initialize_model(examples=countries[:3])
+    inf = eng.derive({"name": "Somewhere"})
+    # stub answers with the first example's targets (zero intelligence,
+    # full pipeline): North America
+    assert inf.predicted_object["continent"] == "North America"
+    assert "direct LLM" in inf.explanation
