@@ -158,17 +158,21 @@ def store(obj: Context, files):
 @WHERE_OPT
 @click.option("-s", "--select", default=None, help="comma-separated columns")
 @click.option("--sql", default=None, help="raw SQL passthrough (reference cli.py:430-489)")
+@click.option("--explain", "explain_", is_flag=True, help="print the physical plan instead of rows")
 @LIMIT_OPT
 @OUTPUT_OPT
 @OUTPUT_FILE_OPT
 @click.pass_obj
-def query(obj: Context, where, select, sql, limit, output_type, output):
+def query(obj: Context, where, select, sql, explain_, limit, output_type, output):
     """Query a collection (reference cli.py:427-510)."""
     if sql:
         res = obj.db.execute_sql(sql)
         _render(res.rows, output_type, output)
         return
     cols = select.split(",") if select else None
+    if explain_:
+        click.echo(obj.collection.explain(_parse_yaml_arg(where), cols))
+        return
     res = obj.collection.find(_parse_yaml_arg(where), select_cols=cols, limit=limit)
     _render(res.rows, output_type, output)
 

@@ -411,6 +411,23 @@ class Collection:
         )
         return self.query(q)
 
+    def explain(
+        self,
+        where: WhereClause = None,
+        select_cols: Optional[List[str]] = None,
+        mode: str = "formatted",
+    ) -> str:
+        """The physical plan for a find() — shows predicate pushdown
+        (`PushedFilters`), column pruning (`ReadSchema`), and codegen spans.
+        The engine's analog of EXPLAIN; plan shapes are regression-tested in
+        tests/test_plans.py."""
+        df = apply_where(self.df, where)
+        if select_cols:
+            df = df.select(*select_cols)
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), mode
+        )
+
     def find_iter(
         self, where: WhereClause = None, page_size: int = 100
     ) -> Iterator[OBJECT]:

@@ -140,3 +140,9 @@ def test_infer_sparkml_cli(wh, tmp_path, spark):
     r = _run(["-d", wh, "-c", "train", "infer", "-t", "sparkml",
               "-T", "label", "-F", "x", "-q", "{x: 99.0}"])
     assert json.loads(r.output)[0]["label"] == "hi"
+
+
+def test_query_explain(wh, countries_file, spark):
+    _run(["-d", wh, "-c", "countries", "insert", countries_file])
+    r = _run(["-d", wh, "-c", "countries", "query", "-w", "{code: FR}", "--explain"])
+    assert "PushedFilters" in r.output and "EqualTo(code,FR)" in r.output
