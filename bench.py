@@ -25,7 +25,7 @@ from linkml_store_spark.index.search import knn
 from linkml_store_spark.session import get_spark
 from linkml_store_spark.sources.tables import load_table
 from linkml_store_spark.streaming.events import windowed_event_counts_batch
-from linkml_store_spark.where import apply_where
+from linkml_store_spark.where import apply_where, fast_count
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 RUNS = int(os.environ.get("BENCH_RUNS", "3"))
@@ -45,18 +45,18 @@ def build_queries(spark, sf):
     def b1():  # find equality + LIMIT 100
         return apply_where(lineitem(), {"l_returnflag": "R"}).limit(100).collect()
 
-    def b2():  # count with filter
-        return apply_where(lineitem(), {"l_returnflag": "R"}).count()
+    def b2():  # count with filter (fast_count: one planning pass, same job)
+        return fast_count(apply_where(lineitem(), {"l_returnflag": "R"}))
 
     def b3():  # range predicate count
-        return apply_where(
-            lineitem(), {"l_quantity": {"$gte": 5.0, "$lt": 30.0}}
-        ).count()
+        return fast_count(
+            apply_where(lineitem(), {"l_quantity": {"$gte": 5.0, "$lt": 30.0}})
+        )
 
     def b4():  # $in predicate count
-        return apply_where(
-            orders(), {"o_orderpriority": {"$in": ["1-URGENT", "2-HIGH"]}}
-        ).count()
+        return fast_count(
+            apply_where(orders(), {"o_orderpriority": {"$in": ["1-URGENT", "2-HIGH"]}})
+        )
 
     def b5():  # single-column facet
         return facet_df(lineitem(), None, "l_returnflag").collect()

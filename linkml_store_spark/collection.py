@@ -33,7 +33,13 @@ from pyspark.sql import types as T
 from linkml_store_spark.facets import DEFAULT_FACET_LIMIT, query_facets
 from linkml_store_spark.query import Query, QueryResult
 from linkml_store_spark.schema_utils import induce_schema
-from linkml_store_spark.where import WhereClause, apply_where, compile_where, path_col
+from linkml_store_spark.where import (
+    WhereClause,
+    apply_where,
+    compile_where,
+    fast_count,
+    path_col,
+)
 
 if TYPE_CHECKING:
     from linkml_store_spark.database import Database
@@ -369,7 +375,7 @@ class Collection:
         if not self.exists():
             return QueryResult(num_rows=0, rows=[], query=query)
         df = apply_where(self.df, query.where_clause)
-        num_rows = df.count()  # pre-pagination total (queries.py:41-44)
+        num_rows = fast_count(df)  # pre-pagination total (queries.py:41-44)
         page = df
         if query.sort_by:
             page = page.orderBy(*[_sort_col(s) for s in query.sort_by])
@@ -460,7 +466,7 @@ class Collection:
             yield row.asDict(recursive=True)
 
     def size(self) -> int:
-        return self.df.count() if self.exists() else 0
+        return fast_count(self.df) if self.exists() else 0
 
     # ------------------------------------------------------------------ #
     # aggregation (§2.5)
