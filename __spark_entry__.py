@@ -277,6 +277,17 @@ def q_dedup_minhash(spark, sf):
     )
 
 
+def q_dedup_jaccard(spark, sf):
+    # exact n-gram Jaccard via inverted-index set-similarity join — fully
+    # SQL-expressible, so this one IS value-oracled (unlike the LSH paths)
+    from linkml_store_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf, "documents")
+    return ngram_jaccard_pairs(
+        docs, "text", "doc_id", shingle_size=3, threshold=0.4
+    ).select("left_id", "right_id", F.round("jaccard", 4).alias("jaccard"))
+
+
 def q_dedup_simhash(spark, sf):
     # no SQL oracle (bit-fiddling fingerprints); rows-only check
     from linkml_store_spark.operators.dedup import simhash_near_pairs
@@ -572,6 +583,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_cosine": q_knn_cosine,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
+    "dedup_jaccard": q_dedup_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "text_stats": q_text_stats,
     "text_lang_facet": q_text_lang_facet,
@@ -733,6 +745,24 @@ ORACLES: dict[str, str] = {
             FROM documents GROUP BY text
         ) m ON d.text = m.text
         WHERE m.c > 1 AND d.doc_id != m.dup_of
+    """,
+    "dedup_jaccard": r"""
+        WITH sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) >= 3
+                      THEN list_distinct(list_transform(range(1, len(toks)-1),
+                           i -> array_to_string(toks[i:i+2], ' ')))
+                      ELSE [array_to_string(toks, ' ')] END AS s
+          FROM (SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS toks
+                FROM documents)
+        )
+        SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+               ROUND(len(list_intersect(a.s, b.s))::DOUBLE
+                     / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.s, b.s))::DOUBLE
+              / len(list_distinct(list_concat(a.s, b.s))) >= 0.4
     """,
     "text_stats": """
         SELECT doc_id,

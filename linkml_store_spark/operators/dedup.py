@@ -300,14 +300,45 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     candidates: Optional[DataFrame] = None,
 ) -> DataFrame:
-    """Exact Jaccard over word shingles. With ``candidates`` given
-    (left_id, right_id), verifies only those pairs; otherwise all pairs
-    (quadratic — small corpora only, the LSH path is the scale path)."""
+    """Exact Jaccard over word shingles.
+
+    With ``candidates`` given (left_id, right_id), verifies only those
+    pairs. Otherwise runs an **exact set-similarity join** via an inverted
+    index on shingles: explode (doc, shingle), self-equi-join on the
+    shingle, and count matches per pair — the count IS the intersection
+    size because per-doc shingles are distinct. Any pair with Jaccard > 0
+    shares at least one shingle, so for ``threshold > 0`` this enumerates
+    exactly the all-pairs result without a quadratic cross join; shuffle
+    is keyed on shingles (high cardinality, near-uniform), and hot
+    stopword shingles are handled by AQE skew splitting. Prefix-filter
+    pruning (PPJoin) is the classic further cut if ever needed.
+    """
     sh = _with_shingles(df, text_col, shingle_size, keep=[id_col])
     if candidates is None:
-        l = sh.select(F.col(id_col).alias("left_id"), F.col("__sh").alias("__shl"))
-        r = sh.select(F.col(id_col).alias("right_id"), F.col("__sh").alias("__shr"))
-        pairs = l.crossJoin(r).filter(F.col("left_id") < F.col("right_id"))
+        if threshold <= 0:
+            raise ValueError("threshold must be > 0 for the inverted-index path")
+        sizes = sh.select(F.col(id_col).alias("__id"), F.size("__sh").alias("__n"))
+        ex = sh.select(F.col(id_col).alias("__id"), F.explode("__sh").alias("__s"))
+        inter = (
+            ex.select(F.col("__id").alias("left_id"), "__s")
+            .join(ex.select(F.col("__id").alias("right_id"), "__s"), "__s")
+            .filter(F.col("left_id") < F.col("right_id"))
+            .groupBy("left_id", "right_id")
+            .agg(F.count(F.lit(1)).alias("__inter"))
+        )
+        pairs = inter.join(
+            sizes.select(F.col("__id").alias("left_id"), F.col("__n").alias("__nl")),
+            "left_id",
+        ).join(
+            sizes.select(F.col("__id").alias("right_id"), F.col("__n").alias("__nr")),
+            "right_id",
+        )
+        union = F.col("__nl") + F.col("__nr") - F.col("__inter")
+        return (
+            pairs.withColumn("jaccard", F.col("__inter") / union)
+            .filter(F.col("jaccard") >= threshold)
+            .select("left_id", "right_id", "jaccard")
+        )
     else:
         pairs = (
             candidates.join(

@@ -57,6 +57,17 @@ def test_ngram_jaccard(docs):
     assert (0, 3) not in got
 
 
+def test_ngram_jaccard_inverted_index_matches_verify_path(spark, docs):
+    # the all-pairs inverted-index join must agree exactly with scoring the
+    # same pairs through the candidates/array-intersect path
+    full = dedup.ngram_jaccard_pairs(docs, "text", threshold=0.3)
+    cand = full.select("left_id", "right_id")
+    verified = dedup.ngram_jaccard_pairs(docs, "text", threshold=0.3, candidates=cand)
+    a = {(r["left_id"], r["right_id"]): round(r["jaccard"], 9) for r in full.collect()}
+    b = {(r["left_id"], r["right_id"]): round(r["jaccard"], 9) for r in verified.collect()}
+    assert a == b and a
+
+
 def test_ngram_jaccard_with_candidates(spark, docs):
     cand = spark.createDataFrame([(0, 1), (0, 3)], "left_id long, right_id long")
     pairs = dedup.ngram_jaccard_pairs(docs, "text", threshold=0.0, candidates=cand)
