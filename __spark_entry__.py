@@ -386,8 +386,9 @@ def q_sessionize(spark, sf):
 
 
 def q_enrichment(spark, sf):
-    # Fisher-exact enrichment of sources per language (rows-only: no SQL
-    # fisher test in DuckDB)
+    # Fisher-exact enrichment of sources per language. Value-oracled: the
+    # two-sided Fisher test is expressed in DuckDB SQL via lgamma over the
+    # hypergeometric support (list_transform/list_filter), BH via windows.
     from linkml_store_spark.operators.enrichment import enriched_categories
 
     docs = _t(spark, sf, "documents")
@@ -763,6 +764,64 @@ ORACLES: dict[str, str] = {
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE len(list_intersect(a.s, b.s))::DOUBLE
               / len(list_distinct(list_concat(a.s, b.s))) >= 0.4
+    """,
+    "enrichment": r"""
+        WITH flat AS (
+          SELECT lang AS sample, source AS category FROM documents
+          WHERE lang IS NOT NULL AND source IS NOT NULL
+        ),
+        per_sample AS (SELECT sample, category, COUNT(*) AS sample_count FROM flat GROUP BY 1, 2),
+        sample_totals AS (SELECT sample, COUNT(*) AS sample_total FROM flat GROUP BY 1),
+        global_counts AS (SELECT category, COUNT(*) AS global_count FROM flat GROUP BY 1),
+        tot AS (SELECT COUNT(*)::DOUBLE AS gt FROM flat),
+        cells AS (
+          SELECT ps.sample, ps.category, ps.sample_count, st.sample_total,
+                 gc.global_count, t.gt,
+                 ps.sample_count AS a,
+                 gc.global_count AS r1,
+                 st.sample_total AS c1,
+                 CAST(t.gt AS BIGINT) AS n
+          FROM per_sample ps
+          JOIN sample_totals st USING (sample)
+          JOIN global_counts gc USING (category)
+          CROSS JOIN tot t
+          WHERE gc.global_count >= 3
+        ),
+        hyp AS (
+          SELECT *, GREATEST(0, r1 + c1 - n) AS kmin,
+                 list_transform(generate_series(GREATEST(0, r1 + c1 - n), LEAST(r1, c1)),
+                   k -> exp( lgamma(r1 + 1.0) - lgamma(k + 1.0) - lgamma(r1 - k + 1.0)
+                           + lgamma(n - r1 + 1.0) - lgamma(c1 - k + 1.0)
+                           - lgamma(n - r1 - c1 + k + 1.0)
+                           - (lgamma(n + 1.0) - lgamma(c1 + 1.0) - lgamma(n - c1 + 1.0)) )
+                 ) AS pks
+          FROM cells
+        ),
+        fisher AS (
+          SELECT sample, category,
+                 (sample_count / sample_total::DOUBLE) / (global_count / gt) AS fold_change,
+                 list_sum(list_filter(pks, p -> p <= pks[(a - kmin + 1)::INT] * (1.0 + 1e-7)))
+                   / list_sum(pks) AS original_p_value
+          FROM hyp
+        ),
+        sig AS (SELECT * FROM fisher WHERE original_p_value < 0.2),
+        bh AS (
+          SELECT *,
+                 COUNT(*) OVER (PARTITION BY sample) AS nn,
+                 ROW_NUMBER() OVER (PARTITION BY sample ORDER BY original_p_value, category) AS rnk
+          FROM sig
+        ),
+        adj AS (
+          SELECT sample, category, fold_change, original_p_value,
+                 LEAST(1.0, MIN(original_p_value * nn / rnk) OVER (
+                    PARTITION BY sample ORDER BY original_p_value DESC, category DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS adjusted_p_value
+          FROM bh
+        )
+        SELECT sample, category, ROUND(fold_change, 4) AS fold_change,
+               ROUND(original_p_value, 6) AS p, ROUND(adjusted_p_value, 6) AS p_adj
+        FROM adj WHERE adjusted_p_value < 0.2
+        ORDER BY sample, p_adj, category
     """,
     "text_stats": """
         SELECT doc_id,
