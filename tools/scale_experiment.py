@@ -1,0 +1,156 @@
+"""Scale-up experiment: Spark vs DuckDB on replicated TPC-H-ish data.
+
+The driver testdata tops out at sf0.1 (600k lineitem rows), where Spark's
+fixed per-job overhead dominates. This tool replicates sf0.1 N times (order
+keys offset per copy so key cardinalities grow with the data) into
+``/tmp/spark_graft_scale/x{N}`` and times the core workload on both engines
+at the larger size — evidence for how the same plans behave as data grows
+toward cluster scale. Results are recorded in SCALING.md.
+
+Usage: python tools/scale_experiment.py [N-copies ...]   (default: 10 50)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+ROOT = "/tmp/spark_graft_scale"
+ORDER_STEP = 6_000_000  # > max l_orderkey at sf0.1
+
+
+def generate(n: int) -> str:
+    out = f"{ROOT}/x{n}"
+    if os.path.exists(f"{out}/_DONE"):
+        return out
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"""
+        COPY (
+          SELECT l_orderkey + i.i * {ORDER_STEP} AS l_orderkey,
+                 l_partkey, l_suppkey, l_linenumber, l_quantity,
+                 l_extendedprice, l_discount, l_tax, l_returnflag,
+                 l_linestatus, l_shipdate
+          FROM read_parquet('{SRC}/lineitem.parquet')
+          CROSS JOIN (SELECT unnest(range({n})) AS i) i
+        ) TO '{out}/lineitem.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 1000000)
+    """)
+    con.execute(f"""
+        COPY (
+          SELECT o_orderkey + i.i * {ORDER_STEP} AS o_orderkey,
+                 o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+          FROM read_parquet('{SRC}/orders.parquet')
+          CROSS JOIN (SELECT unnest(range({n})) AS i) i
+        ) TO '{out}/orders.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 1000000)
+    """)
+    con.execute(f"""
+        COPY (SELECT * FROM read_parquet('{SRC}/customer.parquet'))
+        TO '{out}/customer.parquet' (FORMAT PARQUET)
+    """)
+    open(f"{out}/_DONE", "w").write("ok")
+    return out
+
+
+def time_best(fn, runs: int = 3) -> float:
+    fn()
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def duckdb_workload(d: str) -> dict:
+    con = duckdb.connect()
+    for t in ["lineitem", "orders", "customer"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    qs = {
+        "filter_count": "SELECT COUNT(*) FROM lineitem WHERE l_returnflag = 'R'",
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus, SUM(l_quantity), AVG(l_discount),
+                   COUNT(*) FROM lineitem WHERE l_shipdate <= '1998-09-02'
+            GROUP BY 1, 2""",
+        "facet": """
+            SELECT l_returnflag, COUNT(*) c FROM lineitem
+            GROUP BY 1 ORDER BY c DESC LIMIT 100""",
+        "topk": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC LIMIT 10""",
+        "join_agg": """
+            SELECT c_mktsegment, SUM(o_totalprice) FROM orders
+            JOIN customer ON o_custkey = c_custkey GROUP BY 1""",
+    }
+    return {k: time_best(lambda s=v: con.execute(s).fetchall()) for k, v in qs.items()}
+
+
+def spark_workload(spark, d: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from linkml_store_spark.facets import facet_df
+    from linkml_store_spark.where import apply_where, fast_count
+
+    li = spark.read.parquet(f"{d}/lineitem.parquet")
+    o = spark.read.parquet(f"{d}/orders.parquet")
+    c = spark.read.parquet(f"{d}/customer.parquet")
+    qs = {
+        "filter_count": lambda: fast_count(
+            apply_where(li, {"l_returnflag": "R"})
+        ),
+        "tpch_q1": lambda: apply_where(
+            li, {"l_shipdate": {"$lte": "1998-09-02 00:00:00"}}
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity"),
+            F.avg("l_discount"),
+            F.count(F.lit(1)),
+        )
+        .collect(),
+        "facet": lambda: facet_df(li, None, "l_returnflag").collect(),
+        "topk": lambda: o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"))
+        .limit(10)
+        .collect(),
+        "join_agg": lambda: o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.sum("o_totalprice"))
+        .collect(),
+    }
+    return {k: time_best(v) for k, v in qs.items()}
+
+
+def main():
+    copies = [int(a) for a in sys.argv[1:]] or [10, 50]
+    from linkml_store_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-experiment", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    for n in copies:
+        d = generate(n)
+        rows = n * 600_000
+        sp = spark_workload(spark, d)
+        du = duckdb_workload(d)
+        print(
+            json.dumps(
+                {
+                    "copies": n,
+                    "lineitem_rows": rows,
+                    "spark_s": sp,
+                    "duckdb_s": du,
+                    "spark_total": round(sum(sp.values()), 3),
+                    "duckdb_total": round(sum(du.values()), 3),
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()
