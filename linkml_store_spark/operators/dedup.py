@@ -318,7 +318,15 @@ def ngram_jaccard_pairs(
         if threshold <= 0:
             raise ValueError("threshold must be > 0 for the inverted-index path")
         sizes = sh.select(F.col(id_col).alias("__id"), F.size("__sh").alias("__n"))
-        ex = sh.select(F.col(id_col).alias("__id"), F.explode("__sh").alias("__s"))
+        # explode_outer + isNotNull, NOT plain explode: Catalyst infers
+        # `size(arr) > 0` from explode and pushes it below the projection,
+        # re-evaluating the whole tokenize+shingle expression in the scan
+        # filter (2x CPU). explode_outer has no such inference; our shingle
+        # arrays are never empty/null so the results are identical.
+        ex = (
+            sh.select(F.col(id_col).alias("__id"), F.explode_outer("__sh").alias("__s"))
+            .filter(F.col("__s").isNotNull())
+        )
         inter = (
             ex.select(F.col("__id").alias("left_id"), "__s")
             .join(ex.select(F.col("__id").alias("right_id"), "__s"), "__s")

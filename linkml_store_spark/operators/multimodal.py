@@ -161,10 +161,14 @@ def sample_frames(
 ) -> DataFrame:
     """Video frame-sampling plumbing: one output row per sampled timestamp
     (frame decode itself stubbed as payload passthrough + frame_ts)."""
+    # explode_outer, not explode: explode's inferred `size(arr) > 0` filter
+    # gets pushed below the projection and re-builds the sequence array per
+    # row a second time (see dedup.ngram_jaccard_pairs). duration_ms >= 0
+    # always yields a non-empty sequence, so results are identical.
     frames = df.withColumn(
         "frame_ts",
-        F.explode(
+        F.explode_outer(
             F.sequence(F.lit(0), F.col("meta.duration_ms"), F.lit(every_ms))
         ),
-    )
+    ).filter(F.col("frame_ts").isNotNull())
     return frames.select("media_id", "kind", "frame_ts", "payload", "meta")
