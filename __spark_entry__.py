@@ -373,6 +373,36 @@ def q_lag_lead(spark, sf):
     )
 
 
+def q_asof_view_before_purchase(spark, sf):
+    # as-of join: each purchase matched to the user's latest view at or
+    # before it (union + running-last composition; DuckDB native ASOF JOIN
+    # as oracle). SURVEY §2.6 extension surface.
+    from linkml_store_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_ts="ts",
+        right_cols=["event_id", "value"],
+        right_order="event_id",
+        suffix="_view",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("event_id_view"),
+        F.round("value", 2).alias("view_value"),
+    ).orderBy("event_id")
+
+
 def q_sessionize(spark, sf):
     from linkml_store_spark.operators.windows import sessionize
 
@@ -593,6 +623,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_stats": q_embedding_stats,
     "lag_lead": q_lag_lead,
     "sessionize": q_sessionize,
+    "asof_join": q_asof_view_before_purchase,
     "enrichment": q_enrichment,
     "find_matches": q_find_matches,
     "groupby_objects": q_groupby_objects,
@@ -874,6 +905,16 @@ ORACLES: dict[str, str] = {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ORDER BY user_id, event_id
+    """,
+    "asof_join": """
+        WITH p AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+             v AS (SELECT event_id, user_id, ts, value FROM events
+                   WHERE event_type = 'view')
+        SELECT p.event_id, p.user_id, v.event_id AS event_id_view,
+               ROUND(v.value, 2) AS view_value
+        FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+        ORDER BY p.event_id
     """,
     "sessionize": """
         SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions FROM (
