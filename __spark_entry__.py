@@ -296,6 +296,19 @@ def q_dedup_simhash(spark, sf):
     return simhash_near_pairs(docs, "text", "doc_id", max_hamming=3)
 
 
+def q_embedding_dup_exact(spark, sf):
+    # exact all-pairs cosine baseline (the LSH near-dup path's recall
+    # reference); threshold tuned to the synthetic corpus' top pairs
+    from linkml_store_spark.operators.dedup import embedding_near_dup_pairs_exact
+
+    emb = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return embedding_near_dup_pairs_exact(
+        emb, "embedding", "vec_id", threshold=0.45
+    ).select("left_id", "right_id", F.round("cosine", 4).alias("cosine"))
+
+
 def q_text_stats(spark, sf):
     from linkml_store_spark.operators.textanalysis import (
         bpe_token_count,
@@ -615,6 +628,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_jaccard": q_dedup_jaccard,
+    "embedding_dup_exact": q_embedding_dup_exact,
     "dedup_simhash": q_dedup_simhash,
     "text_stats": q_text_stats,
     "text_lang_facet": q_text_lang_facet,
@@ -777,6 +791,15 @@ ORACLES: dict[str, str] = {
             FROM documents GROUP BY text
         ) m ON d.text = m.text
         WHERE m.c > 1 AND d.doc_id != m.dup_of
+    """,
+    "embedding_dup_exact": """
+        SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+               ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 4)
+                   AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.45
     """,
     "dedup_jaccard": r"""
         WITH sh AS (

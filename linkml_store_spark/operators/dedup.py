@@ -370,6 +370,28 @@ def ngram_jaccard_pairs(
 # --------------------------------------------------------------------- #
 # embedding cosine near-dup
 # --------------------------------------------------------------------- #
+def embedding_near_dup_pairs_exact(
+    df: DataFrame,
+    vector_col: str,
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """All-pairs exact cosine baseline — the oracle-checkable reference
+    result the LSH variant's recall is measured against. Quadratic in row
+    count: use ``embedding_near_dup_pairs`` (LSH) at scale."""
+    from linkml_store_spark.functions.vector import cosine_similarity
+
+    l = df.select(F.col(id_col).alias("left_id"), F.col(vector_col).alias("__vl"))
+    r = df.select(F.col(id_col).alias("right_id"), F.col(vector_col).alias("__vr"))
+    return (
+        l.crossJoin(r)
+        .filter(F.col("left_id") < F.col("right_id"))
+        .withColumn("cosine", cosine_similarity(F.col("__vl"), F.col("__vr")))
+        .filter(F.col("cosine") >= threshold)
+        .select("left_id", "right_id", "cosine")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vector_col: str,

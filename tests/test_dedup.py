@@ -74,6 +74,21 @@ def test_ngram_jaccard_with_candidates(spark, docs):
     assert pairs.count() == 2  # only supplied candidates scored
 
 
+def test_embedding_near_dup_exact_is_lsh_recall_reference(spark):
+    rows = [
+        {"vec_id": 0, "embedding": [1.0, 0.0, 0.0, 0.0]},
+        {"vec_id": 1, "embedding": [0.999, 0.01, 0.0, 0.0]},
+        {"vec_id": 2, "embedding": [0.0, 1.0, 0.0, 0.0]},
+    ]
+    df = spark.createDataFrame(rows)
+    exact = dedup.embedding_near_dup_pairs_exact(df, "embedding", "vec_id", 0.99)
+    got = {(r["left_id"], r["right_id"]) for r in exact.collect()}
+    assert got == {(0, 1)}
+    # the LSH path must never return a pair the exact baseline rejects
+    lsh = dedup.embedding_near_dup_pairs(df, "embedding", "vec_id", 0.99)
+    assert {(r["left_id"], r["right_id"]) for r in lsh.collect()} <= got
+
+
 def test_embedding_near_dup(spark):
     rows = [
         {"vec_id": 0, "embedding": [1.0, 0.0, 0.0, 0.0]},
