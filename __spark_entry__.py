@@ -386,6 +386,27 @@ def q_lag_lead(spark, sf):
     )
 
 
+def q_resample_hourly(spark, sf):
+    # fixed hourly grid per event_type with empty buckets zero-filled
+    from linkml_store_spark.operators.resample import resample
+
+    ev = _t(spark, sf, "events")
+    out = resample(
+        ev,
+        "event_type",
+        "ts",
+        3600,
+        {"n": F.count(F.lit(1)), "sum_value": F.sum("value")},
+        fill="zero",
+    )
+    return out.select(
+        "event_type",
+        "bucket_ts",
+        "n",
+        F.round("sum_value", 2).alias("sum_value"),
+    ).orderBy("event_type", "bucket_ts")
+
+
 def q_asof_view_before_purchase(spark, sf):
     # as-of join: each purchase matched to the user's latest view at or
     # before it (union + running-last composition; DuckDB native ASOF JOIN
@@ -638,6 +659,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lag_lead": q_lag_lead,
     "sessionize": q_sessionize,
     "asof_join": q_asof_view_before_purchase,
+    "resample_hourly": q_resample_hourly,
     "enrichment": q_enrichment,
     "find_matches": q_find_matches,
     "groupby_objects": q_groupby_objects,
@@ -928,6 +950,26 @@ ORACLES: dict[str, str] = {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ORDER BY user_id, event_id
+    """,
+    "resample_hourly": """
+        WITH agged AS (
+          SELECT event_type,
+                 (FLOOR(epoch(ts)/3600)*3600)::BIGINT AS bucket_ts,
+                 COUNT(*) AS n, SUM(value) AS sum_value
+          FROM events GROUP BY 1, 2
+        ),
+        grid AS (
+          SELECT event_type,
+                 UNNEST(generate_series(MIN(bucket_ts), MAX(bucket_ts), 3600))
+                     AS bucket_ts
+          FROM agged GROUP BY event_type
+        )
+        SELECT g.event_type, g.bucket_ts,
+               COALESCE(a.n, 0) AS n,
+               ROUND(COALESCE(a.sum_value, 0), 2) AS sum_value
+        FROM grid g LEFT JOIN agged a
+          ON g.event_type = a.event_type AND g.bucket_ts = a.bucket_ts
+        ORDER BY g.event_type, g.bucket_ts
     """,
     "asof_join": """
         WITH p AS (SELECT event_id, user_id, ts FROM events
