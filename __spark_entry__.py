@@ -386,6 +386,27 @@ def q_lag_lead(spark, sf):
     )
 
 
+def q_rolling_1h(spark, sf):
+    # per-user sliding 1-hour aggregates (RANGE frame — deterministic
+    # under equal-ts ties because membership is value-based)
+    from linkml_store_spark.operators.windows import rolling_agg
+
+    ev = _t(spark, sf, "events")
+    out = rolling_agg(
+        ev,
+        "user_id",
+        "ts",
+        3600,
+        {"n_1h": F.count(F.lit(1)), "sum_value_1h": F.sum("value")},
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "n_1h",
+        F.round("sum_value_1h", 2).alias("sum_value_1h"),
+    ).orderBy("event_id")
+
+
 def q_resample_hourly(spark, sf):
     # fixed hourly grid per event_type with empty buckets zero-filled
     from linkml_store_spark.operators.resample import resample
@@ -660,6 +681,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "asof_join": q_asof_view_before_purchase,
     "resample_hourly": q_resample_hourly,
+    "rolling_1h": q_rolling_1h,
     "enrichment": q_enrichment,
     "find_matches": q_find_matches,
     "groupby_objects": q_groupby_objects,
@@ -950,6 +972,15 @@ ORACLES: dict[str, str] = {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ORDER BY user_id, event_id
+    """,
+    "rolling_1h": """
+        SELECT event_id, user_id,
+               COUNT(*) OVER w AS n_1h,
+               ROUND(SUM(value) OVER w, 2) AS sum_value_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
     """,
     "resample_hourly": """
         WITH agged AS (

@@ -62,6 +62,35 @@ def with_lag_lead(
     )
 
 
+def rolling_agg(
+    df: DataFrame,
+    partition_by: Union[str, List[str]],
+    ts_col: str,
+    window_seconds: int,
+    aggs: dict,
+) -> DataFrame:
+    """Sliding time-range aggregates: each row gets ``aggs`` computed over
+    the partition's rows with ``ts`` in ``[row.ts - window_seconds, row.ts]``.
+
+    A RANGE frame over the epoch ordering — frame membership depends on the
+    timestamp *value*, not row position, so results are deterministic under
+    equal-timestamp ties (unlike ROWS frames). One shuffle on the key; the
+    per-partition sliding computation is a single sort + running frame in
+    the window exec, no self-join.
+    """
+    if isinstance(partition_by, str):
+        partition_by = [partition_by]
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(F.col(ts_col).cast("double"))
+        .rangeBetween(-window_seconds, 0)
+    )
+    out = df
+    for name, c in aggs.items():
+        out = out.withColumn(name, c.over(w))
+    return out
+
+
 def time_bucket(
     df: DataFrame,
     ts_col: str,

@@ -12,6 +12,7 @@ from linkml_store_spark.operators.embeddings import (
 )
 from linkml_store_spark.operators.windows import (
     latest_per_key,
+    rolling_agg,
     sessionize,
     with_lag_lead,
     with_rank,
@@ -75,6 +76,19 @@ def test_lag_lead(spark):
     out = {r["t"]: r.asDict() for r in with_lag_lead(df, "u", "t", "v").collect()}
     assert out[1]["v_lag"] == 0.0 and out[1]["v_lead"] == 2.0
     assert out[0]["v_lag"] is None and out[2]["v_lead"] is None
+
+
+def test_rolling_agg_range_frame(spark):
+    # rows at t=0,5,11,12 with a 10s window: frame is value-based
+    df = spark.createDataFrame(
+        [{"u": 1, "ts": float(t), "v": 1.0} for t in (0, 5, 11, 12)]
+    )
+    out = rolling_agg(
+        df, "u", "ts", 10, {"n_10s": F.count(F.lit(1)), "sum_10s": F.sum("v")}
+    )
+    got = {r["ts"]: r["n_10s"] for r in out.collect()}
+    # frames: t=0 -> {0}; t=5 -> {0,5}; t=11 -> [1,11]={5,11}; t=12 -> {5,11,12}
+    assert got == {0.0: 1, 5.0: 2, 11.0: 2, 12.0: 3}
 
 
 def test_sessionize(spark):
