@@ -207,6 +207,29 @@ def q_join_supplier_geo(spark, sf):
     )
 
 
+def q_join_topk_revenue(spark, sf):
+    # TPC-H Q3 shape: 3-table join, filter on the dimension side, top-k.
+    # Revenue is rounded BEFORE ordering in both engines (double sums can
+    # differ in final bits across engines) and tie-broken by key for a
+    # total order.
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    return (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
 def q_referential_integrity(spark, sf):
     # orders with no lineitems: left-anti probe (SURVEY §2.6, database.py:703-747)
     orders = _t(spark, sf, "orders")
@@ -682,6 +705,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join": q_asof_view_before_purchase,
     "resample_hourly": q_resample_hourly,
     "rolling_1h": q_rolling_1h,
+    "join_topk_revenue": q_join_topk_revenue,
     "enrichment": q_enrichment,
     "find_matches": q_find_matches,
     "groupby_objects": q_groupby_objects,
@@ -972,6 +996,17 @@ ORACLES: dict[str, str] = {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ORDER BY user_id, event_id
+    """,
+    "join_topk_revenue": """
+        SELECT o_orderkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10
     """,
     "rolling_1h": """
         SELECT event_id, user_id,
