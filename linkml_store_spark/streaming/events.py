@@ -98,6 +98,47 @@ def dedup_stream(
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    interval: str = "1 hour",
+    watermark: str = "2 hours",
+    right_cols: Optional[list] = None,
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition:
+    right rows with ``right.ts`` in ``[left.ts - interval, left.ts]`` for
+    the same key.
+
+    Both sides are watermarked, and the time-bound condition lets the join
+    state expire: a buffered right row can be dropped once the watermark
+    passes ``its ts + interval`` (without the bound, stream-stream join
+    state grows forever). Right columns come out prefixed. Append-mode
+    safe — results emit when the watermark closes the interval.
+    """
+    right_cols = right_cols or [
+        c for c in right.columns if c not in (key, right_ts)
+    ]
+    l = left.withWatermark(left_ts, watermark)
+    r = right.select(
+        F.col(key).alias(f"{right_prefix}{key}"),
+        F.col(right_ts).alias(f"{right_prefix}ts"),
+        *[F.col(c).alias(f"{right_prefix}{c}") for c in right_cols],
+    ).withWatermark(f"{right_prefix}ts", watermark)
+    cond = (
+        (F.col(key) == F.col(f"{right_prefix}{key}"))
+        & (F.col(f"{right_prefix}ts") <= F.col(left_ts))
+        & (
+            F.col(f"{right_prefix}ts")
+            >= F.col(left_ts) - F.expr(f"INTERVAL {interval}")
+        )
+    )
+    return l.join(r, cond, "inner").drop(f"{right_prefix}{key}")
+
+
 def windowed_event_counts_batch(events: DataFrame) -> DataFrame:
     """Batch equivalent of the hourly rollup: date_trunc bucket per
     event_type with count + sum. Grouping happens on the (8-byte) truncated

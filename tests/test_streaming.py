@@ -98,3 +98,47 @@ def test_dedup_stream(spark, sf_dir, tmp_path):
     out = spark.read.parquet(str(tmp_path / "out"))
     src = load_table(spark, sf_dir, "events")
     assert out.count() == src.select("event_id").distinct().count()
+
+
+def test_stream_stream_interval_join(spark, sf_dir, tmp_path):
+    from linkml_store_spark.streaming.events import interval_join_streams
+
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = stream.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = interval_join_streams(
+        purchases, views, key="user_id", interval="1 hour", watermark="48 hours"
+    )
+    (
+        joined.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    out = spark.read.parquet(str(tmp_path / "out"))
+    # batch cross-check: same interval join expressed on the static table
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("v_event"),
+    )
+    batch = p.join(
+        v,
+        (p.user_id == v.v_user)
+        & (v.v_ts <= p.p_ts)
+        & (v.v_ts >= p.p_ts - F.expr("INTERVAL 1 hour")),
+    )
+    assert out.count() == batch.count()
+    got = {(r["event_id"], r["r_event_id"]) for r in out.collect()}
+    want = {(r["event_id"], r["v_event"]) for r in batch.collect()}
+    assert got == want
