@@ -46,6 +46,28 @@ def latest_per_key(
     return ranked.filter(F.col("__rn") == 1).drop("__rn")
 
 
+def argmax_per_key(
+    df: DataFrame,
+    partition_by: Union[str, List[str]],
+    order_cols: List[str],
+) -> DataFrame:
+    """Skew-immune latest/argmax per key: the full row holding the maximum
+    ``order_cols`` tuple within each key, via a ``max_by`` aggregate.
+
+    Unlike the ``row_number`` window (``latest_per_key``), an aggregate
+    partial-combines map-side, so a hot key reduces to one row per input
+    partition BEFORE the shuffle — measured 4.5x faster (2.11 s -> 0.47 s)
+    on a 20M-row table where one key owns 50% of rows (SCALING.md).
+    Results are identical and deterministic when ``order_cols`` form a
+    total order within each key (include a unique id as tiebreaker).
+    """
+    if isinstance(partition_by, str):
+        partition_by = [partition_by]
+    ord_struct = F.struct(*[F.col(c) for c in order_cols])
+    row = F.max_by(F.struct(*[F.col(c) for c in df.columns]), ord_struct)
+    return df.groupBy(*partition_by).agg(row.alias("__row")).select("__row.*")
+
+
 def with_lag_lead(
     df: DataFrame,
     partition_by: Union[str, List[str]],

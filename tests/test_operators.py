@@ -11,6 +11,7 @@ from linkml_store_spark.operators.embeddings import (
     sample_embeddings,
 )
 from linkml_store_spark.operators.windows import (
+    argmax_per_key,
     latest_per_key,
     rolling_agg,
     sessionize,
@@ -76,6 +77,17 @@ def test_lag_lead(spark):
     out = {r["t"]: r.asDict() for r in with_lag_lead(df, "u", "t", "v").collect()}
     assert out[1]["v_lag"] == 0.0 and out[1]["v_lead"] == 2.0
     assert out[0]["v_lag"] is None and out[2]["v_lead"] is None
+
+
+def test_argmax_per_key_matches_window_path(spark, sf_dir):
+    from linkml_store_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    via_window = latest_per_key(ev, "user_id", [F.desc("ts"), F.desc("event_id")])
+    via_agg = argmax_per_key(ev, "user_id", ["ts", "event_id"])
+    a = {r["user_id"]: r["event_id"] for r in via_window.collect()}
+    b = {r["user_id"]: r["event_id"] for r in via_agg.collect()}
+    assert a == b and a
 
 
 def test_rolling_agg_range_frame(spark):
