@@ -136,6 +136,16 @@ def read_objects_df(
             return spark.createDataFrame(pd.read_excel(path))
         except ImportError as e:
             raise NotImplementedError("xlsx support requires openpyxl") from e
+    if fmt == "rds":
+        # R data file via pyreadr (reference format_utils.py:198-201);
+        # optional dependency, absent in this environment
+        try:
+            import pyreadr
+
+            result = pyreadr.read_r(path)
+            return spark.createDataFrame(next(iter(result.values())))
+        except ImportError as e:
+            raise NotImplementedError("rds support requires pyreadr") from e
     raise ValueError(f"unsupported format: {fmt}")
 
 

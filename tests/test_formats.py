@@ -96,6 +96,15 @@ def test_read_pkl(spark, tmp_path):
     assert df.count() == 2
 
 
+def test_rds_gated(spark, tmp_path):
+    import pytest
+
+    p = tmp_path / "x.rds"
+    p.write_bytes(b"")
+    with pytest.raises((NotImplementedError, Exception)):
+        read_objects_df(spark, str(p), fmt="rds")
+
+
 def test_write_roundtrip(spark, tmp_path, countries):
     df = spark.createDataFrame(countries)
     for fmt in ["parquet", "jsonl", "csv"]:
