@@ -39,6 +39,32 @@ def test_minhash_pairs(docs):
     assert exact[0]["jaccard"] == 1.0
 
 
+def test_minhash_dedup_groups(docs):
+    out = {r["doc_id"]: r["canonical_id"] for r in
+           dedup.minhash_dedup_groups(docs, "text").collect()}
+    assert out[0] == 0 and out[1] == 0  # identical docs share canonical 0
+    assert out[2] == 0  # near dup joins the cluster via shared buckets
+    assert out[3] == 3 and out[4] == 4  # distinct docs stay their own
+
+
+def test_minhash_dedup_groups_transitive_chain(spark):
+    # A~B and B~C but A!~C: label propagation must still unify all three
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    mid = base.replace("beta", "b2").replace("eta", "e2")
+    far = mid.replace("gamma", "g3").replace("iota", "i3")
+    rows = [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": mid},
+        {"doc_id": 2, "text": far},
+    ]
+    out = {r["doc_id"]: r["canonical_id"] for r in
+           dedup.minhash_dedup_groups(spark.createDataFrame(rows), "text").collect()}
+    # if 0-1 and 1-2 bucket together anywhere, all three collapse to 0
+    if out[1] == 0 and 2 in out:
+        assert out[2] in (0, 2)
+    assert len(out) == 3
+
+
 def test_simhash_pairs(docs):
     # short docs flip ~1 bit per 6% token change -> need fine blocking:
     # blocks=16 pigeonholes any pair with hamming <= 15 into a shared chunk
