@@ -311,6 +311,16 @@ def q_dedup_jaccard(spark, sf):
     ).select("left_id", "right_id", F.round("jaccard", 4).alias("jaccard"))
 
 
+def q_dedup_groups(spark, sf):
+    # cluster-canonical dedup (no SQL oracle: transitive closure over
+    # seeded LSH buckets); rows-only check — one row per doc, and the
+    # canonical assignment is deterministic for a fixed corpus
+    from linkml_store_spark.operators.dedup import minhash_dedup_groups
+
+    docs = _t(spark, sf, "documents")
+    return minhash_dedup_groups(docs, "text", "doc_id").orderBy("doc_id")
+
+
 def q_dedup_simhash(spark, sf):
     # no SQL oracle (bit-fiddling fingerprints); rows-only check
     from linkml_store_spark.operators.dedup import simhash_near_pairs
@@ -694,6 +704,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_jaccard": q_dedup_jaccard,
     "embedding_dup_exact": q_embedding_dup_exact,
+    "dedup_groups": q_dedup_groups,
     "dedup_simhash": q_dedup_simhash,
     "text_stats": q_text_stats,
     "text_lang_facet": q_text_lang_facet,

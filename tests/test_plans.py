@@ -82,13 +82,19 @@ def test_text_analysis_stays_jvm_side(spark, sf_dir):
     assert "WholeStageCodegen" in explain_str(prof, "codegen") or True
 
 
-def test_dedup_minhash_no_python(spark, sf_dir):
+def test_dedup_minhash_python_is_arrow_batched_only(spark, sf_dir):
+    # tokenize/shingle/hash stay native; ONLY the permutation-minima kernel
+    # runs in Python — and it must be the Arrow-batched form, never
+    # row-at-a-time (HOF transform() lambdas can't codegen, so the kernel
+    # is a deliberate vectorized drop-out; see SCALING.md measurement)
     from linkml_store_spark.operators.dedup import minhash_signatures
 
     docs = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures(docs, "text", num_perm=16)
     s = explain_str(sig, "simple")
-    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+    assert "BatchEvalPython" not in s  # no pickled row-at-a-time UDF
+    assert s.count("ArrowEvalPython") == 1  # exactly the one kernel
+    assert "Generate" not in s  # still no explode/shuffle in signatures
 
 
 def test_count_and_page_share_filter_pushdown(spark, sf_dir):
