@@ -37,11 +37,13 @@ def knn(
 
     Catalyst turns orderBy+limit into TakeOrderedAndProject — per-partition
     heaps of size k, no full sort, no full shuffle. This is the correct
-    brute-force plan at any scale.
+    brute-force plan at any scale. Scoring uses the Arrow-batched numpy
+    kernel (``cosine_to_query``): HOF-lambda cosine runs interpreted and
+    was measured 3.8x slower at 200k vectors, with identical results.
     """
-    scored = df.withColumn(
-        score_col, cosine_similarity(F.col(vector_col), vec_lit(query_vector))
-    )
+    from linkml_store_spark.functions.vector import cosine_to_query
+
+    scored = df.withColumn(score_col, cosine_to_query(query_vector)(F.col(vector_col)))
     return scored.orderBy(F.desc(score_col)).limit(k)
 
 

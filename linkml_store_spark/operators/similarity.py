@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from linkml_store_spark.functions.vector import (
     cosine_similarity,
+    cosine_to_query,
     dot,
     vec_lit,
 )
@@ -75,7 +76,7 @@ def lsh_knn(
         F.bit_count(F.col("__sig").bitwiseXOR(F.lit(qsig))) <= max_hamming
     )
     scored = cand.withColumn(
-        score_col, cosine_similarity(F.col(vector_col), vec_lit(query_vector))
+        score_col, cosine_to_query(query_vector)(F.col(vector_col))
     ).drop("__sig")
     return scored.orderBy(F.desc(score_col)).limit(k)
 
@@ -102,19 +103,20 @@ def _nearest_centroid_expr(vector_col: Column, centroids: np.ndarray) -> Column:
     """argmin_c ||v - centroid_c||^2 as a pure Column expression.
 
     Uses -2·v·c + |c|^2 (|v|^2 constant per row) — one dot product per
-    centroid, all JVM-side.
+    centroid, all JVM-side. The argmin is expressed as
+    ``array_position(dists, array_min(dists))`` over a distance ARRAY:
+    expression size stays LINEAR in n_centroids. (A chained
+    when/otherwise running-min duplicates the accumulated expression in
+    both branches each step — size 2^n, driver OOM at 64 centroids.)
     """
-    best_idx: Column = F.lit(0)
-    best_val: Column = None
-    for i, c in enumerate(centroids):
-        val = F.lit(float(c @ c)) - 2.0 * dot(vector_col, vec_lit(c))
-        if best_val is None:
-            best_val = val
-        else:
-            cond = val < best_val
-            best_idx = F.when(cond, F.lit(i)).otherwise(best_idx)
-            best_val = F.when(cond, val).otherwise(best_val)
-    return best_idx
+    dists = F.array(
+        *[
+            F.lit(float(c @ c)) - 2.0 * dot(vector_col, vec_lit(c))
+            for c in centroids
+        ]
+    )
+    # 1-based position of the (first) minimum; ties break to lowest index
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
 def build_ivf(
@@ -185,6 +187,6 @@ def ivf_knn(
     probe = [int(i) for i in d.argsort()[:nprobe]]
     cand = assigned_df.filter(F.col("__centroid").isin(probe))
     scored = cand.withColumn(
-        score_col, cosine_similarity(F.col(vector_col), vec_lit(query_vector))
+        score_col, cosine_to_query(query_vector)(F.col(vector_col))
     )
     return scored.orderBy(F.desc(score_col)).limit(k).drop("__centroid")
