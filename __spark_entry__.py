@@ -678,6 +678,68 @@ def q_graph_traverse(spark, sf):
     return g.traverse(start, ["located_in", "in_region"]).orderBy("start", "end")
 
 
+def _media_from_docs(spark, sf):
+    """Deterministic media table derived from documents: text bytes as the
+    binary payload, doc_id-keyed fake metadata. Lets the multimodal
+    pipeline run on driver testdata with a SQL-expressible oracle."""
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("fake").alias("format"),
+            (F.lit(32) + (F.col("doc_id") % 8) * 16).cast("int").alias("width"),
+            (F.lit(32) + (F.col("doc_id") % 5) * 16).cast("int").alias("height"),
+            (F.lit(1000) + (F.col("doc_id") % 7) * 500).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def q_multimodal_features(spark, sf):
+    """Binary-column decode+featurize through the real Arrow-batched
+    mapInPandas stage; oracle checks the deterministic columns (payload
+    byte length, fixed feature dim) — pixel stats come from the stubbed
+    decoder and are intentionally excluded."""
+    from linkml_store_spark.operators.multimodal import extract_features
+
+    feats = extract_features(_media_from_docs(spark, sf))
+    return feats.select(
+        "media_id",
+        "kind",
+        "payload_bytes",
+        F.size("feature").alias("n_features"),
+    )
+
+
+def q_multimodal_frames(spark, sf):
+    """Video frame-sampling plumbing: one row per sampled timestamp from
+    typed metadata (explode_outer over sequence); oracled via DuckDB
+    generate_series."""
+    from linkml_store_spark.operators.multimodal import sample_frames
+
+    media = _media_from_docs(spark, sf).withColumn("kind", F.lit("video"))
+    return sample_frames(media, every_ms=500).select("media_id", "frame_ts")
+
+
+def q_ann_ivf(spark, sf):
+    """IVF ANN probing ALL centroids — exact by construction, so the
+    brute-force SQL top-k is a true value oracle for the whole IVF
+    machinery (k-means build, centroid-assignment expression, probe
+    filter, TakeOrdered). Recall at nprobe<all is covered in
+    tests/test_similarity.py."""
+    from linkml_store_spark.operators.similarity import build_ivf, ivf_knn
+
+    emb = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]]
+    base = emb.filter(F.col("vec_id") != 1)
+    assigned, centroids = build_ivf(base, n_centroids=8, seed=42)
+    top = ivf_knn(assigned, centroids, qv, k=10, nprobe=8)
+    return top.select("vec_id", F.round(F.col("score"), 4).alias("score"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "find_eq": q_find_eq,
     "find_range": q_find_range,
@@ -729,6 +791,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "collection_api": q_collection_api,
     "facet_multivalued": q_facet_multivalued,
     "set_ops": q_set_ops,
+    "multimodal_features": q_multimodal_features,
+    "multimodal_frames": q_multimodal_frames,
+    "ann_ivf": q_ann_ivf,
 }
 
 
@@ -1160,6 +1225,31 @@ ORACLES: dict[str, str] = {
         INTERSECT
         SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice >= 400000.0
         ORDER BY k
+    """,
+    "multimodal_features": """
+        SELECT doc_id AS media_id,
+               'image' AS kind,
+               CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+               CAST(16 AS INTEGER) AS n_features
+        FROM documents
+    """,
+    "multimodal_frames": """
+        SELECT doc_id AS media_id,
+               CAST(unnest(generate_series(0, 1000 + (doc_id % 7) * 500, 500))
+                    AS INTEGER) AS frame_ts
+        FROM documents
+    """,
+    "ann_ivf": """
+        WITH q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 1
+        )
+        SELECT vec_id,
+               ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS score
+        FROM embeddings e, q
+        WHERE e.vec_id != 1
+        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC,
+                 e.vec_id ASC
+        LIMIT 10
     """,
 }
 
