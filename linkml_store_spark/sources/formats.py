@@ -59,6 +59,8 @@ def guess_format(path: str) -> str:
         "xlsx": "xlsx",
         "toml": "toml",
         "xml": "xml",
+        "h5": "hdf5",
+        "hdf5": "hdf5",
         "md": "markdown",
     }.get(ext, ext or "json")
 
@@ -136,6 +138,31 @@ def read_objects_df(
             return spark.createDataFrame(pd.read_excel(path))
         except ImportError as e:
             raise NotImplementedError("xlsx support requires openpyxl") from e
+    if fmt == "hdf5":
+        # reference hdf5_collection.py:20-33 stores each object as a group
+        # keyed by its id, one dataset per attribute, dict/list values
+        # JSON-encoded; h5py is an optional dependency (absent here)
+        try:
+            import json as _json
+
+            import h5py
+
+            objs = []
+            with h5py.File(path, "r") as f:
+                for obj_id in f:
+                    obj = {"id": obj_id}
+                    for key, value in f[obj_id].items():
+                        raw = value[()]
+                        if isinstance(raw, bytes):
+                            raw = raw.decode("utf-8", errors="replace")
+                        try:
+                            obj[key] = _json.loads(raw)
+                        except (ValueError, TypeError):
+                            obj[key] = raw
+                    objs.append(obj)
+            return spark.createDataFrame(objs)
+        except ImportError as e:
+            raise NotImplementedError("hdf5 support requires h5py") from e
     if fmt == "rds":
         # R data file via pyreadr (reference format_utils.py:198-201);
         # optional dependency, absent in this environment

@@ -105,6 +105,34 @@ def test_rds_gated(spark, tmp_path):
         read_objects_df(spark, str(p), fmt="rds")
 
 
+def test_hdf5_gated(spark, tmp_path):
+    """Gated like rds: reads the reference store layout (group per object
+    id, dataset per attribute, JSON-encoded dict/list values) when h5py is
+    present; raises NotImplementedError when it is not."""
+    import pytest
+
+    try:
+        import h5py
+    except ImportError:
+        p = tmp_path / "x.h5"
+        p.write_bytes(b"")
+        with pytest.raises(NotImplementedError):
+            read_objects_df(spark, str(p), fmt="hdf5")
+        return
+    p = tmp_path / "x.h5"
+    import json
+
+    with h5py.File(p, "w") as f:
+        f.create_dataset("a1/name", data="Alice")
+        f.create_dataset("a1/tags", data=json.dumps(["x", "y"]))
+        f.create_dataset("a2/name", data="Bob")
+        f.create_dataset("a2/tags", data=json.dumps(["z"]))
+    df = read_objects_df(spark, str(p))
+    rows = {r["id"]: r.asDict() for r in df.collect()}
+    assert rows["a1"]["name"] == "Alice" and rows["a1"]["tags"] == ["x", "y"]
+    assert rows["a2"]["tags"] == ["z"]
+
+
 def test_write_roundtrip(spark, tmp_path, countries):
     df = spark.createDataFrame(countries)
     for fmt in ["parquet", "jsonl", "csv"]:
