@@ -162,3 +162,83 @@ def with_date_partition(
 ) -> DataFrame:
     """Derive the daily partition column from an event-time column."""
     return df.withColumn(out_col, F.to_date(F.col(ts_col)))
+
+
+def file_stats(path: str) -> dict:
+    """Driver-side layout census of a parquet directory: file count, total
+    bytes, smallest/largest data file. The decision input for ``compact``
+    — at 100 TB the metadata walk is the cheap part; reading the data to
+    find out it was 4 million 2 MB files is not."""
+    import os
+
+    sizes = []
+    for root, _dirs, files in os.walk(path):
+        for name in files:
+            if name.endswith((".parquet", ".snappy.parquet")) and not name.startswith(
+                ("_", ".")
+            ):
+                sizes.append(os.path.getsize(os.path.join(root, name)))
+    return {
+        "num_files": len(sizes),
+        "total_bytes": sum(sizes),
+        "min_bytes": min(sizes) if sizes else 0,
+        "max_bytes": max(sizes) if sizes else 0,
+    }
+
+
+def compact(
+    spark,
+    path: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+    sort_cols: Optional[Sequence[str]] = None,
+) -> dict:
+    """Rewrite a parquet directory into ~``target_file_bytes`` files
+    (write-then-swap, like Database._save_collection_df — parquet rewrites
+    are not atomic in place).
+
+    Streaming sinks, per-microbatch upserts, and over-parallel writes all
+    leave small-file swarms; at cluster scale every query then pays file
+    listing + one scan task per tiny file. Compaction = one wide read +
+    ``repartition(ceil(bytes/target))`` + rewrite. With ``sort_cols`` the
+    rewrite also range-clusters (see ``write_clustered``) so compaction
+    doubles as a clustering pass.
+    """
+    import math
+    import os
+    import shutil
+
+    before = file_stats(path)
+    n = max(1, math.ceil(before["total_bytes"] / target_file_bytes))
+    df = spark.read.parquet(path)
+    if sort_cols:
+        df = df.repartitionByRange(n, *[F.col(c) for c in sort_cols])
+        df = df.sortWithinPartitions(*sort_cols)
+    else:
+        df = df.repartition(n)
+    tmp = path.rstrip("/") + ".__compact_tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.replace(tmp, path)
+    after = file_stats(path)
+    return {"before": before, "after": after, "target_files": n}
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: Sequence[str],
+    num_files: int,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partition on ``cluster_cols`` then sort within each file —
+    every output file holds a narrow, (near-)disjoint slice of the cluster
+    key, so its parquet footer min/max lets a point/range predicate skip
+    whole files *and* row groups without any hive directory explosion
+    (the right layout when the key is high-cardinality, e.g. user_id).
+    Asserted in tests/test_scale.py via footer statistics."""
+    (
+        df.repartitionByRange(num_files, *[F.col(c) for c in cluster_cols])
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )

