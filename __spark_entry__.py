@@ -678,6 +678,18 @@ def q_graph_traverse(spark, sf):
     return g.traverse(start, ["located_in", "in_region"]).orderBy("start", "end")
 
 
+def q_quantiles_by_priority(spark, sf):
+    """Grouped EXACT percentiles (F.percentile, not approx) — matches
+    DuckDB quantile_cont's linear interpolation bit-for-bit at ROUND(2)."""
+    o = _t(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 2).alias("p25"),
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 2).alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def _media_from_docs(spark, sf):
     """Deterministic media table derived from documents: text bytes as the
     binary payload, doc_id-keyed fake metadata. Lets the multimodal
@@ -794,6 +806,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
     "ann_ivf": q_ann_ivf,
+    "quantiles_by_priority": q_quantiles_by_priority,
 }
 
 
@@ -1250,6 +1263,15 @@ ORACLES: dict[str, str] = {
         ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC,
                  e.vec_id ASC
         LIMIT 10
+    """,
+    "quantiles_by_priority": """
+        SELECT o_orderpriority,
+               ROUND(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+               ROUND(quantile_cont(o_totalprice, 0.50), 2) AS p50,
+               ROUND(quantile_cont(o_totalprice, 0.75), 2) AS p75,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders
+        GROUP BY o_orderpriority
     """,
 }
 

@@ -585,6 +585,30 @@ class Collection:
         return (self.df.select(*cols) if cols else self.df).distinct()
 
     # ------------------------------------------------------------------ #
+    # layout maintenance (scale extension)
+    # ------------------------------------------------------------------ #
+    def compact(
+        self,
+        target_file_bytes: int = 256 * 1024 * 1024,
+        sort_cols: Optional[List[str]] = None,
+    ) -> dict:
+        """Rewrite this collection's warehouse parquet into
+        ~``target_file_bytes`` files (optionally sort-clustered). Streams of
+        small upserts leave file swarms; this is the maintenance pass a
+        100 TB table needs. Requires a persistent database location."""
+        from linkml_store_spark.operators.scale import compact as _compact
+
+        if not self.database.location:
+            raise ValueError("compact requires a persistent database location")
+        path = self.database._collection_path(self.alias)
+        report = _compact(
+            self.spark, path, target_file_bytes=target_file_bytes, sort_cols=sort_cols
+        )
+        self._df = self.spark.read.parquet(path)
+        self.database._register_view(self.alias)
+        return report
+
+    # ------------------------------------------------------------------ #
     # diff / patch (§2.2)
     # ------------------------------------------------------------------ #
     def diff(self, other: "Collection") -> List[dict]:

@@ -1,6 +1,7 @@
 """Collection CRUDSI behavior (reference test strategy: test_api.py)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from linkml_store_spark.client import Client
 from linkml_store_spark.query import Query
@@ -284,3 +285,23 @@ def test_sort_null_placement_matches_duckdb(db):
     assert asc == [3, 1, 2]     # null last
     desc = [r["id"] for r in coll.find(sort_by=["-v"]).rows]
     assert desc == [1, 3, 2]    # null last
+
+
+def test_collection_compact(spark, tmp_path):
+    from linkml_store_spark.operators.scale import file_stats
+
+    client = Client(spark)
+    db = client.attach_database(f"spark://{tmp_path}/wh")
+    coll = db.create_collection("Events", identifier_attribute="id")
+    # many small inserts -> file swarm in the warehouse
+    coll.insert(spark.range(0, 2000).withColumn("v", F.col("id") * 3).repartition(16))
+    path = db._collection_path("Events")
+    assert file_stats(path)["num_files"] >= 16
+    report = coll.compact(target_file_bytes=50 * 1024 * 1024, sort_cols=["id"])
+    assert file_stats(path)["num_files"] < 16
+    assert report["after"]["num_files"] < report["before"]["num_files"]
+    # data intact, collection df refreshed, view still queryable
+    assert coll.size() == 2000
+    assert db.execute_sql("SELECT SUM(v) AS s FROM Events").rows[0]["s"] == sum(
+        3 * i for i in range(2000)
+    )
