@@ -410,6 +410,28 @@ def drop(obj: Context):
 
 
 @cli.command()
+@click.option(
+    "--target-mb", default=256, type=int, help="target output file size in MB"
+)
+@click.option(
+    "--sort-by", default=None, help="comma-separated cluster columns (sorted layout)"
+)
+@click.pass_obj
+def compact(obj: Context, target_mb, sort_by):
+    """Rewrite the collection's parquet into ~target-size files (layout
+    maintenance for small-file swarms; optional sort-clustering)."""
+    cols = sort_by.split(",") if sort_by else None
+    report = obj.collection.compact(
+        target_file_bytes=target_mb * 1024 * 1024, sort_cols=cols
+    )
+    click.echo(
+        f"{report['before']['num_files']} files -> "
+        f"{report['after']['num_files']} files "
+        f"({report['after']['total_bytes']} bytes)"
+    )
+
+
+@cli.command()
 @click.argument("path")
 @click.option("-f", "--format", "fmt", default="parquet")
 @click.pass_obj

@@ -146,3 +146,12 @@ def test_query_explain(wh, countries_file, spark):
     _run(["-d", wh, "-c", "countries", "insert", countries_file])
     r = _run(["-d", wh, "-c", "countries", "query", "-w", "{code: FR}", "--explain"])
     assert "PushedFilters" in r.output and "EqualTo(code,FR)" in r.output
+
+
+def test_compact_cli(wh, countries_file, spark):
+    _run(["-d", wh, "-c", "countries", "insert", countries_file])
+    r = _run(["-d", wh, "-c", "countries", "compact", "--sort-by", "code"])
+    assert "files ->" in r.output
+    # still queryable afterwards
+    r = _run(["-d", wh, "-c", "countries", "query", "-w", "{code: FR}"])
+    assert json.loads(r.output)[0]["name"] == "France"
