@@ -138,7 +138,12 @@ class Database:
 
     def execute_sql(self, sql: str) -> QueryResult:
         """Raw SQL over registered collection views
-        (reference database.py:444-484)."""
+        (reference database.py:444-484). The engine's scalar functions
+        (cosine_similarity, token_count_bpe, ... — functions/registry.py)
+        are available inside the SQL."""
+        from linkml_store_spark.functions.registry import register_sql_functions
+
+        register_sql_functions(self.spark)
         for alias in self._collections:
             self._register_view(alias)
         df = self.spark.sql(sql)

@@ -98,3 +98,80 @@ def test_llm_indexer_cache(spark, countries, tmp_path):
     assert second.count() == len(countries)
     v = second.filter(F.col("name") == "France").first()[INDEX_COLUMN]
     assert v == [float(len("France")), 1.0]
+
+
+def test_sql_function_registry_matches_column_api(spark, sf_dir):
+    """Drift guard for functions/registry.py: every SQL scalar UDF body must
+    agree with the Column-API implementation it mirrors, on real data."""
+    from linkml_store_spark.functions.registry import register_sql_functions
+    from linkml_store_spark.functions import vector as V
+    from linkml_store_spark.operators import textanalysis as TA
+    from linkml_store_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    names = register_sql_functions(spark)
+    assert "cosine_similarity" in names and "trigram_vector" in names
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    emb = emb.select(
+        F.col("embedding").cast("array<double>").alias("a"),
+        F.reverse(F.col("embedding").cast("array<double>")).alias("b"),
+    )
+    emb.createOrReplaceTempView("_reg_emb")
+    got = spark.sql(
+        "SELECT round(cosine_similarity(a, b), 9) AS c,"
+        " round(dot_product(a, b), 9) AS d,"
+        " round(euclidean_distance(a, b), 9) AS e,"
+        " round(manhattan_distance(a, b), 9) AS m,"
+        " round(vector_norm(a), 9) AS n FROM _reg_emb"
+    ).collect()
+    want = emb.select(
+        F.round(V.cosine_similarity(F.col("a"), F.col("b")), 9).alias("c"),
+        F.round(V.dot(F.col("a"), F.col("b")), 9).alias("d"),
+        F.round(V.euclidean_distance(F.col("a"), F.col("b")), 9).alias("e"),
+        F.round(V.manhattan_distance(F.col("a"), F.col("b")), 9).alias("m"),
+        F.round(V.norm(F.col("a")), 9).alias("n"),
+    ).collect()
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    docs.select("doc_id", "text").createOrReplaceTempView("_reg_docs")
+    got_t = spark.sql(
+        "SELECT token_count_ws(text) AS w, token_count_bpe(text) AS b,"
+        " round(punct_ratio(text), 9) AS p, round(upper_ratio(text), 9) AS u"
+        " FROM _reg_docs ORDER BY doc_id"
+    ).collect()
+    want_t = (
+        docs.orderBy("doc_id")
+        .select(
+            TA.whitespace_token_count(F.col("text")).alias("w"),
+            TA.bpe_token_count(F.col("text")).alias("b"),
+            F.round(TA.punct_ratio(F.col("text")), 9).alias("p"),
+            F.round(TA.upper_ratio(F.col("text")), 9).alias("u"),
+        )
+        .collect()
+    )
+    assert [r.asDict() for r in got_t] == [r.asDict() for r in want_t]
+
+    # trigram_vector (pandas UDF): parity with the reference-math Python fn
+    from linkml_store_spark.index.indexer import trigram_vector as py_tv
+
+    row = spark.sql(
+        "SELECT trigram_vector('hello world') AS v"
+    ).collect()[0]
+    assert row.v == py_tv("hello world").tolist()
+
+
+def test_execute_sql_exposes_registry_functions(spark):
+    """Database.execute_sql registers the function surface (§2.11)."""
+    from linkml_store_spark.client import Client
+
+    client = Client(spark)
+    db = client.attach_database("duckdb", alias="_reg_db")
+    db.get_collection("items").insert(
+        [{"id": 1, "t": "Hello, World!"}, {"id": 2, "t": "abc"}]
+    )
+    res = db.execute_sql(
+        "SELECT id, token_count_bpe(t) AS n FROM items ORDER BY id"
+    )
+    assert [r["n"] for r in res.rows] == [4, 1]
