@@ -752,6 +752,34 @@ def q_ann_ivf(spark, sf):
     return top.select("vec_id", F.round(F.col("score"), 4).alias("score"))
 
 
+def q_range_join_error_clicks(spark, sf):
+    """Point-in-interval range join (operators/rangejoin.py): every click
+    within 10 minutes AFTER an error by the same user, counted per user.
+    Grid (bucket) join — equi-join on (user_id, time bucket), no
+    nested-loop — vs DuckDB's native inequality join as oracle."""
+    from linkml_store_spark.operators.rangejoin import point_in_interval_join
+
+    ev = _t(spark, sf, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("w_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    pairs = point_in_interval_join(
+        clicks, errors, "ts", "w_start", "w_end", on="user_id",
+        bucket_seconds=600,
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("user_id")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "find_eq": q_find_eq,
     "find_range": q_find_range,
@@ -807,6 +835,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_frames": q_multimodal_frames,
     "ann_ivf": q_ann_ivf,
     "quantiles_by_priority": q_quantiles_by_priority,
+    "range_join_error_clicks": q_range_join_error_clicks,
 }
 
 
@@ -1272,6 +1301,18 @@ ORACLES: dict[str, str] = {
                CAST(COUNT(*) AS BIGINT) AS n
         FROM orders
         GROUP BY o_orderpriority
+    """,
+    "range_join_error_clicks": """
+        SELECT c.user_id AS user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM events c
+        JOIN events e
+          ON c.user_id = e.user_id
+         AND e.event_type = 'error'
+         AND c.event_type = 'click'
+         AND c.ts >= e.ts
+         AND c.ts <= e.ts + INTERVAL 10 MINUTE
+        GROUP BY c.user_id
+        ORDER BY user_id
     """,
 }
 
