@@ -780,6 +780,30 @@ def q_range_join_error_clicks(spark, sf):
     )
 
 
+def q_rollup_multigrain(spark, sf):
+    """Hypertable-style multi-grain rollup (operators/rollup.py): hour +
+    day + total aggregates of events in ONE scan via GROUPING SETS
+    (grouping_id labels the grain); oracle is DuckDB GROUPING SETS."""
+    from linkml_store_spark.operators.rollup import time_rollup
+
+    ev = _t(spark, sf, "events")
+    out = time_rollup(
+        ev,
+        "ts",
+        {"n": F.count(F.lit(1)), "sum_value": F.sum("value")},
+        grains=("hour", "day"),
+        include_total=True,
+    )
+    return out.select(
+        "grain",
+        F.coalesce(
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss"), F.lit("ALL")
+        ).alias("bucket"),
+        "n",
+        F.round("sum_value", 2).alias("sum_value"),
+    ).orderBy("grain", "bucket")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "find_eq": q_find_eq,
     "find_range": q_find_range,
@@ -836,6 +860,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf": q_ann_ivf,
     "quantiles_by_priority": q_quantiles_by_priority,
     "range_join_error_clicks": q_range_join_error_clicks,
+    "rollup_multigrain": q_rollup_multigrain,
 }
 
 
@@ -1313,6 +1338,23 @@ ORACLES: dict[str, str] = {
          AND c.ts <= e.ts + INTERVAL 10 MINUTE
         GROUP BY c.user_id
         ORDER BY user_id
+    """,
+    "rollup_multigrain": """
+        WITH base AS (
+          SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
+                 value
+          FROM events
+        )
+        SELECT CASE WHEN GROUPING(h) = 0 THEN 'hour'
+                    WHEN GROUPING(d) = 0 THEN 'day'
+                    ELSE 'total' END AS grain,
+               COALESCE(strftime(COALESCE(h, d), '%Y-%m-%d %H:%M:%S'), 'ALL')
+                 AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM base
+        GROUP BY GROUPING SETS ((h), (d), ())
+        ORDER BY grain, bucket
     """,
 }
 
