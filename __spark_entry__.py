@@ -804,6 +804,33 @@ def q_rollup_multigrain(spark, sf):
     ).orderBy("grain", "bucket")
 
 
+def q_sketch_distinct_users(spark, sf):
+    """Mergeable-sketch distinct counts (operators/sketches.py): HLL
+    estimate of distinct users per event type. The raw estimate is
+    implementation-defined, so the ORACLED value is the accuracy
+    CONTRACT: |estimate - exact| <= max(2, 5% of exact), which DuckDB
+    states as a constant TRUE per group. Lossless sketch re-aggregation
+    is pinned in tests/test_sketches.py."""
+    from linkml_store_spark.operators.sketches import approx_distinct_by
+
+    ev = _t(spark, sf, "events")
+    est = approx_distinct_by(ev, "user_id", by=["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("__exact")
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            (
+                F.abs(F.col("approx_distinct") - F.col("__exact"))
+                <= F.greatest(F.lit(2.0), F.lit(0.05) * F.col("__exact"))
+            ).alias("within_5pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "find_eq": q_find_eq,
     "find_range": q_find_range,
@@ -861,6 +888,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantiles_by_priority": q_quantiles_by_priority,
     "range_join_error_clicks": q_range_join_error_clicks,
     "rollup_multigrain": q_rollup_multigrain,
+    "sketch_distinct_users": q_sketch_distinct_users,
 }
 
 
@@ -1355,6 +1383,12 @@ ORACLES: dict[str, str] = {
         FROM base
         GROUP BY GROUPING SETS ((h), (d), ())
         ORDER BY grain, bucket
+    """,
+    "sketch_distinct_users": """
+        SELECT event_type, TRUE AS within_5pct
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
     """,
 }
 
