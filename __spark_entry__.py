@@ -831,6 +831,46 @@ def q_sketch_distinct_users(spark, sf):
     )
 
 
+def q_hash_split_documents(spark, sf):
+    """Deterministic hash-bucketed train/val/test split
+    (operators/splits.py): md5 hex-prefix bucketing, engine-portable by
+    construction — the oracle runs the SAME predicate in DuckDB, so this
+    checks exact row membership, not just rates."""
+    from linkml_store_spark.operators.splits import hash_split
+
+    docs = _t(spark, sf, "documents")
+    out = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+def q_corpus_mix_counts(spark, sf):
+    """Weighted deterministic corpus mixing (the pre-training data-mixture
+    step): per-source keep-rates decided by salted md5 — append-stable,
+    shuffle-free; oracle replays the same thresholds in DuckDB."""
+    from linkml_store_spark.operators.splits import corpus_mix
+
+    docs = _t(spark, sf, "documents")
+    out = corpus_mix(
+        docs,
+        "source",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        "doc_id",
+        default_rate=0.1,
+    )
+    return (
+        out.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("source")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "find_eq": q_find_eq,
     "find_range": q_find_range,
@@ -889,6 +929,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join_error_clicks": q_range_join_error_clicks,
     "rollup_multigrain": q_rollup_multigrain,
     "sketch_distinct_users": q_sketch_distinct_users,
+    "hash_split_documents": q_hash_split_documents,
+    "corpus_mix_counts": q_corpus_mix_counts,
 }
 
 
@@ -1389,6 +1431,37 @@ ORACLES: dict[str, str] = {
         FROM events
         GROUP BY event_type
         ORDER BY event_type
+    """,
+    "hash_split_documents": """
+        WITH s AS (
+          SELECT n_chars,
+                 substr(md5(CAST(doc_id AS VARCHAR) || ''), 1, 8) AS u
+          FROM documents
+        )
+        SELECT CASE WHEN u < 'cccccccc' THEN 'train'
+                    WHEN u < 'e6666666' THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM s
+        GROUP BY 1
+        ORDER BY split
+    """,
+    "corpus_mix_counts": """
+        WITH m AS (
+          SELECT source,
+                 substr(md5(CAST(doc_id AS VARCHAR) || 'mix' || source), 1, 8)
+                   AS u
+          FROM documents
+        )
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM m
+        WHERE source = 'src0'
+           OR (source = 'src1' AND u < '80000000')
+           OR (source = 'src2' AND u < '40000000')
+           OR (source NOT IN ('src0', 'src1', 'src2') AND u < '19999999')
+        GROUP BY source
+        ORDER BY source
     """,
 }
 

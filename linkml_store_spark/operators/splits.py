@@ -1,0 +1,151 @@
+"""Deterministic dataset splitting & corpus mixing for training pipelines.
+
+A training-data pipeline needs train/val/test assignment that is (a)
+reproducible run-to-run and engine-to-engine, (b) stable under
+repartitioning and appends (a document's split never changes when new
+data arrives), and (c) shuffle-free. ``randomSplit`` fails (a) and (b) —
+it samples by partition order. The standard fix is **hash bucketing**:
+``u = md5(id || salt)`` is uniform in hex-string space, and a row lands
+in the split whose cumulative-fraction interval contains ``u``.
+
+Trick that keeps this exactly oracle-able across engines: never convert
+hex to int. Fixed-length lowercase hex compares lexicographically ==
+numerically, so "u < 0.25" is ``substr(md5(..),1,8) < '40000000'`` — the
+identical predicate text works in Spark and DuckDB (both emit lowercase
+hex md5), and the whole operator is a stateless projection: no shuffle,
+no RNG state, broadcast-free, scale-invariant.
+
+``corpus_mix`` applies the same machinery to weighted source sampling
+(the "data mixture" step before LLM training): per-source keep-rates,
+decided row-wise by salted hash — deterministic, append-stable, and
+composable with the dedup/quality operators in this package.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_SPAN = 16 ** 8  # first 8 hex chars of the md5
+
+
+def _frac_hex(frac: float) -> str:
+    """Cumulative fraction -> 8-hex-digit threshold string."""
+    n = min(max(int(frac * _HEX_SPAN), 0), _HEX_SPAN)
+    # 1.0 -> 'g…' sorts after every hex digit, so the last bucket is closed
+    return "g" if n >= _HEX_SPAN else format(n, "08x")
+
+
+def _u_hex(id_col: Column, salt: str) -> Column:
+    """Uniform hash key: first 8 hex chars of md5(id || salt)."""
+    return F.substring(F.md5(F.concat(id_col.cast("string"), F.lit(salt))), 1, 8)
+
+
+def split_sql_predicates(
+    fractions: Mapping[str, float], id_expr: str, salt: str = ""
+) -> Dict[str, str]:
+    """The oracle-side view: split name -> ANSI-SQL predicate string using
+    the same md5 thresholds (for tests / DuckDB cross-checks)."""
+    preds = {}
+    cum = 0.0
+    lo = _frac_hex(0.0)
+    for name, frac in fractions.items():
+        cum += frac
+        hi = _frac_hex(cum)
+        u = f"substr(md5(CAST({id_expr} AS VARCHAR) || '{salt}'), 1, 8)"
+        preds[name] = f"({u} >= '{lo}' AND {u} < '{hi}')"
+        lo = hi
+    return preds
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: Mapping[str, float] = None,
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row a split label by salted-hash bucketing.
+
+    ``fractions`` (ordered mapping) must sum to <= 1.0; rows hashing past
+    the final cumulative fraction get a null label (use 1.0-summing
+    fractions for total coverage). Changing ``salt`` re-draws the
+    assignment; appending rows never changes existing assignments.
+    """
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    if sum(fractions.values()) > 1.0 + 1e-9:
+        raise ValueError("split fractions sum to > 1")
+    u = _u_hex(F.col(id_col), salt)
+    expr: Column = F.lit(None).cast("string")
+    cum = 0.0
+    bounds = []
+    for name, frac in fractions.items():
+        lo = _frac_hex(cum)
+        cum += frac
+        bounds.append((name, lo, _frac_hex(cum)))
+    for name, lo, hi in reversed(bounds):
+        expr = F.when((u >= lo) & (u < hi), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
+def corpus_mix(
+    df: DataFrame,
+    source_col: str,
+    rates: Mapping[str, float],
+    id_col: str,
+    salt: str = "mix",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Weighted deterministic downsampling per source — the data-mixture
+    step. A row from source ``s`` is kept iff
+    ``md5(id || salt || s) < rate(s)`` in hex space: exact-rate-in-
+    expectation, append-stable, one projection + filter (no shuffle,
+    no RNG)."""
+    u = F.substring(
+        F.md5(
+            F.concat(
+                F.col(id_col).cast("string"), F.lit(salt), F.col(source_col)
+            )
+        ),
+        1,
+        8,
+    )
+    rate_expr: Column = F.lit(default_rate)
+    for s, r in rates.items():
+        rate_expr = F.when(F.col(source_col) == s, F.lit(float(r))).otherwise(
+            rate_expr
+        )
+    thresh = F.lpad(
+        F.lower(F.hex(F.floor(rate_expr * F.lit(float(_HEX_SPAN))))), 8, "0"
+    )
+    # rate >= 1.0 keeps everything (threshold string would overflow 8 hex)
+    keep = (rate_expr >= 1.0) | (u < thresh)
+    return df.filter(keep)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: Sequence[str],
+    fraction: float,
+    id_col: str,
+    salt: str = "strat",
+) -> DataFrame:
+    """Deterministic per-stratum sampling at a uniform rate: hash bucketing
+    within each stratum (salt includes the stratum values so strata draw
+    independently)."""
+    u = F.substring(
+        F.md5(
+            F.concat(
+                F.col(id_col).cast("string"),
+                F.lit(salt),
+                *[F.col(c).cast("string") for c in strata],
+            )
+        ),
+        1,
+        8,
+    )
+    if fraction >= 1.0:
+        return df
+    return df.filter(u < F.lit(_frac_hex(fraction)))

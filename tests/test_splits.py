@@ -1,0 +1,116 @@
+"""Deterministic splits & corpus mixing: rate accuracy, append stability,
+exact cross-engine agreement with DuckDB on the same md5 predicates."""
+
+import duckdb
+from pyspark.sql import functions as F
+
+from linkml_store_spark.operators.splits import (
+    corpus_mix,
+    hash_split,
+    split_sql_predicates,
+    stratified_sample,
+)
+from linkml_store_spark.sources.tables import load_table
+
+
+def test_hash_split_rates_and_determinism(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    out = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == n  # fractions sum to 1 -> total coverage
+    assert abs(counts["train"] / n - 0.8) < 0.1
+    # determinism: identical second evaluation
+    again = {r["split"]: r["n"] for r in
+             hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+             .groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts == again
+
+
+def test_hash_split_append_stable(spark, sf_dir):
+    """A row's split must not change when the dataset grows."""
+    docs = load_table(spark, sf_dir, "documents")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    full = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs, "doc_id", fr).select("doc_id", "split").collect()
+    }
+    half = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs.filter(F.col("doc_id") % 2 == 0), "doc_id", fr)
+        .select("doc_id", "split")
+        .collect()
+    }
+    for k, v in half.items():
+        assert full[k] == v
+
+
+def test_hash_split_matches_duckdb_exactly(spark, sf_dir):
+    """Same rows land in the same split in both engines — membership, not
+    just counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = sorted(
+        (r["doc_id"], r["split"])
+        for r in hash_split(docs, "doc_id", fr).select("doc_id", "split").collect()
+    )
+    preds = split_sql_predicates(fr, "doc_id")
+    case = " ".join(
+        f"WHEN {p} THEN '{name}'" for name, p in preds.items()
+    )
+    con = duckdb.connect()
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                f"SELECT doc_id, CASE {case} END AS split "
+                f"FROM read_parquet('{sf_dir}/documents.parquet')"
+            ).fetchall(),
+        )
+    )
+    assert got == want
+
+
+def test_corpus_mix_rates(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    rates = {"src0": 1.0, "src1": 0.5}
+    out = corpus_mix(docs, "source", rates, "doc_id", default_rate=0.0)
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    per_src = {r["source"]: r["n"] for r in
+               docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["src0"] == per_src["src0"]  # rate 1.0 keeps all
+    assert 0 < counts.get("src1", 0) < per_src["src1"]
+    assert set(counts) == {"src0", "src1"}  # default 0 drops the rest
+    # deterministic
+    again = {r["source"]: r["n"] for r in
+             corpus_mix(docs, "source", rates, "doc_id", default_rate=0.0)
+             .groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts == again
+
+
+def test_stratified_sample_independent_draws(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_sample(docs, ["lang"], 0.5, "doc_id")
+    per = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    full = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, n in full.items():
+        if n >= 20:
+            assert 0.2 < per.get(lang, 0) / n < 0.8, (lang, per.get(lang), n)
+    # strata draw independently: same doc_id can differ by stratum salt
+    assert stratified_sample(docs, ["lang"], 1.0, "doc_id").count() == docs.count()
+
+
+def test_split_plan_is_shuffle_free(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = hash_split(docs, "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
