@@ -871,6 +871,23 @@ def q_corpus_mix_counts(spark, sf):
     )
 
 
+def q_chunk_documents(spark, sf):
+    """Sliding-window document chunking (operators/chunking.py): 512-char
+    windows every 384 chars — a stateless projection (sequence → explode
+    → substring, no shuffle). Chunks reported as md5 so the oracle compares
+    exact content without hashing megabytes of text."""
+    from linkml_store_spark.operators.chunking import chunk_by_chars
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    out = chunk_by_chars(docs, chunk_chars=512, stride=384)
+    return out.select(
+        "doc_id",
+        "chunk_idx",
+        F.md5(F.col("chunk")).alias("chunk_md5"),
+        F.length("chunk").alias("chunk_len"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "find_eq": q_find_eq,
     "find_range": q_find_range,
@@ -931,6 +948,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_distinct_users": q_sketch_distinct_users,
     "hash_split_documents": q_hash_split_documents,
     "corpus_mix_counts": q_corpus_mix_counts,
+    "chunk_documents": q_chunk_documents,
 }
 
 
@@ -1462,6 +1480,20 @@ ORACLES: dict[str, str] = {
            OR (source NOT IN ('src0', 'src1', 'src2') AND u < '19999999')
         GROUP BY source
         ORDER BY source
+    """,
+    "chunk_documents": """
+        SELECT doc_id,
+               CAST(s / 384 AS BIGINT) AS chunk_idx,
+               md5(substr(text, s + 1, 512)) AS chunk_md5,
+               CAST(length(substr(text, s + 1, 512)) AS INT) AS chunk_len
+        FROM (
+          SELECT doc_id, text,
+                 unnest(generate_series(0, greatest(length(text) - 1, 0), 384))
+                   AS s
+          FROM documents
+          WHERE length(text) > 0
+        )
+        ORDER BY doc_id, chunk_idx
     """,
 }
 
