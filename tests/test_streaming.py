@@ -142,3 +142,69 @@ def test_stream_stream_interval_join(spark, sf_dir, tmp_path):
     got = {(r["event_id"], r["r_event_id"]) for r in out.collect()}
     want = {(r["event_id"], r["v_event"]) for r in batch.collect()}
     assert got == want
+
+
+def test_stream_rollup_continuous_aggregate(spark, sf_dir, tmp_path):
+    """Micro-batched stream -> merged rollup store == batch rollup of the
+    whole table (the continuous-aggregate algebra survives batch
+    boundaries)."""
+    from linkml_store_spark.operators.rollup import time_rollup
+    from linkml_store_spark.streaming.rollup import stream_rollup_into
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)  # 4 files -> 4 micro-batches
+
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    store = str(tmp_path / "rollup_store")
+    stream_rollup_into(
+        stream,
+        "ts",
+        {"n": ("count", None), "sum_value": ("sum", "value"),
+         "max_value": ("max", "value")},
+        store_path=store,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        grains=("hour", "day"),
+        keys=["event_type"],
+    )
+
+    got = sorted(
+        (r["event_type"], r["grain"], str(r["bucket"]), r["n"],
+         round(r["sum_value"], 4), r["max_value"])
+        for r in spark.read.parquet(store).collect()
+    )
+    want_df = time_rollup(
+        ev, "ts",
+        {"n": F.count(F.lit(1)), "sum_value": F.sum("value"),
+         "max_value": F.max("value")},
+        grains=("hour", "day"), keys=["event_type"],
+    )
+    want = sorted(
+        (r["event_type"], r["grain"], str(r["bucket"]), r["n"],
+         round(r["sum_value"], 4), r["max_value"])
+        for r in want_df.collect()
+    )
+    assert got == want
+
+
+def test_stream_rollup_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """Re-running the drained stream with the same store but a FRESH
+    checkpoint replays every batch; the batch markers must prevent
+    double-counting."""
+    from linkml_store_spark.streaming.rollup import stream_rollup_into
+
+    ev = load_table(spark, sf_dir, "events").limit(500)
+    src = str(tmp_path / "src")
+    ev.repartition(2).write.parquet(src)
+    store = str(tmp_path / "store")
+
+    for i, run in enumerate(["a", "b"]):
+        stream = read_event_stream(spark, src, max_files_per_trigger=1)
+        stream_rollup_into(
+            stream, "ts", {"n": ("count", None)},
+            store_path=store,
+            checkpoint_dir=str(tmp_path / f"ckpt_{run}"),
+            grains=("day",),
+        )
+    total = spark.read.parquet(store).agg(F.sum("n")).first()[0]
+    assert total == 500  # not 1000
