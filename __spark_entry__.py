@@ -888,6 +888,31 @@ def q_chunk_documents(spark, sf):
     ).orderBy("doc_id", "chunk_idx")
 
 
+def q_pack_sequences(spark, sf):
+    """Greedy sequence packing (operators/packing.py): 64-token chunks
+    filled into 256-token training sequences per partition (iterator-wide
+    mapInPandas state). Stateful greedy assignment is not SQL-expressible
+    — rows-only check; invariants (budget, conservation, prefix-sum
+    offsets, determinism) are pinned in tests/test_packing.py."""
+    from linkml_store_spark.operators.chunking import chunk_by_tokens
+    from linkml_store_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    chunks = chunk_by_tokens(docs, chunk_tokens=64).select(
+        F.concat_ws("_", "doc_id", "chunk_idx").alias("cid"), "n_tokens"
+    )
+    packed = pack_sequences(chunks, "cid", "n_tokens", budget=256,
+                            num_partitions=8)
+    return (
+        packed.groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").alias("tokens"),
+        )
+        .orderBy("pack_id")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "find_eq": q_find_eq,
     "find_range": q_find_range,
@@ -949,6 +974,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_split_documents": q_hash_split_documents,
     "corpus_mix_counts": q_corpus_mix_counts,
     "chunk_documents": q_chunk_documents,
+    "pack_sequences": q_pack_sequences,
 }
 
 
