@@ -476,5 +476,126 @@ def apply(obj: Context, patch_files):
     click.echo(f"Applied {len(patch_files)} patch file(s)")
 
 
+@cli.command()
+@click.option("--id-col", required=True, help="stable identifier column")
+@click.option("--fractions", default="train=0.98,val=0.01,test=0.01",
+              help="name=frac pairs, comma-separated, in order")
+@click.option("--salt", default="")
+@OUTPUT_OPT
+@OUTPUT_FILE_OPT
+@click.pass_obj
+def split(obj: Context, id_col, fractions, salt, output_type, output):
+    """Deterministic hash-bucketed split assignment counts
+    (operators/splits.py — append-stable, engine-portable md5 bucketing)."""
+    from pyspark.sql import functions as F
+
+    from linkml_store_spark.operators.splits import hash_split
+
+    fr = {}
+    for part in fractions.split(","):
+        name, _, val = part.partition("=")
+        fr[name.strip()] = float(val)
+    out = hash_split(obj.collection.df, id_col, fr, salt=salt)
+    rows = [
+        r.asDict()
+        for r in out.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("split")
+        .collect()
+    ]
+    _render(rows, output_type, output)
+
+
+@cli.command()
+@click.option("--text-col", default="text")
+@click.option("--chunk-size", default=1024, type=int,
+              help="window size (chars, or tokens with --by-tokens)")
+@click.option("--stride", default=None, type=int,
+              help="window start distance (default: no overlap)")
+@click.option("--by-tokens", is_flag=True,
+              help="BPE-ish token windows instead of characters")
+@click.option("--target", default=None,
+              help="write chunks to this collection instead of printing stats")
+@OUTPUT_OPT
+@OUTPUT_FILE_OPT
+@click.pass_obj
+def chunk(obj: Context, text_col, chunk_size, stride, by_tokens, target,
+          output_type, output):
+    """Split documents into training-sized windows (operators/chunking.py)."""
+    from pyspark.sql import functions as F
+
+    from linkml_store_spark.operators.chunking import (
+        chunk_by_chars,
+        chunk_by_tokens,
+    )
+
+    fn = chunk_by_tokens if by_tokens else chunk_by_chars
+    kw = {"chunk_tokens" if by_tokens else "chunk_chars": chunk_size}
+    out = fn(obj.collection.df, text_col=text_col, stride=stride, **kw)
+    if target:
+        obj.db.get_collection(target).replace(out)
+        click.echo(f"Wrote {out.count()} chunks to {target}")
+        return
+    rows = [
+        r.asDict()
+        for r in out.agg(
+            F.count(F.lit(1)).alias("chunks"),
+            F.round(F.avg(F.length("chunk")), 1).alias("avg_chars"),
+        ).collect()
+    ]
+    _render(rows, output_type, output)
+
+
+@cli.command()
+@click.option("--ts-col", default="ts")
+@click.option("--grains", default="hour,day")
+@click.option("--keys", default=None, help="extra group columns")
+@click.option("--value-col", default=None, help="also SUM this column")
+@OUTPUT_OPT
+@OUTPUT_FILE_OPT
+@click.pass_obj
+def rollup(obj: Context, ts_col, grains, keys, value_col, output_type, output):
+    """Multi-grain time rollup in one scan (operators/rollup.py)."""
+    from pyspark.sql import functions as F
+
+    from linkml_store_spark.operators.rollup import time_rollup
+
+    aggs = {"n": F.count(F.lit(1))}
+    if value_col:
+        aggs["sum_" + value_col] = F.sum(value_col)
+    out = time_rollup(
+        obj.collection.df,
+        ts_col,
+        aggs,
+        grains=tuple(g.strip() for g in grains.split(",")),
+        keys=[k.strip() for k in keys.split(",")] if keys else (),
+    )
+    rows = [
+        r.asDict()
+        for r in out.withColumn(
+            "bucket", F.date_format("bucket", "yyyy-MM-dd HH:mm:ss")
+        )
+        .orderBy("grain", "bucket")
+        .collect()
+    ]
+    _render(rows, output_type, output)
+
+
+@cli.command("approx-distinct")
+@click.option("--col", "col_", required=True, help="column to count")
+@click.option("--by", default=None, help="group columns, comma-separated")
+@OUTPUT_OPT
+@OUTPUT_FILE_OPT
+@click.pass_obj
+def approx_distinct(obj: Context, col_, by, output_type, output):
+    """HLL-sketch approximate distinct count (operators/sketches.py)."""
+    from linkml_store_spark.operators.sketches import approx_distinct_by
+
+    groups = [b.strip() for b in by.split(",")] if by else ()
+    out = approx_distinct_by(obj.collection.df, col_, by=groups)
+    rows = [r.asDict() for r in (out.orderBy(*groups) if groups else out).collect()]
+    _render(rows, output_type, output)
+
+
 if __name__ == "__main__":
     cli()

@@ -155,3 +155,42 @@ def test_compact_cli(wh, countries_file, spark):
     # still queryable afterwards
     r = _run(["-d", wh, "-c", "countries", "query", "-w", "{code: FR}"])
     assert json.loads(r.output)[0]["name"] == "France"
+
+
+def test_cli_split_chunk_rollup_approx(wh, spark, sf_dir, tmp_path):
+    docs_file = str(tmp_path / "docs.jsonl")
+    import json as _json
+
+    docs = [
+        {"doc_id": i, "text": ("word%d " % i) * 40, "ts": f"2024-01-0{1 + i % 5} 0{i % 10}:00:00"}
+        for i in range(40)
+    ]
+    with open(docs_file, "w") as f:
+        for d in docs:
+            f.write(_json.dumps(d) + "\n")
+    _run(["-d", wh, "-c", "docs", "insert", docs_file])
+
+    r = _run(["-d", wh, "-c", "docs", "split", "--id-col", "doc_id",
+              "--fractions", "train=0.5,test=0.5"])
+    rows = json.loads(r.output)
+    assert sum(x["n"] for x in rows) == 40
+
+    r = _run(["-d", wh, "-c", "docs", "chunk", "--chunk-size", "50"])
+    assert json.loads(r.output)[0]["chunks"] >= 40
+
+    r = _run(["-d", wh, "-c", "docs", "chunk", "--chunk-size", "50",
+              "--target", "doc_chunks"])
+    assert "doc_chunks" in r.output
+    r = _run(["-d", wh, "-c", "doc_chunks", "query", "--sql",
+              "SELECT COUNT(*) AS n FROM doc_chunks"])
+    assert json.loads(r.output)[0]["n"] >= 40
+
+    r = _run(["-d", wh, "-c", "docs", "rollup", "--grains", "day",
+              "--ts-col", "ts"])
+    rows = json.loads(r.output)
+    assert sum(x["n"] for x in rows) == 40
+    assert all(x["grain"] == "day" for x in rows)
+
+    r = _run(["-d", wh, "-c", "docs", "approx-distinct", "--col", "doc_id"])
+    n = json.loads(r.output)[0]["approx_distinct"]
+    assert abs(n - 40) <= 2
