@@ -913,6 +913,33 @@ def q_pack_sequences(spark, sf):
     )
 
 
+def q_scrub_documents(spark, sf):
+    """PII redaction (operators/scrub.py): pure regexp_replace projection
+    (no shuffle, no Python). PII is synthesized deterministically from
+    doc_id so the redaction provably fires; the oracle replays the exact
+    same patterns in DuckDB (RE2/Java-regex-compatible subset) and the md5
+    of the scrubbed text must agree."""
+    from linkml_store_spark.operators.scrub import scrub_documents
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com at 10.0.0."),
+            (F.col("doc_id") % 255).cast("string"),
+        ).alias("text"),
+    )
+    out = scrub_documents(salted, "text")
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("scrubbed_md5"),
+        (F.col("n_email") + F.col("n_ipv4")).alias("n_pii"),
+    ).orderBy("doc_id")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "find_eq": q_find_eq,
     "find_range": q_find_range,
@@ -975,6 +1002,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_mix_counts": q_corpus_mix_counts,
     "chunk_documents": q_chunk_documents,
     "pack_sequences": q_pack_sequences,
+    "scrub_documents": q_scrub_documents,
 }
 
 
@@ -1506,6 +1534,32 @@ ORACLES: dict[str, str] = {
            OR (source NOT IN ('src0', 'src1', 'src2') AND u < '19999999')
         GROUP BY source
         ORDER BY source
+    """,
+    "scrub_documents": r"""
+        WITH salted AS (
+          SELECT doc_id,
+                 text || ' contact u' || doc_id || '@example.com at 10.0.0.'
+                      || (doc_id % 255) AS text
+          FROM documents
+        )
+        SELECT doc_id,
+               md5(
+                 regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                   text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '[EMAIL]', 'g'),
+                   '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g'),
+                   '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+                   '\+?\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '[PHONE]', 'g')
+               ) AS scrubbed_md5,
+               CAST(
+                 length(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                 + length(regexp_extract_all(text,
+                   '\b(?:\d{1,3}\.){3}\d{1,3}\b'))
+                 AS INT) AS n_pii
+        FROM salted
+        ORDER BY doc_id
     """,
     "chunk_documents": """
         SELECT doc_id,
