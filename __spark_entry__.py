@@ -940,6 +940,36 @@ def q_scrub_documents(spark, sf):
     ).orderBy("doc_id")
 
 
+def q_connected_components(spark, sf):
+    """Distributed connected components (operators/graph.py): alternating
+    large-star/small-star (O(log n) rounds, linear shuffle). The graph
+    chains each customer's orders, so components == customers by
+    construction and the size histogram is exactly the orders-per-customer
+    histogram — a true value oracle for the whole fixpoint machinery."""
+    from pyspark.sql.window import Window
+
+    from linkml_store_spark.operators.graph import connected_components
+
+    orders = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    edges = (
+        orders.withColumn("prev", F.lag("o_orderkey").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            F.col("prev").alias("subject"), F.col("o_orderkey").alias("object")
+        )
+    )
+    cc = connected_components(
+        edges, nodes=orders.select(F.col("o_orderkey").alias("node"))
+    )
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+    return (
+        sizes.groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_components"))
+        .orderBy("size")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "find_eq": q_find_eq,
     "find_range": q_find_range,
@@ -1003,6 +1033,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": q_chunk_documents,
     "pack_sequences": q_pack_sequences,
     "scrub_documents": q_scrub_documents,
+    "connected_components": q_connected_components,
 }
 
 
@@ -1560,6 +1591,16 @@ ORACLES: dict[str, str] = {
                  AS INT) AS n_pii
         FROM salted
         ORDER BY doc_id
+    """,
+    "connected_components": """
+        WITH per_cust AS (
+          SELECT o_custkey, COUNT(*) AS size FROM orders GROUP BY o_custkey
+        )
+        SELECT CAST(size AS BIGINT) AS size,
+               CAST(COUNT(*) AS BIGINT) AS n_components
+        FROM per_cust
+        GROUP BY size
+        ORDER BY size
     """,
     "chunk_documents": """
         SELECT doc_id,

@@ -79,3 +79,72 @@ def test_degree(geo_graph, spark, sf_dir):
     nk0 = supplier.first()["s_nationkey"]
     expected = supplier.filter(F.col("s_nationkey") == nk0).count()
     assert deg[nk0] == expected
+
+
+def _cc_python(edges, nodes=None):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for u, v in edges:
+        union(u, v)
+    for n in nodes or []:
+        find(n)
+    # canonical min-label per component
+    comps = {}
+    for n in parent:
+        comps[n] = find(n)
+    # path compress fully
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_random_graph(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(300), rng.randrange(300)) for _ in range(250)]
+    edges = [(u, v) for u, v in edges if u != v]
+    df = spark.createDataFrame(edges, ["subject", "object"])
+    from linkml_store_spark.operators.graph import connected_components
+
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    want = _cc_python(edges)
+    assert got == want
+
+
+def test_connected_components_long_chain(spark):
+    """Worst case for naive propagation (diameter == n); the star
+    algorithm must converge well inside max_iterations."""
+    n = 512
+    edges = [(i, i + 1) for i in range(n)]
+    df = spark.createDataFrame(edges, ["subject", "object"])
+    from linkml_store_spark.operators.graph import connected_components
+
+    got = connected_components(df, max_iterations=15).collect()
+    assert len(got) == n + 1
+    assert set(r["component"] for r in got) == {0}
+
+
+def test_connected_components_isolated_nodes(spark):
+    from linkml_store_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame([(1, 2)], ["subject", "object"])
+    nodes = spark.createDataFrame([(1,), (2,), (9,)], ["node"])
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, nodes=nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 9: 9}
