@@ -970,6 +970,18 @@ def q_connected_components(spark, sf):
     )
 
 
+def q_repetition_stats(spark, sf):
+    """Repetition/boilerplate quality signals (Gopher-style rules): dup
+    line fraction, top-bigram occupancy, top-token multiplicity — all
+    computed as array expressions in ONE projection (max multiplicity =
+    longest equal-run of the sorted array, no explode/groupBy). Oracle
+    recomputes via unnest+GROUP BY in DuckDB."""
+    from linkml_store_spark.operators.textanalysis import repetition_stats
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    return repetition_stats(docs).orderBy("doc_id")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "find_eq": q_find_eq,
     "find_range": q_find_range,
@@ -1034,6 +1046,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "scrub_documents": q_scrub_documents,
     "connected_components": q_connected_components,
+    "repetition_stats": q_repetition_stats,
 }
 
 
@@ -1590,6 +1603,47 @@ ORACLES: dict[str, str] = {
                    '\b(?:\d{1,3}\.){3}\d{1,3}\b'))
                  AS INT) AS n_pii
         FROM salted
+        ORDER BY doc_id
+    """,
+    "repetition_stats": r"""
+        WITH base AS (
+          SELECT doc_id, text,
+                 string_split(text, chr(10)) AS lines,
+                 string_split_regex(lower(trim(text)), '\s+') AS l
+          FROM documents
+        ),
+        toks AS (
+          SELECT doc_id, unnest(l) AS tok FROM base
+        ),
+        tok_counts AS (
+          SELECT doc_id, tok, COUNT(*) AS n FROM toks GROUP BY 1, 2
+        ),
+        tok_max AS (
+          SELECT doc_id, MAX(n) AS maxn, SUM(n) AS tot
+          FROM tok_counts GROUP BY 1
+        ),
+        grams_raw AS (
+          SELECT doc_id, l,
+                 unnest(generate_series(1, len(l) - 1)) AS i
+          FROM base
+        ),
+        gram_counts AS (
+          SELECT doc_id, l[i] || ' ' || l[i + 1] AS gram, COUNT(*) AS n
+          FROM grams_raw GROUP BY 1, 2
+        ),
+        gram_max AS (
+          SELECT doc_id, MAX(n) AS maxn, SUM(n) AS tot
+          FROM gram_counts GROUP BY 1
+        )
+        SELECT b.doc_id,
+               ROUND(1.0 - CAST(len(list_distinct(b.lines)) AS DOUBLE)
+                         / len(b.lines), 6) AS dup_line_frac,
+               ROUND(COALESCE(CAST(g.maxn AS DOUBLE) / g.tot, 0.0), 6)
+                 AS top_bigram_frac,
+               ROUND(CAST(t.maxn AS DOUBLE) / t.tot, 6) AS top_token_frac
+        FROM base b
+        LEFT JOIN tok_max t USING (doc_id)
+        LEFT JOIN gram_max g USING (doc_id)
         ORDER BY doc_id
     """,
     "connected_components": """

@@ -187,3 +187,82 @@ def analyze_documents(
         F.round(_quality_score_w(t, w), 6).alias("quality"),
         _fingerprint_w(w).alias("fingerprint"),
     )
+
+
+# ------------------------------------------------------------------ #
+# repetition / boilerplate signals (Gopher-style quality rules)
+# ------------------------------------------------------------------ #
+
+def duplicate_line_fraction(text: Column) -> Column:
+    """1 - distinct/total over the document's lines — the classic
+    boilerplate signal (repeated nav bars, footers)."""
+    lines = F.split(text, "\n")
+    return F.when(F.size(lines) <= 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(lines)) / F.size(lines)
+    )
+
+
+def _max_run_of_sorted(arr: Column) -> Column:
+    """Max multiplicity of any element, computed as the longest equal-run
+    of the SORTED array — a pure ``aggregate`` with struct state, so the
+    whole computation stays in one projection (no explode, no per-doc
+    groupBy shuffle)."""
+    sorted_arr = F.array_sort(arr)
+    return F.aggregate(
+        sorted_arr,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias(
+                "run"
+            ),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+
+def top_ngram_fraction(words: Column, n: int = 2) -> Column:
+    """Fraction of the document's n-grams occupied by its single most
+    frequent n-gram (high => looping/machine-generated text)."""
+    if n == 2:
+        grams = F.zip_with(
+            words,
+            F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+        grams = F.slice(grams, 1, F.greatest(F.size(words) - 1, F.lit(0)))
+    else:
+        raise ValueError("only n=2 supported natively; explode for higher n")
+    return F.when(F.size(grams) <= 0, F.lit(0.0)).otherwise(
+        _max_run_of_sorted(grams) / F.size(grams)
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition profile: duplicate-line fraction, top-bigram
+    occupancy, max single-token multiplicity. All array expressions over a
+    once-materialized token column — zero shuffle, zero Python."""
+    t = F.col(text_col)
+    toked = df.select(id_col, text_col, _words(t).alias("__words"))
+    w = F.col("__words")
+    return toked.select(
+        F.col(id_col),
+        F.round(duplicate_line_fraction(t), 6).alias("dup_line_frac"),
+        F.round(top_ngram_fraction(w, 2), 6).alias("top_bigram_frac"),
+        F.round(
+            F.when(F.size(w) <= 0, F.lit(0.0)).otherwise(
+                _max_run_of_sorted(w) / F.size(w)
+            ),
+            6,
+        ).alias("top_token_frac"),
+    )

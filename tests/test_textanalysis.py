@@ -153,3 +153,43 @@ def test_truncate_by_tokens(spark):
     # a huge budget is the identity
     full = df.select(truncate_by_tokens(F.col("text"), 1000).alias("t")).first()
     assert full["t"] == out["text"]
+
+
+def test_repetition_stats_python_differential(spark):
+    from collections import Counter
+
+    from linkml_store_spark.operators.textanalysis import repetition_stats
+
+    rows = [
+        (1, "nav\nhome\nnav\nnav\ncontent here"),
+        (2, "spam spam spam spam spam"),
+        (3, "all lines differ\nsecond line\nthird line"),
+        (4, "one"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+
+    for doc_id, text in rows:
+        lines = text.split("\n")
+        want_dup = 1 - len(set(lines)) / len(lines)
+        words = text.lower().strip().split()
+        grams = [f"{a} {b}" for a, b in zip(words, words[1:])]
+        want_top2 = (
+            max(Counter(grams).values()) / len(grams) if grams else 0.0
+        )
+        want_tok = max(Counter(words).values()) / len(words)
+        r = got[doc_id]
+        assert abs(r["dup_line_frac"] - want_dup) < 1e-6, (doc_id, r)
+        assert abs(r["top_bigram_frac"] - want_top2) < 1e-6, (doc_id, r)
+        assert abs(r["top_token_frac"] - want_tok) < 1e-6, (doc_id, r)
+
+
+def test_repetition_stats_plan_is_projection(spark, sf_dir):
+    from linkml_store_spark.operators.textanalysis import repetition_stats
+    from linkml_store_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "EvalPython" not in plan
