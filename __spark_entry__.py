@@ -982,6 +982,26 @@ def q_repetition_stats(spark, sf):
     return repetition_stats(docs).orderBy("doc_id")
 
 
+def q_dedup_incremental(spark, sf):
+    """Continuous-ingestion dedup (operators/dedup.py): batch 2 is deduped
+    against batch 1 via the persisted band index only (the corpus itself
+    is never re-scanned). Seeded-hash LSH => rows-only check; cross-batch
+    semantics pinned in tests/test_dedup.py."""
+    import tempfile
+
+    from linkml_store_spark.operators.dedup import dedup_incremental
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    idx = tempfile.mkdtemp(prefix="band_index_") + "/idx"
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    n1 = dedup_incremental(b1, idx, "text").count()
+    n2 = dedup_incremental(b2, idx, "text").count()
+    return spark.createDataFrame(
+        [("batch1", n1), ("batch2", n2)], ["batch", "survivors"]
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "find_eq": q_find_eq,
     "find_range": q_find_range,
@@ -1047,6 +1067,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scrub_documents": q_scrub_documents,
     "connected_components": q_connected_components,
     "repetition_stats": q_repetition_stats,
+    "dedup_incremental": q_dedup_incremental,
 }
 
 

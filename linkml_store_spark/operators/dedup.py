@@ -194,6 +194,36 @@ def _minhash_perm_udf(num_perm: int):
 _MINHASH_UDF_CACHE: dict = {}
 
 
+def band_buckets(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """LSH banding projection: (id, band_idx, band_hash) — one row per
+    band per doc. Shared by pairwise, cluster, and incremental dedup."""
+    rows_per_band = num_perm // bands
+    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_idx")
+    banded = signatures.select(F.col(id_col), F.col("minhash"), band_idx)
+    return banded.select(
+        id_col,
+        "band_idx",
+        F.xxhash64(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(
+                        "minhash",
+                        F.col("band_idx") * rows_per_band + 1,
+                        rows_per_band,
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ).alias("band_hash"),
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -203,22 +233,7 @@ def lsh_candidate_pairs(
     """Banding: docs sharing any (band_idx, band_hash) bucket become
     candidate pairs (left_id < right_id). Self-join on the bucket key —
     uniform hash keys, no skew; bucket fanout bounded by collision rate."""
-    rows_per_band = num_perm // bands
-    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_idx")
-    banded = signatures.select(F.col(id_col), F.col("minhash"), band_idx)
-    banded = banded.select(
-        id_col,
-        "band_idx",
-        F.xxhash64(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.slice("minhash", F.col("band_idx") * rows_per_band + 1, rows_per_band),
-                    lambda x: x.cast("string"),
-                ),
-            )
-        ).alias("band_hash"),
-    )
+    banded = band_buckets(signatures, id_col, num_perm, bands)
     left = banded.select(
         F.col(id_col).alias("left_id"), "band_idx", "band_hash"
     )
@@ -614,3 +629,71 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("left_id", "right_id", "cosine")
     )
+
+
+# ------------------------------------------------------------------ #
+# incremental (continuous-ingestion) dedup against a stored band index
+# ------------------------------------------------------------------ #
+
+def dedup_incremental(
+    new_df: DataFrame,
+    index_path: str,
+    text_col: str,
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Deduplicate a NEW batch against everything ever ingested, without
+    touching the corpus itself: the only persisted state is the band
+    index (band_idx, band_hash, id) — fixed rows per doc, appended
+    (never rewritten) per batch.
+
+    A new doc is a duplicate iff it shares any band bucket with the
+    index (same criterion as ``minhash_dedup_groups``); survivors are
+    then deduped within the batch (transitively, via the cluster
+    operator) and their buckets appended. Returns the surviving rows.
+
+    Scale shape: one shuffle join of the batch's buckets against the
+    index on uniformly-hashed keys; the corpus is never re-scanned —
+    cost per batch is O(batch + matching index slice).
+    """
+    import os
+
+    spark = new_df.sparkSession
+    sig = minhash_signatures(new_df, text_col, id_col, num_perm, shingle_size)
+    buckets = band_buckets(sig, id_col, num_perm, bands)
+
+    if os.path.exists(index_path):
+        stored = spark.read.parquet(index_path)
+        dup_ids = (
+            buckets.join(stored, ["band_idx", "band_hash"], "left_semi")
+            .select(id_col)
+            .distinct()
+        )
+        fresh = new_df.join(dup_ids, id_col, "left_anti")
+    else:
+        fresh = new_df
+
+    # within-batch transitive dedup (first batch: the whole batch)
+    groups = minhash_dedup_groups(
+        fresh, text_col, id_col, num_perm, bands, shingle_size
+    )
+    keep_ids = groups.filter(
+        F.col(id_col) == F.col("canonical_id")
+    ).select(id_col)
+    survivors = fresh.join(keep_ids, id_col, "left_semi")
+    # materialize BEFORE appending: the survivors' lineage contains the
+    # index read, so a lazy result re-evaluated after the append would
+    # match each doc against its own just-written buckets (and return
+    # nothing)
+    survivors = survivors.localCheckpoint(eager=True)
+
+    surv_buckets = band_buckets(
+        minhash_signatures(survivors, text_col, id_col, num_perm, shingle_size),
+        id_col,
+        num_perm,
+        bands,
+    )
+    surv_buckets.write.mode("append").parquet(index_path)
+    return survivors

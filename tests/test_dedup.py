@@ -126,3 +126,57 @@ def test_embedding_near_dup(spark):
     pairs = dedup.embedding_near_dup_pairs(df, "embedding", "vec_id", threshold=0.99).collect()
     got = {(r["left_id"], r["right_id"]) for r in pairs}
     assert got == {(0, 1)}
+
+
+def test_dedup_incremental_across_batches(spark, sf_dir, tmp_path):
+    """Continuous ingestion: batch 2's copies of batch-1 docs are dropped
+    by the stored band index; genuinely new docs survive; the index grows
+    append-only."""
+    import os
+
+    from linkml_store_spark.operators.dedup import dedup_incremental
+    from linkml_store_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "band_index")
+
+    batch1 = docs.filter(F.col("doc_id") < 100)
+    s1 = dedup_incremental(batch1, idx, "text")
+    n1 = s1.count()
+    assert 0 < n1 <= 100
+    files_after_1 = len(
+        [f for f in os.listdir(idx) if f.endswith(".parquet")]
+    )
+
+    # batch 2: 100 new docs + exact copies of 50 batch-1 docs under new ids
+    new_docs = docs.filter(
+        (F.col("doc_id") >= 100) & (F.col("doc_id") < 200)
+    )
+    copies = batch1.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    batch2 = new_docs.unionByName(copies)
+    s2 = dedup_incremental(batch2, idx, "text")
+    surviving_ids = {r["doc_id"] for r in s2.select("doc_id").collect()}
+
+    # every exact copy of an already-ingested doc must be gone
+    assert all(i < 100000 for i in surviving_ids)
+    # new docs survive except those near-duplicating batch-1/batch-2 docs
+    assert len(surviving_ids) > 50
+    # append-only: more index files, none rewritten
+    files_after_2 = len(
+        [f for f in os.listdir(idx) if f.endswith(".parquet")]
+    )
+    assert files_after_2 > files_after_1
+
+
+def test_dedup_incremental_first_batch_self_dedup(spark, tmp_path):
+    from linkml_store_spark.operators.dedup import dedup_incremental
+
+    rows = [(1, "the quick brown fox jumps over the lazy dog " * 5),
+            (2, "the quick brown fox jumps over the lazy dog " * 5),
+            (3, "an entirely different document about spark engines " * 5)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup_incremental(df, str(tmp_path / "idx"), "text")
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 3]  # min-id canonical kept within batch
