@@ -1002,6 +1002,26 @@ def q_dedup_incremental(spark, sf):
     )
 
 
+def q_corpus_pipeline(spark, sf):
+    """The full training-corpus pipeline in one call (operators/
+    pipeline.py): scrub → quality gate → near-dedup → split → chunk →
+    pack. Returns the per-stage row account (monotone by construction);
+    LSH dedup inside makes it rows-only."""
+    from linkml_store_spark.operators.pipeline import (
+        CorpusConfig,
+        prepare_training_corpus,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    _, report = prepare_training_corpus(
+        docs,
+        CorpusConfig(chunk_tokens=128, pack_budget=1024, pack_partitions=8),
+    )
+    return spark.createDataFrame(
+        sorted(report.items()), ["stage", "rows"]
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "find_eq": q_find_eq,
     "find_range": q_find_range,
@@ -1068,6 +1088,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "connected_components": q_connected_components,
     "repetition_stats": q_repetition_stats,
     "dedup_incremental": q_dedup_incremental,
+    "corpus_pipeline": q_corpus_pipeline,
 }
 
 

@@ -1,0 +1,129 @@
+"""End-to-end training-corpus preparation: one composition of the
+package's pipeline operators.
+
+    raw docs
+      → PII scrub                (operators/scrub.py, codegen projection)
+      → quality + repetition gate (operators/textanalysis.py, projection)
+      → exact + near dedup        (operators/dedup.py, LSH cluster groups)
+      → train/val/test split      (operators/splits.py, md5 bucketing)
+      → token chunking            (operators/chunking.py, projection)
+      → sequence packing          (operators/packing.py, partition-local)
+
+Each stage is itself a lazy DataFrame transform, so THE WHOLE PIPELINE
+IS ONE PLAN until the dedup fixpoint forces a materialization — Catalyst
+fuses the scrub/quality/split projections into a single pass over the
+scan. The returned report accounts for every dropped row by stage
+(silent data loss in a corpus pipeline is a bug, not a detail).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class CorpusConfig:
+    text_col: str = "text"
+    id_col: str = "doc_id"
+    # quality gates (Gopher-ish defaults, deliberately loose)
+    min_tokens: int = 5
+    max_dup_line_frac: float = 0.5
+    max_top_bigram_frac: float = 0.5
+    # dedup
+    minhash_permutations: int = 64
+    lsh_bands: int = 16
+    # split
+    split_fractions: Dict[str, float] = field(
+        default_factory=lambda: {"train": 0.98, "val": 0.01, "test": 0.01}
+    )
+    split_salt: str = ""
+    # chunk + pack
+    chunk_tokens: int = 512
+    pack_budget: int = 2048
+    pack_partitions: Optional[int] = 32
+
+
+def prepare_training_corpus(
+    docs: DataFrame, config: CorpusConfig = None
+) -> tuple:
+    """Run the full preparation pipeline. Returns ``(packed, report)``:
+    ``packed`` is the training-ready chunk table (split label, pack id,
+    position, offset per chunk) and ``report`` a per-stage row account.
+    """
+    from linkml_store_spark.operators.chunking import chunk_by_tokens
+    from linkml_store_spark.operators.dedup import minhash_dedup_groups
+    from linkml_store_spark.operators.packing import pack_sequences
+    from linkml_store_spark.operators.scrub import scrub_documents
+    from linkml_store_spark.operators.splits import hash_split
+    from linkml_store_spark.operators.textanalysis import (
+        bpe_token_count,
+        repetition_stats,
+    )
+
+    cfg = config or CorpusConfig()
+    tc, ic = cfg.text_col, cfg.id_col
+    report = {"input": docs.count()}
+
+    # 1. scrub (in place, counts dropped — they're audit data, rejoinable)
+    scrubbed = scrub_documents(docs, tc, with_counts=False)
+
+    # 2. quality gate: token floor + repetition ceilings
+    rep = repetition_stats(scrubbed, tc, ic).select(
+        ic, "dup_line_frac", "top_bigram_frac"
+    )
+    gated = (
+        scrubbed.join(rep, ic)
+        .filter(
+            (bpe_token_count(F.col(tc)) >= cfg.min_tokens)
+            & (F.col("dup_line_frac") <= cfg.max_dup_line_frac)
+            & (F.col("top_bigram_frac") <= cfg.max_top_bigram_frac)
+        )
+        .drop("dup_line_frac", "top_bigram_frac")
+    )
+    report["after_quality_gate"] = gated.count()
+
+    # 3. near-dedup: keep cluster canonicals (transitive, no pair blowup)
+    groups = minhash_dedup_groups(
+        gated, tc, ic, cfg.minhash_permutations, cfg.lsh_bands
+    )
+    keep = groups.filter(F.col(ic) == F.col("canonical_id")).select(ic)
+    unique = gated.join(keep, ic, "left_semi")
+    report["after_dedup"] = unique.count()
+
+    # 4. deterministic split (append-stable — docs keep their split forever)
+    split = hash_split(unique, ic, cfg.split_fractions, salt=cfg.split_salt)
+
+    # 5. chunk to token windows
+    chunks = chunk_by_tokens(split, tc, chunk_tokens=cfg.chunk_tokens).select(
+        F.concat_ws("#", F.col(ic).cast("string"), F.col("chunk_idx")).alias(
+            "chunk_id"
+        ),
+        F.col(ic),
+        "split",
+        "chunk",
+        "n_tokens",
+    )
+    report["chunks"] = chunks.count()
+
+    # 6. pack per split (sequences never mix train and eval data)
+    packed_parts = []
+    for name in cfg.split_fractions:
+        part = chunks.filter(F.col("split") == name)
+        packed_parts.append(
+            pack_sequences(
+                part,
+                "chunk_id",
+                "n_tokens",
+                budget=cfg.pack_budget,
+                num_partitions=cfg.pack_partitions,
+            )
+        )
+    packed = packed_parts[0]
+    for p in packed_parts[1:]:
+        packed = packed.unionByName(p)
+    report["packs"] = packed.select("split", "pack_id").distinct().count()
+    return packed, report

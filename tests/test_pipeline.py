@@ -1,0 +1,44 @@
+"""End-to-end corpus preparation: stage accounting, conservation,
+no train/eval mixing inside a pack, budget."""
+
+from pyspark.sql import functions as F
+
+from linkml_store_spark.operators.pipeline import (
+    CorpusConfig,
+    prepare_training_corpus,
+)
+from linkml_store_spark.sources.tables import load_table
+
+
+def test_prepare_training_corpus(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cfg = CorpusConfig(
+        chunk_tokens=64,
+        pack_budget=256,
+        pack_partitions=4,
+        split_fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    packed, report = prepare_training_corpus(docs, cfg)
+
+    # monotone accounting: every stage can only drop rows
+    assert (
+        report["input"]
+        >= report["after_quality_gate"]
+        >= report["after_dedup"]
+        > 0
+    )
+    # conservation: every surviving chunk is packed exactly once
+    assert packed.count() == report["chunks"]
+    assert packed.select("chunk_id").distinct().count() == report["chunks"]
+
+    # budget: pack identity is (split, pack_id) — packs are built per
+    # split, so train/eval can never share a sequence
+    per_pack = packed.groupBy("split", "pack_id").agg(
+        F.sum("n_tokens").alias("tokens"), F.count(F.lit(1)).alias("rows")
+    )
+    assert per_pack.filter(
+        (F.col("rows") > 1) & (F.col("tokens") > cfg.pack_budget)
+    ).count() == 0
+
+    # all three splits present
+    assert packed.select("split").distinct().count() == 3
