@@ -147,3 +147,55 @@ def test_write_clustered_files_have_disjoint_ranges(spark, tmp_path):
     # and Spark actually skips: a point lookup reads fewer rows than a scan
     hit = spark.read.parquet(path).filter(F.col("user_id") == 5)
     assert hit.count() == df.filter(F.col("user_id") == 5).count()
+
+
+def test_zorder_files_narrow_in_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order layout: per-file footer ranges stay narrow on BOTH cluster
+    columns; lexicographic (a, b) sort leaves the second column's per-file
+    range at ~full span. Metric: mean fraction of the global span covered
+    per file."""
+    import pyarrow.parquet as pq
+
+    from linkml_store_spark.operators.scale import write_zordered
+    from linkml_store_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    zpath = str(tmp_path / "zorder")
+    lpath = str(tmp_path / "lexi")
+    write_zordered(ev, zpath, ["user_id", "value"], num_files=16)
+    (
+        ev.repartitionByRange(16, F.col("user_id"), F.col("value"))
+        .sortWithinPartitions("user_id", "value")
+        .write.parquet(lpath)
+    )
+
+    def mean_span_fraction(path, col_name):
+        import os
+
+        spans, lo, hi = [], None, None
+        for f in sorted(os.listdir(path)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            ci = names.index(col_name)
+            mn = min(md.row_group(i).column(ci).statistics.min
+                     for i in range(md.num_row_groups))
+            mx = max(md.row_group(i).column(ci).statistics.max
+                     for i in range(md.num_row_groups))
+            spans.append((mn, mx))
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+        total = (hi - lo) or 1
+        return sum((b - a) for a, b in spans) / len(spans) / total
+
+    # second dimension: z-order files must be much tighter than lexi files
+    z_val = mean_span_fraction(zpath, "value")
+    l_val = mean_span_fraction(lpath, "value")
+    assert z_val < 0.6
+    assert z_val < l_val * 0.75, (z_val, l_val)
+    # first dimension: z-order trades a LITTLE user_id tightness
+    z_uid = mean_span_fraction(zpath, "user_id")
+    assert z_uid < 0.6
