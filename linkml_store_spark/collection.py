@@ -609,6 +609,78 @@ class Collection:
         return report
 
     # ------------------------------------------------------------------ #
+    # training-pipeline operators (north-star extensions), surfaced on the
+    # Collection so a pipeline is method-chained instead of module-wired
+    # ------------------------------------------------------------------ #
+    def split(
+        self,
+        fractions: Optional[dict] = None,
+        id_col: Optional[str] = None,
+        salt: str = "",
+    ) -> DataFrame:
+        """Deterministic hash-bucketed split assignment
+        (operators/splits.py — append-stable, engine-portable)."""
+        from linkml_store_spark.operators.splits import hash_split
+
+        return hash_split(
+            self.df, id_col or self._require_pk(), fractions, salt=salt
+        )
+
+    def scrub(self, text_col: str = "text", kinds=None) -> DataFrame:
+        """PII redaction projection (operators/scrub.py)."""
+        from linkml_store_spark.operators.scrub import scrub_documents
+
+        return scrub_documents(self.df, text_col, kinds=kinds)
+
+    def chunk(
+        self,
+        text_col: str = "text",
+        chunk_size: int = 1024,
+        stride: Optional[int] = None,
+        by_tokens: bool = False,
+    ) -> DataFrame:
+        """Sliding-window chunking (operators/chunking.py)."""
+        from linkml_store_spark.operators.chunking import (
+            chunk_by_chars,
+            chunk_by_tokens,
+        )
+
+        if by_tokens:
+            return chunk_by_tokens(
+                self.df, text_col, chunk_tokens=chunk_size, stride=stride
+            )
+        return chunk_by_chars(
+            self.df, text_col, chunk_chars=chunk_size, stride=stride
+        )
+
+    def rollup(
+        self, ts_col: str, aggs: dict, grains=("hour", "day"), keys=(),
+        include_total: bool = False,
+    ) -> DataFrame:
+        """One-scan multi-grain time rollup (operators/rollup.py)."""
+        from linkml_store_spark.operators.rollup import time_rollup
+
+        return time_rollup(
+            self.df, ts_col, aggs, grains=grains, keys=keys,
+            include_total=include_total,
+        )
+
+    def approx_distinct(self, col: str, by=()) -> DataFrame:
+        """HLL-sketch distinct count (operators/sketches.py)."""
+        from linkml_store_spark.operators.sketches import approx_distinct_by
+
+        return approx_distinct_by(self.df, col, by=by)
+
+    def dedup_near(self, text_col: str = "text", id_col: Optional[str] = None):
+        """Cluster-canonical near-dedup (operators/dedup.py):
+        (id, canonical_id) labels."""
+        from linkml_store_spark.operators.dedup import minhash_dedup_groups
+
+        return minhash_dedup_groups(
+            self.df, text_col, id_col or self._require_pk()
+        )
+
+    # ------------------------------------------------------------------ #
     # diff / patch (§2.2)
     # ------------------------------------------------------------------ #
     def diff(self, other: "Collection") -> List[dict]:

@@ -305,3 +305,35 @@ def test_collection_compact(spark, tmp_path):
     assert db.execute_sql("SELECT SUM(v) AS s FROM Events").rows[0]["s"] == sum(
         3 * i for i in range(2000)
     )
+
+
+def test_collection_pipeline_methods(spark, sf_dir):
+    """The training-pipeline operators are first-class Collection methods."""
+    from pyspark.sql import functions as F
+
+    from linkml_store_spark.client import Client
+    from linkml_store_spark.sources.tables import load_table
+
+    client = Client(spark)
+    db = client.attach_database("memory", alias="_pipe")
+    docs = db.create_collection("docs", identifier_attribute="doc_id")
+    docs.insert(load_table(spark, sf_dir, "documents").limit(200))
+
+    s = docs.split({"train": 0.8, "test": 0.2})
+    assert s.filter(F.col("split").isNull()).count() == 0
+
+    assert docs.scrub().count() == 200
+
+    ch = docs.chunk(chunk_size=64, by_tokens=True)
+    assert ch.filter(F.col("n_tokens") > 64).count() == 0
+
+    ad = docs.approx_distinct("lang").first()
+    assert 0 < ad["approx_distinct"] <= 10
+
+    groups = docs.dedup_near()
+    assert groups.count() == 200
+
+    ev = db.create_collection("ev", identifier_attribute="event_id")
+    ev.insert(load_table(spark, sf_dir, "events").limit(500))
+    r = ev.rollup("ts", {"n": F.count(F.lit(1))}, grains=("day",))
+    assert r.agg(F.sum("n")).first()[0] == 500
