@@ -208,3 +208,45 @@ def test_stream_rollup_replay_is_idempotent(spark, sf_dir, tmp_path):
         )
     total = spark.read.parquet(store).agg(F.sum("n")).first()[0]
     assert total == 500  # not 1000
+
+
+def test_projection_operators_work_on_streams(spark, sf_dir, tmp_path):
+    """scrub/chunk are stateless projections, so the SAME operator code
+    runs unchanged under Structured Streaming — drain a document stream
+    through scrub + char-chunking and match the batch result."""
+    from linkml_store_spark.operators.chunking import chunk_by_chars
+    from linkml_store_spark.operators.scrub import scrub_documents
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "docs_src")
+    docs.limit(200).repartition(2).write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = chunk_by_chars(
+        scrub_documents(stream, "text", with_counts=False), chunk_chars=200
+    )
+    sink = str(tmp_path / "chunks_out")
+    (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk"])
+        for r in spark.read.parquet(sink).collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk"])
+        for r in chunk_by_chars(
+            scrub_documents(
+                spark.read.parquet(src), "text", with_counts=False
+            ),
+            chunk_chars=200,
+        ).collect()
+    )
+    assert got == want and len(got) > 0
