@@ -581,6 +581,38 @@ def rollup(obj: Context, ts_col, grains, keys, value_col, output_type, output):
     _render(rows, output_type, output)
 
 
+@cli.command()
+@click.option("--text-col", default="text")
+@click.option("--target", default=None,
+              help="write scrubbed rows to this collection instead of stats")
+@OUTPUT_OPT
+@OUTPUT_FILE_OPT
+@click.pass_obj
+def scrub(obj: Context, text_col, target, output_type, output):
+    """Redact PII (emails, IPs, SSNs, phones) from a text column
+    (operators/scrub.py — codegen projection)."""
+    from pyspark.sql import functions as F
+
+    from linkml_store_spark.operators.scrub import scrub_documents
+
+    out = scrub_documents(obj.collection.df, text_col)
+    if target:
+        obj.db.get_collection(target).replace(
+            out.drop(*[c for c in out.columns if c.startswith("n_")])
+        )
+        click.echo(f"Wrote {out.count()} scrubbed rows to {target}")
+        return
+    count_cols = [c for c in out.columns if c.startswith("n_")]
+    rows = [
+        r.asDict()
+        for r in out.agg(
+            F.count(F.lit(1)).alias("rows"),
+            *[F.sum(c).alias(c) for c in count_cols],
+        ).collect()
+    ]
+    _render(rows, output_type, output)
+
+
 @cli.command("approx-distinct")
 @click.option("--col", "col_", required=True, help="column to count")
 @click.option("--by", default=None, help="group columns, comma-separated")

@@ -194,3 +194,21 @@ def test_cli_split_chunk_rollup_approx(wh, spark, sf_dir, tmp_path):
     r = _run(["-d", wh, "-c", "docs", "approx-distinct", "--col", "doc_id"])
     n = json.loads(r.output)[0]["approx_distinct"]
     assert abs(n - 40) <= 2
+
+
+def test_cli_scrub(wh, spark, tmp_path):
+    import json as _json
+
+    f = str(tmp_path / "pii.jsonl")
+    with open(f, "w") as fh:
+        fh.write(_json.dumps({"doc_id": 1, "text": "mail me a@b.com now"}) + "\n")
+        fh.write(_json.dumps({"doc_id": 2, "text": "clean text"}) + "\n")
+    _run(["-d", wh, "-c", "pii", "insert", f])
+    r = _run(["-d", wh, "-c", "pii", "scrub"])
+    stats = json.loads(r.output)[0]
+    assert stats["rows"] == 2 and stats["n_email"] == 1
+
+    r = _run(["-d", wh, "-c", "pii", "scrub", "--target", "pii_clean"])
+    assert "pii_clean" in r.output
+    r = _run(["-d", wh, "-c", "pii_clean", "query", "-w", "{doc_id: 1}"])
+    assert "[EMAIL]" in json.loads(r.output)[0]["text"]
