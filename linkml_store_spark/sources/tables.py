@@ -70,6 +70,54 @@ def _ensure_session_confs(spark: SparkSession) -> None:
             spark.conf.set(k, v)
         except Exception:
             pass
+    _ensure_workers_can_import(spark)
+
+
+def _ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers (idempotent).
+
+    A foreign session (the round driver's, a notebook's) won't have the
+    repo on the workers' PYTHONPATH; pandas UDFs that reference
+    module-level functions (enrichment's log-gamma kernel, multimodal's
+    featurizers) pickle BY REFERENCE and need ``import linkml_store_spark``
+    to succeed on the worker. ``addPyFile`` with a zip of the package is
+    the standard Spark mechanism — it reaches every current and future
+    executor, unlike env vars which are fixed at JVM start. (Closures
+    pickle by value and never hit this; the guard costs one zip per
+    process.)
+    """
+    import os
+    import tempfile
+    import zipfile
+
+    sc = spark.sparkContext
+    zip_name = "linkml_store_spark_dist.zip"
+    try:
+        if any(zip_name in p for p in sc._python_includes):
+            return
+    except Exception:
+        pass
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zip_path = os.path.join(tempfile.gettempdir(), zip_name)
+    if not os.path.exists(zip_path):
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                if "__pycache__" in root:
+                    continue
+                for f in files:
+                    if not f.endswith(".py"):
+                        continue
+                    full = os.path.join(root, f)
+                    rel = os.path.join(
+                        "linkml_store_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+        os.replace(tmp, zip_path)
+    try:
+        sc.addPyFile(zip_path)
+    except Exception:
+        pass  # already added, or a connect-only session
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
