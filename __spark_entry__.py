@@ -1022,6 +1022,26 @@ def q_corpus_pipeline(spark, sf):
     )
 
 
+def q_robust_outliers(spark, sf):
+    """Median/MAD robust outlier detection (operators/outliers.py): flag
+    events whose value deviates > 3.5 robust sigmas within its event
+    type — two exact-percentile aggregations + broadcast-back, no
+    full-table window. Oracle recomputes median/MAD in DuckDB."""
+    from linkml_store_spark.operators.outliers import flag_outliers
+
+    ev = _t(spark, sf, "events")
+    out = flag_outliers(ev, "value", by=["event_type"], k=3.5)
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.round(F.max("median"), 4).alias("median_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "find_eq": q_find_eq,
     "find_range": q_find_range,
@@ -1089,6 +1109,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats": q_repetition_stats,
     "dedup_incremental": q_dedup_incremental,
     "corpus_pipeline": q_corpus_pipeline,
+    "robust_outliers": q_robust_outliers,
 }
 
 
@@ -1646,6 +1667,28 @@ ORACLES: dict[str, str] = {
                  AS INT) AS n_pii
         FROM salted
         ORDER BY doc_id
+    """,
+    "robust_outliers": """
+        WITH med AS (
+          SELECT event_type, median(value) AS m FROM events GROUP BY 1
+        ),
+        mad AS (
+          SELECT e.event_type, median(abs(e.value - med.m)) AS mad
+          FROM events e JOIN med USING (event_type) GROUP BY 1
+        )
+        SELECT e.event_type,
+               CAST(SUM(CASE WHEN
+                 (CASE WHEN mad.mad * 1.4826 > 0
+                       THEN abs(e.value - med.m) / (mad.mad * 1.4826) > 3.5
+                       ELSE abs(e.value - med.m) > 0 END)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               ROUND(MAX(med.m), 4) AS median_value
+        FROM events e
+        JOIN med USING (event_type)
+        JOIN mad USING (event_type)
+        GROUP BY e.event_type
+        ORDER BY e.event_type
     """,
     "repetition_stats": r"""
         WITH base AS (
