@@ -1042,6 +1042,27 @@ def q_robust_outliers(spark, sf):
     )
 
 
+def q_domain_stats(spark, sf):
+    """URL/domain extraction (textanalysis.domain_stats): per-domain doc
+    and mention counts — the provenance audit of a crawl corpus. URLs are
+    synthesized deterministically (the testdata has none), and DuckDB
+    replays the same Java∩RE2 regex as oracle."""
+    from linkml_store_spark.operators.textanalysis import domain_stats
+
+    docs = _t(spark, sf, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://"),
+            F.col("source"),
+            F.lit(".example.org/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return domain_stats(salted).orderBy("domain")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "find_eq": q_find_eq,
     "find_range": q_find_range,
@@ -1110,6 +1131,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_incremental": q_dedup_incremental,
     "corpus_pipeline": q_corpus_pipeline,
     "robust_outliers": q_robust_outliers,
+    "domain_stats": q_domain_stats,
 }
 
 
@@ -1667,6 +1689,33 @@ ORACLES: dict[str, str] = {
                  AS INT) AS n_pii
         FROM salted
         ORDER BY doc_id
+    """,
+    "domain_stats": r"""
+        WITH salted AS (
+          SELECT doc_id,
+                 text || ' see https://' || source || '.example.org/p/'
+                      || doc_id AS text
+          FROM documents
+        ),
+        urls AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(text,
+                   'https?://[A-Za-z0-9.-]+(?::\d+)?(?:/[^\s"''<>]*)?')) AS u
+          FROM salted
+        ),
+        doms AS (
+          SELECT doc_id,
+                 lower(regexp_extract(u, 'https?://([A-Za-z0-9.-]+)', 1))
+                   AS domain
+          FROM urls
+        )
+        SELECT domain,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_mentions
+        FROM doms
+        WHERE domain IS NOT NULL AND domain <> ''
+        GROUP BY domain
+        ORDER BY domain
     """,
     "robust_outliers": """
         WITH med AS (

@@ -266,3 +266,41 @@ def repetition_stats(
             6,
         ).alias("top_token_frac"),
     )
+
+
+# ------------------------------------------------------------------ #
+# URL / domain extraction (corpus provenance analysis)
+# ------------------------------------------------------------------ #
+
+#: conservative URL pattern in the Java-regex ∩ RE2 dialect (no lookbehind)
+URL_PATTERN = r"https?://[A-Za-z0-9.-]+(?::\d+)?(?:/[^\s\"'<>]*)?"
+_DOMAIN_FROM_URL = r"https?://([A-Za-z0-9.-]+)"
+
+
+def extract_urls(text: Column) -> Column:
+    """All http(s) URLs in the text, in order (array<string>)."""
+    return F.regexp_extract_all(text, F.lit(f"({URL_PATTERN})"))
+
+
+def extract_domains(text: Column) -> Column:
+    """Hostnames of the text's URLs, lowercased (array<string>)."""
+    return F.transform(
+        extract_urls(text),
+        lambda u: F.lower(F.regexp_extract(u, _DOMAIN_FROM_URL, 1)),
+    )
+
+
+def domain_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-domain corpus stats: documents mentioning the domain and total
+    mentions — the provenance profile a crawl-based corpus audit starts
+    from. Explode of a small per-row array, one aggregation."""
+    doms = df.select(
+        F.col(id_col),
+        F.explode_outer(extract_domains(F.col(text_col))).alias("domain"),
+    ).filter(F.col("domain").isNotNull() & (F.col("domain") != ""))
+    return doms.groupBy("domain").agg(
+        F.countDistinct(id_col).alias("n_docs"),
+        F.count(F.lit(1)).alias("n_mentions"),
+    )

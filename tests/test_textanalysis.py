@@ -193,3 +193,19 @@ def test_repetition_stats_plan_is_projection(spark, sf_dir):
         repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_url_and_domain_extraction(spark):
+    from linkml_store_spark.operators.textanalysis import domain_stats
+
+    rows = [
+        (1, "see https://example.com/a and http://sub.test.org:8080/path?q=1"),
+        (2, "again https://EXAMPLE.com/b plus plain text"),
+        (3, "no links here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["domain"]: (r["n_docs"], r["n_mentions"])
+        for r in domain_stats(df).collect()
+    }
+    assert got == {"example.com": (2, 2), "sub.test.org": (1, 1)}
