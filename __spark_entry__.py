@@ -1063,6 +1063,27 @@ def q_domain_stats(spark, sf):
     return domain_stats(salted).orderBy("domain")
 
 
+def q_normalize_documents(spark, sf):
+    """Unicode/text normalization (operators/normalize.py): NFC via an
+    Arrow-batched unicodedata UDF + native control-strip and whitespace
+    collapse. The salt embeds DECOMPOSED accents (e + U+0301) so NFC
+    provably rewrites bytes; DuckDB's nfc_normalize computes the identical
+    form, making the md5 comparison byte-exact."""
+    from linkml_store_spark.operators.normalize import normalize_documents
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" café\tnaïve  x")
+        ).alias("text"),
+    )
+    out = normalize_documents(salted)
+    return out.select(
+        "doc_id", F.md5(F.col("text")).alias("norm_md5")
+    ).orderBy("doc_id")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "find_eq": q_find_eq,
     "find_range": q_find_range,
@@ -1132,6 +1153,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_pipeline": q_corpus_pipeline,
     "robust_outliers": q_robust_outliers,
     "domain_stats": q_domain_stats,
+    "normalize_documents": q_normalize_documents,
 }
 
 
@@ -1688,6 +1710,17 @@ ORACLES: dict[str, str] = {
                    '\b(?:\d{1,3}\.){3}\d{1,3}\b'))
                  AS INT) AS n_pii
         FROM salted
+        ORDER BY doc_id
+    """,
+    "normalize_documents": """
+        SELECT doc_id,
+               md5(
+                 trim(regexp_replace(regexp_replace(
+                   nfc_normalize(text || ' café\tnaïve  x'),
+                   '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+                   '[ \t]+', ' ', 'g'))
+               ) AS norm_md5
+        FROM documents
         ORDER BY doc_id
     """,
     "domain_stats": r"""
