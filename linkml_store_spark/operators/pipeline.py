@@ -29,6 +29,9 @@ from pyspark.sql import functions as F
 class CorpusConfig:
     text_col: str = "text"
     id_col: str = "doc_id"
+    # normalization (stage 0 — byte-form variants would fragment dedup)
+    normalize: bool = True
+    nfc: bool = True
     # quality gates (Gopher-ish defaults, deliberately loose)
     min_tokens: int = 5
     max_dup_line_frac: float = 0.5
@@ -67,6 +70,13 @@ def prepare_training_corpus(
     cfg = config or CorpusConfig()
     tc, ic = cfg.text_col, cfg.id_col
     report = {"input": docs.count()}
+
+    # 0. normalize byte forms FIRST — NFC/controls/whitespace variants
+    # would otherwise defeat both dedup and the quality gates
+    if cfg.normalize:
+        from linkml_store_spark.operators.normalize import normalize_documents
+
+        docs = normalize_documents(docs, tc, nfc=cfg.nfc)
 
     # 1. scrub (in place, counts dropped — they're audit data, rejoinable)
     scrubbed = scrub_documents(docs, tc, with_counts=False)
