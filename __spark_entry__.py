@@ -1084,6 +1084,29 @@ def q_normalize_documents(spark, sf):
     ).orderBy("doc_id")
 
 
+def q_fuzzy_join_names(spark, sf):
+    """Two-table fuzzy join (operators/fuzzyjoin.py): character-trigram
+    Jaccard via an inverted-index equi-join — no cross join. Right side
+    is a deterministic perturbation of nation names, so matches and
+    scores are fully oracle-checkable in DuckDB."""
+    from linkml_store_spark.operators.fuzzyjoin import similarity_join
+
+    nation = _t(spark, sf, "nation")
+    left = nation.select(
+        F.col("n_nationkey").alias("lid"), F.col("n_name").alias("name")
+    )
+    right = nation.select(
+        (F.col("n_nationkey") + 100).alias("rid"),
+        F.concat(F.col("n_name"), F.lit(" CO")).alias("name"),
+    )
+    out = similarity_join(
+        left, right, "lid", "name", "rid", "name", threshold=0.4
+    )
+    return out.select(
+        "left_id", "right_id", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("left_id", "right_id")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "find_eq": q_find_eq,
     "find_range": q_find_range,
@@ -1154,6 +1177,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robust_outliers": q_robust_outliers,
     "domain_stats": q_domain_stats,
     "normalize_documents": q_normalize_documents,
+    "fuzzy_join_names": q_fuzzy_join_names,
 }
 
 
@@ -1711,6 +1735,41 @@ ORACLES: dict[str, str] = {
                  AS INT) AS n_pii
         FROM salted
         ORDER BY doc_id
+    """,
+    "fuzzy_join_names": """
+        WITH l AS (
+          SELECT n_nationkey AS id, lower(trim(n_name)) AS s FROM nation
+        ),
+        r AS (
+          SELECT n_nationkey + 100 AS id, lower(trim(n_name || ' CO')) AS s
+          FROM nation
+        ),
+        lg AS (
+          SELECT DISTINCT id, substr(s, i, 3) AS g
+          FROM (SELECT id, s,
+                  unnest(generate_series(1, greatest(length(s) - 2, 1))) AS i
+                FROM l)
+        ),
+        rg AS (
+          SELECT DISTINCT id, substr(s, i, 3) AS g
+          FROM (SELECT id, s,
+                  unnest(generate_series(1, greatest(length(s) - 2, 1))) AS i
+                FROM r)
+        ),
+        lsz AS (SELECT id, COUNT(*) AS n FROM lg GROUP BY 1),
+        rsz AS (SELECT id, COUNT(*) AS n FROM rg GROUP BY 1),
+        inter AS (
+          SELECT lg.id AS lid, rg.id AS rid, COUNT(*) AS c
+          FROM lg JOIN rg ON lg.g = rg.g
+          GROUP BY 1, 2
+        )
+        SELECT lid AS left_id, rid AS right_id,
+               ROUND(CAST(c AS DOUBLE) / (lsz.n + rsz.n - c), 6) AS jaccard
+        FROM inter
+        JOIN lsz ON lsz.id = lid
+        JOIN rsz ON rsz.id = rid
+        WHERE CAST(c AS DOUBLE) / (lsz.n + rsz.n - c) >= 0.4
+        ORDER BY left_id, right_id
     """,
     "normalize_documents": """
         SELECT doc_id,
