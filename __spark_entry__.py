@@ -1107,6 +1107,19 @@ def q_fuzzy_join_names(spark, sf):
     ).orderBy("left_id", "right_id")
 
 
+def q_funnel_view_click_purchase(spark, sf):
+    """Funnel analysis (operators/funnel.py): users who viewed, then
+    clicked after viewing, then purchased after clicking — first-touch
+    ordered conversion via one filtered min-aggregation per step (no
+    per-user sorting). Oracle chains the same min/filter CTEs in DuckDB."""
+    from linkml_store_spark.operators.funnel import funnel_counts
+
+    ev = _t(spark, sf, "events")
+    return funnel_counts(ev, ["view", "click", "purchase"]).orderBy(
+        "step_idx"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "find_eq": q_find_eq,
     "find_range": q_find_range,
@@ -1178,6 +1191,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_stats": q_domain_stats,
     "normalize_documents": q_normalize_documents,
     "fuzzy_join_names": q_fuzzy_join_names,
+    "funnel_view_click_purchase": q_funnel_view_click_purchase,
 }
 
 
@@ -1735,6 +1749,37 @@ ORACLES: dict[str, str] = {
                  AS INT) AS n_pii
         FROM salted
         ORDER BY doc_id
+    """,
+    "funnel_view_click_purchase": """
+        WITH s1 AS (
+          SELECT user_id, MIN(ts) AS t FROM events
+          WHERE event_type = 'view' GROUP BY 1
+        ),
+        s2 AS (
+          SELECT e.user_id, MIN(e.ts) AS t
+          FROM events e JOIN s1 USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1
+        ),
+        s3 AS (
+          SELECT e.user_id, MIN(e.ts) AS t
+          FROM events e JOIN s2 USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1
+        ),
+        n AS (
+          SELECT (SELECT COUNT(*) FROM s1) AS n1,
+                 (SELECT COUNT(*) FROM s2) AS n2,
+                 (SELECT COUNT(*) FROM s3) AS n3
+        )
+        SELECT 1 AS step_idx, 'view' AS step,
+               CAST(n1 AS BIGINT) AS n_users,
+               ROUND(1.0, 6) AS conversion FROM n
+        UNION ALL
+        SELECT 2, 'click', CAST(n2 AS BIGINT),
+               ROUND(CAST(n2 AS DOUBLE) / n1, 6) FROM n
+        UNION ALL
+        SELECT 3, 'purchase', CAST(n3 AS BIGINT),
+               ROUND(CAST(n3 AS DOUBLE) / n1, 6) FROM n
+        ORDER BY step_idx
     """,
     "fuzzy_join_names": """
         WITH l AS (
