@@ -1120,6 +1120,17 @@ def q_funnel_view_click_purchase(spark, sf):
     )
 
 
+def q_cohort_retention(spark, sf):
+    """Weekly cohort retention triangle (operators/funnel.py): first-touch
+    cohorts × activity-week offsets, two key-wise aggregations + joins.
+    Week truncation is ISO-Monday in both engines, so the offsets are
+    engine-exact and DuckDB recomputes the identical triangle."""
+    from linkml_store_spark.operators.funnel import cohort_retention
+
+    ev = _t(spark, sf, "events")
+    return cohort_retention(ev, period="week").orderBy("cohort", "offset")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "find_eq": q_find_eq,
     "find_range": q_find_range,
@@ -1192,6 +1203,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "normalize_documents": q_normalize_documents,
     "fuzzy_join_names": q_fuzzy_join_names,
     "funnel_view_click_purchase": q_funnel_view_click_purchase,
+    "cohort_retention": q_cohort_retention,
 }
 
 
@@ -1749,6 +1761,31 @@ ORACLES: dict[str, str] = {
                  AS INT) AS n_pii
         FROM salted
         ORDER BY doc_id
+    """,
+    "cohort_retention": """
+        WITH fst AS (
+          SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+          FROM events GROUP BY 1
+        ),
+        act AS (
+          SELECT DISTINCT user_id, date_trunc('week', ts) AS p FROM events
+        ),
+        j AS (
+          SELECT a.user_id, f.cohort,
+                 CAST(date_diff('day', f.cohort, a.p) / 7 AS INT) AS off
+          FROM act a JOIN fst f USING (user_id)
+        ),
+        ret AS (
+          SELECT cohort, off, COUNT(DISTINCT user_id) AS n
+          FROM j GROUP BY 1, 2
+        ),
+        base AS (SELECT cohort, n AS b FROM ret WHERE off = 0)
+        SELECT strftime(r.cohort, '%Y-%m-%d') AS cohort,
+               r.off AS "offset",
+               CAST(r.n AS BIGINT) AS n_users,
+               ROUND(CAST(r.n AS DOUBLE) / b.b, 6) AS retention
+        FROM ret r JOIN base b USING (cohort)
+        ORDER BY cohort, "offset"
     """,
     "funnel_view_click_purchase": """
         WITH s1 AS (

@@ -87,3 +87,51 @@ def funnel_counts(
     return spark.createDataFrame(
         rows, ["step_idx", "step", "n_users", "conversion"]
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention triangle: users grouped by the period of their
+    FIRST event; for each (cohort, period offset) the distinct users
+    active in that period, plus the retention rate vs the cohort's size.
+
+    Two aggregations (first-touch per user, distinct activity periods)
+    joined on the user key, then one small rollup — no per-user history.
+    Both Spark and DuckDB truncate weeks to ISO Monday, which keeps the
+    offset arithmetic (day diff / period length) engine-exact.
+    """
+    days = {"day": 1, "week": 7}.get(period)
+    if days is None:
+        raise ValueError("period must be 'day' or 'week'")
+    first = events.groupBy(user_col).agg(
+        F.date_trunc(period, F.min(ts_col)).alias("__cohort")
+    )
+    act = (
+        events.select(
+            user_col, F.date_trunc(period, F.col(ts_col)).alias("__p")
+        )
+        .distinct()
+    )
+    joined = act.join(first, user_col).withColumn(
+        "offset",
+        (F.datediff(F.col("__p"), F.col("__cohort")) / days).cast("int"),
+    )
+    ret = joined.groupBy("__cohort", "offset").agg(
+        F.countDistinct(user_col).alias("n_users")
+    )
+    base = ret.filter(F.col("offset") == 0).select(
+        "__cohort", F.col("n_users").alias("__base")
+    )
+    return (
+        ret.join(base, "__cohort")
+        .select(
+            F.date_format("__cohort", "yyyy-MM-dd").alias("cohort"),
+            "offset",
+            "n_users",
+            F.round(F.col("n_users") / F.col("__base"), 6).alias("retention"),
+        )
+    )

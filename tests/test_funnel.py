@@ -68,3 +68,37 @@ def test_funnel_python_differential(spark, sf_dir):
     # monotone
     ns = [got[s] for s in steps]
     assert ns == sorted(ns, reverse=True)
+
+
+def test_cohort_retention_differential(spark, sf_dir):
+    from linkml_store_spark.operators.funnel import cohort_retention
+
+    ev = load_table(spark, sf_dir, "events")
+    got = {
+        (r["cohort"], r["offset"]): (r["n_users"], r["retention"])
+        for r in cohort_retention(ev, period="week").collect()
+    }
+    # python reference
+    import datetime
+
+    rows = ev.select("user_id", "ts").collect()
+    def week(d):
+        d = d.date() if hasattr(d, "date") else d
+        return d - datetime.timedelta(days=d.weekday())
+    first = {}
+    for r in rows:
+        u, w = r["user_id"], week(r["ts"])
+        if u not in first or w < first[u]:
+            first[u] = w
+    cells = {}
+    for r in rows:
+        u, w = r["user_id"], week(r["ts"])
+        off = (w - first[u]).days // 7
+        cells.setdefault((str(first[u]), off), set()).add(u)
+    want = {}
+    for (c, off), users in cells.items():
+        base = len(cells[(c, 0)])
+        want[(c, off)] = (len(users), round(len(users) / base, 6))
+    assert got == want
+    # offset 0 retention is 1.0 everywhere
+    assert all(v[1] == 1.0 for k, v in got.items() if k[1] == 0)
