@@ -65,11 +65,19 @@ class Collection:
         alias: Optional[str] = None,
         identifier_attribute: Optional[str] = None,
         derived_from: Optional[Dict[str, Any]] = None,
+        validate_modifications: bool = False,
+        constraints: Optional[Dict[str, dict]] = None,
     ):
         self.name = name
         self.alias = alias or name
         self.database = database
         self.identifier_attribute = identifier_attribute
+        #: reference ``api/config.py:105-108`` — when True, every insert runs
+        #: the constraint compiler over the appended batch and raises on any
+        #: violation (reference ``_pre_insert_hook``, collection.py:274-278)
+        self.validate_modifications = validate_modifications
+        #: slot constraint specs for ``validate.constraint_violations``
+        self.constraints = constraints or {}
         #: {"source": <collection name>, "mappings": {slot: expr}, "where": ...}
         #: — materialized on first touch (reference collection.py:260-272,727-777)
         self.derived_from = derived_from
@@ -123,8 +131,10 @@ class Collection:
         """Declarative source load (reference collection.py:689-722,
         config.py:27-56): read the file, optional JSONPath preselection,
         then replace/insert."""
-        from linkml_store_spark.sources.formats import read_objects_df
+        from linkml_store_spark.sources.formats import ensure_local, read_objects_df
 
+        if local_path.startswith(("http://", "https://", "file://")):
+            local_path = ensure_local(local_path)
         if json_path:
             from linkml_store_spark.functions.objects import jsonpath_select
             from linkml_store_spark.sources.formats import _read_document_objects, guess_format
@@ -234,9 +244,25 @@ class Collection:
                 cols.append(F.lit(None).cast(field.dataType).alias(field.name))
         return df.select(*cols)
 
+    def _pre_insert_hook(self, new_df: DataFrame) -> None:
+        """Validate-on-modification (reference collection.py:274-278 gated by
+        config.py:105-108): compile slot constraints to native filters over
+        the APPENDED batch only — distributed, no per-object Python loop —
+        and raise with a bounded sample of the violations."""
+        if not (self.validate_modifications and self.constraints):
+            return
+        from linkml_store_spark.validate import constraint_violations
+
+        bad = constraint_violations(new_df, self.constraints)
+        sample = bad.select("__violations").limit(20).collect()
+        if sample:
+            msgs = [v for r in sample for v in r["__violations"]]
+            raise ValueError(f"Validation errors: {msgs}")
+
     def insert(self, objs: Union[OBJECT, Sequence[OBJECT], DataFrame]) -> int:
         """Append objects; induces schema + creates the table on first insert."""
         new_df = objs if isinstance(objs, DataFrame) else self._objects_to_df(objs)
+        self._pre_insert_hook(new_df)
         if self.exists():
             base = self.df
             new_df = self._align(new_df, base.schema)

@@ -54,6 +54,8 @@ class Database:
         identifier_attribute: Optional[str] = None,
         recreate_if_exists: bool = False,
         derived_from: Optional[dict] = None,
+        validate_modifications: bool = False,
+        constraints: Optional[dict] = None,
     ) -> Collection:
         alias = alias or name
         if recreate_if_exists and alias in self._collections:
@@ -64,6 +66,8 @@ class Database:
             alias=alias,
             identifier_attribute=identifier_attribute,
             derived_from=derived_from,
+            validate_modifications=validate_modifications,
+            constraints=constraints,
         )
         self._collections[alias] = coll
         return coll

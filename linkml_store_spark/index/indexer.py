@@ -68,15 +68,28 @@ class Indexer:
         name: str = "index",
         index_attributes: Optional[List[str]] = None,
         text_template: Optional[str] = None,
+        text_template_syntax: Optional[str] = None,
         vector_default_length: int = 1000,
     ):
         self.name = name
         self.index_attributes = index_attributes
         self.text_template = text_template
+        self.text_template_syntax = text_template_syntax
         self.vector_default_length = vector_default_length
 
     def text_to_vector(self, text: str) -> List[float]:
         raise NotImplementedError
+
+    def _template_syntax(self) -> str:
+        """fstring vs jinja2, auto-detected like the reference
+        (indexer.py:139-148: ``{%``/``{{`` means Jinja2)."""
+        if self.text_template_syntax:
+            return self.text_template_syntax
+        if self.text_template and (
+            "{%" in self.text_template or "{{" in self.text_template
+        ):
+            return "jinja2"
+        return "fstring"
 
     def object_to_text(self, obj: Dict[str, Any]) -> str:
         if self.index_attributes:
@@ -85,12 +98,33 @@ class Indexer:
             obj = {k: v for k, v in obj.items() if k in self.index_attributes}
         obj = {k: v for k, v in obj.items() if v is not None}
         if self.text_template:
-            return self.text_template.format(**obj)
+            syntax = self._template_syntax()
+            if syntax == "jinja2":
+                from jinja2 import Template
+
+                return Template(self.text_template).render(**obj)
+            if syntax == "fstring":
+                return self.text_template.format(**obj)
+            raise NotImplementedError(f"Cannot handle template syntax: {syntax}")
         return str(obj)
 
     def _text_col(self, df: DataFrame) -> F.Column:
         if self.index_attributes and len(self.index_attributes) == 1 and not self.text_template:
             return F.col(self.index_attributes[0]).cast("string")
+        if self.text_template:
+            # Templates (fstring or Jinja2) render per object; an Arrow
+            # batch of struct rows -> object_to_text keeps the exact driver
+            # semantics on executors (self pickles by reference; the package
+            # zip is shipped via addPyFile).
+            to_text = self.object_to_text
+
+            @F.pandas_udf(T.StringType())
+            def render(batch: pd.DataFrame) -> pd.Series:
+                return pd.Series(
+                    [to_text(rec) for rec in batch.to_dict("records")]
+                )
+
+            return render(F.struct(*[F.col(c) for c in df.columns]))
         return object_to_text_expr(df.columns, self.index_attributes)
 
     def index_dataframe(self, df: DataFrame) -> DataFrame:

@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from linkml_store_spark.functions.timeutils import epoch_seconds
+
 
 def asof_join(
     left: DataFrame,
@@ -95,7 +97,7 @@ def asof_join(
 
     if tolerance_seconds is not None:
         in_tol = (
-            F.col(left_ts).cast("double") - F.col("__rts").cast("double")
+            epoch_seconds(left_ts) - epoch_seconds("__rts")
         ) <= F.lit(float(tolerance_seconds))
         carried = carried.select(
             *[F.col(c) for c in left.columns],

@@ -102,24 +102,40 @@ def extract_features(
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                meta = row["meta"]
-                pixels = decode(bytes(row["payload"]), meta["width"], meta["height"])
-                flat = pixels.astype(np.float64).ravel()
-                # fixed-dim pooled feature: mean over equal chunks
-                chunks = np.array_split(flat, feature_dim)
-                feature = [float(c.mean()) if len(c) else 0.0 for c in chunks]
-                out.append(
-                    {
-                        "media_id": row["media_id"],
-                        "kind": row["kind"],
-                        "payload_bytes": len(row["payload"]),
-                        "mean_pixel": float(flat.mean()),
-                        "feature": feature,
-                    }
-                )
-            yield pd.DataFrame(out)
+            n = len(pdf)
+            if n == 0:
+                continue
+            # decode is inherently per-item (a codec call); everything after
+            # it is one stacked numpy pass over the whole Arrow batch
+            flats = []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                px = decode(bytes(payload), meta["width"], meta["height"])
+                flats.append(px.astype(np.float64).ravel())
+            lengths = np.array([f.size for f in flats], dtype=np.int64)
+            cat = np.concatenate(flats) if lengths.sum() else np.zeros(1)
+            # per-row chunk sizes matching np.array_split(flat, feature_dim):
+            # the first (len % dim) chunks get one extra element
+            sizes = (lengths // feature_dim)[:, None] + (
+                np.arange(feature_dim)[None, :] < (lengths % feature_dim)[:, None]
+            )
+            flat_sizes = sizes.ravel()
+            starts = np.concatenate(([0], np.cumsum(flat_sizes)[:-1]))
+            # reduceat quirks on empty segments (equal/clipped indices return
+            # cat[start] instead of 0) are masked out by flat_sizes == 0
+            sums = np.add.reduceat(cat, np.minimum(starts, cat.size - 1))
+            sums = np.where(flat_sizes == 0, 0.0, sums)
+            feature = sums / np.maximum(flat_sizes, 1)
+            row_sums = sums.reshape(n, feature_dim).sum(axis=1)
+            mean_pixel = row_sums / np.maximum(lengths, 1)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "kind": pdf["kind"].values,
+                    "payload_bytes": [len(p) for p in pdf["payload"]],
+                    "mean_pixel": mean_pixel,
+                    "feature": list(feature.reshape(n, feature_dim)),
+                }
+            )
 
     return df.mapInPandas(process, schema=FEATURE_SCHEMA)
 

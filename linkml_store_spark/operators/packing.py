@@ -85,7 +85,10 @@ def pack_sequences(
             pack_ids, positions, offsets = [], [], []
             for n in pdf[token_count_col].astype("int64"):
                 n = max(int(n), 0)
-                if used > 0 and used + n > budget:
+                # pos (not used) detects a non-empty pack: zero-token members
+                # leave used == 0 but must still force an over-budget row
+                # into its own pack (hypothesis: sizes=[0, 9, 0], budget=8)
+                if pos > 0 and used + n > budget:
                     seq_in_partition += 1
                     used = 0
                     pos = 0

@@ -21,6 +21,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from linkml_store_spark.functions.timeutils import epoch_seconds
+
 
 def resample(
     df: DataFrame,
@@ -39,7 +41,7 @@ def resample(
     last seen value forward), or None (missing buckets keep nulls).
     """
     bucket = (
-        F.floor(F.col(ts_col).cast("double") / interval_seconds).cast("long")
+        F.floor(epoch_seconds(ts_col) / interval_seconds).cast("long")
         * interval_seconds
     ).alias("bucket_ts")
     agged = df.groupBy(F.col(key_col), bucket).agg(

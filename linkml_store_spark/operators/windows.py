@@ -14,6 +14,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from linkml_store_spark.functions.timeutils import epoch_seconds
+
 
 def _order_cols(order_by: Union[str, List]) -> list:
     if isinstance(order_by, (str, Column)):
@@ -104,7 +106,7 @@ def rolling_agg(
         partition_by = [partition_by]
     w = (
         Window.partitionBy(*partition_by)
-        .orderBy(F.col(ts_col).cast("double"))
+        .orderBy(epoch_seconds(ts_col))
         .rangeBetween(-window_seconds, 0)
     )
     out = df

@@ -58,6 +58,12 @@ def get_spark(
         # Spark cannot read parquet TIMESTAMP(NANOS) natively (SPARK-40819);
         # read as long and convert via sources.tables.ts_from_nanos.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) (pandas-written
+        # naive timestamps) would otherwise scan as TIMESTAMP_NTZ, which
+        # watermarks and double-casts reject; under the forced-UTC session
+        # reading them as TimestampType is lossless and matches DuckDB's
+        # naive-timestamp semantics.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # push MIN/MAX/COUNT straight into parquet footers (statistics-only
         # answers for unfiltered aggregates — metadata reads at any scale)
         .config("spark.sql.parquet.aggregatePushdown", "true")

@@ -34,6 +34,52 @@ def _open(path: str):
     return open(path, encoding="utf-8")
 
 
+def url_cache_dir() -> str:
+    """Local cache root for downloaded URL sources (reference uses a pystow
+    module cache, ``format_utils.py:100-121``; same download-once contract)."""
+    return os.environ.get(
+        "LINKML_STORE_SPARK_CACHE",
+        os.path.join(
+            os.path.expanduser("~"), ".cache", "linkml_store_spark", "urls"
+        ),
+    )
+
+
+def ensure_local(url: str, refresh: bool = False) -> str:
+    """Resolve a URL to a local file path, downloading into the cache once.
+
+    Mirrors reference ``load_objects_from_url`` (format_utils.py:100-121):
+    sync to a deterministic local path, then dispatch on format as usual.
+    ``file://`` URLs resolve without copying (testable offline); http(s)
+    URLs download via urllib with a write-then-rename so a failed download
+    never poisons the cache. Repeat calls are cache hits (no network).
+    """
+    import hashlib
+    import urllib.parse
+    import urllib.request
+
+    parsed = urllib.parse.urlparse(url)
+    if parsed.scheme == "file":
+        return urllib.request.url2pathname(parsed.path)
+    if parsed.scheme not in ("http", "https"):
+        return url  # already a local path
+    base = os.path.basename(parsed.path) or "download"
+    key = hashlib.sha256(url.encode()).hexdigest()[:16]
+    dest = os.path.join(url_cache_dir(), key, base)
+    if os.path.exists(dest) and not refresh:
+        return dest
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    tmp = dest + ".part"
+    with urllib.request.urlopen(url) as resp, open(tmp, "wb") as out:
+        while True:
+            chunk = resp.read(1 << 20)
+            if not chunk:
+                break
+            out.write(chunk)
+    os.replace(tmp, dest)
+    return dest
+
+
 def guess_format(path: str) -> str:
     base = path[:-3] if path.endswith(".gz") else path
     ext = os.path.splitext(base)[1].lstrip(".").lower()
@@ -77,14 +123,8 @@ def read_objects_df(
 ) -> DataFrame:
     """Load a file as a DataFrame (reference load_objects,
     format_utils.py:297-358)."""
-    if path.startswith(("http://", "https://")):
-        # reference downloads + caches via pystow (format_utils.py:100-121);
-        # no network access in this environment — fail loudly rather than
-        # hang. A real deployment drops in urllib/pystow here.
-        raise NotImplementedError(
-            "URL sources require network access (reference uses a pystow "
-            "download cache); download the file and pass a local path"
-        )
+    if path.startswith(("http://", "https://", "file://")):
+        path = ensure_local(path)
     fmt = (fmt or guess_format(path)).lower()
     if fmt == "parquet":
         return spark.read.parquet(path)

@@ -47,10 +47,34 @@ def ts_from_nanos(col: str) -> F.Column:
 
 
 def normalize_timestamps(df: DataFrame, table: str) -> DataFrame:
-    """Convert any known nanos-as-long columns of ``table`` to timestamps."""
+    """Normalize event-time columns to plain ``TimestampType``.
+
+    Two parquet encodings occur in the wild for the same logical column:
+
+    - TIMESTAMP(NANOS) → scans as BIGINT under ``nanosAsLong`` → integer-div
+      to micros (known columns per table only, since any BIGINT could be one);
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false) → scans as ``TIMESTAMP_NTZ``
+      when the reader session has ``inferTimestampNTZ`` on → cast to
+      ``TimestampType``, lossless under the forced-UTC session and applied to
+      EVERY NTZ column (the cast is the identity on wall-clock values).
+      Without this, ``withWatermark`` and epoch ``cast("double")`` math
+      reject the column outright.
+    """
     for c in _NANOS_TS_COLS.get(table, []):
         if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):
             df = df.withColumn(c, ts_from_nanos(c))
+    ntz = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.TimestampNTZType)
+    ]
+    if ntz:
+        df = df.select(
+            *[
+                F.col(c).cast(T.TimestampType()).alias(c) if c in ntz else F.col(c)
+                for c in df.columns
+            ]
+        )
     return df
 
 
@@ -65,6 +89,10 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     for k, v in (
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.session.timeZone", "UTC"),
+        # naive micros parquet should scan as TIMESTAMP, not TIMESTAMP_NTZ
+        # (see normalize_timestamps; a foreign session may have NTZ inference
+        # on, and this conf is runtime-settable)
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
     ):
         try:
             spark.conf.set(k, v)

@@ -53,8 +53,9 @@ def read_event_stream(
     if os.path.isfile(path):
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
-    # nanos-precision parquet timestamps scan as BIGINT (session sets
-    # nanosAsLong); watermarks need TimestampType, so convert here.
+    # watermarks need plain TimestampType: nanos-precision parquet scans as
+    # BIGINT (session sets nanosAsLong) and naive-micros parquet can scan as
+    # TIMESTAMP_NTZ — normalize_timestamps converts both.
     return normalize_timestamps(reader.parquet(path), "events")
 
 

@@ -1,0 +1,188 @@
+"""Round-2 feature tests: URL loading with cache, Jinja2 index templates,
+validate-on-insert, bounded diff (diff_df), vectorized multimodal features."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkml_store_spark.client import Client
+
+
+@pytest.fixture()
+def db(spark):
+    return Client(spark).attach_database("memory")
+
+
+# --------------------------------------------------------------------- #
+# URL loading (reference format_utils.py:100-121 semantics)
+# --------------------------------------------------------------------- #
+def test_ensure_local_file_url(spark, tmp_path):
+    from linkml_store_spark.sources.formats import ensure_local, read_objects_df
+
+    p = tmp_path / "rows.jsonl"
+    p.write_text('{"a": 1}\n{"a": 2}\n')
+    url = p.as_uri()
+    assert ensure_local(url) == str(p)
+    df = read_objects_df(spark, url)
+    assert df.count() == 2
+
+
+def test_ensure_local_http_cache_hit(tmp_path, monkeypatch):
+    """http(s) downloads land in the cache once; repeat calls never touch
+    the network (urlopen is monkeypatched to count calls)."""
+    import urllib.request
+
+    from linkml_store_spark.sources import formats
+
+    monkeypatch.setenv("LINKML_STORE_SPARK_CACHE", str(tmp_path / "cache"))
+    calls = {"n": 0}
+
+    class FakeResp:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def read(self, n):
+            if calls.setdefault("drained", False):
+                return b""
+            calls["drained"] = True
+            return b'{"a": 1}\n'
+
+    def fake_urlopen(url):
+        calls["n"] += 1
+        calls["drained"] = False
+        return FakeResp()
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    url = "http://example.org/data/rows.jsonl"
+    p1 = formats.ensure_local(url)
+    assert os.path.exists(p1) and calls["n"] == 1
+    p2 = formats.ensure_local(url)
+    assert p2 == p1 and calls["n"] == 1  # cache hit, no second download
+
+
+def test_load_from_source_file_url(db, tmp_path):
+    p = tmp_path / "c.json"
+    p.write_text(json.dumps([{"code": "US"}, {"code": "FR"}]))
+    coll = db.create_collection("C", identifier_attribute="code")
+    n = coll.load_from_source(p.as_uri())
+    assert n == 2
+
+
+# --------------------------------------------------------------------- #
+# Jinja2 text templates (reference index/indexer.py:139-155)
+# --------------------------------------------------------------------- #
+def test_object_to_text_jinja2_autodetect():
+    from linkml_store_spark.index.indexer import SimpleIndexer
+
+    ix = SimpleIndexer(text_template="{{ name }} speaks {{ languages|join(', ') }}")
+    txt = ix.object_to_text(
+        {"name": "Canada", "languages": ["English", "French"], "code": None}
+    )
+    assert txt == "Canada speaks English, French"
+    assert ix._template_syntax() == "jinja2"
+
+
+def test_object_to_text_fstring_still_works():
+    from linkml_store_spark.index.indexer import SimpleIndexer
+
+    ix = SimpleIndexer(text_template="{name} ({code})")
+    assert ix.object_to_text({"name": "France", "code": "FR"}) == "France (FR)"
+    assert ix._template_syntax() == "fstring"
+
+
+def test_templated_index_search(db, countries):
+    """The DataFrame index path renders the template (not the dict repr):
+    a query matching template output ranks the right row first."""
+    from linkml_store_spark.index.indexer import SimpleIndexer
+
+    coll = db.create_collection("Country", identifier_attribute="code")
+    coll.insert(countries)
+    coll.attach_indexer(
+        SimpleIndexer(name="t", text_template="{{ capital }} is the capital of {{ name }}")
+    )
+    res = coll.search("Paris is the capital of France", index_name="t", limit=3)
+    assert res.ranked_rows[0][1]["code"] == "FR"
+
+
+# --------------------------------------------------------------------- #
+# validate-on-insert (reference collection.py:274-278, config.py:105-108)
+# --------------------------------------------------------------------- #
+def test_validate_modifications_rejects_bad_insert(db):
+    coll = db.create_collection(
+        "Person",
+        validate_modifications=True,
+        constraints={
+            "id": {"required": True},
+            "age": {"minimum_value": 0, "maximum_value": 150},
+        },
+    )
+    coll.insert([{"id": 1, "age": 33}])  # clean batch passes
+    assert coll.size() == 1
+    with pytest.raises(ValueError, match="Validation errors"):
+        coll.insert([{"id": 2, "age": -5}])
+    assert coll.size() == 1  # rejected batch was not appended
+
+
+def test_validate_modifications_off_by_default(db):
+    coll = db.create_collection("P2", constraints={"age": {"minimum_value": 0}})
+    coll.insert([{"id": 1, "age": -5}])  # no validate flag -> accepted
+    assert coll.size() == 1
+
+
+# --------------------------------------------------------------------- #
+# bounded diff: diff_df
+# --------------------------------------------------------------------- #
+def test_diff_df_matches_list_diff(db, countries):
+    from linkml_store_spark.patches import diff_collections, diff_df
+
+    a = db.create_collection("A", identifier_attribute="code")
+    a.insert(countries)
+    b = db.create_collection("B", identifier_attribute="code")
+    changed = [dict(c) for c in countries]
+    changed[0]["capital"] = "Elsewhere"  # replace
+    removed = changed.pop(1)  # remove
+    changed.append(
+        {"name": "Zedland", "code": "ZZ", "capital": "Zed City", "continent": "Nowhere", "languages": ["Zedish"]}
+    )  # add
+    b.insert(changed)
+
+    patches = diff_collections(a, b)
+    pdf = diff_df(a, b).toPandas()
+    # same ops on the same paths, no driver collect in the df path
+    assert sorted(zip(pdf["op"], pdf["path"])) == sorted(
+        (p["op"], p["path"]) for p in patches
+    )
+    add_row = pdf[pdf["path"] == "/ZZ"].iloc[0]
+    assert json.loads(add_row["value"])["capital"] == "Zed City"
+    rm = pdf[pdf["path"] == f"/{removed['code']}"].iloc[0]
+    assert rm["op"] == "remove" and rm["value"] is None
+
+
+# --------------------------------------------------------------------- #
+# multimodal featurization: vectorized batch math keeps exact values
+# --------------------------------------------------------------------- #
+def test_extract_features_values_match_rowwise_reference(spark):
+    import numpy as np
+
+    from linkml_store_spark.operators.multimodal import (
+        _fake_decode,
+        extract_features,
+        synthetic_media_df,
+    )
+
+    media = synthetic_media_df(spark, n=12)
+    out = {r["media_id"]: r for r in extract_features(media, feature_dim=16).collect()}
+    assert len(out) == 12
+    for row in media.collect():
+        px = _fake_decode(bytes(row["payload"]), row["meta"]["width"], row["meta"]["height"])
+        flat = px.astype(np.float64).ravel()
+        chunks = np.array_split(flat, 16)
+        expect = [float(c.mean()) if len(c) else 0.0 for c in chunks]
+        got = out[row["media_id"]]
+        assert got["mean_pixel"] == pytest.approx(float(flat.mean()))
+        assert list(got["feature"]) == pytest.approx(expect, rel=1e-6)
