@@ -121,21 +121,29 @@ def build_queries(spark, sf):
 
     # the query vector is an INPUT to kNN (the reference embeds the query
     # text first) — fetch it once outside the timed region
-    emb = t["embeddings"].withColumn(
-        "embedding", F.col("embedding").cast("array<double>")
-    )
+    emb = t["embeddings"]
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    # b12: brute-force cosine kNN top-10
-    plans["b12"] = knn(emb, qv, vector_col="embedding", k=10)
+    # b12: brute-force cosine kNN top-10 — the 64-d query unrolls to the
+    # codegen'd JVM cosine (knn picks it; no Python worker in the plan);
+    # the embedding payload column is pruned from the result projection
+    plans["b12"] = knn(emb, qv, vector_col="embedding", k=10).select(
+        "vec_id", "label", "score"
+    )
 
-    return {name: df.collect for name, df in plans.items()}
+    # toPandas = Arrow-batched materialization (the fetchall analog in the
+    # DuckDB baseline); row-at-a-time pickle collect() measured 2x slower
+    # for the wide LIMIT-100 result with identical data
+    return {name: df.toPandas for name, df in plans.items()}
 
 
 def main():
+    extra = {"spark.sql.adaptive.enabled": "false"}
+    if os.environ.get("BENCH_MIN_PARTITION_NUM"):
+        extra["spark.sql.files.minPartitionNum"] = os.environ["BENCH_MIN_PARTITION_NUM"]
     spark = get_spark(
         app_name="linkml-store-spark-bench",
         shuffle_partitions=int(os.environ.get("BENCH_SHUFFLE_PARTITIONS", "8")),
-        extra_conf={"spark.sql.adaptive.enabled": "false"},
+        extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
     queries = build_queries(spark, SF_DIR)

@@ -33,6 +33,38 @@ def norm(a: Column) -> Column:
     )
 
 
+def cosine_to_query_native(query_vector: Sequence[float]) -> "Column":
+    """Fully-JVM cosine against one literal query vector: the dot product
+    and row norm unroll into a codegen'd arithmetic expression (one array
+    access + multiply-add per dimension), so no Python worker, no Arrow
+    transfer of the embedding column, no interpreted HOF lambda.
+
+    The per-query win at small scale is the eliminated Python round-trip
+    (~100 ms on a warm session); at cluster scale the win is that the
+    embedding column never leaves the JVM. Use for modest dims (the
+    expression tree grows linearly; codegen splits huge methods but JIT
+    quality degrades — ``knn`` switches to the Arrow kernel above
+    ``NATIVE_COSINE_MAX_DIM``).
+    """
+    import math
+
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vector))
+    return lambda col: _native_cosine(col, [float(x) for x in query_vector], qn)
+
+
+def _native_cosine(e: Column, qv: List[float], qn: float) -> Column:
+    dot_e = None
+    nrm = None
+    for i, x in enumerate(qv):
+        ei = e[i].cast("double")
+        term = ei * F.lit(x)
+        sq = ei * ei
+        dot_e = term if dot_e is None else dot_e + term
+        nrm = sq if nrm is None else nrm + sq
+    n = F.sqrt(nrm) * F.lit(qn)
+    return F.when(n == 0, F.lit(0.0)).otherwise(dot_e / n)
+
+
 def cosine_similarity(a: Column, b: Column) -> Column:
     """dot/(|a|·|b|) (reference vector_utils.py:12-38). Null-safe: returns
     null if either side is null; 0.0 if either norm is 0."""

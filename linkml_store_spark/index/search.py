@@ -25,6 +25,10 @@ from linkml_store_spark.functions.vector import cosine_similarity, vec_lit
 from linkml_store_spark.index.indexer import INDEX_COLUMN
 from linkml_store_spark.where import WhereClause, apply_where
 
+#: above this dimensionality the unrolled JVM cosine expression stops being
+#: JIT-friendly and the Arrow-batched numpy kernel takes over
+NATIVE_COSINE_MAX_DIM = 128
+
 
 def knn(
     df: DataFrame,
@@ -37,13 +41,24 @@ def knn(
 
     Catalyst turns orderBy+limit into TakeOrderedAndProject — per-partition
     heaps of size k, no full sort, no full shuffle. This is the correct
-    brute-force plan at any scale. Scoring uses the Arrow-batched numpy
-    kernel (``cosine_to_query``): HOF-lambda cosine runs interpreted and
-    was measured 3.8x slower at 200k vectors, with identical results.
+    brute-force plan at any scale. Scoring strategy by dimensionality:
+    dims <= NATIVE_COSINE_MAX_DIM unroll into a codegen'd JVM expression
+    (no Python worker, embedding column never crosses to Arrow); larger
+    dims use the Arrow-batched numpy kernel (``cosine_to_query``) whose
+    matmul throughput wins once the expression tree stops JIT-compiling.
+    HOF-lambda cosine (interpreted) loses to both — measured 3.8x slower
+    at 200k vectors. All three produce identical top-k.
     """
-    from linkml_store_spark.functions.vector import cosine_to_query
+    from linkml_store_spark.functions.vector import (
+        cosine_to_query,
+        cosine_to_query_native,
+    )
 
-    scored = df.withColumn(score_col, cosine_to_query(query_vector)(F.col(vector_col)))
+    if len(query_vector) <= NATIVE_COSINE_MAX_DIM:
+        score = cosine_to_query_native(query_vector)(F.col(vector_col))
+    else:
+        score = cosine_to_query(query_vector)(F.col(vector_col))
+    scored = df.withColumn(score_col, score)
     return scored.orderBy(F.desc(score_col)).limit(k)
 
 
