@@ -19,6 +19,8 @@ import time
 
 import duckdb
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 SRC = "/root/testdata/sf0.1"
 ROOT = "/tmp/spark_graft_scale"
 ORDER_STEP = 6_000_000  # > max l_orderkey at sf0.1
@@ -95,36 +97,35 @@ def spark_workload(spark, d: str) -> dict:
     from pyspark.sql import functions as F
 
     from linkml_store_spark.facets import facet_df
-    from linkml_store_spark.where import apply_where, fast_count
+    from linkml_store_spark.where import apply_where
 
     li = spark.read.parquet(f"{d}/lineitem.parquet")
     o = spark.read.parquet(f"{d}/orders.parquet")
     c = spark.read.parquet(f"{d}/customer.parquet")
-    qs = {
-        "filter_count": lambda: fast_count(
-            apply_where(li, {"l_returnflag": "R"})
+    # plan reuse + Arrow materialization: same methodology as bench.py —
+    # each query Dataset is constructed once, timed runs re-execute it
+    plans = {
+        "filter_count": apply_where(li, {"l_returnflag": "R"}).agg(
+            F.count(F.lit(1)).alias("n")
         ),
-        "tpch_q1": lambda: apply_where(
-            li, {"l_shipdate": {"$lte": "1998-09-02 00:00:00"}}
-        )
+        "tpch_q1": apply_where(li, {"l_shipdate": {"$lte": "1998-09-02 00:00:00"}})
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity"),
             F.avg("l_discount"),
             F.count(F.lit(1)),
-        )
-        .collect(),
-        "facet": lambda: facet_df(li, None, "l_returnflag").collect(),
-        "topk": lambda: o.select("o_orderkey", "o_totalprice")
+        ),
+        "facet": facet_df(li, None, "l_returnflag"),
+        "topk": o.select("o_orderkey", "o_totalprice")
         .orderBy(F.desc("o_totalprice"))
-        .limit(10)
-        .collect(),
-        "join_agg": lambda: o.join(c, o.o_custkey == c.c_custkey)
+        .limit(10),
+        # customer stays sf0.1-sized while facts replicate — the textbook
+        # broadcast dim (same hint the engine's join operators use)
+        "join_agg": o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
-        .agg(F.sum("o_totalprice"))
-        .collect(),
+        .agg(F.sum("o_totalprice")),
     }
-    return {k: time_best(v) for k, v in qs.items()}
+    return {k: time_best(df.toPandas) for k, df in plans.items()}
 
 
 def main():
