@@ -491,6 +491,71 @@ def q_asof_view_before_purchase(spark, sf):
     ).orderBy("event_id")
 
 
+def q_topn_per_group(spark, sf):
+    # top-3 highest-value events per event_type (with_rank row_number; the
+    # rank>1 surface argmax_per_key cannot cover)
+    from linkml_store_spark.operators.windows import with_rank
+
+    ev = _t(spark, sf, "events")
+    ranked = with_rank(
+        ev,
+        "event_type",
+        [F.desc("value"), F.desc("event_id")],
+        method="row_number",
+        out_col="rn",
+    )
+    return (
+        ranked.filter(F.col("rn") <= 3)
+        .select("event_type", "rn", "event_id", F.round("value", 2).alias("value"))
+        .orderBy("event_type", "rn")
+    )
+
+
+def q_asof_tolerance(spark, sf):
+    # as-of join with a 10-minute tolerance: matches older than the
+    # tolerance are nulled out (operators/asof.py tolerance path — epoch
+    # math via epoch_seconds, NTZ-safe)
+    from linkml_store_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_ts="ts",
+        right_cols=["event_id", "value"],
+        right_order="event_id",
+        suffix="_view",
+        tolerance_seconds=600,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("event_id_view"),
+        F.round("value", 2).alias("view_value"),
+    ).orderBy("event_id")
+
+
+def q_correlation_by_type(spark, sf):
+    # per-event-type Pearson correlation of value vs time-of-day seconds
+    # (algebraic aggregate: one partial-combined shuffle)
+    from linkml_store_spark.operators.plotdata import grouped_correlation
+
+    ev = _t(spark, sf, "events").withColumn(
+        "tod", F.hour("ts") * 3600 + F.minute("ts") * 60 + F.second("ts")
+    )
+    out = grouped_correlation(ev, "event_type", "tod", "value")
+    return out.select(
+        "event_type", F.round("pearson_r", 6).alias("pearson_r")
+    ).orderBy("event_type")
+
+
 def q_sessionize(spark, sf):
     from linkml_store_spark.operators.windows import sessionize
 
@@ -1167,6 +1232,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lag_lead": q_lag_lead,
     "sessionize": q_sessionize,
     "asof_join": q_asof_view_before_purchase,
+    "asof_tolerance": q_asof_tolerance,
+    "correlation_by_type": q_correlation_by_type,
+    "topn_per_group": q_topn_per_group,
     "resample_hourly": q_resample_hourly,
     "rolling_1h": q_rolling_1h,
     "join_topk_revenue": q_join_topk_revenue,
@@ -1532,6 +1600,34 @@ ORACLES: dict[str, str] = {
                ROUND(v.value, 2) AS view_value
         FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
         ORDER BY p.event_id
+    """,
+    "topn_per_group": """
+        SELECT event_type, rn, event_id, ROUND(value, 2) AS value FROM (
+            SELECT event_type, event_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY value DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn <= 3 ORDER BY event_type, rn
+    """,
+    "asof_tolerance": """
+        WITH p AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+             v AS (SELECT event_id, user_id, ts, value FROM events
+                   WHERE event_type = 'view')
+        SELECT p.event_id, p.user_id,
+               CASE WHEN epoch(p.ts - v.ts) <= 600
+                    THEN v.event_id END AS event_id_view,
+               CASE WHEN epoch(p.ts - v.ts) <= 600
+                    THEN ROUND(v.value, 2) END AS view_value
+        FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+        ORDER BY p.event_id
+    """,
+    "correlation_by_type": """
+        SELECT event_type,
+               ROUND(corr(EXTRACT(hour FROM ts) * 3600
+                          + EXTRACT(minute FROM ts) * 60
+                          + EXTRACT(second FROM ts), value), 6) AS pearson_r
+        FROM events GROUP BY event_type ORDER BY event_type
     """,
     "sessionize": """
         SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions FROM (

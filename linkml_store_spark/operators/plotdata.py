@@ -116,3 +116,14 @@ def boxplot_stats(
 def scatter_correlation(df: DataFrame, x: str, y: str) -> float:
     """Pearson correlation (reference scatter annotation)."""
     return float(df.stat.corr(x, y))
+
+
+def grouped_correlation(
+    df: DataFrame, keys, x: str, y: str, out_col: str = "pearson_r"
+) -> DataFrame:
+    """Per-group Pearson correlation — one partial-aggregated shuffle
+    (``corr`` is an algebraic aggregate: per-partition moment sums combine
+    exactly, so skewed groups cost one row per input partition)."""
+    if isinstance(keys, str):
+        keys = [keys]
+    return df.groupBy(*keys).agg(F.corr(x, y).alias(out_col)).orderBy(*keys)

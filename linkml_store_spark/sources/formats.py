@@ -170,14 +170,19 @@ def read_objects_df(
 
         return spark.createDataFrame(pd.read_pickle(path))
     if fmt == "xlsx":
-        # sheet -> collection (reference format_utils.py:203-205); openpyxl
-        # is optional in this environment
-        try:
-            import pandas as pd
+        # sheet -> records (reference format_utils.py:203-205). pandas'
+        # ExcelFile needs openpyxl (absent here), so parse the OOXML zip
+        # directly — stdlib zipfile + ElementTree cover the cell model we
+        # need (shared/inline strings, numbers, bools, header row).
+        import pandas as pd
 
-            return spark.createDataFrame(pd.read_excel(path))
-        except ImportError as e:
-            raise NotImplementedError("xlsx support requires openpyxl") from e
+        sheets = read_xlsx_sheets(path)
+        first = next(iter(sheets.values()), [])
+        if not first:
+            return spark.range(0)
+        # pandas unifies mixed int/float columns (spreadsheet numerics are
+        # untyped), matching the reference's ExcelFile->records shape
+        return spark.createDataFrame(pd.DataFrame(first))
     if fmt == "hdf5":
         # reference hdf5_collection.py:20-33 stores each object as a group
         # keyed by its id, one dataset per attribute, dict/list values
@@ -214,6 +219,87 @@ def read_objects_df(
         except ImportError as e:
             raise NotImplementedError("rds support requires pyreadr") from e
     raise ValueError(f"unsupported format: {fmt}")
+
+
+_XLSX_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_XLSX_RNS = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+_XLSX_RELNS = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+
+
+def _col_letters_to_index(letters: str) -> int:
+    n = 0
+    for ch in letters:
+        n = n * 26 + (ord(ch) - 64)
+    return n - 1
+
+
+def read_xlsx_sheets(path: str) -> dict:
+    """Parse an .xlsx workbook to ``{sheet_name: [record, ...]}`` where the
+    first row of each sheet is the header (reference reads via
+    ``pd.ExcelFile``, format_utils.py:203-205 — same sheet->records shape).
+
+    Pure stdlib (zipfile + ElementTree): an .xlsx is a zip of OOXML parts.
+    Handles shared strings, inline strings, numeric (int when integral),
+    and boolean cells; formula cells contribute their cached value.
+    """
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    NS, RNS, RELNS = _XLSX_NS, _XLSX_RNS, _XLSX_RELNS
+    with zipfile.ZipFile(path) as z:
+        names = set(z.namelist())
+        shared: List[str] = []
+        if "xl/sharedStrings.xml" in names:
+            for si in ET.fromstring(z.read("xl/sharedStrings.xml")).findall(f"{NS}si"):
+                shared.append("".join(t.text or "" for t in si.iter(f"{NS}t")))
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        rid_to_target = {
+            r.get("Id"): r.get("Target")
+            for r in rels.findall(f"{RELNS}Relationship")
+        }
+        out: dict = {}
+        for sh in wb.find(f"{NS}sheets").findall(f"{NS}sheet"):
+            target = rid_to_target[sh.get(f"{RNS}id")]
+            if not target.startswith("xl/"):
+                target = "xl/" + target.lstrip("/")
+            root = ET.fromstring(z.read(target))
+            rows = []
+            for row in root.iter(f"{NS}row"):
+                cells = {}
+                for c in row.findall(f"{NS}c"):
+                    ref = c.get("r") or ""
+                    m = re.match(r"[A-Z]+", ref)
+                    if not m:
+                        continue
+                    t = c.get("t")
+                    if t == "inlineStr":
+                        v: Any = "".join(tt.text or "" for tt in c.iter(f"{NS}t"))
+                    else:
+                        ve = c.find(f"{NS}v")
+                        if ve is None or ve.text is None:
+                            continue
+                        v = ve.text
+                        if t == "s":
+                            v = shared[int(v)]
+                        elif t == "b":
+                            v = bool(int(v))
+                        elif t in (None, "n"):
+                            fv = float(v)
+                            v = int(fv) if fv.is_integer() else fv
+                    cells[m.group(0)] = v
+                if cells:
+                    rows.append(cells)
+            if not rows:
+                out[sh.get("name")] = []
+                continue
+            header_cells = rows[0]
+            header = {c: str(v) for c, v in header_cells.items()}
+            cols = sorted(header, key=_col_letters_to_index)
+            out[sh.get("name")] = [
+                {header[c]: r.get(c) for c in cols} for r in rows[1:]
+            ]
+        return out
 
 
 def _read_dat(spark: SparkSession, path: str) -> DataFrame:

@@ -49,13 +49,20 @@ def test_knn_is_take_ordered_not_full_sort(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
+    # small dims (<= NATIVE_COSINE_MAX_DIM): fully-JVM unrolled cosine —
+    # NO Python stage of any kind, embedding column never leaves the JVM
     top = knn(emb, [0.1] * 64, vector_col="embedding", k=10)
     s = explain_str(top, "simple")
     assert "TakeOrderedAndProject" in s  # per-partition heaps, no global sort
-    # scoring is one Arrow-batched numpy kernel (measured 3.8x over the
-    # interpreted HOF-lambda cosine); never row-at-a-time Python
-    assert "BatchEvalPython" not in s
-    assert s.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+    # large dims: one Arrow-batched numpy kernel (matmul throughput wins),
+    # never row-at-a-time Python
+    wide = emb.withColumn("w", F.flatten(F.array(*[F.col("embedding")] * 3)))
+    top_w = knn(wide, [0.1] * 192, vector_col="w", k=10)
+    sw = explain_str(top_w, "simple")
+    assert "TakeOrderedAndProject" in sw
+    assert "BatchEvalPython" not in sw
+    assert sw.count("ArrowEvalPython") == 1
 
 
 def test_small_dim_join_broadcasts(spark, sf_dir):

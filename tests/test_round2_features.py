@@ -186,3 +186,53 @@ def test_extract_features_values_match_rowwise_reference(spark):
         got = out[row["media_id"]]
         assert got["mean_pixel"] == pytest.approx(float(flat.mean()))
         assert list(got["feature"]) == pytest.approx(expect, rel=1e-6)
+
+
+# --------------------------------------------------------------------- #
+# XLSX without openpyxl (stdlib OOXML parse)
+# --------------------------------------------------------------------- #
+def _write_minimal_xlsx(path):
+    import zipfile
+
+    wb = """<?xml version="1.0"?>
+<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+ xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+ <sheets><sheet name="people" sheetId="1" r:id="rId1"/>
+         <sheet name="empty" sheetId="2" r:id="rId2"/></sheets></workbook>"""
+    rels = """<?xml version="1.0"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+ <Relationship Id="rId1" Type="x" Target="worksheets/sheet1.xml"/>
+ <Relationship Id="rId2" Type="x" Target="worksheets/sheet2.xml"/></Relationships>"""
+    sst = """<?xml version="1.0"?>
+<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+ <si><t>name</t></si><si><t>age</t></si><si><t>alice</t></si><si><r><t>bo</t></r><r><t>b</t></r></si></sst>"""
+    sheet1 = """<?xml version="1.0"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+ <row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>
+ <row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>33</v></c></row>
+ <row r="3"><c r="A3" t="s"><v>3</v></c><c r="B3"><v>40.5</v></c></row>
+</sheetData></worksheet>"""
+    sheet2 = """<?xml version="1.0"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData/></worksheet>"""
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", rels)
+        z.writestr("xl/sharedStrings.xml", sst)
+        z.writestr("xl/worksheets/sheet1.xml", sheet1)
+        z.writestr("xl/worksheets/sheet2.xml", sheet2)
+
+
+def test_read_xlsx_stdlib(spark, tmp_path):
+    from linkml_store_spark.sources.formats import read_objects_df, read_xlsx_sheets
+
+    p = tmp_path / "book.xlsx"
+    _write_minimal_xlsx(str(p))
+    sheets = read_xlsx_sheets(str(p))
+    assert sheets["people"] == [
+        {"name": "alice", "age": 33},
+        {"name": "bob", "age": 40.5},
+    ]
+    assert sheets["empty"] == []
+    df = read_objects_df(spark, str(p))
+    rows = {r["name"]: r["age"] for r in df.collect()}
+    assert rows == {"alice": 33.0, "bob": 40.5}
