@@ -542,6 +542,37 @@ def q_asof_tolerance(spark, sf):
     ).orderBy("event_id")
 
 
+def q_asof_forward(spark, sf):
+    # forward as-of: each purchase matched to the user's EARLIEST view at
+    # or after it (same union + running-last plan over the reversed time
+    # ordering; DuckDB ASOF with v.ts >= p.ts as oracle)
+    from linkml_store_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_ts="ts",
+        right_cols=["event_id", "value"],
+        right_order="event_id",
+        suffix="_view",
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("event_id_view"),
+        F.round("value", 2).alias("view_value"),
+    ).orderBy("event_id")
+
+
 def q_correlation_by_type(spark, sf):
     # per-event-type Pearson correlation of value vs time-of-day seconds
     # (algebraic aggregate: one partial-combined shuffle)
@@ -1233,6 +1264,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "asof_join": q_asof_view_before_purchase,
     "asof_tolerance": q_asof_tolerance,
+    "asof_forward": q_asof_forward,
     "correlation_by_type": q_correlation_by_type,
     "topn_per_group": q_topn_per_group,
     "resample_hourly": q_resample_hourly,
@@ -1620,6 +1652,16 @@ ORACLES: dict[str, str] = {
                CASE WHEN epoch(p.ts - v.ts) <= 600
                     THEN ROUND(v.value, 2) END AS view_value
         FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+        ORDER BY p.event_id
+    """,
+    "asof_forward": """
+        WITH p AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+             v AS (SELECT event_id, user_id, ts, value FROM events
+                   WHERE event_type = 'view')
+        SELECT p.event_id, p.user_id, v.event_id AS event_id_view,
+               ROUND(v.value, 2) AS view_value
+        FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts >= p.ts
         ORDER BY p.event_id
     """,
     "correlation_by_type": """

@@ -103,3 +103,61 @@ def test_asof_matches_duckdb_native(spark):
     # duckdb ties on equal (k, ts) right rows are engine-chosen; the random
     # 3-decimal grid makes them vanishingly unlikely here
     assert got == oracle
+
+
+def test_asof_directions_match_pandas_merge_asof(spark):
+    """backward/forward/nearest differential vs pandas merge_asof on data
+    with key gaps, duplicate left timestamps, and out-of-range rows."""
+    import numpy as np
+    import pandas as pd
+
+    from linkml_store_spark.operators.asof import asof_join
+
+    rng = np.random.RandomState(7)
+    left_pd = pd.DataFrame(
+        {
+            "k": rng.randint(0, 5, 60),
+            "ts": pd.to_datetime(rng.randint(0, 10_000, 60), unit="s"),
+            "lid": np.arange(60),
+        }
+    ).sort_values("ts").reset_index(drop=True)
+    right_pd = pd.DataFrame(
+        {
+            "k": rng.randint(0, 6, 40),
+            "ts": pd.to_datetime(rng.randint(0, 10_000, 40), unit="s"),
+            "rv": rng.rand(40).round(6),
+        }
+    )
+    # merge_asof requires unique (k, ts) ordering on the right for exact
+    # tie parity with our right_order rule; drop dup (k, ts) pairs
+    right_pd = right_pd.drop_duplicates(["k", "ts"]).sort_values("ts").reset_index(drop=True)
+
+    left = spark.createDataFrame(left_pd)
+    right = spark.createDataFrame(right_pd)
+    for direction in ["backward", "forward", "nearest"]:
+        for tol in [None, 1800]:
+            expect = pd.merge_asof(
+                left_pd,
+                right_pd,
+                on="ts",
+                by="k",
+                direction=direction,
+                tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+            )
+            got = (
+                asof_join(
+                    left,
+                    right,
+                    on="k",
+                    left_ts="ts",
+                    right_cols=["rv"],
+                    direction=direction,
+                    tolerance_seconds=tol,
+                )
+                .orderBy("lid")
+                .toPandas()
+            )
+            expect = expect.sort_values("lid")
+            g = [None if pd.isna(x) else round(x, 6) for x in got["rv"]]
+            e = [None if pd.isna(x) else round(x, 6) for x in expect["rv"]]
+            assert g == e, f"direction={direction} tol={tol}: {g} != {e}"
