@@ -87,6 +87,23 @@ def q_find_regex(spark, sf):
     return df.select("s_suppkey", "s_name").orderBy("s_suppkey")
 
 
+def q_find_or(spark, sf):
+    # $or / $not boolean combinators (extension beyond the reference's
+    # per-field operator language) — compile to one pushdown-eligible filter
+    df = _where(
+        _t(spark, sf, "orders"),
+        {
+            "$or": [
+                {"o_orderpriority": "1-URGENT", "o_totalprice": {"$gte": 250000.0}},
+                {"$not": {"o_orderstatus": {"$in": ["F", "O"]}}},
+            ]
+        },
+    )
+    return df.select("o_orderkey", "o_orderpriority", "o_orderstatus").orderBy(
+        "o_orderkey"
+    )
+
+
 def q_find_notnull(spark, sf):
     df = _where(_t(spark, sf, "events"), {"props": {"$ne": None}})
     return df.agg(F.count(F.lit(1)).alias("n"))
@@ -1234,6 +1251,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "find_nin": q_find_nin,
     "find_like": q_find_like,
     "find_regex": q_find_regex,
+    "find_or": q_find_or,
     "find_notnull": q_find_notnull,
     "sort_topk": q_sort_topk,
     "distinct_status": q_distinct_status,
@@ -1318,6 +1336,12 @@ ORACLES: dict[str, str] = {
     "find_range": """
         SELECT COUNT(*) AS n FROM orders
         WHERE o_totalprice >= 100000.0 AND o_totalprice < 200000.0
+    """,
+    "find_or": """
+        SELECT o_orderkey, o_orderpriority, o_orderstatus FROM orders
+        WHERE (o_orderpriority = '1-URGENT' AND o_totalprice >= 250000.0)
+           OR NOT (o_orderstatus IN ('F', 'O'))
+        ORDER BY o_orderkey
     """,
     "find_in": """
         SELECT COUNT(*) AS n FROM customer

@@ -14,9 +14,12 @@ where clause (reference: ``src/linkml_store/api/queries.py:25``,
         {col: {">=": value}}          raw SQL operator passthrough
         top-level keys                implicit AND
 
-Operator set for parity (the reference has NO $or/$and/$not/$exists):
+Operator set for parity:
 ``$eq $ne $gt $gte $lt $lte $in $nin $like $regex $contains`` plus raw
-operator strings. ``$ne: None`` means IS NOT NULL
+operator strings. Extensions beyond the reference (whose language stops at
+per-field operators): ``$or / $and / $not`` boolean combinators at clause
+level, ``$not`` / ``$exists`` / ``$size`` at field level — all compile to
+the same pushdown-eligible Column algebra. ``$ne: None`` means IS NOT NULL
 (``dremio_collection.py:141-146``). ``$in`` against an array-typed column
 means overlap ("any x in b", ``query_utils.py:11``); ``$contains`` means
 array membership (``sql_utils.py:20-25,73``).
@@ -169,6 +172,16 @@ def _compile_condition(path: str, spec: Any, df: Optional[DataFrame]) -> Column:
     if isinstance(spec, dict):
         conds = []
         for op, v in spec.items():
+            # field-level extensions beyond the reference operator set
+            if op == "$exists":
+                conds.append(col.isNotNull() if v else col.isNull())
+                continue
+            if op == "$size":
+                conds.append(F.size(col) == F.lit(int(v)))
+                continue
+            if op == "$not":
+                conds.append(~_compile_condition(path, v, df))
+                continue
             fn = _OPERATORS.get(op) or _RAW_OPERATORS.get(op)
             if fn is None:
                 raise ValueError(f"unsupported where operator: {op!r} on {path!r}")
@@ -198,7 +211,31 @@ def compile_where(where: WhereClause, df: Optional[DataFrame] = None) -> Optiona
     if isinstance(where, dict):
         if not where:
             return None
-        conds = [_compile_condition(k, v, df) for k, v in where.items()]
+        conds = []
+        for k, v in where.items():
+            # boolean combinators — extension surface: the reference's query
+            # language has no $or/$and/$not (sql_utils.py stops at per-field
+            # operators); Mongo-style combinators compile to Column algebra
+            if k == "$or":
+                ors = [compile_where(w, df) for w in v]
+                ors = [e for e in ors if e is not None]
+                if ors:
+                    conds.append(reduce(lambda a, b: a | b, ors))
+                continue
+            if k == "$and":
+                ands = [compile_where(w, df) for w in v]
+                ands = [e for e in ands if e is not None]
+                if ands:
+                    conds.append(reduce(lambda a, b: a & b, ands))
+                continue
+            if k == "$not":
+                inner = compile_where(v, df)
+                if inner is not None:
+                    conds.append(~inner)
+                continue
+            conds.append(_compile_condition(k, v, df))
+        if not conds:
+            return None
         return reduce(lambda a, b: a & b, conds)
     raise TypeError(f"unsupported where clause type: {type(where)}")
 

@@ -90,3 +90,39 @@ def test_string_and_list_clauses(df):
 def test_unknown_operator_raises(df):
     with pytest.raises(ValueError):
         compile_where({"n": {"$bogus": 1}}, df)
+
+
+def test_or_and_not_combinators(spark):
+    from linkml_store_spark.where import apply_where
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "a", 30), (4, "c", None)],
+        ["id", "cat", "n"],
+    )
+    got = {r["id"] for r in apply_where(df, {"$or": [{"cat": "a"}, {"n": {"$gte": 20}}]}).collect()}
+    assert got == {1, 2, 3}
+    got = {r["id"] for r in apply_where(df, {"$and": [{"cat": "a"}, {"n": {"$gte": 20}}]}).collect()}
+    assert got == {3}
+    got = {r["id"] for r in apply_where(df, {"$not": {"cat": "a"}}).collect()}
+    assert got == {2, 4}
+    # nested: NOT(cat=a OR n>=20) — row 4 has n NULL, so the OR is NULL and
+    # NOT NULL stays NULL (SQL three-valued logic, same contract as $ne)
+    got = {r["id"] for r in apply_where(df, {"$not": {"$or": [{"cat": "a"}, {"n": {"$gte": 20}}]}}).collect()}
+    assert got == set()
+    got = {r["id"] for r in apply_where(df, {"$not": {"$or": [{"cat": "a"}, {"cat": "b"}]}}).collect()}
+    assert got == {4}
+    # field-level $not
+    got = {r["id"] for r in apply_where(df, {"n": {"$not": {"$gte": 20}}}).collect()}
+    assert got == {1}  # null n is neither >=20 nor NOT(>=20) — SQL semantics
+
+
+def test_exists_and_size(spark):
+    from linkml_store_spark.where import apply_where
+
+    df = spark.createDataFrame(
+        [(1, ["x"], 5), (2, ["x", "y"], None), (3, None, 7)],
+        ["id", "tags", "n"],
+    )
+    assert {r["id"] for r in apply_where(df, {"n": {"$exists": True}}).collect()} == {1, 3}
+    assert {r["id"] for r in apply_where(df, {"n": {"$exists": False}}).collect()} == {2}
+    assert {r["id"] for r in apply_where(df, {"tags": {"$size": 2}}).collect()} == {2}
