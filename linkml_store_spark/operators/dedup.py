@@ -473,51 +473,78 @@ def ngram_jaccard_pairs(
     shingle_size: int = 3,
     threshold: float = 0.5,
     candidates: Optional[DataFrame] = None,
+    method: str = "index",
 ) -> DataFrame:
     """Exact Jaccard over word shingles.
 
     With ``candidates`` given (left_id, right_id), verifies only those
-    pairs. Otherwise runs an **exact set-similarity join** via an inverted
-    index on shingles: explode (doc, shingle), self-equi-join on the
-    shingle, and count matches per pair — the count IS the intersection
-    size because per-doc shingles are distinct. Any pair with Jaccard > 0
-    shares at least one shingle, so for ``threshold > 0`` this enumerates
-    exactly the all-pairs result without a quadratic cross join; shuffle
-    is keyed on shingles (high cardinality, near-uniform), and hot
-    stopword shingles are handled by AQE skew splitting. Prefix-filter
-    pruning (PPJoin) is the classic further cut if ever needed.
+    pairs. Otherwise the candidate strategy is ``method``:
+
+    * ``"index"`` — inverted index on shingles: explode (doc, shingle),
+      self-equi-join on the shingle, count matches per pair (the count IS
+      the intersection size because per-doc shingles are distinct); a
+      **length filter** on the join (J >= t forces t*|A| <= |B| <= |A|/t)
+      prunes pairs before the aggregation. Exact for ``threshold > 0``:
+      any qualifying pair shares a shingle. Shuffle keys on shingles
+      (high-cardinality, near-uniform); AQE splits hot stopword shingles.
+    * ``"prefix"`` — PPJoin-style prefix filtering: shingles get a global
+      rarity order (ascending document frequency), each doc indexes only
+      its first ``n - ceil(t*n) + 1`` shingles in that order, candidates
+      come from the prefix self-join, and each candidate verifies exactly
+      on the full arrays. Any pair with J >= t must share a prefix shingle
+      in BOTH prefixes (the smallest common shingle in the global order
+      sits within each side's prefix), so the result is exactly the
+      all-pairs answer — but hot shingles almost never survive into a
+      prefix, so the candidate join stays bounded on stopword-heavy
+      corpora where the inverted index blows up.
     """
     sh = _with_shingles(df, text_col, shingle_size, keep=[id_col])
     if candidates is None:
         if threshold <= 0:
-            raise ValueError("threshold must be > 0 for the inverted-index path")
-        sizes = sh.select(F.col(id_col).alias("__id"), F.size("__sh").alias("__n"))
+            raise ValueError("threshold must be > 0 for the candidate paths")
+        if method == "prefix":
+            cands = _jaccard_prefix_candidates(sh, id_col, threshold)
+            return ngram_jaccard_pairs(
+                df, text_col, id_col, shingle_size, threshold, candidates=cands
+            )
+        if method != "index":
+            raise ValueError(f"unknown method: {method!r}")
         # explode_outer + isNotNull, NOT plain explode: Catalyst infers
         # `size(arr) > 0` from explode and pushes it below the projection,
         # re-evaluating the whole tokenize+shingle expression in the scan
         # filter (2x CPU). explode_outer has no such inference; our shingle
         # arrays are never empty/null so the results are identical.
-        ex = (
-            sh.select(F.col(id_col).alias("__id"), F.explode_outer("__sh").alias("__s"))
+        # The set size rides along with each exploded row (computed once
+        # per row in the same projection — no extra join).
+        exs = (
+            sh.select(
+                F.col(id_col).alias("__id"),
+                F.size("__sh").alias("__n"),
+                F.explode_outer("__sh").alias("__s"),
+            )
             .filter(F.col("__s").isNotNull())
         )
-        inter = (
-            ex.select(F.col("__id").alias("left_id"), "__s")
-            .join(ex.select(F.col("__id").alias("right_id"), "__s"), "__s")
-            .filter(F.col("left_id") < F.col("right_id"))
-            .groupBy("left_id", "right_id")
-            .agg(F.count(F.lit(1)).alias("__inter"))
+        left = exs.select(
+            F.col("__id").alias("left_id"), "__s", F.col("__n").alias("__nl")
         )
-        pairs = inter.join(
-            sizes.select(F.col("__id").alias("left_id"), F.col("__n").alias("__nl")),
-            "left_id",
-        ).join(
-            sizes.select(F.col("__id").alias("right_id"), F.col("__n").alias("__nr")),
-            "right_id",
+        right = exs.select(
+            F.col("__id").alias("right_id"), "__s", F.col("__n").alias("__nr")
+        )
+        t = float(threshold)
+        inter = (
+            left.join(right, "__s")
+            .filter(F.col("left_id") < F.col("right_id"))
+            # length filter: prune the pair BEFORE the aggregation shuffle
+            .filter(
+                (F.col("__nr") >= F.lit(t) * F.col("__nl"))
+                & (F.col("__nl") >= F.lit(t) * F.col("__nr"))
+            )
+            .groupBy("left_id", "right_id", "__nl", "__nr")
+            .agg(F.count(F.lit(1)).alias("__inter"))
         )
         union = F.col("__nl") + F.col("__nr") - F.col("__inter")
         return (
-            pairs.withColumn("jaccard", F.col("__inter") / union)
+            inter.withColumn("jaccard", F.col("__inter") / union)
             .filter(F.col("jaccard") >= threshold)
             .select("left_id", "right_id", "jaccard")
         )
@@ -538,6 +565,54 @@ def ngram_jaccard_pairs(
         pairs.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("left_id", "right_id", "jaccard")
+    )
+
+
+def _jaccard_prefix_candidates(
+    sh: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """PPJoin prefix index -> candidate (left_id, right_id) pairs.
+
+    Global shingle order = (document frequency asc, shingle asc) — rarity
+    first, a total order with no global rank materialization. A doc of n
+    shingles indexes its first ``n - ceil(t*n) + 1`` shingles in that
+    order; the prefix self-join on the shingle yields every pair that can
+    reach J >= t (see ngram_jaccard_pairs docstring for why), and only
+    those candidates pay the exact verification.
+    """
+    from pyspark.sql.window import Window
+
+    ex = (
+        sh.select(
+            F.col(id_col).alias("__id"),
+            F.size("__sh").alias("__n"),
+            F.explode_outer("__sh").alias("__s"),
+        )
+        .filter(F.col("__s").isNotNull())
+    )
+    dfreq = ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("__id").orderBy(F.col("__df").asc(), F.col("__s").asc())
+    prefix = (
+        ex.join(dfreq, "__s")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(
+            F.col("__rn")
+            <= F.col("__n") - F.ceil(F.lit(float(threshold)) * F.col("__n")) + 1
+        )
+        .select("__id", "__s", "__n")
+    )
+    t = float(threshold)
+    l = prefix.select(F.col("__id").alias("left_id"), "__s", F.col("__n").alias("__nl"))
+    r = prefix.select(F.col("__id").alias("right_id"), "__s", F.col("__n").alias("__nr"))
+    return (
+        l.join(r, "__s")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .filter(
+            (F.col("__nr") >= F.lit(t) * F.col("__nl"))
+            & (F.col("__nl") >= F.lit(t) * F.col("__nr"))
+        )
+        .select("left_id", "right_id")
+        .distinct()
     )
 
 

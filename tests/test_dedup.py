@@ -180,3 +180,18 @@ def test_dedup_incremental_first_batch_self_dedup(spark, tmp_path):
     out = dedup_incremental(df, str(tmp_path / "idx"), "text")
     ids = sorted(r["doc_id"] for r in out.collect())
     assert ids == [1, 3]  # min-id canonical kept within batch
+
+
+def test_jaccard_prefix_filter_matches_index_path(spark, sf_dir):
+    """PPJoin prefix filtering is exact: identical pairs + scores to the
+    inverted-index formulation on real documents."""
+    from linkml_store_spark.operators.dedup import ngram_jaccard_pairs
+    from linkml_store_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.4, method="index")
+    b = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.4, method="prefix")
+    pa = sorted((r["left_id"], r["right_id"], round(r["jaccard"], 9)) for r in a.collect())
+    pb = sorted((r["left_id"], r["right_id"], round(r["jaccard"], 9)) for r in b.collect())
+    assert pa == pb
+    assert len(pa) > 0  # sf0.001 documents contain near-duplicates
