@@ -944,6 +944,21 @@ def q_sketch_distinct_users(spark, sf):
     )
 
 
+def q_cap_per_source(spark, sf):
+    """Deterministic per-key cap (operators/splits.py cap_per_key): at most
+    5 documents per source, chosen by md5 hash order — the oracle replays
+    the identical ROW_NUMBER-over-md5 selection in DuckDB, so this checks
+    exact row membership."""
+    from linkml_store_spark.operators.splits import cap_per_key
+
+    docs = _t(spark, sf, "documents")
+    return (
+        cap_per_key(docs, "source", "doc_id", 5)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 def q_hash_split_documents(spark, sf):
     """Deterministic hash-bucketed train/val/test split
     (operators/splits.py): md5 hex-prefix bucketing, engine-portable by
@@ -1308,6 +1323,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_multigrain": q_rollup_multigrain,
     "sketch_distinct_users": q_sketch_distinct_users,
     "hash_split_documents": q_hash_split_documents,
+    "cap_per_source": q_cap_per_source,
     "corpus_mix_counts": q_corpus_mix_counts,
     "chunk_documents": q_chunk_documents,
     "pack_sequences": q_pack_sequences,
@@ -1866,6 +1882,17 @@ ORACLES: dict[str, str] = {
         FROM events
         GROUP BY event_type
         ORDER BY event_type
+    """,
+    "cap_per_source": """
+        SELECT doc_id, source, n_chars FROM (
+            SELECT doc_id, source, n_chars,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY source
+                     ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || 'cap'), 1, 8),
+                              doc_id
+                   ) AS rn
+            FROM documents
+        ) WHERE rn <= 5 ORDER BY doc_id
     """,
     "hash_split_documents": """
         WITH s AS (

@@ -125,6 +125,41 @@ def corpus_mix(
     return df.filter(keep)
 
 
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    n: int,
+    salt: str = "cap",
+) -> DataFrame:
+    """Keep at most ``n`` rows per key, chosen deterministically by hash
+    order — the "max N documents per domain/source" step of a corpus
+    pipeline.
+
+    Selection order is ``(md5(id || salt), id)`` within the key: which
+    rows survive is a pure function of their ids, so the cap is stable
+    under repartitioning and run-to-run, and unlike a fraction-based
+    sample it yields an exact count per key. The identical ordering
+    replays in any engine with md5 (oracle-able in DuckDB). One shuffle
+    on the key; a row_number window per key (rank-based caps cannot
+    partial-aggregate — for a pathologically hot key AQE cannot split a
+    single key, so cap hot keys earlier with corpus_mix rates if one key
+    dominates a partition's memory).
+    """
+    from pyspark.sql.window import Window
+
+    if n <= 0:
+        raise ValueError("n must be positive")
+    w = Window.partitionBy(key_col).orderBy(
+        _u_hex(F.col(id_col), salt).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata: Sequence[str],

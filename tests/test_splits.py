@@ -114,3 +114,21 @@ def test_split_plan_is_shuffle_free(spark, sf_dir):
     out = hash_split(docs, "doc_id")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_cap_per_key_exact_deterministic(spark, sf_dir):
+    from linkml_store_spark.operators.splits import cap_per_key
+    from linkml_store_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    capped = cap_per_key(docs, "source", "doc_id", 5)
+    counts = {r["source"]: r["n"] for r in capped.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    orig = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for src, n0 in orig.items():
+        assert counts[src] == min(n0, 5)
+    # deterministic: identical surviving ids across repartitioning
+    ids1 = sorted(r["doc_id"] for r in capped.collect())
+    ids2 = sorted(
+        r["doc_id"] for r in cap_per_key(docs.repartition(13), "source", "doc_id", 5).collect()
+    )
+    assert ids1 == ids2
