@@ -944,6 +944,24 @@ def q_sketch_distinct_users(spark, sf):
     )
 
 
+def q_lm_quality(spark, sf):
+    """Character-bigram LM quality scores (CCNet-style LM filter,
+    operators/textanalysis.py): fit on the documents corpus, score each
+    doc by mean bigram log-probability with Laplace smoothing. The oracle
+    replays the identical fit + smoothing math in SQL."""
+    from linkml_store_spark.operators.textanalysis import (
+        bigram_lm_fit,
+        bigram_lm_scores,
+    )
+
+    docs = _t(spark, sf, "documents")
+    model = bigram_lm_fit(docs, "text")
+    out = bigram_lm_scores(docs, model, "text", "doc_id")
+    return out.select(
+        "doc_id", F.round("lm_score", 6).alias("lm_score")
+    ).orderBy("doc_id")
+
+
 def q_cap_per_source(spark, sf):
     """Deterministic per-key cap (operators/splits.py cap_per_key): at most
     5 documents per source, chosen by md5 hash order — the oracle replays
@@ -1324,6 +1342,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_distinct_users": q_sketch_distinct_users,
     "hash_split_documents": q_hash_split_documents,
     "cap_per_source": q_cap_per_source,
+    "lm_quality": q_lm_quality,
     "corpus_mix_counts": q_corpus_mix_counts,
     "chunk_documents": q_chunk_documents,
     "pack_sequences": q_pack_sequences,
@@ -1882,6 +1901,34 @@ ORACLES: dict[str, str] = {
         FROM events
         GROUP BY event_type
         ORDER BY event_type
+    """,
+    "lm_quality": """
+        WITH t AS (SELECT doc_id, lower(text) AS tx FROM documents),
+        big AS (
+          SELECT substr(tx, CAST(i.i AS INTEGER), 2) AS bigram
+          FROM t, LATERAL (SELECT unnest(range(1, length(tx))) AS i) i
+          WHERE length(tx) >= 2
+        ),
+        model AS (SELECT bigram, COUNT(*) AS cnt FROM big GROUP BY bigram),
+        prefix AS (SELECT substr(bigram, 1, 1) AS c1, SUM(cnt) AS pcnt
+                   FROM model GROUP BY 1),
+        v AS (SELECT COUNT(*) AS v FROM (
+                SELECT DISTINCT c FROM (
+                  SELECT substr(bigram, 1, 1) AS c FROM model
+                  UNION ALL SELECT substr(bigram, 2, 1) FROM model))),
+        docb AS (
+          SELECT doc_id, substr(tx, CAST(i.i AS INTEGER), 2) AS bigram
+          FROM t, LATERAL (SELECT unnest(range(1, length(tx))) AS i) i
+          WHERE length(tx) >= 2
+        )
+        SELECT doc_id,
+               ROUND(AVG(ln((COALESCE(m.cnt, 0) + 1)
+                            / (COALESCE(p.pcnt, 0) + v.v))), 6) AS lm_score
+        FROM docb
+        LEFT JOIN model m USING (bigram)
+        LEFT JOIN prefix p ON substr(docb.bigram, 1, 1) = p.c1
+        CROSS JOIN v
+        GROUP BY doc_id ORDER BY doc_id
     """,
     "cap_per_source": """
         SELECT doc_id, source, n_chars FROM (

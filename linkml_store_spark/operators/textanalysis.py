@@ -304,3 +304,89 @@ def domain_stats(
         F.countDistinct(id_col).alias("n_docs"),
         F.count(F.lit(1)).alias("n_mentions"),
     )
+
+
+# --------------------------------------------------------------------- #
+# character-bigram language-model quality scoring (CCNet-style LM filter)
+# --------------------------------------------------------------------- #
+def bigram_lm_fit(
+    df: DataFrame, text_col: str, lowercase: bool = True
+) -> DataFrame:
+    """Fit a character-bigram model: ``(bigram, cnt)`` counts over the
+    corpus (or a deterministic hash-sample of it — compose with
+    ``splits.stratified_sample``; LM filters are conventionally fit on a
+    small reference sample).
+
+    One explode (linear row blowup, vectorized substring) + one
+    partial-aggregated shuffle on the bigram. The model is tiny
+    (|charset|^2 rows at most) regardless of corpus size.
+    """
+    t = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    big = (
+        df.select(t.alias("__t"))
+        .filter(F.length("__t") >= 2)
+        .select(
+            F.explode_outer(
+                F.sequence(F.lit(1), F.length("__t") - 1)
+            ).alias("__i"),
+            "__t",
+        )
+        .filter(F.col("__i").isNotNull())
+        .select(F.expr("substr(__t, __i, 2)").alias("bigram"))
+    )
+    return big.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str,
+    id_col: str,
+    lowercase: bool = True,
+    score_col: str = "lm_score",
+) -> DataFrame:
+    """Per-document mean bigram log-probability under a fitted model —
+    the LM-quality signal used to filter boilerplate/garbled text (low
+    score = improbable character sequences).
+
+    Laplace smoothing: ``lnP(c2|c1) = ln((cnt(c1c2)+1) / (pcnt(c1)+V))``
+    with ``pcnt`` the model count of bigrams starting at ``c1`` and ``V``
+    the model charset size. Plan: explode doc bigrams (linear), broadcast
+    join the tiny model + prefix tables, one partial-aggregated avg per
+    doc. Docs shorter than 2 chars score null.
+    """
+    prefix = model.groupBy(F.substring("bigram", 1, 1).alias("__c1")).agg(
+        F.sum("cnt").alias("__pcnt")
+    )
+    # V: distinct chars anywhere in the model — a scalar of a tiny table
+    v = (
+        model.select(F.substring("bigram", 1, 1).alias("c"))
+        .union(model.select(F.substring("bigram", 2, 1).alias("c")))
+        .distinct()
+        .count()
+    )
+    t = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    docb = (
+        df.select(F.col(id_col), t.alias("__t"))
+        .filter(F.length("__t") >= 2)
+        .select(
+            id_col,
+            F.explode_outer(
+                F.sequence(F.lit(1), F.length("__t") - 1)
+            ).alias("__i"),
+            "__t",
+        )
+        .filter(F.col("__i").isNotNull())
+        .select(id_col, F.expr("substr(__t, __i, 2)").alias("bigram"))
+    )
+    joined = docb.join(F.broadcast(model), "bigram", "left").join(
+        F.broadcast(prefix),
+        F.substring("bigram", 1, 1) == F.col("__c1"),
+        "left",
+    )
+    lp = F.log(
+        (F.coalesce(F.col("cnt"), F.lit(0)) + 1)
+        / (F.coalesce(F.col("__pcnt"), F.lit(0)) + F.lit(float(v)))
+    )
+    scores = joined.groupBy(id_col).agg(F.avg(lp).alias(score_col))
+    return df.join(scores, id_col, "left")

@@ -209,3 +209,47 @@ def test_url_and_domain_extraction(spark):
         for r in domain_stats(df).collect()
     }
     assert got == {"example.com": (2, 2), "sub.test.org": (1, 1)}
+
+
+def test_bigram_lm_scores_rank_garbled_below_natural(spark):
+    """LM filter sanity: documents made of corpus-typical character
+    sequences outscore keyboard-mash, and a python reimplementation of the
+    smoothing math agrees exactly."""
+    import math
+
+    from linkml_store_spark.operators.textanalysis import (
+        bigram_lm_fit,
+        bigram_lm_scores,
+    )
+
+    corpus = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the rain in spain stays mainly in the plain"),
+        (3, "pack my box with five dozen liquor jugs"),
+        (4, "qzxj qzxj wvvkk zzzqqq xjxjxj"),  # garbled
+    ]
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    model = bigram_lm_fit(df.filter("doc_id <= 3"), "text")
+    out = {
+        r["doc_id"]: r["lm_score"]
+        for r in bigram_lm_scores(df, model, "text", "doc_id").collect()
+    }
+    assert out[4] < min(out[1], out[2], out[3])
+
+    # python differential of the exact smoothing math for doc 1
+    counts = {r["bigram"]: r["cnt"] for r in model.collect()}
+    pcnt = {}
+    chars = set()
+    for b, c in counts.items():
+        pcnt[b[0]] = pcnt.get(b[0], 0) + c
+        chars.update(b)
+    V = len(chars)
+    text = corpus[0][1].lower()
+    lps = [
+        math.log(
+            (counts.get(text[i : i + 2], 0) + 1)
+            / (pcnt.get(text[i], 0) + V)
+        )
+        for i in range(len(text) - 1)
+    ]
+    assert out[1] == pytest.approx(sum(lps) / len(lps), rel=1e-9)
