@@ -48,3 +48,44 @@ class Client:
     @property
     def databases(self) -> Dict[str, Database]:
         return self._databases
+
+    def from_config(
+        self,
+        config,
+        base_dir: Optional[str] = None,
+        auto_attach: bool = True,
+    ) -> "Client":
+        """Initialize databases/collections from a config (reference
+        ``client.py:117-175`` + ``api/config.py`` shapes): a dict, a YAML
+        file path, or an object with a ``.databases`` mapping.
+
+        Per database: ``handle`` (``{base_dir}`` expands), ``collections``
+        keyed by name with ``alias``/``type``, ``attributes`` (compiled to
+        insert-time constraints when ``validate_modifications`` is set),
+        ``indexers`` ({name: {text_template, index_attributes, ...}}), and
+        ``source`` ({url|local_path, format, json_path}) which loads data
+        immediately (URL fetches go through the download cache).
+        """
+        import os as _os
+
+        if isinstance(config, (str, bytes)) or hasattr(config, "__fspath__"):
+            import yaml
+
+            path = _os.fspath(config)
+            if base_dir is None:
+                base_dir = _os.path.dirname(_os.path.abspath(path))
+            with open(path) as f:
+                config = yaml.safe_load(f)
+        if not isinstance(config, dict):
+            config = {"databases": dict(getattr(config, "databases", {}))}
+        base_dir = base_dir or _os.getcwd()
+        for name, db_conf in (config.get("databases") or {}).items():
+            db_conf = dict(db_conf or {})
+            handle = (db_conf.get("handle") or "spark://memory").format(
+                base_dir=base_dir
+            )
+            if not auto_attach:
+                continue
+            db = self.attach_database(handle, alias=db_conf.get("alias") or name)
+            db.from_config(db_conf, base_dir=base_dir)
+        return self

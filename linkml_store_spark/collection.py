@@ -719,6 +719,134 @@ class Collection:
 
         apply_patches(self, patches)
 
+    # ------------------------------------------------------------------ #
+    # reference-API parity: identity, schema induction, validation, I/O
+    # ------------------------------------------------------------------ #
+    @property
+    def identifier_attribute_name(self) -> Optional[str]:
+        """The primary-key slot name (reference collection.py:1000-1012)."""
+        return self.identifier_attribute
+
+    def object_identifier(self, obj: Dict[str, Any], auto: bool = True):
+        """The object's pk value; with ``auto``, a deterministic md5 of the
+        object stands in when no pk is present (reference
+        collection.py:1046-1063 — same str(obj) md5)."""
+        import hashlib
+
+        pk = self.identifier_attribute
+        if pk and pk in obj:
+            return obj[pk]
+        if auto:
+            return hashlib.md5(str(obj).encode()).hexdigest()
+        return None
+
+    def list_index_names(self) -> List[str]:
+        return list(self._indexers)
+
+    @property
+    def indexers(self) -> Dict[str, Any]:
+        return dict(self._indexers)
+
+    def class_definition(self) -> Dict[str, Any]:
+        """Induced class definition as a plain dict (reference returns a
+        LinkML ClassDefinition, collection.py:1065-1160; same slot facts —
+        range, multivalued, inlined — derived here from the Spark schema,
+        which already IS the induced type structure).
+        """
+        from pyspark.sql import types as T
+
+        def slot(dt) -> Dict[str, Any]:
+            if isinstance(dt, T.ArrayType):
+                inner = slot(dt.elementType)
+                inner["multivalued"] = True
+                return inner
+            if isinstance(dt, T.StructType):
+                return {
+                    "range": None,
+                    "multivalued": False,
+                    "inlined": True,
+                    "attributes": {
+                        f.name: slot(f.dataType) for f in dt.fields
+                    },
+                }
+            range_map = {
+                T.StringType: "string",
+                T.LongType: "integer",
+                T.IntegerType: "integer",
+                T.ShortType: "integer",
+                T.DoubleType: "float",
+                T.FloatType: "float",
+                T.BooleanType: "boolean",
+                T.TimestampType: "datetime",
+                T.DateType: "date",
+                T.BinaryType: "bytes",
+            }
+            return {
+                "range": range_map.get(type(dt), "string"),
+                "multivalued": False,
+                "inlined": False,
+            }
+
+        return {
+            "name": self.name,
+            "attributes": {
+                f.name: slot(f.dataType) for f in self.df.schema.fields
+            },
+        }
+
+    def induce_class_definition_from_objects(
+        self, objs: List[Dict[str, Any]], max_sample_size: Optional[int] = None
+    ) -> Dict[str, Any]:
+        """Heuristic class induction from raw objects (reference
+        collection.py:1065-1160): the sample goes through the same schema
+        induction as insert, then reads out slot facts."""
+        sample = objs[: max_sample_size or 10]
+        df = self.spark.createDataFrame(sample, schema=induce_schema(sample))
+        shadow = Collection(self.name, self.database, alias=f"__induce__{self.alias}")
+        shadow._df = df
+        return shadow.class_definition()
+
+    def iter_validate_collection(
+        self,
+        objects: Optional[List[Dict[str, Any]]] = None,
+        json_schema: Optional[dict] = None,
+    ) -> Iterator[dict]:
+        """Yield per-object validation results (reference
+        collection.py:1220-1254). With ``json_schema``, full jsonschema
+        runs distributed (mapInPandas) and results stream back; otherwise
+        the collection's constraint compiler supplies the checks."""
+        df = (
+            self.df
+            if objects is None
+            else self.spark.createDataFrame(objects, schema=induce_schema(objects))
+        )
+        if json_schema is not None:
+            from linkml_store_spark.validate import jsonschema_violations
+
+            for row in jsonschema_violations(df, json_schema).toLocalIterator():
+                yield row.asDict()
+            return
+        if self.constraints:
+            from linkml_store_spark.validate import constraint_violations
+
+            for row in constraint_violations(df, self.constraints).toLocalIterator():
+                d = row.asDict()
+                for msg in d.pop("__violations", []):
+                    yield {"message": msg, "object": d}
+
+    def export_data(self, location: str, format: str = "parquet") -> str:
+        """Write the collection to a file (reference collection.py:1177)."""
+        from linkml_store_spark.sources.formats import write_collection
+
+        return write_collection(self.df, location, format)
+
+    def import_data(self, location: str, format: Optional[str] = None, **kwargs) -> int:
+        """Load a file into the collection (reference collection.py:1167)."""
+        return self.load_from_source(location, format=format, **kwargs)
+
+    def commit(self) -> None:
+        """No-op: persistence is write-through (reference API parity)."""
+
 
 def _sort_col(spec: str):
     """'-col' means descending (reference ibis_collection.py:275-286).

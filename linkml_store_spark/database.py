@@ -85,6 +85,66 @@ class Database:
     def list_collection_names(self) -> List[str]:
         return list(self._collections)
 
+    def from_config(self, db_conf: dict, base_dir: Optional[str] = None) -> "Database":
+        """Apply a database config (reference ``database.py`` from_config +
+        ``api/config.py`` CollectionConfig): create each collection, wire
+        attributes as insert-time constraints, attach configured indexers,
+        and load ``source`` data."""
+        from linkml_store_spark.index.indexer import SimpleIndexer
+
+        for cname, cconf in (db_conf.get("collections") or {}).items():
+            cconf = dict(cconf or {})
+            attrs = cconf.get("attributes") or {}
+            coll = self.create_collection(
+                cconf.get("type") or cname,
+                alias=cconf.get("alias") or cname,
+                identifier_attribute=cconf.get("identifier_attribute"),
+                validate_modifications=bool(
+                    cconf.get("validate_modifications")
+                    or db_conf.get("validate_modifications")
+                ),
+                constraints=attrs or None,
+            )
+            src = cconf.get("source") or {}
+            location = src.get("url") or src.get("local_path")
+            if location:
+                if base_dir and not str(location).startswith(
+                    ("http://", "https://", "file://", "/")
+                ):
+                    location = os.path.join(base_dir, location)
+                coll.load_from_source(
+                    str(location),
+                    format=src.get("format"),
+                    json_path=src.get("json_path") or src.get("select_query"),
+                )
+            for iname, iconf in (cconf.get("indexers") or {}).items():
+                iconf = dict(iconf or {})
+                iconf.pop("type", None)
+                coll.attach_indexer(
+                    SimpleIndexer(name=iname, **iconf),
+                    auto_index=coll.exists(),
+                )
+        return self
+
+    def commit(self) -> None:
+        """Persistence is write-through (every mutation re-persists via
+        ``_save_collection_df``); commit is a no-op kept for reference API
+        parity (``database.py`` commit)."""
+
+    def close(self) -> None:
+        """Release collection handles. The SparkSession is shared across
+        databases and intentionally left running."""
+        self._collections.clear()
+
+    def iter_validate_database(self, **kwargs):
+        """Yield validation results from every collection (reference
+        ``database.py`` iter_validate_database)."""
+        for coll in self.list_collections():
+            yield from coll.iter_validate_collection(**kwargs)
+
+    def validate_database(self, **kwargs) -> List[dict]:
+        return list(self.iter_validate_database(**kwargs))
+
     def drop_collection(self, name: str) -> None:
         self._collections.pop(name, None)
         if self.location:

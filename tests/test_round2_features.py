@@ -236,3 +236,94 @@ def test_read_xlsx_stdlib(spark, tmp_path):
     df = read_objects_df(spark, str(p))
     rows = {r["name"]: r["age"] for r in df.collect()}
     assert rows == {"alice": 33.0, "bob": 40.5}
+
+
+# --------------------------------------------------------------------- #
+# config-driven init (reference ClientConfig / from_config)
+# --------------------------------------------------------------------- #
+def test_client_from_config_yaml(spark, tmp_path):
+    import yaml
+
+    from linkml_store_spark.client import Client
+
+    data = tmp_path / "countries.json"
+    data.write_text(json.dumps([
+        {"code": "US", "name": "United States", "pop": 331},
+        {"code": "FR", "name": "France", "pop": 67},
+    ]))
+    cfg = {
+        "databases": {
+            "main": {
+                "handle": "spark://memory",
+                "collections": {
+                    "Country": {
+                        "alias": "countries",
+                        "identifier_attribute": "code",
+                        "attributes": {"code": {"required": True}},
+                        "validate_modifications": True,
+                        "source": {"local_path": "countries.json", "format": "json"},
+                        "indexers": {
+                            "t": {"text_template": "{{ name }}"},
+                        },
+                    }
+                },
+            }
+        }
+    }
+    cfg_path = tmp_path / "conf.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    client = Client(spark).from_config(str(cfg_path))
+    db = client.get_database("main")
+    coll = db.get_collection("countries", create_if_not_exists=False)
+    assert coll.size() == 2
+    assert coll.identifier_attribute_name == "code"
+    assert coll.list_index_names() == ["t"]
+    res = coll.search("France", index_name="t")
+    assert res.ranked_rows[0][1]["code"] == "FR"
+    with pytest.raises(ValueError):  # constraint wired from attributes
+        coll.insert([{"code": None, "name": "X"}])
+
+
+def test_class_definition_and_identity(db, countries, persons):
+    coll = db.create_collection("Country", identifier_attribute="code")
+    coll.insert(countries)
+    cd = coll.class_definition()
+    assert cd["name"] == "Country"
+    assert cd["attributes"]["languages"]["multivalued"] is True
+    assert cd["attributes"]["languages"]["range"] == "string"
+    assert cd["attributes"]["name"] == {"range": "string", "multivalued": False, "inlined": False}
+    assert coll.object_identifier({"code": "US"}) == "US"
+    auto = coll.object_identifier({"name": "X"})
+    assert isinstance(auto, str) and len(auto) == 32  # md5 fallback
+    # nested induction
+    p = db.create_collection("Person")
+    cd2 = p.induce_class_definition_from_objects(persons)
+    assert cd2["attributes"]["history"]["multivalued"] is True
+    assert cd2["attributes"]["history"]["inlined"] is True
+    assert "event" in cd2["attributes"]["history"]["attributes"]
+
+
+def test_iter_validate_collection_and_database(db):
+    coll = db.create_collection(
+        "P", constraints={"age": {"minimum_value": 0}}
+    )
+    coll.insert([{"id": 1, "age": 5}, {"id": 2, "age": -3}])
+    errs = list(coll.iter_validate_collection())
+    assert len(errs) == 1 and "below minimum" in errs[0]["message"]
+    errs_db = db.validate_database()
+    assert len(errs_db) == 1
+    # jsonschema path
+    schema = {"type": "object", "properties": {"age": {"type": "integer", "minimum": 0}}}
+    js = list(coll.iter_validate_collection(json_schema=schema))
+    assert len(js) == 1 and "-3" in js[0]["message"] or "minimum" in js[0]["message"]
+
+
+def test_export_import_data_roundtrip(db, countries, tmp_path):
+    a = db.create_collection("A", identifier_attribute="code")
+    a.insert(countries)
+    out = a.export_data(str(tmp_path / "a.jsonl"), format="jsonl")
+    b = db.create_collection("B", identifier_attribute="code")
+    n = b.import_data(out, format="jsonl")
+    assert n == len(countries)
+    a.commit()
+    db.commit()  # no-op parity
