@@ -944,6 +944,21 @@ def q_sketch_distinct_users(spark, sf):
     )
 
 
+def q_contamination(spark, sf):
+    """Benchmark decontamination (operators/contamination.py): test docs
+    (odd doc_id) flagged when any 8-gram appears in the train half (even
+    doc_id). hashed=False joins raw n-gram strings so the oracle replays
+    the identical tokenize/slice/join in SQL."""
+    from linkml_store_spark.operators.contamination import ngram_contamination
+
+    docs = _t(spark, sf, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    return ngram_contamination(
+        train, test, "text", "doc_id", n=8, hashed=False
+    ).orderBy("doc_id")
+
+
 def q_lm_quality(spark, sf):
     """Character-bigram LM quality scores (CCNet-style LM filter,
     operators/textanalysis.py): fit on the documents corpus, score each
@@ -1343,6 +1358,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_split_documents": q_hash_split_documents,
     "cap_per_source": q_cap_per_source,
     "lm_quality": q_lm_quality,
+    "contamination": q_contamination,
     "corpus_mix_counts": q_corpus_mix_counts,
     "chunk_documents": q_chunk_documents,
     "pack_sequences": q_pack_sequences,
@@ -1901,6 +1917,35 @@ ORACLES: dict[str, str] = {
         FROM events
         GROUP BY event_type
         ORDER BY event_type
+    """,
+    "contamination": """
+        WITH tok AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        test_g AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(list_slice(toks, CAST(i.i AS BIGINT),
+                                            CAST(i.i AS BIGINT) + 7), ' ') AS g
+          FROM tok, LATERAL (SELECT unnest(range(1, len(toks) - 6)) AS i) i
+          WHERE doc_id % 2 = 1 AND len(toks) >= 8
+        ),
+        train_g AS (
+          SELECT DISTINCT
+                 array_to_string(list_slice(toks, CAST(i.i AS BIGINT),
+                                            CAST(i.i AS BIGINT) + 7), ' ') AS g
+          FROM tok, LATERAL (SELECT unnest(range(1, len(toks) - 6)) AS i) i
+          WHERE doc_id % 2 = 0 AND len(toks) >= 8
+        ),
+        tot AS (SELECT doc_id, COUNT(*) AS n_ngrams FROM test_g GROUP BY doc_id),
+        hit AS (SELECT doc_id, COUNT(*) AS n_contaminated
+                FROM test_g SEMI JOIN train_g USING (g) GROUP BY doc_id)
+        SELECT t.doc_id, t.n_ngrams, h.n_contaminated,
+               ROUND(h.n_contaminated * 1.0 / t.n_ngrams, 6) AS contamination_frac
+        FROM tot t JOIN hit h USING (doc_id)
+        ORDER BY t.doc_id
     """,
     "lm_quality": """
         WITH t AS (SELECT doc_id, lower(text) AS tx FROM documents),
