@@ -74,16 +74,24 @@ class Context:
         self._client = None
         self._db = None
         self.input_file = None
+        self.config_file = None
+        self.base_dir = None
 
     @property
     def client(self) -> Client:
         if self._client is None:
             self._client = Client()
+            if self.config_file:
+                self._client.from_config(self.config_file, base_dir=self.base_dir)
         return self._client
 
     @property
     def db(self):
         if self._db is None:
+            # a config may have attached the requested database already
+            if self.database_handle in self.client.databases:
+                self._db = self.client.get_database(self.database_handle)
+                return self._db
             self._db = self.client.attach_database(self.database_handle)
             if self.input_file:
                 from linkml_store_spark.sources.formats import read_objects_df
@@ -112,14 +120,18 @@ class Context:
 @click.option("-c", "--collection", default=None)
 @click.option("-i", "--input", "input_file", default=None, help="wrap a file in an ephemeral collection (reference cli.py:148-159)")
 @click.option("-I", "--identifier", default=None, help="identifier attribute (primary key) of the collection")
+@click.option("-C", "--config", "config_file", default=None, type=click.Path(exists=True), help="client config YAML (reference cli.py -C): databases/collections/sources to initialize")
+@click.option("-B", "--base-dir", "base_dir", default=None, help="base directory for {base_dir} expansion + relative source paths in the config")
 @click.pass_context
-def cli(ctx, database, collection, input_file, identifier):
+def cli(ctx, database, collection, input_file, identifier, config_file, base_dir):
     """linkml-store-spark: PySpark-native linkml-store engine."""
     c = Context()
     c.database_handle = database
     c.collection_name = collection
     c.input_file = input_file
     c.identifier = identifier
+    c.config_file = config_file
+    c.base_dir = base_dir
     ctx.obj = c
 
 

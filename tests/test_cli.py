@@ -212,3 +212,29 @@ def test_cli_scrub(wh, spark, tmp_path):
     assert "pii_clean" in r.output
     r = _run(["-d", wh, "-c", "pii_clean", "query", "-w", "{doc_id: 1}"])
     assert "[EMAIL]" in json.loads(r.output)[0]["text"]
+
+
+def test_cli_config_flag(tmp_path):
+    import json
+
+    import yaml
+
+    (tmp_path / "rows.json").write_text(json.dumps([{"code": "US"}, {"code": "FR"}]))
+    cfg = {
+        "databases": {
+            "confdb": {
+                "collections": {
+                    "C": {
+                        "identifier_attribute": "code",
+                        "source": {"local_path": "rows.json", "format": "json"},
+                    }
+                }
+            }
+        }
+    }
+    cfg_path = tmp_path / "conf.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    r = _run(
+        ["-C", str(cfg_path), "-d", "confdb", "-c", "C", "query", "-w", "{code: FR}"]
+    )
+    assert "FR" in r.output and "US" not in r.output
