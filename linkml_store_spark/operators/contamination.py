@@ -77,14 +77,20 @@ def ngram_contamination(
         test_grams = test_grams.select(id_col, F.col("ngram").alias("__g"))
         train_grams = train_grams.select(F.col("ngram").alias("__g"))
         key = "__g"
-    totals = test_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_ngrams"))
-    hits = (
-        test_grams.join(train_grams, key, "left_semi")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    # one pass over the test n-grams: a left join against the (distinct)
+    # train side attaches a hit marker without multiplying rows, and a
+    # single aggregate produces both the total and the hit count — the
+    # test corpus is scanned and exploded ONCE (a totals+semi-join
+    # formulation would do it twice)
+    marked = test_grams.join(
+        train_grams.withColumn("__hit", F.lit(1)), key, "left"
     )
     return (
-        totals.join(hits, id_col, "inner")
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.count("__hit").alias("n_contaminated"),
+        )
         .filter(F.col("n_contaminated") >= min_overlap)
         .select(
             id_col,
