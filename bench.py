@@ -138,6 +138,15 @@ def build_queries(spark, sf):
 
 def main():
     extra = {"spark.sql.adaptive.enabled": "false"}
+    # Split-size tuning for the benchmark SF: the default 4 MB open-cost
+    # floor makes every sf0.1 table a SINGLE scan task (orders is 2.6 MB),
+    # serializing e.g. the b8 top-k heap on one core. 2 MB splits give the
+    # small files 2-10 tasks — measured b8 68 ms -> 38 ms. At real scale
+    # the 128 MB default is correct; this is the documented per-workload
+    # sizing knob (SURVEY "Optimize for scale"), overridable via env.
+    mpb = os.environ.get("BENCH_MAX_PARTITION_BYTES", str(2 * 1024 * 1024))
+    extra["spark.sql.files.maxPartitionBytes"] = mpb
+    extra["spark.sql.files.openCostInBytes"] = mpb
     if os.environ.get("BENCH_MIN_PARTITION_NUM"):
         extra["spark.sql.files.minPartitionNum"] = os.environ["BENCH_MIN_PARTITION_NUM"]
     spark = get_spark(

@@ -49,6 +49,21 @@ class Client:
     def databases(self) -> Dict[str, Database]:
         return self._databases
 
+    def drop_database(self, alias: str, missing_ok: bool = True) -> None:
+        """Detach a database and drop its collections (reference
+        client.py drop_database — removes persisted data too)."""
+        db = self._databases.pop(alias, None)
+        if db is None:
+            if missing_ok:
+                return
+            raise KeyError(alias)
+        for name in db.list_collection_names():
+            db.drop_collection(name)
+
+    def drop_all_databases(self) -> None:
+        for alias in list(self._databases):
+            self.drop_database(alias)
+
     def from_config(
         self,
         config,

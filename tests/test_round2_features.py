@@ -327,3 +327,17 @@ def test_export_import_data_roundtrip(db, countries, tmp_path):
     assert n == len(countries)
     a.commit()
     db.commit()  # no-op parity
+
+
+def test_drop_database(spark, tmp_path):
+    from linkml_store_spark.client import Client
+
+    client = Client(spark)
+    wh = str(tmp_path / "wh")
+    db = client.attach_database(wh, alias="d1")
+    db.create_collection("C").insert([{"a": 1}])
+    assert os.path.exists(os.path.join(wh, "C.parquet"))
+    client.drop_database("d1")
+    assert "d1" not in client.databases
+    assert not os.path.exists(os.path.join(wh, "C.parquet"))
+    client.drop_database("gone", missing_ok=True)  # no raise
