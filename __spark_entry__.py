@@ -944,6 +944,15 @@ def q_sketch_distinct_users(spark, sf):
     )
 
 
+def q_tfidf_terms(spark, sf):
+    """Top-3 TF-IDF terms per document (textanalysis.tfidf_top_terms);
+    the oracle replays tokenize/tf/df/idf/window in SQL."""
+    from linkml_store_spark.operators.textanalysis import tfidf_top_terms
+
+    docs = _t(spark, sf, "documents")
+    return tfidf_top_terms(docs, "text", "doc_id", k=3).orderBy("doc_id", "rank")
+
+
 def q_contamination(spark, sf):
     """Benchmark decontamination (operators/contamination.py): test docs
     (odd doc_id) flagged when any 8-gram appears in the train half (even
@@ -1359,6 +1368,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cap_per_source": q_cap_per_source,
     "lm_quality": q_lm_quality,
     "contamination": q_contamination,
+    "tfidf_terms": q_tfidf_terms,
     "corpus_mix_counts": q_corpus_mix_counts,
     "chunk_documents": q_chunk_documents,
     "pack_sequences": q_pack_sequences,
@@ -1917,6 +1927,27 @@ ORACLES: dict[str, str] = {
         FROM events
         GROUP BY event_type
         ORDER BY event_type
+    """,
+    "tfidf_terms": """
+        WITH terms AS (
+          SELECT doc_id, t.t AS term
+          FROM documents,
+               LATERAL unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(t)
+          WHERE length(t.t) >= 2
+        ),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                 tf.tf * ln(n.n * 1.0 / dfreq.df) AS tfidf
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, rank, term, tf, df, ROUND(tfidf, 6) AS tfidf FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term ASC) AS rank
+          FROM scored
+        ) WHERE rank <= 3 ORDER BY doc_id, rank
     """,
     "contamination": """
         WITH tok AS (

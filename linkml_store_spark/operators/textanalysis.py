@@ -390,3 +390,51 @@ def bigram_lm_scores(
     )
     scores = joined.groupBy(id_col).agg(F.avg(lp).alias(score_col))
     return df.join(scores, id_col, "left")
+
+
+# --------------------------------------------------------------------- #
+# TF-IDF top terms
+# --------------------------------------------------------------------- #
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    min_token_len: int = 2,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by TF-IDF.
+
+    ``score = tf * ln(N / df)`` with raw in-document term counts as tf and
+    smooth-free idf (terms in every doc score 0 and drop out naturally).
+    Ties break lexicographically so results are deterministic/oracle-able.
+
+    Plan shape: one tokenize+explode (linear), a per-(doc, term) count
+    aggregate, a document-frequency aggregate on the term (both
+    partial-combined), a broadcast-eligible join back on the term, and a
+    row_number window per doc for the top-k. N is computed as an aggregate
+    scalar of the tiny df table — no full-table count action.
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+")
+    toks = F.filter(toks, lambda t: F.length(t) >= min_token_len)
+    terms = (
+        df.select(F.col(id_col), F.explode_outer(toks).alias("term"))
+        .filter(F.col("term").isNotNull())
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = int(
+        df.select(F.countDistinct(F.col(id_col)).alias("n")).first()["n"]
+    )
+    scored = tf.join(dfreq, "term").withColumn(
+        "tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "tf", "df", F.round("tfidf", 6).alias("tfidf"))
+    )

@@ -253,3 +253,26 @@ def test_bigram_lm_scores_rank_garbled_below_natural(spark):
         for i in range(len(text) - 1)
     ]
     assert out[1] == pytest.approx(sum(lps) / len(lps), rel=1e-9)
+
+
+def test_tfidf_top_terms_finds_distinctive_words(spark):
+    from linkml_store_spark.operators.textanalysis import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat the cat"),
+            (2, "the dog sat on the log the dog dog"),
+            (3, "the bird flew over the log"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tfidf_top_terms(docs, "text", "doc_id", k=2).collect()
+    top = {}
+    for r in out:
+        top.setdefault(r["doc_id"], []).append(r["term"])
+    assert top[1][0] == "cat"   # doc-distinctive term wins
+    assert top[2][0] == "dog"
+    assert top[3][0] in ("bird", "flew", "over")  # all unique to doc 3, tf=1, tie by term
+    assert top[3] == sorted(top[3])[:2] or len(top[3]) == 2
+    # 'the' appears in every doc -> idf 0 -> never a top term
+    assert all("the" not in terms for terms in top.values())
