@@ -944,6 +944,17 @@ def q_sketch_distinct_users(spark, sf):
     )
 
 
+def q_keyword_filter(spark, sf):
+    """Blocklist screening (textanalysis.keyword_filter): word-boundary
+    regexp_count projection; the oracle replays the same RE2-safe regex."""
+    from linkml_store_spark.operators.textanalysis import keyword_filter
+
+    docs = _t(spark, sf, "documents")
+    return keyword_filter(
+        docs, "text", ["spark", "batch"], max_hits=2
+    ).orderBy("doc_id")
+
+
 def q_tfidf_terms(spark, sf):
     """Top-3 TF-IDF terms per document (textanalysis.tfidf_top_terms);
     the oracle replays tokenize/tf/df/idf/window in SQL."""
@@ -1369,6 +1380,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_quality": q_lm_quality,
     "contamination": q_contamination,
     "tfidf_terms": q_tfidf_terms,
+    "keyword_filter": q_keyword_filter,
     "corpus_mix_counts": q_corpus_mix_counts,
     "chunk_documents": q_chunk_documents,
     "pack_sequences": q_pack_sequences,
@@ -1927,6 +1939,14 @@ ORACLES: dict[str, str] = {
         FROM events
         GROUP BY event_type
         ORDER BY event_type
+    """,
+    "keyword_filter": """
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '(?i)\\b(spark|batch)\\b'))
+                    AS BIGINT) AS n_blocked,
+               len(regexp_extract_all(text, '(?i)\\b(spark|batch)\\b')) <= 2
+                 AS keep
+        FROM documents ORDER BY doc_id
     """,
     "tfidf_terms": """
         WITH terms AS (

@@ -438,3 +438,34 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "rank", "term", "tf", "df", F.round("tfidf", 6).alias("tfidf"))
     )
+
+
+def keyword_filter(
+    df: DataFrame,
+    text_col: str,
+    blocklist: List[str],
+    id_col: str = "doc_id",
+    max_hits: int = 0,
+    case_insensitive: bool = True,
+) -> DataFrame:
+    """Blocklist screening (safety/NSFW/spam keyword filtering): per-doc
+    count of word-boundary blocklist matches plus a keep flag
+    (``n_blocked <= max_hits``).
+
+    One codegen'd ``regexp_count`` projection — zero shuffle, zero Python.
+    The pattern is restricted to the Java-regex ∩ RE2 dialect (plain words
+    + ``\\b`` anchors) so the identical regex replays in DuckDB/oracles.
+    """
+    import re as _re
+
+    if not blocklist:
+        raise ValueError("blocklist must be non-empty")
+    words = "|".join(_re.escape(w.lower()) for w in blocklist)
+    flags = "(?i)" if case_insensitive else ""
+    pattern = f"{flags}\\b({words})\\b"
+    n = F.regexp_count(F.col(text_col), F.lit(pattern))
+    return df.select(
+        F.col(id_col),
+        n.alias("n_blocked"),
+        (n <= F.lit(int(max_hits))).alias("keep"),
+    )

@@ -276,3 +276,21 @@ def test_tfidf_top_terms_finds_distinctive_words(spark):
     assert top[3] == sorted(top[3])[:2] or len(top[3]) == 2
     # 'the' appears in every doc -> idf 0 -> never a top term
     assert all("the" not in terms for terms in top.values())
+
+
+def test_keyword_filter_counts_and_flags(spark):
+    from linkml_store_spark.operators.textanalysis import keyword_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "clean text with nothing wrong"),
+            (2, "SPAM offer spam OFFER spam"),
+            (3, "spammy is not the word spam is"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in keyword_filter(docs, "text", ["spam", "offer"]).collect()}
+    assert out[1]["n_blocked"] == 0 and out[1]["keep"] is True
+    assert out[2]["n_blocked"] == 5 and out[2]["keep"] is False
+    # word boundaries: 'spammy' does not match
+    assert out[3]["n_blocked"] == 1 and out[3]["keep"] is False
