@@ -218,20 +218,21 @@ def compile_where(where: WhereClause, df: Optional[DataFrame] = None) -> Optiona
             # operators); Mongo-style combinators compile to Column algebra
             if k == "$or":
                 ors = [compile_where(w, df) for w in v]
-                ors = [e for e in ors if e is not None]
-                if ors:
-                    conds.append(reduce(lambda a, b: a | b, ors))
+                # an empty sub-clause compiles to None = vacuously TRUE, so
+                # the whole disjunction is TRUE -> contributes no filter
+                if any(e is None for e in ors) or not ors:
+                    continue
+                conds.append(reduce(lambda a, b: a | b, ors))
                 continue
             if k == "$and":
-                ands = [compile_where(w, df) for w in v]
-                ands = [e for e in ands if e is not None]
+                ands = [e for e in (compile_where(w, df) for w in v) if e is not None]
                 if ands:
                     conds.append(reduce(lambda a, b: a & b, ands))
                 continue
             if k == "$not":
                 inner = compile_where(v, df)
-                if inner is not None:
-                    conds.append(~inner)
+                # NOT(vacuous TRUE) = FALSE
+                conds.append(F.lit(False) if inner is None else ~inner)
                 continue
             conds.append(_compile_condition(k, v, df))
         if not conds:

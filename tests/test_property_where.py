@@ -196,3 +196,34 @@ def test_pagination_matches_duckdb(spark, orders, ddb, where, sort, limit, offse
     )
     want = [r[0] for r in ddb.execute(sql).fetchall()]
     assert got == want, f"{where!r} {sort!r} l={limit} o={offset}"
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(a=where_clauses, b=where_clauses)
+def test_or_satisfies_inclusion_exclusion(orders, a, b):
+    """|A or B| == |A| + |B| - |A and B| for arbitrary clause pairs —
+    algebraic invariant of the $or/$and combinators (all test predicates
+    are null-free columns, so three-valued logic cannot break it here)."""
+    n_or = apply_where(orders, {"$or": [a, b]}).count()
+    n_a = apply_where(orders, a).count()
+    n_b = apply_where(orders, b).count()
+    n_and = apply_where(orders, {"$and": [a, b]}).count()
+    assert n_or == n_a + n_b - n_and
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(a=where_clauses)
+def test_not_is_complement(orders, a):
+    """$not partitions the table on null-free predicate columns."""
+    total = orders.count()
+    n_a = apply_where(orders, a).count()
+    n_not = apply_where(orders, {"$not": a}).count()
+    assert n_a + n_not == total  # NOT(empty) = NOT(TRUE) = FALSE, so 0
