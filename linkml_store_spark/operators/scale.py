@@ -303,3 +303,40 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def write_jsonl_shards(
+    df,
+    path: str,
+    rows_per_shard: int = 100_000,
+    order_col: str = None,
+    compress: bool = True,
+) -> dict:
+    """Export as fixed-size gzip JSONL shards — the conventional training-
+    data artifact layout (one consumable file per worker/stream).
+
+    Shard count = ceil(rows / rows_per_shard) (one count job, then one
+    write). With ``order_col`` the rows are range-partitioned on it, so
+    shard membership and order are deterministic run-to-run (range
+    boundaries come from sampling, so BOUNDARIES may shift with data
+    layout, but re-running on the same data gives the same shards);
+    without it Spark round-robins for balance. Returns {path, shards,
+    rows}.
+    """
+    import math
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    n = df.count()
+    shards = max(1, math.ceil(n / rows_per_shard))
+    if order_col:
+        out = df.repartitionByRange(shards, F.col(order_col)).sortWithinPartitions(
+            order_col
+        )
+    else:
+        out = df.repartition(shards)
+    writer = out.write.mode("overwrite")
+    if compress:
+        writer = writer.option("compression", "gzip")
+    writer.json(path)
+    return {"path": path, "shards": shards, "rows": n}

@@ -199,3 +199,33 @@ def test_zorder_files_narrow_in_both_dimensions(spark, sf_dir, tmp_path):
     # first dimension: z-order trades a LITTLE user_id tightness
     z_uid = mean_span_fraction(zpath, "user_id")
     assert z_uid < 0.6
+
+
+def test_write_jsonl_shards_layout(spark, sf_dir, tmp_path):
+    import glob
+    import gzip
+    import json as _json
+
+    from linkml_store_spark.operators.scale import write_jsonl_shards
+    from linkml_store_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = str(tmp_path / "shards")
+    info = write_jsonl_shards(docs, out, rows_per_shard=100, order_col="doc_id")
+    files = sorted(glob.glob(out + "/part-*.json.gz"))
+    assert len(files) == info["shards"] == -(-info["rows"] // 100)
+    # shards are readable, complete, and ordered within each file
+    seen = []
+    for f in files:
+        with gzip.open(f, "rt") as fh:
+            ids = [_json.loads(line)["doc_id"] for line in fh]
+        assert ids == sorted(ids)
+        seen.extend(ids)
+    assert sorted(seen) == sorted(r["doc_id"] for r in docs.collect())
+    # deterministic: a second run yields identical shard membership
+    out2 = str(tmp_path / "shards2")
+    write_jsonl_shards(docs, out2, rows_per_shard=100, order_col="doc_id")
+    files2 = sorted(glob.glob(out2 + "/part-*.json.gz"))
+    first = [sorted(_json.loads(l)["doc_id"] for l in gzip.open(f, "rt")) for f in files]
+    second = [sorted(_json.loads(l)["doc_id"] for l in gzip.open(f, "rt")) for f in files2]
+    assert first == second
