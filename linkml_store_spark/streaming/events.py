@@ -208,3 +208,51 @@ def stream_upsert_into(
     )
     q.awaitTermination()
     return q
+
+
+def stream_near_dedup_into(
+    stream_df: DataFrame,
+    index_path: str,
+    output_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+):
+    """Streaming MinHash near-dedup against ALL history, via the persisted
+    band index: each micro-batch drops docs whose LSH buckets collide with
+    anything ever ingested (``dedup_incremental`` — the only state is the
+    append-only (band_idx, band_hash, id) table), writes survivors to the
+    parquet sink, and appends their buckets. Unlike
+    ``dropDuplicatesWithinWatermark`` (exact keys, watermark-bounded
+    state), this catches NEAR-duplicates across the entire corpus with
+    per-batch cost O(batch + matching index slice).
+
+    foreachBatch is the right seam for per-batch read-check-append against
+    external state. Delivery caveat (stated, not hidden): the survivor
+    write and the index append are two non-atomic actions, so a crash
+    BETWEEN them followed by checkpoint replay can drop that batch's
+    survivors (their buckets are already indexed, so the replay sees them
+    as duplicates) — at-most-once per batch for near-dup survivors. A
+    transactional table format for both sinks closes the gap; for
+    append-only corpus hygiene at-most-once is the conventional trade.
+    """
+    from linkml_store_spark.operators.dedup import dedup_incremental
+
+    def apply_batch(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        fresh = dedup_incremental(
+            batch_df, index_path, text_col, id_col, num_perm=num_perm, bands=bands
+        )
+        fresh.write.mode("append").parquet(output_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -250,3 +250,50 @@ def test_projection_operators_work_on_streams(spark, sf_dir, tmp_path):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def _drop_parquet_file(df, src_dir, name, tmp_path):
+    """Write a single parquet FILE into the stream source dir (df.write
+    creates a directory, which the file stream source will not list)."""
+    import glob
+    import shutil
+
+    staging = tmp_path / ("staging_" + name)
+    df.coalesce(1).write.mode("overwrite").parquet(str(staging))
+    part = glob.glob(str(staging / "part-*.parquet"))[0]
+    shutil.copy(part, str(src_dir / name))
+
+
+def test_stream_near_dedup_against_band_index(spark, tmp_path):
+    """Near-dup docs arriving in LATER micro-batches are dropped via the
+    persisted band index (cross-batch, cross-history near-dedup — beyond
+    dropDuplicatesWithinWatermark's exact-key horizon)."""
+    import glob
+
+    from linkml_store_spark.streaming.events import stream_near_dedup_into
+
+    base = "linkml store spark streaming dedup test document with plenty of shared words "
+    src = tmp_path / "src"
+    src.mkdir()
+    b1 = spark.createDataFrame(
+        [(1, base + "alpha"), (2, "a completely different second document about other things entirely")],
+        ["doc_id", "text"],
+    )
+    _drop_parquet_file(b1, src, "f1.parquet", tmp_path)
+    stream = spark.readStream.schema(b1.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "idx")
+    ck = str(tmp_path / "ck")
+    stream_near_dedup_into(stream, idx, out, ck, text_col="text", id_col="doc_id")
+    # second run: one near-dup of doc 1 (same text modulo one word) + one new
+    b2 = spark.createDataFrame(
+        [(3, base + "beta"), (4, "yet another unrelated document covering new unique material")],
+        ["doc_id", "text"],
+    )
+    _drop_parquet_file(b2, src, "f2.parquet", tmp_path)
+    stream_near_dedup_into(stream, idx, out, ck, text_col="text", id_col="doc_id")
+    ids = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert 1 in ids and 2 in ids and 4 in ids
+    assert 3 not in ids  # near-dup of doc 1, caught across batches/runs
