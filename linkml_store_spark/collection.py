@@ -697,6 +697,61 @@ class Collection:
 
         return approx_distinct_by(self.df, col, by=by)
 
+    def decontaminate_against(
+        self,
+        test_collection: "Collection",
+        text_col: str = "text",
+        id_col: Optional[str] = None,
+        n: int = 13,
+        min_overlap: int = 1,
+    ) -> DataFrame:
+        """Contamination report: which of ``test_collection``'s docs share
+        n-grams with THIS corpus (operators/contamination.py)."""
+        from linkml_store_spark.operators.contamination import ngram_contamination
+
+        return ngram_contamination(
+            self.df,
+            test_collection.df,
+            text_col,
+            id_col or test_collection._require_pk(),
+            n=n,
+            min_overlap=min_overlap,
+        )
+
+    def lm_quality(
+        self, text_col: str = "text", id_col: Optional[str] = None,
+        model: Optional[DataFrame] = None,
+    ) -> DataFrame:
+        """Char-bigram LM quality scores, model fit on this corpus unless
+        given (operators/textanalysis.py)."""
+        from linkml_store_spark.operators.textanalysis import (
+            bigram_lm_fit,
+            bigram_lm_scores,
+        )
+
+        if model is None:
+            model = bigram_lm_fit(self.df, text_col)
+        return bigram_lm_scores(
+            self.df, model, text_col, id_col or self._require_pk()
+        )
+
+    def keyword_screen(
+        self, blocklist: List[str], text_col: str = "text", max_hits: int = 0
+    ) -> DataFrame:
+        """Blocklist screening flags (operators/textanalysis.py)."""
+        from linkml_store_spark.operators.textanalysis import keyword_filter
+
+        return keyword_filter(
+            self.df, text_col, blocklist, id_col=self._require_pk(),
+            max_hits=max_hits,
+        )
+
+    def cap(self, key_col: str, n: int) -> DataFrame:
+        """Deterministic at-most-n rows per key (operators/splits.py)."""
+        from linkml_store_spark.operators.splits import cap_per_key
+
+        return cap_per_key(self.df, key_col, self._require_pk(), n)
+
     def dedup_near(self, text_col: str = "text", id_col: Optional[str] = None):
         """Cluster-canonical near-dedup (operators/dedup.py):
         (id, canonical_id) labels."""

@@ -341,3 +341,23 @@ def test_drop_database(spark, tmp_path):
     assert "d1" not in client.databases
     assert not os.path.exists(os.path.join(wh, "C.parquet"))
     client.drop_database("gone", missing_ok=True)  # no raise
+
+
+def test_collection_corpus_methods(db, spark, sf_dir):
+    from linkml_store_spark.sources.tables import load_table
+
+    docs_df = load_table(spark, sf_dir, "documents")
+    train = db.create_collection("train_docs", identifier_attribute="doc_id")
+    train.insert(docs_df.filter(F.col("doc_id") % 2 == 0))
+    test = db.create_collection("test_docs", identifier_attribute="doc_id")
+    test.insert(docs_df.filter(F.col("doc_id") % 2 == 1))
+
+    report = train.decontaminate_against(test, n=8)
+    assert {"doc_id", "n_ngrams", "n_contaminated", "contamination_frac"} <= set(report.columns)
+    scores = train.lm_quality()
+    assert "lm_score" in scores.columns and scores.count() == train.size()
+    screened = train.keyword_screen(["spark"], max_hits=1)
+    assert {"n_blocked", "keep"} <= set(screened.columns)
+    capped = train.cap("lang", 3)
+    per = capped.groupBy("lang").count().collect()
+    assert all(r["count"] <= 3 for r in per)
