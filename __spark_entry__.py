@@ -478,6 +478,27 @@ def q_resample_hourly(spark, sf):
     ).orderBy("event_type", "bucket_ts")
 
 
+def q_resample_ffill(spark, sf):
+    # forward-fill variant: empty buckets carry the last seen aggregate
+    # (operators/resample.py ffill branch — running last(ignorenulls))
+    from linkml_store_spark.operators.resample import resample
+
+    ev = _t(spark, sf, "events")
+    out = resample(
+        ev,
+        "event_type",
+        "ts",
+        3600,
+        {"sum_value": F.sum("value")},
+        fill="ffill",
+    )
+    return out.select(
+        "event_type",
+        "bucket_ts",
+        F.round("sum_value", 2).alias("sum_value"),
+    ).orderBy("event_type", "bucket_ts")
+
+
 def q_asof_view_before_purchase(spark, sf):
     # as-of join: each purchase matched to the user's latest view at or
     # before it (union + running-last composition; DuckDB native ASOF JOIN
@@ -997,6 +1018,20 @@ def q_lm_quality(spark, sf):
     ).orderBy("doc_id")
 
 
+def q_stratified_sample(spark, sf):
+    """Deterministic per-stratum sampling (operators/splits.py): each lang
+    stratum draws independently at 50% via salted md5 bucketing; the
+    oracle replays the identical predicate — exact membership check."""
+    from linkml_store_spark.operators.splits import stratified_sample
+
+    docs = _t(spark, sf, "documents")
+    return (
+        stratified_sample(docs, ["lang"], 0.5, "doc_id")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
 def q_cap_per_source(spark, sf):
     """Deterministic per-key cap (operators/splits.py cap_per_key): at most
     5 documents per source, chosen by md5 hash order — the oracle replays
@@ -1354,6 +1389,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "correlation_by_type": q_correlation_by_type,
     "topn_per_group": q_topn_per_group,
     "resample_hourly": q_resample_hourly,
+    "resample_ffill": q_resample_ffill,
     "rolling_1h": q_rolling_1h,
     "join_topk_revenue": q_join_topk_revenue,
     "enrichment": q_enrichment,
@@ -1377,6 +1413,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_distinct_users": q_sketch_distinct_users,
     "hash_split_documents": q_hash_split_documents,
     "cap_per_source": q_cap_per_source,
+    "stratified_sample": q_stratified_sample,
     "lm_quality": q_lm_quality,
     "contamination": q_contamination,
     "tfidf_terms": q_tfidf_terms,
@@ -1720,6 +1757,29 @@ ORACLES: dict[str, str] = {
           ON g.event_type = a.event_type AND g.bucket_ts = a.bucket_ts
         ORDER BY g.event_type, g.bucket_ts
     """,
+    "resample_ffill": """
+        WITH agged AS (
+          SELECT event_type,
+                 (FLOOR(epoch(ts)/3600)*3600)::BIGINT AS bucket_ts,
+                 SUM(value) AS sum_value
+          FROM events GROUP BY 1, 2
+        ),
+        grid AS (
+          SELECT event_type,
+                 UNNEST(generate_series(MIN(bucket_ts), MAX(bucket_ts), 3600))
+                     AS bucket_ts
+          FROM agged GROUP BY event_type
+        )
+        SELECT event_type, bucket_ts, ROUND(sum_value, 2) AS sum_value FROM (
+          SELECT g.event_type, g.bucket_ts,
+                 last_value(a.sum_value IGNORE NULLS) OVER (
+                   PARTITION BY g.event_type ORDER BY g.bucket_ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS sum_value
+          FROM grid g LEFT JOIN agged a
+            ON g.event_type = a.event_type AND g.bucket_ts = a.bucket_ts
+        ) ORDER BY event_type, bucket_ts
+    """,
     "asof_join": """
         WITH p AS (SELECT event_id, user_id, ts FROM events
                    WHERE event_type = 'purchase'),
@@ -2025,6 +2085,12 @@ ORACLES: dict[str, str] = {
         LEFT JOIN prefix p ON substr(docb.bigram, 1, 1) = p.c1
         CROSS JOIN v
         GROUP BY doc_id ORDER BY doc_id
+    """,
+    "stratified_sample": """
+        SELECT doc_id, lang FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'strat' || lang), 1, 8)
+              < '80000000'
+        ORDER BY doc_id
     """,
     "cap_per_source": """
         SELECT doc_id, source, n_chars FROM (
