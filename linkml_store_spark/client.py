@@ -25,6 +25,10 @@ class Client:
     def __init__(self, spark: Optional[SparkSession] = None):
         self.spark = spark or get_spark()
         self._databases: Dict[str, Database] = {}
+        # alias -> (handle, db_conf, base_dir) parsed by from_config with
+        # auto_attach=False; attached lazily on first get_database (the
+        # reference registers configs without attaching, client.py:117-175)
+        self._pending_configs: Dict[str, tuple] = {}
 
     def attach_database(
         self, handle: str = "spark://memory", alias: Optional[str] = None
@@ -43,6 +47,10 @@ class Client:
         return db
 
     def get_database(self, alias: str) -> Database:
+        if alias not in self._databases and alias in self._pending_configs:
+            handle, db_conf, base_dir = self._pending_configs.pop(alias)
+            db = self.attach_database(handle, alias=alias)
+            db.from_config(db_conf, base_dir=base_dir)
         return self._databases[alias]
 
     @property
@@ -99,8 +107,12 @@ class Client:
             handle = (db_conf.get("handle") or "spark://memory").format(
                 base_dir=base_dir
             )
+            alias = db_conf.get("alias") or name
             if not auto_attach:
+                # register for lazy attach (reference behavior): the config
+                # is applied on first get_database(alias), not dropped
+                self._pending_configs[alias] = (handle, db_conf, base_dir)
                 continue
-            db = self.attach_database(handle, alias=db_conf.get("alias") or name)
+            db = self.attach_database(handle, alias=alias)
             db.from_config(db_conf, base_dir=base_dir)
         return self

@@ -62,7 +62,16 @@ def _native_cosine(e: Column, qv: List[float], qn: float) -> Column:
         dot_e = term if dot_e is None else dot_e + term
         nrm = sq if nrm is None else nrm + sq
     n = F.sqrt(nrm) * F.lit(qn)
-    return F.when(n == 0, F.lit(0.0)).otherwise(dot_e / n)
+    unrolled = F.when(n == 0, F.lit(0.0)).otherwise(dot_e / n)
+    # The unrolled norm covers only the first len(qv) elements; a stored
+    # vector LONGER than the query must norm its full length to agree with
+    # the Arrow kernel (cosine_to_query). Guard on size: the common
+    # equal-length case stays on the codegen'd expression, mismatches take
+    # the HOF full-norm path (dot over the zipped prefix, norm over all).
+    d_full = dot(F.slice(e, 1, len(qv)), F.array(*[F.lit(x) for x in qv]))
+    n_full = norm(e) * F.lit(qn)
+    fallback = F.when(n_full == 0, F.lit(0.0)).otherwise(d_full / n_full)
+    return F.when(F.size(e) == F.lit(len(qv)), unrolled).otherwise(fallback)
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:

@@ -69,14 +69,21 @@ def ensure_local(url: str, refresh: bool = False) -> str:
     if os.path.exists(dest) and not refresh:
         return dest
     os.makedirs(os.path.dirname(dest), exist_ok=True)
-    tmp = dest + ".part"
-    with urllib.request.urlopen(url) as resp, open(tmp, "wb") as out:
-        while True:
-            chunk = resp.read(1 << 20)
-            if not chunk:
-                break
-            out.write(chunk)
-    os.replace(tmp, dest)
+    # per-process temp name: concurrent first-fetches of one URL must not
+    # clobber each other's partial file; os.replace keeps the swap atomic
+    tmp = f"{dest}.part.{os.getpid()}"
+    timeout = float(os.environ.get("LINKML_STORE_SPARK_URL_TIMEOUT", "60"))
+    try:
+        with urllib.request.urlopen(url, timeout=timeout) as resp, open(tmp, "wb") as out:
+            while True:
+                chunk = resp.read(1 << 20)
+                if not chunk:
+                    break
+                out.write(chunk)
+        os.replace(tmp, dest)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
     return dest
 
 
@@ -177,12 +184,17 @@ def read_objects_df(
         import pandas as pd
 
         sheets = read_xlsx_sheets(path)
-        first = next(iter(sheets.values()), [])
-        if not first:
-            return spark.range(0)
+        # the reference parses EVERY sheet to {sheet: records}
+        # (format_utils.py:203-205); concatenate them so multi-sheet
+        # workbooks lose nothing on load
+        records = [rec for recs in sheets.values() for rec in recs]
+        if not records:
+            from pyspark.sql import types as T
+
+            return spark.createDataFrame([], T.StructType([]))
         # pandas unifies mixed int/float columns (spreadsheet numerics are
         # untyped), matching the reference's ExcelFile->records shape
-        return spark.createDataFrame(pd.DataFrame(first))
+        return spark.createDataFrame(pd.DataFrame(records))
     if fmt == "hdf5":
         # reference hdf5_collection.py:20-33 stores each object as a group
         # keyed by its id, one dataset per attribute, dict/list values

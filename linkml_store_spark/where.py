@@ -218,9 +218,14 @@ def compile_where(where: WhereClause, df: Optional[DataFrame] = None) -> Optiona
             # operators); Mongo-style combinators compile to Column algebra
             if k == "$or":
                 ors = [compile_where(w, df) for w in v]
+                # the empty disjunction is FALSE (Mongo rejects $or: []);
+                # matches the NOT(vacuous TRUE)=FALSE handling of $not
+                if not ors:
+                    conds.append(F.lit(False))
+                    continue
                 # an empty sub-clause compiles to None = vacuously TRUE, so
                 # the whole disjunction is TRUE -> contributes no filter
-                if any(e is None for e in ors) or not ors:
+                if any(e is None for e in ors):
                     continue
                 conds.append(reduce(lambda a, b: a | b, ors))
                 continue

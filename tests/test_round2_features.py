@@ -52,7 +52,7 @@ def test_ensure_local_http_cache_hit(tmp_path, monkeypatch):
             calls["drained"] = True
             return b'{"a": 1}\n'
 
-    def fake_urlopen(url):
+    def fake_urlopen(url, timeout=None):
         calls["n"] += 1
         calls["drained"] = False
         return FakeResp()

@@ -1,0 +1,192 @@
+"""Round-3 regression tests: the round-2 ADVICE items.
+
+1. empty ``$or: []`` is FALSE (Mongo rejects it; empty disjunction)
+2. ``_native_cosine`` agrees with the documented semantics when the stored
+   vector is longer than the query (full-row norm, prefix dot)
+3. xlsx loads concatenate ALL sheets; empty workbook -> zero-column DF
+4. ``Client.from_config(auto_attach=False)`` defers (not drops) configs
+5. ``ensure_local`` passes a timeout and uses a per-process temp name
+"""
+
+import json
+import math
+import zipfile
+
+import pytest
+
+
+# --------------------------------------------------------------------- #
+# 1. empty $or
+# --------------------------------------------------------------------- #
+def test_empty_or_matches_nothing(spark):
+    from linkml_store_spark.where import apply_where
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "cat"])
+    assert apply_where(df, {"$or": []}).count() == 0
+    # and combined with another conjunct it still annihilates
+    assert apply_where(df, {"cat": "a", "$or": []}).count() == 0
+    # empty $and stays vacuous TRUE (conjunctive identity)
+    assert apply_where(df, {"$and": []}).count() == 2
+
+
+# --------------------------------------------------------------------- #
+# 2. native cosine vs longer stored vectors
+# --------------------------------------------------------------------- #
+def test_native_cosine_full_row_norm(spark):
+    from pyspark.sql import functions as F
+
+    from linkml_store_spark.functions.vector import cosine_to_query_native
+
+    q = [1.0, 2.0, 2.0]
+    rows = [
+        (1, [1.0, 2.0, 2.0]),            # equal length: cos = 1
+        (2, [1.0, 2.0, 2.0, 4.0]),       # longer: norm must cover all 4
+        (3, [0.0, 0.0, 0.0]),            # zero norm -> 0.0
+    ]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    out = {
+        r["id"]: r["s"]
+        for r in df.select(
+            "id", cosine_to_query_native(q)(F.col("v")).alias("s")
+        ).collect()
+    }
+    assert out[1] == pytest.approx(1.0)
+    # prefix dot / (full row norm * query norm)
+    expect = (1 * 1 + 2 * 2 + 2 * 2) / (
+        math.sqrt(1 + 4 + 4 + 16) * math.sqrt(1 + 4 + 4)
+    )
+    assert out[2] == pytest.approx(expect)
+    assert out[3] == pytest.approx(0.0)
+
+
+# --------------------------------------------------------------------- #
+# 3. xlsx: all sheets concatenated; empty workbook -> zero columns
+# --------------------------------------------------------------------- #
+def _write_xlsx(path, sheets):
+    """sheets: {name: [[cell, ...], ...]} with str/num cells (inline strings)."""
+    sheet_decls = []
+    rel_decls = []
+    parts = {}
+    for i, (name, rows) in enumerate(sheets.items(), start=1):
+        sheet_decls.append(f'<sheet name="{name}" sheetId="{i}" r:id="rId{i}"/>')
+        rel_decls.append(
+            f'<Relationship Id="rId{i}" Type="x" Target="worksheets/sheet{i}.xml"/>'
+        )
+        row_xml = []
+        for rn, row in enumerate(rows, start=1):
+            cells = []
+            for cn, val in enumerate(row):
+                ref = f"{chr(ord('A') + cn)}{rn}"
+                if val is None:
+                    continue
+                if isinstance(val, str):
+                    cells.append(
+                        f'<c r="{ref}" t="inlineStr"><is><t>{val}</t></is></c>'
+                    )
+                else:
+                    cells.append(f'<c r="{ref}"><v>{val}</v></c>')
+            row_xml.append(f'<row r="{rn}">{"".join(cells)}</row>')
+        parts[f"xl/worksheets/sheet{i}.xml"] = (
+            '<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+            f'<sheetData>{"".join(row_xml)}</sheetData></worksheet>'
+        )
+    wb = (
+        '<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        f'<sheets>{"".join(sheet_decls)}</sheets></workbook>'
+    )
+    rels = (
+        '<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        f'{"".join(rel_decls)}</Relationships>'
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", rels)
+        for part, xml in parts.items():
+            z.writestr(part, xml)
+
+
+def test_xlsx_multi_sheet_concat(spark, tmp_path):
+    from linkml_store_spark.sources.formats import read_objects_df
+
+    p = tmp_path / "multi.xlsx"
+    _write_xlsx(
+        str(p),
+        {
+            "s1": [["name", "age"], ["alice", 30], ["bob", 40]],
+            "s2": [["name", "age"], ["carol", 50]],
+        },
+    )
+    df = read_objects_df(spark, str(p))
+    rows = {r["name"]: r["age"] for r in df.collect()}
+    assert rows == {"alice": 30.0, "bob": 40.0, "carol": 50.0}
+
+
+def test_xlsx_empty_workbook_zero_columns(spark, tmp_path):
+    from linkml_store_spark.sources.formats import read_objects_df
+
+    p = tmp_path / "empty.xlsx"
+    _write_xlsx(str(p), {"only": []})
+    df = read_objects_df(spark, str(p))
+    assert df.columns == []  # no spurious `id` column from spark.range
+    assert df.count() == 0
+
+
+# --------------------------------------------------------------------- #
+# 4. from_config(auto_attach=False) defers
+# --------------------------------------------------------------------- #
+def test_from_config_lazy_attach(spark, tmp_path):
+    from linkml_store_spark.client import Client
+
+    data = tmp_path / "c.json"
+    data.write_text(json.dumps([{"code": "US"}, {"code": "FR"}]))
+    cfg = {
+        "databases": {
+            "lazy": {
+                "handle": "spark://memory",
+                "collections": {
+                    "Country": {
+                        "alias": "countries",
+                        "source": {"local_path": str(data), "format": "json"},
+                    }
+                },
+            }
+        }
+    }
+    client = Client(spark).from_config(cfg, base_dir=str(tmp_path), auto_attach=False)
+    assert "lazy" not in client.databases  # not attached yet...
+    db = client.get_database("lazy")  # ...but not dropped either
+    assert db.get_collection("countries", create_if_not_exists=False).size() == 2
+    assert "lazy" in client.databases
+
+
+# --------------------------------------------------------------------- #
+# 5. ensure_local: timeout + per-process temp name
+# --------------------------------------------------------------------- #
+def test_ensure_local_timeout_and_tmpname(tmp_path, monkeypatch):
+    import io
+    import os
+
+    from linkml_store_spark.sources import formats
+
+    monkeypatch.setenv("LINKML_STORE_SPARK_CACHE", str(tmp_path / "cache"))
+    seen = {}
+
+    class _Resp(io.BytesIO):
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def fake_urlopen(url, timeout=None):
+        seen["timeout"] = timeout
+        return _Resp(b"payload")
+
+    monkeypatch.setattr("urllib.request.urlopen", fake_urlopen)
+    dest = formats.ensure_local("http://example.invalid/data.csv")
+    assert open(dest, "rb").read() == b"payload"
+    assert seen["timeout"] == 60.0
+    # no leftover partial files; temp name was per-process (pid-suffixed)
+    leftovers = [f for f in os.listdir(os.path.dirname(dest)) if ".part" in f]
+    assert leftovers == []
