@@ -158,15 +158,21 @@ def resize_images(
                     "real image resampling requires an image library; "
                     "pass resize_fn=... (e.g. PIL-based)"
                 )
-            def apply(row):
-                row = dict(row)
-                row["payload"] = resize_fn(bytes(row["payload"]), target_width, target_height)
-                meta = dict(row["meta"])
-                meta["width"], meta["height"] = target_width, target_height
-                row["meta"] = meta
-                return row
-
-            yield pd.DataFrame([apply(r) for _, r in pdf.iterrows()])
+            if len(pdf) == 0:
+                continue
+            # the codec call is inherently per-item; everything else is a
+            # single column assignment over the Arrow batch (same treatment
+            # as extract_features — no per-row dict rebuild)
+            out = pdf.copy()
+            out["payload"] = [
+                resize_fn(bytes(p), target_width, target_height)
+                for p in pdf["payload"]
+            ]
+            out["meta"] = [
+                {**dict(m), "width": target_width, "height": target_height}
+                for m in pdf["meta"]
+            ]
+            yield out
 
     return df.mapInPandas(process, schema=df.schema)
 

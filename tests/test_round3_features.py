@@ -190,3 +190,29 @@ def test_ensure_local_timeout_and_tmpname(tmp_path, monkeypatch):
     # no leftover partial files; temp name was per-process (pid-suffixed)
     leftovers = [f for f in os.listdir(os.path.dirname(dest)) if ".part" in f]
     assert leftovers == []
+
+
+# --------------------------------------------------------------------- #
+# 6. resize_images: vectorized batch path with a fake resize_fn
+# --------------------------------------------------------------------- #
+def test_resize_images_fake_fn(spark):
+    import inspect
+
+    from linkml_store_spark.operators import multimodal
+
+    media = multimodal.synthetic_media_df(spark, n=12)
+
+    def fake_resize(payload, w, h):
+        # deterministic fake: truncate/pad payload to w*h bytes
+        return (payload * ((w * h) // max(len(payload), 1) + 1))[: w * h]
+
+    out = multimodal.resize_images(media, 16, 16, resize_fn=fake_resize)
+    assert out.schema == media.schema  # schema-preserving stage
+    rows = out.collect()
+    assert len(rows) == 12
+    for r in rows:
+        assert len(bytes(r["payload"])) == 16 * 16
+        assert r["meta"]["width"] == 16 and r["meta"]["height"] == 16
+        assert r["meta"]["format"] == "fake"  # untouched meta keys survive
+    # the per-row dict rebuild (iterrows) is gone from the module
+    assert "iterrows" not in inspect.getsource(multimodal)
