@@ -363,17 +363,38 @@ class Collection:
         objs = list(objs)
         if not self.exists():
             return self.insert(objs)
+        incoming = self.spark.createDataFrame(objs)
+        self.upsert_df(incoming, filter_fields=filter_fields, update_fields=update_fields)
+        return len(objs)
+
+    def upsert_df(
+        self,
+        incoming: DataFrame,
+        filter_fields: Optional[List[str]] = None,
+        update_fields: Optional[List[str]] = None,
+        broadcast_incoming: bool = True,
+    ) -> None:
+        """DataFrame-native MERGE: rows never pass through the driver, so an
+        arbitrarily large incoming batch (a streaming micro-batch in
+        ``stream_upsert_into``'s foreachBatch) upserts without driver
+        materialization. Same semantics as ``upsert``; set
+        ``broadcast_incoming=False`` when the batch rivals the table size
+        (the join then shuffles on the key instead of broadcasting)."""
+        if not self.exists():
+            self.insert(incoming)
+            return
         if filter_fields is None:
             filter_fields = [self._require_pk()]
         base = self.df
-        incoming = self._align(self.spark.createDataFrame(objs), base.schema)
+        incoming = self._align(incoming, base.schema)
         if update_fields is None:
             update_fields = [c for c in incoming.columns if c not in filter_fields]
+        u = F.broadcast(incoming) if broadcast_incoming else incoming
         matched_keys = [F.col(f"t.{k}").eqNullSafe(F.col(f"u.{k}")) for k in filter_fields]
         on = matched_keys[0]
         for k in matched_keys[1:]:
             on = on & k
-        joined = base.alias("t").join(F.broadcast(incoming).alias("u"), on=on, how="left")
+        joined = base.alias("t").join(u.alias("u"), on=on, how="left")
         sel = []
         for field in base.schema.fields:
             c = field.name
@@ -386,7 +407,15 @@ class Collection:
             base.select(*filter_fields).alias("t"), on=filter_fields, how="left_anti"
         )
         self._set_df(updated.unionByName(inserts.select(*[f.name for f in base.schema.fields])))
-        return len(objs)
+
+    def materialize(self) -> None:
+        """Cut the current plan's lineage via ``localCheckpoint`` —
+        partitions are pinned in EXECUTOR block storage, never the driver.
+        Used by streaming upsert (each micro-batch layers a join+union on
+        the plan; unpinned, the plan deepens per batch and can reference
+        expired micro-batch sources) and useful after long merge chains."""
+        if self._df is not None:
+            self._df = self._df.localCheckpoint(eager=True)
 
     # ------------------------------------------------------------------ #
     # retrieval (§2.4)

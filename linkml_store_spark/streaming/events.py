@@ -192,12 +192,23 @@ def stream_upsert_into(
 ):
     """foreachBatch streaming upsert into a Collection (CDC-style apply).
     ``update`` output mode suits stateful upstream operators (running
-    aggregates re-emit per batch; the upsert makes them idempotent)."""
+    aggregates re-emit per batch; the upsert makes them idempotent).
+
+    The merge is applied to the micro-batch DataFrame directly
+    (``Collection.upsert_df``) — rows never reach the driver, so batch
+    size is bounded by cluster memory, not driver memory."""
 
     def apply_batch(batch_df: DataFrame, batch_id: int):
-        rows = [r.asDict(recursive=True) for r in batch_df.collect()]
-        if rows:
-            collection.upsert(rows, filter_fields=filter_fields)
+        if batch_df.isEmpty():
+            return
+        collection.upsert_df(batch_df, filter_fields=filter_fields)
+        # memory-backed collections hold a lazy plan; pin it per batch
+        # (executor-side localCheckpoint) so the merged table neither
+        # references the expired micro-batch nor deepens every trigger.
+        # location-backed databases already cut lineage via the parquet
+        # rewrite in _save_collection_df.
+        if not getattr(collection.database, "location", None):
+            collection.materialize()
 
     q = (
         stream_df.writeStream.foreachBatch(apply_batch)

@@ -216,3 +216,44 @@ def test_resize_images_fake_fn(spark):
         assert r["meta"]["format"] == "fake"  # untouched meta keys survive
     # the per-row dict rebuild (iterrows) is gone from the module
     assert "iterrows" not in inspect.getsource(multimodal)
+
+
+# --------------------------------------------------------------------- #
+# 7. streaming upsert: DataFrame-native merge, no driver materialization
+# --------------------------------------------------------------------- #
+def test_stream_upsert_large_batch_no_collect(spark, tmp_path):
+    import inspect
+
+    from pyspark.sql import functions as F
+
+    from linkml_store_spark.client import Client
+    from linkml_store_spark.streaming import events as ev
+
+    # the batch path must not collect rows to the driver
+    assert "collect()" not in inspect.getsource(ev.stream_upsert_into)
+
+    n = 120_000
+    src1 = spark.range(n).select(
+        F.col("id").alias("user_id"), F.lit(1.0).alias("value")
+    )
+    src1.write.parquet(str(tmp_path / "in1"))
+    client = Client(spark)
+    db = client.attach_database("memory", alias="r3stream")
+    coll = db.create_collection("agg", identifier_attribute="user_id")
+
+    stream1 = spark.readStream.schema(src1.schema).parquet(str(tmp_path / "in1"))
+    ev.stream_upsert_into(stream1, coll, str(tmp_path / "ck1"), output_mode="append")
+    assert coll.size() == n
+
+    # second stream updates half the keys and inserts 1k new ones
+    src2 = spark.range(n // 2, n + 1000).select(
+        F.col("id").alias("user_id"), F.lit(9.0).alias("value")
+    )
+    src2.write.parquet(str(tmp_path / "in2"))
+    stream2 = spark.readStream.schema(src2.schema).parquet(str(tmp_path / "in2"))
+    ev.stream_upsert_into(stream2, coll, str(tmp_path / "ck2"), output_mode="append")
+    assert coll.size() == n + 1000
+    agg = coll.df.agg(
+        F.sum(F.when(F.col("value") == 9.0, 1).otherwise(0)).alias("updated")
+    ).first()
+    assert agg["updated"] == n // 2 + 1000
