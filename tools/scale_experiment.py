@@ -28,6 +28,7 @@ ORDER_STEP = 6_000_000  # > max l_orderkey at sf0.1
 
 def generate(n: int) -> str:
     out = f"{ROOT}/x{n}"
+    _generate_embeddings(n, out)
     if os.path.exists(f"{out}/_DONE"):
         return out
     os.makedirs(out, exist_ok=True)
@@ -58,6 +59,33 @@ def generate(n: int) -> str:
     return out
 
 
+def _generate_embeddings(n: int, out: str) -> None:
+    # added after the first replicas were built -> own marker so existing
+    # x{N} dirs gain embeddings without a full regenerate
+    if os.path.exists(f"{out}/_DONE_EMB"):
+        return
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"""
+        COPY (
+          SELECT vec_id + i.i * 2000 AS vec_id, embedding, label
+          FROM read_parquet('{SRC}/embeddings.parquet')
+          CROSS JOIN (SELECT unnest(range({n})) AS i) i
+        ) TO '{out}/embeddings.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 1000000)
+    """)
+    open(f"{out}/_DONE_EMB", "w").write("ok")
+
+
+def query_vector(d: str) -> list:
+    """The kNN query vector is an INPUT (the reference embeds the query text
+    first) — fetched once outside both engines' timed regions."""
+    con = duckdb.connect()
+    (v,) = con.execute(
+        f"SELECT embedding FROM read_parquet('{d}/embeddings.parquet') WHERE vec_id = 0"
+    ).fetchone()
+    return [float(x) for x in v]
+
+
 def time_best(fn, runs: int = 3) -> float:
     fn()
     best = float("inf")
@@ -70,12 +98,17 @@ def time_best(fn, runs: int = 3) -> float:
 
 def duckdb_workload(d: str) -> dict:
     con = duckdb.connect()
-    for t in ["lineitem", "orders", "customer"]:
+    for t in ["lineitem", "orders", "customer", "embeddings"]:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
         )
+    qv = query_vector(d)
     qs = {
         "filter_count": "SELECT COUNT(*) FROM lineitem WHERE l_returnflag = 'R'",
+        # b4 shape: $in predicate count
+        "in_count": """
+            SELECT COUNT(*) FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')""",
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus, SUM(l_quantity), AVG(l_discount),
                    COUNT(*) FROM lineitem WHERE l_shipdate <= '1998-09-02'
@@ -89,6 +122,12 @@ def duckdb_workload(d: str) -> dict:
         "join_agg": """
             SELECT c_mktsegment, SUM(o_totalprice) FROM orders
             JOIN customer ON o_custkey = c_custkey GROUP BY 1""",
+        # b12 shape: brute-force cosine kNN top-10 (list_cosine_similarity,
+        # same formulation as BASELINE.md B12)
+        "knn": f"""
+            SELECT vec_id, label,
+                   list_cosine_similarity(embedding, {qv}) AS score
+            FROM embeddings ORDER BY score DESC LIMIT 10""",
     }
     return {k: time_best(lambda s=v: con.execute(s).fetchall()) for k, v in qs.items()}
 
@@ -97,11 +136,14 @@ def spark_workload(spark, d: str) -> dict:
     from pyspark.sql import functions as F
 
     from linkml_store_spark.facets import facet_df
+    from linkml_store_spark.index.search import knn
     from linkml_store_spark.where import apply_where
 
     li = spark.read.parquet(f"{d}/lineitem.parquet")
     o = spark.read.parquet(f"{d}/orders.parquet")
     c = spark.read.parquet(f"{d}/customer.parquet")
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    qv = query_vector(d)
     # plan reuse + Arrow materialization: same methodology as bench.py —
     # each query Dataset is constructed once, timed runs re-execute it
     plans = {
@@ -124,6 +166,15 @@ def spark_workload(spark, d: str) -> dict:
         "join_agg": o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(F.sum("o_totalprice")),
+        # b4 shape
+        "in_count": apply_where(
+            o, {"o_orderpriority": {"$in": ["1-URGENT", "2-HIGH"]}}
+        ).agg(F.count(F.lit(1)).alias("n")),
+        # b12 shape: codegen'd unrolled cosine + TakeOrderedAndProject
+        # (per-partition heaps; embedding column pruned from the result)
+        "knn": knn(emb, qv, vector_col="embedding", k=10).select(
+            "vec_id", "label", "score"
+        ),
     }
     return {k: time_best(df.toPandas) for k, df in plans.items()}
 
