@@ -49,6 +49,124 @@ def canon(df: pd.DataFrame) -> list:
     return rows
 
 
+def differential_lsh_checks(spark) -> list:
+    """Differential oracles for the three seeded-LSH queries that cannot be
+    expressed in SQL (``dedup_minhash``, ``dedup_simhash``, ``dedup_groups``).
+    Each is verified against an exact independent formulation at sf0.01:
+
+    * dedup_minhash — precision: every reported pair (estimated minhash
+      jaccard >= 0.5, 64 perms, sigma ~= 0.0625) must appear in the EXACT
+      shingle-jaccard join at threshold 0.3 (>3 sigma of slack); recall:
+      every exact pair with jaccard >= 0.9 must be reported (banding miss
+      probability < 1e-7 at 16 bands of 4 rows; estimation tail < 1e-9).
+    * dedup_simhash — the pigeonhole-blocked join must equal the brute-force
+      all-pairs hamming filter over the SAME fingerprints (blocking with 4
+      chunks is exhaustive for hamming <= 3, so equality is exact).
+    * dedup_groups — cluster labels must equal large-star/small-star
+      connected components (operators/graph.py) over the LSH bucket
+      co-membership edges, singletons included (both label by min doc_id).
+    """
+    from pyspark.sql import functions as F
+
+    from linkml_store_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_dedup_groups,
+        minhash_dedup_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        simhash,
+        simhash_near_pairs,
+    )
+    from linkml_store_spark.operators.graph import connected_components
+    from linkml_store_spark.sources.tables import load_table
+
+    failures = []
+    docs = load_table(spark, SF, "documents")
+
+    # --- dedup_minhash: precision/recall envelope vs exact jaccard ------ #
+    mh_pairs = {
+        (r["left_id"], r["right_id"])
+        for r in minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.5).collect()
+    }
+    lo_pairs = {
+        (r["left_id"], r["right_id"])
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", shingle_size=3, threshold=0.3
+        ).collect()
+    }
+    hi_pairs = {
+        (r["left_id"], r["right_id"])
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", shingle_size=3, threshold=0.9
+        ).collect()
+    }
+    extra = mh_pairs - lo_pairs
+    missed = hi_pairs - mh_pairs
+    if extra:
+        failures.append(("dedup_minhash", f"{len(extra)} pairs below exact j=0.3: {sorted(extra)[:5]}"))
+        print(f"FAIL dedup_minhash (differential): false pairs {sorted(extra)[:5]}")
+    elif missed:
+        failures.append(("dedup_minhash", f"missed {len(missed)} exact j>=0.9 pairs: {sorted(missed)[:5]}"))
+        print(f"FAIL dedup_minhash (differential): missed pairs {sorted(missed)[:5]}")
+    else:
+        print(
+            f"ok   dedup_minhash  (differential: {len(mh_pairs)} pairs, all within "
+            f"exact j>=0.3; all {len(hi_pairs)} exact j>=0.9 pairs recalled)"
+        )
+
+    # --- dedup_simhash: blocked join == brute-force all-pairs ----------- #
+    fp = simhash(docs, "text", "doc_id").persist()
+    l = fp.select(F.col("doc_id").alias("left_id"), F.col("simhash").alias("__sl"))
+    r = fp.select(F.col("doc_id").alias("right_id"), F.col("simhash").alias("__sr"))
+    brute = {
+        (r_["left_id"], r_["right_id"], r_["hamming"])
+        for r_ in (
+            l.crossJoin(r)
+            .filter(F.col("left_id") < F.col("right_id"))
+            .withColumn("hamming", F.bit_count(F.col("__sl").bitwiseXOR(F.col("__sr"))))
+            .filter(F.col("hamming") <= 3)
+            .select("left_id", "right_id", "hamming")
+        ).collect()
+    }
+    blocked = {
+        (r_["left_id"], r_["right_id"], r_["hamming"])
+        for r_ in simhash_near_pairs(docs, "text", "doc_id", max_hamming=3).collect()
+    }
+    fp.unpersist()
+    if blocked != brute:
+        failures.append(("dedup_simhash", f"blocked {len(blocked)} vs brute {len(brute)}"))
+        print(f"FAIL dedup_simhash (differential): blocked {len(blocked)} != brute-force {len(brute)}")
+    else:
+        print(f"ok   dedup_simhash  (differential: {len(blocked)} pairs == exhaustive all-pairs)")
+
+    # --- dedup_groups: labels == connected components over buckets ------ #
+    sig = minhash_signatures(docs, "text", "doc_id", 64, 3)
+    cand = lsh_candidate_pairs(sig, "doc_id", 64, 16)
+    cc = connected_components(
+        cand,
+        src="left_id",
+        dst="right_id",
+        nodes=docs.select(F.col("doc_id").alias("node")),
+        node_col="node",
+    )
+    cc_map = {r_["node"]: r_["component"] for r_ in cc.collect()}
+    g_map = {
+        r_["doc_id"]: r_["canonical_id"]
+        for r_ in minhash_dedup_groups(docs, "text", "doc_id").collect()
+    }
+    if cc_map != g_map:
+        diff = {k for k in cc_map if cc_map.get(k) != g_map.get(k)}
+        failures.append(("dedup_groups", f"{len(diff)} docs labeled differently"))
+        print(f"FAIL dedup_groups (differential): {len(diff)} docs differ from connected components")
+    else:
+        n_clusters = len(set(g_map.values()))
+        print(
+            f"ok   dedup_groups  (differential: {len(g_map)} docs, {n_clusters} "
+            "clusters == connected components over LSH buckets)"
+        )
+    return failures
+
+
 def main():
     only = set(sys.argv[1:])
     spec = importlib.util.spec_from_file_location("e", "/root/repo/__spark_entry__.py")
@@ -94,6 +212,9 @@ def main():
             print(f"  oracle: {o_rows[bad]}")
             continue
         print(f"ok   {name}  ({len(sdf)} rows, values match)")
+    lsh_trio = {"dedup_minhash", "dedup_simhash", "dedup_groups"}
+    if not only or only & lsh_trio:
+        failures += differential_lsh_checks(spark)
     if failures:
         print(f"\n{len(failures)} FAILURES: {[f[0] for f in failures]}")
         sys.exit(1)
