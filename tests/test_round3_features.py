@@ -257,3 +257,143 @@ def test_stream_upsert_large_batch_no_collect(spark, tmp_path):
         F.sum(F.when(F.col("value") == 9.0, 1).otherwise(0)).alias("updated")
     ).first()
     assert agg["updated"] == n // 2 + 1000
+
+
+# --------------------------------------------------------------------- #
+# 8. property test: read_xlsx_sheets on random workbooks with formula
+#    cells, gaps, shared/inline strings, bools (VERDICT r2 item 8)
+# --------------------------------------------------------------------- #
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_cell_text = st.text(alphabet=string.ascii_letters + string.digits + " _", max_size=8)
+_cell_value = st.one_of(
+    st.none(),  # gap: cell omitted entirely
+    st.integers(min_value=-(2**53), max_value=2**53),
+    st.floats(allow_nan=False, allow_infinity=False),
+    st.booleans(),
+    _cell_text,
+)
+
+
+@st.composite
+def _workbooks(draw):
+    n_sheets = draw(st.integers(1, 3))
+    sheets = {}
+    for i in range(n_sheets):
+        n_cols = draw(st.integers(1, 5))
+        headers = draw(
+            st.lists(
+                st.text(alphabet=string.ascii_letters, min_size=1, max_size=6),
+                min_size=n_cols, max_size=n_cols, unique=True,
+            )
+        )
+        n_rows = draw(st.integers(0, 6))
+        rows = [
+            draw(st.lists(_cell_value, min_size=n_cols, max_size=n_cols))
+            for _ in range(n_rows)
+        ]
+        # per-cell flags: string storage (shared vs inline), formula wrapper
+        flags = [
+            [(draw(st.booleans()), draw(st.booleans())) for _ in range(n_cols)]
+            for _ in range(n_rows)
+        ]
+        sheets[f"sheet{i}"] = (headers, rows, flags)
+    return sheets
+
+
+def _build_xlsx(path, sheets):
+    import zipfile
+
+    shared = []
+
+    def shared_idx(s):
+        shared.append(s)
+        return len(shared) - 1
+
+    sheet_decls, rel_decls, parts = [], [], {}
+    for i, (name, (headers, rows, flags)) in enumerate(sheets.items(), start=1):
+        sheet_decls.append(f'<sheet name="{name}" sheetId="{i}" r:id="rId{i}"/>')
+        rel_decls.append(
+            f'<Relationship Id="rId{i}" Type="x" Target="worksheets/sheet{i}.xml"/>'
+        )
+        xml_rows = []
+        hdr = "".join(
+            f'<c r="{chr(65 + c)}1" t="s"><v>{shared_idx(h)}</v></c>'
+            for c, h in enumerate(headers)
+        )
+        xml_rows.append(f'<row r="1">{hdr}</row>')
+        for rn, (row, rowflags) in enumerate(zip(rows, flags), start=2):
+            cells = []
+            for cn, (val, (use_shared, as_formula)) in enumerate(zip(row, rowflags)):
+                ref = f"{chr(65 + cn)}{rn}"
+                if val is None:
+                    continue  # gap
+                f_part = "<f>COMPUTED()</f>" if as_formula else ""
+                if isinstance(val, bool):
+                    cells.append(f'<c r="{ref}" t="b">{f_part}<v>{int(val)}</v></c>')
+                elif isinstance(val, (int, float)):
+                    cells.append(f'<c r="{ref}">{f_part}<v>{val!r}</v></c>')
+                elif use_shared:
+                    cells.append(f'<c r="{ref}" t="s">{f_part}<v>{shared_idx(val)}</v></c>')
+                else:
+                    cells.append(f'<c r="{ref}" t="inlineStr"><is><t>{val}</t></is></c>')
+            xml_rows.append(f'<row r="{rn}">{"".join(cells)}</row>')
+        parts[f"xl/worksheets/sheet{i}.xml"] = (
+            '<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+            f'<sheetData>{"".join(xml_rows)}</sheetData></worksheet>'
+        )
+    sst = (
+        '<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        + "".join(f"<si><t>{s}</t></si>" for s in shared)
+        + "</sst>"
+    )
+    wb = (
+        '<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        f'<sheets>{"".join(sheet_decls)}</sheets></workbook>'
+    )
+    rels = (
+        '<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        f'{"".join(rel_decls)}</Relationships>'
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", rels)
+        z.writestr("xl/sharedStrings.xml", sst)
+        for part, xml in parts.items():
+            z.writestr(part, xml)
+
+
+def _expected_records(headers, rows):
+    """Independent model of the documented parse semantics: header row 1,
+    numerics collapse to int when integral, gap cells -> None, rows whose
+    cells are ALL gaps are dropped (no cells materialize)."""
+    out = []
+    for row in rows:
+        if all(v is None for v in row):
+            continue
+        rec = {}
+        for h, v in zip(headers, row):
+            if isinstance(v, bool) or v is None or isinstance(v, str):
+                rec[h] = v
+            else:
+                fv = float(v)
+                rec[h] = int(fv) if fv.is_integer() else fv
+        out.append(rec)
+    return out
+
+
+@settings(max_examples=30, deadline=None)
+@given(_workbooks())
+def test_xlsx_property_roundtrip(tmp_path_factory, sheets):
+    from linkml_store_spark.sources.formats import read_xlsx_sheets
+
+    p = tmp_path_factory.mktemp("xlsx") / "prop.xlsx"
+    _build_xlsx(str(p), sheets)
+    got = read_xlsx_sheets(str(p))
+    assert set(got) == set(sheets)
+    for name, (headers, rows, _flags) in sheets.items():
+        assert got[name] == _expected_records(headers, rows)
