@@ -61,17 +61,20 @@ def _native_cosine(e: Column, qv: List[float], qn: float) -> Column:
         sq = ei * ei
         dot_e = term if dot_e is None else dot_e + term
         nrm = sq if nrm is None else nrm + sq
+    # Size guard without branching the 64-term expression: one extra
+    # element probed null-tolerantly. A vector LONGER than the query has a
+    # non-null element at index len(qv), so the poison term turns the norm
+    # (hence the score) NULL — mismatched rows drop out of the top-k
+    # (desc sort is nulls-last) instead of silently scoring on their
+    # prefix. Shorter vectors already fail loudly: ANSI mode makes the
+    # plain e[i] access raise on out-of-bounds, matching the Arrow
+    # kernel's error on ragged batches. Wrapping the whole unrolled
+    # expression in when(size(e)=d, ...) instead measured ~2x slower
+    # (cold-codegen penalty on the doubled branch body); the poison term
+    # is measurement-identical to the unguarded expression.
+    nrm = nrm + F.when(F.get(e, len(qv)).isNull(), F.lit(0.0))
     n = F.sqrt(nrm) * F.lit(qn)
-    unrolled = F.when(n == 0, F.lit(0.0)).otherwise(dot_e / n)
-    # The unrolled norm covers only the first len(qv) elements; a stored
-    # vector LONGER than the query must norm its full length to agree with
-    # the Arrow kernel (cosine_to_query). Guard on size: the common
-    # equal-length case stays on the codegen'd expression, mismatches take
-    # the HOF full-norm path (dot over the zipped prefix, norm over all).
-    d_full = dot(F.slice(e, 1, len(qv)), F.array(*[F.lit(x) for x in qv]))
-    n_full = norm(e) * F.lit(qn)
-    fallback = F.when(n_full == 0, F.lit(0.0)).otherwise(d_full / n_full)
-    return F.when(F.size(e) == F.lit(len(qv)), unrolled).otherwise(fallback)
+    return F.when(n == 0, F.lit(0.0)).otherwise(dot_e / n)
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:

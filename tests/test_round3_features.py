@@ -9,7 +9,6 @@
 """
 
 import json
-import math
 import zipfile
 
 import pytest
@@ -40,7 +39,7 @@ def test_native_cosine_full_row_norm(spark):
     q = [1.0, 2.0, 2.0]
     rows = [
         (1, [1.0, 2.0, 2.0]),            # equal length: cos = 1
-        (2, [1.0, 2.0, 2.0, 4.0]),       # longer: norm must cover all 4
+        (2, [1.0, 2.0, 2.0, 4.0]),       # longer: must NOT prefix-score
         (3, [0.0, 0.0, 0.0]),            # zero norm -> 0.0
     ]
     df = spark.createDataFrame(rows, ["id", "v"])
@@ -51,11 +50,9 @@ def test_native_cosine_full_row_norm(spark):
         ).collect()
     }
     assert out[1] == pytest.approx(1.0)
-    # prefix dot / (full row norm * query norm)
-    expect = (1 * 1 + 2 * 2 + 2 * 2) / (
-        math.sqrt(1 + 4 + 4 + 16) * math.sqrt(1 + 4 + 4)
-    )
-    assert out[2] == pytest.approx(expect)
+    # a dimension mismatch scores NULL (excluded from top-k), never a
+    # silent prefix cosine; the guard stays codegen'd (no HOF fallback)
+    assert out[2] is None
     assert out[3] == pytest.approx(0.0)
 
 
