@@ -105,6 +105,8 @@ def duckdb_workload(d: str) -> dict:
     qv = query_vector(d)
     qs = {
         "filter_count": "SELECT COUNT(*) FROM lineitem WHERE l_returnflag = 'R'",
+        # b1 shape: find equality + LIMIT 100 (fetches rows, not a count)
+        "filter_limit": "SELECT * FROM lineitem WHERE l_returnflag = 'R' LIMIT 100",
         # b4 shape: $in predicate count
         "in_count": """
             SELECT COUNT(*) FROM orders
@@ -150,6 +152,8 @@ def spark_workload(spark, d: str) -> dict:
         "filter_count": apply_where(li, {"l_returnflag": "R"}).agg(
             F.count(F.lit(1)).alias("n")
         ),
+        # b1 shape: CollectLimit short-circuits the scan after 100 rows
+        "filter_limit": apply_where(li, {"l_returnflag": "R"}).limit(100),
         "tpch_q1": apply_where(li, {"l_shipdate": {"$lte": "1998-09-02 00:00:00"}})
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
