@@ -109,6 +109,27 @@ def q_find_notnull(spark, sf):
     return df.agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_find_exists(spark, sf):
+    # $exists field-level extension (Mongo semantics: non-null presence)
+    # combined with a range conjunct — compiles to one pushdown filter
+    df = _where(
+        _t(spark, sf, "events"),
+        {"props": {"$exists": True}, "value": {"$gte": 10.0}},
+    )
+    return (
+        df.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+def q_find_size(spark, sf):
+    # $size on an array column (embedding dimensionality audit — the guard
+    # a corpus pipeline runs before brute-force/IVF kNN)
+    df = _where(_t(spark, sf, "embeddings"), {"embedding": {"$size": 64}})
+    return df.agg(F.count(F.lit(1)).alias("n"))
+
+
 def q_sort_topk(spark, sf):
     df = _t(spark, sf, "orders")
     return (
@@ -1356,6 +1377,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "find_regex": q_find_regex,
     "find_or": q_find_or,
     "find_notnull": q_find_notnull,
+    "find_exists": q_find_exists,
+    "find_size": q_find_size,
     "sort_topk": q_sort_topk,
     "distinct_status": q_distinct_status,
     "facet_priority": q_facet_priority,
@@ -1471,6 +1494,14 @@ ORACLES: dict[str, str] = {
     """,
     "find_notnull": """
         SELECT COUNT(*) AS n FROM events WHERE props IS NOT NULL
+    """,
+    "find_exists": """
+        SELECT event_type, COUNT(*) AS n FROM events
+        WHERE props IS NOT NULL AND value >= 10.0
+        GROUP BY event_type ORDER BY event_type
+    """,
+    "find_size": """
+        SELECT COUNT(*) AS n FROM embeddings WHERE len(embedding) = 64
     """,
     "sort_topk": """
         SELECT o_orderkey, o_totalprice FROM orders
