@@ -394,3 +394,28 @@ def test_xlsx_property_roundtrip(tmp_path_factory, sheets):
     assert set(got) == set(sheets)
     for name, (headers, rows, _flags) in sheets.items():
         assert got[name] == _expected_records(headers, rows)
+
+
+def test_upsert_df_shuffle_path_matches_broadcast(spark):
+    from pyspark.sql import functions as F
+
+    from linkml_store_spark.client import Client
+
+    client = Client(spark)
+    db = client.attach_database("memory", alias="r3up")
+    expected = None
+    for flag in (True, False):
+        coll = db.create_collection(f"t_{flag}", identifier_attribute="k")
+        coll.insert([{"k": i, "v": "old"} for i in range(50)])
+        incoming = spark.range(25, 60).select(
+            F.col("id").alias("k"), F.lit("new").alias("v")
+        )
+        coll.upsert_df(incoming, broadcast_incoming=flag)
+        got = sorted((r["k"], r["v"]) for r in coll.rows())
+        if expected is None:
+            expected = got
+            assert len(got) == 60
+            assert sum(1 for _, v in got if v == "new") == 35
+        else:
+            # broadcast hint is a physical-plan choice only — same merge
+            assert got == expected
