@@ -380,6 +380,27 @@ def q_embedding_dup_exact(spark, sf):
     ).select("left_id", "right_id", F.round("cosine", 4).alias("cosine"))
 
 
+def q_span_stats(spark, sf):
+    # duplicated-substring coverage (Lee et al. 2021 ExactSubstr, k-gram
+    # approximation): fraction of each document covered by >=8-token spans
+    # that also occur elsewhere in the corpus
+    from linkml_store_spark.operators.spandedup import duplicated_span_stats
+
+    docs = _t(spark, sf, "documents")
+    return duplicated_span_stats(docs, "text", "doc_id", k=8).orderBy("doc_id")
+
+
+def q_paragraph_dedup(spark, sf):
+    # CCNet-style segment dedup profile; the synthetic corpus has no
+    # paragraph separators, so segments are fixed 10-token windows
+    from linkml_store_spark.operators.spandedup import duplicate_segment_stats
+
+    docs = _t(spark, sf, "documents")
+    return duplicate_segment_stats(
+        docs, "text", "doc_id", sep_regex=None, tokens_per_segment=10
+    ).orderBy("doc_id")
+
+
 def q_text_stats(spark, sf):
     from linkml_store_spark.operators.textanalysis import (
         bpe_token_count,
@@ -1399,6 +1420,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_dup_exact": q_embedding_dup_exact,
     "dedup_groups": q_dedup_groups,
     "dedup_simhash": q_dedup_simhash,
+    "span_stats": q_span_stats,
+    "paragraph_dedup": q_paragraph_dedup,
     "text_stats": q_text_stats,
     "text_lang_facet": q_text_lang_facet,
     "derived_projection": q_derived_projection,
@@ -1637,6 +1660,82 @@ ORACLES: dict[str, str] = {
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE len(list_intersect(a.s, b.s))::DOUBLE
               / len(list_distinct(list_concat(a.s, b.s))) >= 0.4
+    """,
+    "span_stats": r"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+          FROM documents
+        ),
+        win AS (
+          SELECT doc_id, len(t) AS n_tokens, s.s AS start,
+                 array_to_string(t[s.s+1 : s.s+8], ' ') AS gram
+          FROM toks, LATERAL (
+            SELECT unnest(CASE WHEN len(t) >= 8
+                               THEN range(0, len(t)-8+1) ELSE [0] END) AS s
+          ) s
+        ),
+        pg AS (
+          SELECT gram FROM win GROUP BY gram
+          HAVING count(DISTINCT doc_id) > 1
+        ),
+        dup AS (
+          SELECT w.doc_id, w.start,
+                 row_number() OVER (PARTITION BY w.gram
+                                    ORDER BY w.doc_id, w.start) AS rn
+          FROM win w JOIN pg USING (gram)
+        ),
+        covw AS (
+          SELECT doc_id, start,
+                 least(8, coalesce(
+                   lead(start) OVER (PARTITION BY doc_id ORDER BY start)
+                     - start, 8)) AS cov
+          FROM dup WHERE rn > 1
+        ),
+        cov AS (
+          SELECT doc_id, count(*) AS dup_windows, sum(cov) AS dup_tokens
+          FROM covw GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               len(string_split_regex(lower(trim(d.text)), '\s+')) AS n_tokens,
+               coalesce(c.dup_windows, 0) AS dup_windows,
+               coalesce(c.dup_tokens, 0) AS dup_tokens,
+               round(least(coalesce(c.dup_tokens, 0)::DOUBLE
+                     / greatest(len(string_split_regex(lower(trim(d.text)), '\s+')), 1),
+                     1.0), 6) AS dup_fraction
+        FROM documents d LEFT JOIN cov c USING (doc_id)
+        ORDER BY d.doc_id
+    """,
+    "paragraph_dedup": r"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+          FROM documents
+        ),
+        seg AS (
+          SELECT doc_id,
+                 greatest(ceil(len(t) / 10.0), 1)::INT AS n_segments,
+                 i.i AS seg_idx,
+                 regexp_replace(lower(
+                   array_to_string(t[i.i*10+1 : i.i*10+10], ' ')),
+                   '\s+', ' ', 'g') AS s
+          FROM toks, LATERAL (
+            SELECT unnest(range(0, greatest(ceil(len(t) / 10.0), 1)::INT)) AS i
+          ) i
+        ),
+        ph AS (
+          SELECT s FROM seg GROUP BY s HAVING count(DISTINCT doc_id) > 1
+        ),
+        dup AS (
+          SELECT doc_id, count(*) AS dup_segments
+          FROM seg JOIN ph USING (s) GROUP BY doc_id
+        )
+        SELECT b.doc_id, b.n_segments,
+               coalesce(d.dup_segments, 0) AS dup_segments,
+               round(coalesce(d.dup_segments, 0)::DOUBLE
+                     / greatest(b.n_segments, 1), 6) AS dup_fraction
+        FROM (SELECT doc_id, max(n_segments) AS n_segments
+              FROM seg GROUP BY doc_id) b
+        LEFT JOIN dup d USING (doc_id)
+        ORDER BY b.doc_id
     """,
     "enrichment": r"""
         WITH flat AS (

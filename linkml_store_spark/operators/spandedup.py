@@ -1,0 +1,346 @@
+"""Substring-span and paragraph/segment level deduplication.
+
+Two corpus-hygiene operators from the training-data literature, beyond the
+reference surface (north-star extension):
+
+* **Duplicated-span detection** (Lee et al. 2021, "Deduplicating Training
+  Data Makes Language Models Better"): find token spans that occur more than
+  once across the corpus via overlapping k-token rolling windows, report the
+  fraction of each document covered by duplicated text, and optionally remove
+  every non-canonical occurrence (ExactSubstr dedup). The paper builds a
+  suffix array; the distributed formulation here is the standard k-gram
+  approximation — windows of k tokens hashed and joined, which detects every
+  duplicated run of length >= k.
+
+* **Segment (paragraph/line) dedup** (CCNet-style, Wenzek et al. 2019):
+  split documents into segments, hash each normalized segment, and drop
+  segments whose content occurs in other documents, keeping the canonical
+  first occurrence.
+
+Scale notes (100 TB):
+  * the exploded window/segment relation is the big intermediate — it flows
+    straight into a map-side-combined groupBy on an 8-byte ``xxhash64`` key
+    and never materializes wider than (id, pos, hash);
+  * the duplicated-hash set is joined back by the same 8-byte key — shuffle
+    volume is bounded by token count, never by the quadratic pair count
+    (same single-pass shape as ``operators/contamination.py``);
+  * hot k-grams (boilerplate) are naturally rare at k>=8; for small k the
+    frequency cap ``max_freq`` drops degenerate grams before the join, the
+    same guard PPJoin gives the Jaccard join;
+  * span coverage per document is a window over per-doc positions — one
+    shuffle on the document id, partition size bounded by document length.
+
+Reference parity: the reference engine has no span-level dedup surface
+(closest is duplicate-row detection, reference src/linkml_store/utils/object_utils.py);
+this module is part of the LLM-pipeline extension the build brief mandates.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _tokens(text_col: Column) -> Column:
+    return F.split(F.lower(F.trim(text_col)), r"\s+")
+
+
+# --------------------------------------------------------------------- #
+# rolling k-token windows
+# --------------------------------------------------------------------- #
+def ngram_windows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    k: int = 13,
+) -> DataFrame:
+    """One row per overlapping k-token window: (id, start, n_tokens, gram_hash).
+
+    ``start`` is the 0-based token offset; the window covers tokens
+    [start, start+k). Documents shorter than ``k`` tokens contribute a single
+    whole-document window so they still participate in dedup. Pure
+    explode-over-sequence — all JVM expressions, no Python in the plan.
+    """
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.when(
+        n >= k, F.sequence(F.lit(0), n - F.lit(k))
+    ).otherwise(F.array(F.lit(0)))
+    grams = F.transform(
+        starts,
+        lambda s: F.array_join(F.slice(toks, s + 1, F.lit(k)), " "),
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            n.alias("n_tokens"),
+            F.posexplode(grams).alias("start", "__gram"),
+        )
+        .withColumn("gram_hash", F.xxhash64("__gram"))
+        .drop("__gram")
+    )
+
+
+def duplicated_windows(
+    windows: DataFrame,
+    id_col: str = "doc_id",
+    cross_doc_only: bool = True,
+    max_freq: Optional[int] = None,
+) -> DataFrame:
+    """Windows whose k-gram occurs more than once, with the canonical first
+    occurrence (lowest (id, start)) marked.
+
+    Adds ``n_occurrences`` and ``is_canonical``. With ``cross_doc_only`` a
+    gram repeated only inside one document does not count (the common
+    cross-document-contamination setting); set it False for within-document
+    repetition removal too. ``max_freq`` drops grams above a frequency cap
+    before the join (boilerplate guard — at 100 TB a few viral grams would
+    otherwise skew the join).
+    """
+    per_gram = windows.groupBy("gram_hash").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.count_distinct(F.col(id_col)).alias("__n_docs"),
+        F.min(F.struct(F.col(id_col), F.col("start"))).alias("__first"),
+    )
+    dup = per_gram.filter(
+        (F.col("__n_docs") > 1) if cross_doc_only else (F.col("n_occurrences") > 1)
+    )
+    if max_freq is not None:
+        dup = dup.filter(F.col("n_occurrences") <= max_freq)
+    joined = windows.join(dup, "gram_hash")
+    return joined.withColumn(
+        "is_canonical",
+        (F.col(id_col) == F.col("__first")[id_col])
+        & (F.col("start") == F.col("__first")["start"]),
+    ).drop("__first", "__n_docs")
+
+
+def _covered_token_count(k: int) -> Column:
+    """Union length of fixed-length-k intervals at sorted ``start`` offsets.
+
+    Within an ordered per-doc window frame: each interval contributes
+    min(k, gap to the next start) — overlapping windows never double-count.
+    """
+    gap = F.lead("start").over(
+        Window.partitionBy("__pid").orderBy("start")
+    ) - F.col("start")
+    return F.when(gap.isNull() | (gap > k), F.lit(k)).otherwise(gap)
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    k: int = 13,
+    cross_doc_only: bool = True,
+    include_canonical: bool = False,
+) -> DataFrame:
+    """Per-document duplicated-text coverage: how much of each document is
+    part of a >=k-token span that also occurs elsewhere.
+
+    Returns (id, n_tokens, dup_windows, dup_tokens, dup_fraction) for every
+    document, zeros for clean ones. ``include_canonical`` counts the first
+    occurrence as duplicated too (corpus-level view); the default counts
+    only non-canonical occurrences (what ExactSubstr removal would delete).
+    One groupBy on the gram hash + one window over per-doc positions.
+    """
+    win = ngram_windows(df, text_col, id_col, k)
+    dup = duplicated_windows(win, id_col, cross_doc_only)
+    if not include_canonical:
+        dup = dup.filter(~F.col("is_canonical"))
+    covered = (
+        dup.withColumnRenamed(id_col, "__pid")
+        .withColumn("__cov", _covered_token_count(k))
+        .groupBy("__pid")
+        .agg(
+            F.count(F.lit(1)).alias("dup_windows"),
+            F.sum("__cov").alias("dup_tokens"),
+        )
+        .withColumnRenamed("__pid", id_col)
+    )
+    base = df.select(F.col(id_col), F.size(_tokens(F.col(text_col))).alias("n_tokens"))
+    return (
+        base.join(covered, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("dup_windows", F.lit(0)).alias("dup_windows"),
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            F.round(
+                F.least(
+                    F.coalesce("dup_tokens", F.lit(0))
+                    / F.greatest(F.col("n_tokens"), F.lit(1)),
+                    F.lit(1.0),
+                ),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+def dedup_spans_keep_first(
+    df: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    k: int = 13,
+    out_col: Optional[str] = None,
+) -> DataFrame:
+    """ExactSubstr-style removal: delete every token covered by a duplicated
+    k-window whose canonical (first) occurrence is elsewhere; the canonical
+    occurrence keeps its text. Rebuilds ``text_col`` (or ``out_col``) from
+    the surviving tokens.
+
+    Token-level mechanics: non-canonical duplicated windows mark positions
+    [start, start+k); a position is dropped iff some such window covers it.
+    The per-doc covered-position set is built by exploding each window to its
+    k offsets and aggregating a distinct set — bounded by document length,
+    never corpus size.
+    """
+    out_col = out_col or text_col
+    win = ngram_windows(df, text_col, id_col, k)
+    dup = duplicated_windows(win, id_col, cross_doc_only=True).filter(
+        ~F.col("is_canonical")
+    )
+    drop_pos = (
+        dup.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + F.lit(k - 1))
+            ).alias("__pos"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("__pos").alias("__drop"))
+    )
+    toks = _tokens(F.col(text_col))
+    rebuilt = F.array_join(
+        F.filter(
+            toks,
+            lambda t, i: ~F.array_contains(F.col("__drop"), i),
+        ),
+        " ",
+    )
+    joined = df.join(drop_pos, id_col, "left")
+    return joined.withColumn(
+        out_col,
+        F.when(F.col("__drop").isNull(), F.col(text_col)).otherwise(rebuilt),
+    ).drop("__drop")
+
+
+# --------------------------------------------------------------------- #
+# segment (paragraph / line) dedup — CCNet-style
+# --------------------------------------------------------------------- #
+def _segment_array(
+    text_col: Column, sep_regex: Optional[str], tokens_per_segment: Optional[int]
+) -> Column:
+    """Split text into segments: by separator regex (paragraphs/lines) or,
+    for separator-free corpora, fixed non-overlapping token windows."""
+    if sep_regex is not None:
+        return F.filter(
+            F.transform(F.split(text_col, sep_regex), lambda s: F.trim(s)),
+            lambda s: s != "",
+        )
+    n = tokens_per_segment or 10
+    toks = _tokens(text_col)
+    n_seg = F.ceil(F.size(toks) / F.lit(n)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(n_seg, F.lit(1)) - 1),
+        lambda i: F.array_join(F.slice(toks, i * n + 1, F.lit(n)), " "),
+    )
+
+
+def segment_occurrences(
+    df: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    sep_regex: Optional[str] = r"\n{2,}",
+    tokens_per_segment: Optional[int] = None,
+) -> DataFrame:
+    """One row per segment: (id, seg_idx, seg_hash, n_segments).
+
+    Normalization before hashing: lowercase + whitespace collapse (CCNet
+    normalizes before paragraph hashing so trivial variants collide).
+    """
+    segs = _segment_array(F.col(text_col), sep_regex, tokens_per_segment)
+    return df.select(
+        F.col(id_col),
+        F.size(segs).alias("n_segments"),
+        F.posexplode(segs).alias("seg_idx", "__seg"),
+    ).withColumn(
+        "seg_hash",
+        F.xxhash64(F.regexp_replace(F.lower(F.col("__seg")), r"\s+", " ")),
+    ).drop("__seg")
+
+
+def duplicate_segment_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    sep_regex: Optional[str] = r"\n{2,}",
+    tokens_per_segment: Optional[int] = None,
+) -> DataFrame:
+    """Per-document segment-dedup profile: (id, n_segments, dup_segments,
+    dup_fraction), where a segment is duplicated iff its normalized content
+    appears in at least one other document. One groupBy on the segment hash.
+    """
+    occ = segment_occurrences(df, text_col, id_col, sep_regex, tokens_per_segment)
+    per_hash = occ.groupBy("seg_hash").agg(
+        F.count_distinct(F.col(id_col)).alias("__n_docs")
+    )
+    dup = (
+        occ.join(per_hash.filter(F.col("__n_docs") > 1), "seg_hash")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("dup_segments"))
+    )
+    base = occ.groupBy(id_col).agg(F.max("n_segments").alias("n_segments"))
+    return base.join(dup, id_col, "left").select(
+        id_col,
+        "n_segments",
+        F.coalesce("dup_segments", F.lit(0)).alias("dup_segments"),
+        F.round(
+            F.coalesce("dup_segments", F.lit(0))
+            / F.greatest(F.col("n_segments"), F.lit(1)),
+            6,
+        ).alias("dup_fraction"),
+    )
+
+
+def remove_duplicate_segments(
+    df: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    sep_regex: Optional[str] = r"\n{2,}",
+    tokens_per_segment: Optional[int] = None,
+    joiner: str = "\n\n",
+    out_col: Optional[str] = None,
+) -> DataFrame:
+    """CCNet paragraph dedup: keep each duplicated segment only at its
+    canonical first occurrence (lowest (id, seg_idx)); every other occurrence
+    is removed. Rebuilds the text from surviving segments in order.
+    """
+    out_col = out_col or text_col
+    occ = segment_occurrences(df, text_col, id_col, sep_regex, tokens_per_segment)
+    canon = occ.groupBy("seg_hash").agg(
+        F.min(F.struct(F.col(id_col), F.col("seg_idx"))).alias("__first")
+    )
+    keep_idx = (
+        occ.join(canon, "seg_hash")
+        .filter(
+            (F.col(id_col) == F.col("__first")[id_col])
+            & (F.col("seg_idx") == F.col("__first")["seg_idx"])
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("seg_idx").alias("__keep"))
+    )
+    segs = _segment_array(F.col(text_col), sep_regex, tokens_per_segment)
+    rebuilt = F.array_join(
+        F.filter(segs, lambda s, i: F.array_contains(F.col("__keep"), i)),
+        joiner,
+    )
+    joined = df.join(keep_idx, id_col, "left")
+    return joined.withColumn(
+        out_col,
+        F.when(F.col("__keep").isNull(), F.lit("")).otherwise(rebuilt),
+    ).drop("__keep")

@@ -1,0 +1,138 @@
+"""Duplicated-span detection (ExactSubstr k-gram approximation) and
+CCNet-style segment dedup."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkml_store_spark.operators import spandedup
+
+SHARED = "alpha beta gamma delta epsilon zeta eta theta"  # 8-token run
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # doc 0 and 1 share the 8-token run; doc 1 wraps it in unique text
+        {"doc_id": 0, "text": f"{SHARED} unique tail zero"},
+        {"doc_id": 1, "text": f"one leading words {SHARED} and unique trailing text here"},
+        {"doc_id": 2, "text": "totally different content about spark plans and shuffles today"},
+        # doc 3 repeats doc 2's text exactly (whole-doc duplicate)
+        {"doc_id": 3, "text": "totally different content about spark plans and shuffles today"},
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_ngram_windows_counts(docs):
+    win = spandedup.ngram_windows(docs, "text", k=4)
+    # doc 0 has 11 tokens -> 8 windows of 4
+    assert win.filter(F.col("doc_id") == 0).count() == 8
+    # a doc shorter than k still yields one whole-doc window
+    short = docs.sparkSession.createDataFrame([{"doc_id": 9, "text": "just two"}])
+    assert spandedup.ngram_windows(short, "text", k=4).count() == 1
+
+
+def test_duplicated_span_stats(docs):
+    stats = {r["doc_id"]: r for r in
+             spandedup.duplicated_span_stats(docs, "text", k=4).collect()}
+    # canonical occurrences (docs 0 and 2) are clean by default
+    assert stats[0]["dup_tokens"] == 0
+    assert stats[2]["dup_tokens"] == 0
+    # doc 1's copy of the shared run: 5 windows of 4 covering 8 tokens
+    assert stats[1]["dup_windows"] == 5
+    assert stats[1]["dup_tokens"] == 8
+    assert 0 < stats[1]["dup_fraction"] < 1
+    # doc 3 duplicates doc 2 wholesale -> full coverage
+    assert stats[3]["dup_tokens"] == stats[3]["n_tokens"]
+    assert stats[3]["dup_fraction"] == 1.0
+
+
+def test_duplicated_span_stats_include_canonical(docs):
+    stats = {r["doc_id"]: r for r in
+             spandedup.duplicated_span_stats(
+                 docs, "text", k=4, include_canonical=True).collect()}
+    # with canonical included, the first occurrence counts too
+    assert stats[0]["dup_tokens"] == 8
+    assert stats[2]["dup_fraction"] == 1.0
+
+
+def test_dedup_spans_keep_first(docs):
+    out = {r["doc_id"]: r["text"] for r in
+           spandedup.dedup_spans_keep_first(docs, "text", k=4).collect()}
+    # canonical occurrences intact
+    assert out[0] == f"{SHARED} unique tail zero"
+    assert out[2] == "totally different content about spark plans and shuffles today"
+    # doc 1 loses the shared run but keeps its unique words
+    assert out[1] == "one leading words and unique trailing text here"
+    # doc 3 (whole-doc dup) is emptied
+    assert out[3] == ""
+
+
+def test_dedup_spans_no_dups_identity(spark):
+    df = spark.createDataFrame(
+        [{"doc_id": i, "text": f"doc {i} entirely unique words number{i} suffix{i}"}
+         for i in range(3)]
+    )
+    out = spandedup.dedup_spans_keep_first(df, "text", k=4)
+    assert out.filter(F.col("text") == "").count() == 0
+    assert spandedup.duplicated_span_stats(df, "text", k=4) \
+        .agg(F.sum("dup_tokens")).first()[0] == 0
+
+
+# ------------------------------------------------------------------ #
+# segment dedup
+# ------------------------------------------------------------------ #
+PARA_A = "the quick brown fox"
+PARA_B = "jumps over the lazy dog"
+
+
+@pytest.fixture(scope="module")
+def para_docs(spark):
+    rows = [
+        {"doc_id": 0, "text": f"{PARA_A}\n\n{PARA_B}"},
+        {"doc_id": 1, "text": f"{PARA_A}\n\nsomething else entirely"},
+        {"doc_id": 2, "text": "completely unrelated paragraph"},
+        # normalization: case/extra-space variant of PARA_B collides
+        {"doc_id": 3, "text": f"THE  QUICK  BROWN  FOX\n\nits own second paragraph"},
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_duplicate_segment_stats(para_docs):
+    stats = {r["doc_id"]: r for r in
+             spandedup.duplicate_segment_stats(para_docs, "text").collect()}
+    assert stats[0]["n_segments"] == 2 and stats[0]["dup_segments"] == 1
+    assert stats[1]["dup_segments"] == 1
+    assert stats[2]["dup_segments"] == 0
+    # normalized variant counts as a duplicate
+    assert stats[3]["dup_segments"] == 1
+
+
+def test_remove_duplicate_segments_keep_first(para_docs):
+    out = {r["doc_id"]: r["text"] for r in
+           spandedup.remove_duplicate_segments(para_docs, "text").collect()}
+    # doc 0 is canonical for both its paragraphs
+    assert out[0] == f"{PARA_A}\n\n{PARA_B}"
+    # docs 1 and 3 lose the duplicated paragraph, keep their own
+    assert out[1] == "something else entirely"
+    assert out[3] == "its own second paragraph"
+    assert out[2] == "completely unrelated paragraph"
+
+
+def test_token_window_segments(spark):
+    # separator-free corpora segment into fixed token windows
+    df = spark.createDataFrame(
+        [
+            {"doc_id": 0, "text": "a b c d e f"},
+            {"doc_id": 1, "text": "a b c x y z"},
+        ]
+    )
+    occ = spandedup.segment_occurrences(
+        df, "text", sep_regex=None, tokens_per_segment=3
+    )
+    assert occ.filter(F.col("doc_id") == 0).count() == 2
+    stats = {r["doc_id"]: r for r in
+             spandedup.duplicate_segment_stats(
+                 df, "text", sep_regex=None, tokens_per_segment=3).collect()}
+    # the shared "a b c" window is a cross-doc duplicate in both docs
+    assert stats[0]["dup_segments"] == 1
+    assert stats[1]["dup_segments"] == 1
