@@ -401,6 +401,22 @@ def q_paragraph_dedup(spark, sf):
     ).orderBy("doc_id")
 
 
+def q_semantic_dedup(spark, sf):
+    # SemDeDup (Abbas et al. 2023): k-means-bounded within-cluster cosine
+    # dedup. No SQL oracle (seeded clustering); the driver records a
+    # rows-only check and tools/oracle_compare.py verifies differentially
+    # (pairs subset-of exact all-pairs; audit-trail integrity).
+    from linkml_store_spark.operators.semdedup import semantic_dedup
+
+    emb = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    out = semantic_dedup(
+        emb, "embedding", "vec_id", threshold=0.45, n_clusters=8, keep="min_id"
+    )
+    return out.select("vec_id", "dup_of", "is_kept").orderBy("vec_id")
+
+
 def q_text_stats(spark, sf):
     from linkml_store_spark.operators.textanalysis import (
         bpe_token_count,
@@ -1422,6 +1438,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "span_stats": q_span_stats,
     "paragraph_dedup": q_paragraph_dedup,
+    "semantic_dedup": q_semantic_dedup,
     "text_stats": q_text_stats,
     "text_lang_facet": q_text_lang_facet,
     "derived_projection": q_derived_projection,

@@ -167,6 +167,71 @@ def differential_lsh_checks(spark) -> list:
     return failures
 
 
+def differential_semdedup_check(spark) -> list:
+    """Differential oracle for ``semantic_dedup`` (seeded k-means is not
+    SQL-expressible). At sf0.01 embeddings, threshold 0.45, 8 clusters:
+
+    * precision — every within-cluster pair emitted must appear in the exact
+      all-pairs cosine join at the same threshold (exact by construction:
+      the operator verifies true cosine after the cluster-bounded join);
+    * audit integrity — dropped rows' ``dup_of`` must point at a KEPT row
+      whose exact cosine with the dropped row clears the threshold, and
+      kept+dropped must partition the input;
+    * recall — reported informationally (pairs split across clusters are
+      the designed loss; the paper's trade).
+    """
+    from pyspark.sql import functions as F
+
+    from linkml_store_spark.operators.dedup import embedding_near_dup_pairs_exact
+    from linkml_store_spark.operators.semdedup import semantic_dedup, semantic_dup_pairs
+    from linkml_store_spark.sources.tables import load_table
+
+    failures = []
+    emb = load_table(spark, SF, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    tau, k = 0.45, 8
+    exact = {
+        (r["left_id"], r["right_id"])
+        for r in embedding_near_dup_pairs_exact(emb, "embedding", "vec_id", tau).collect()
+    }
+    got = {
+        (r["left_id"], r["right_id"])
+        for r in semantic_dup_pairs(
+            emb, "embedding", "vec_id", threshold=tau, n_clusters=k
+        ).collect()
+    }
+    extra = got - exact
+    out = semantic_dedup(
+        emb, "embedding", "vec_id", threshold=tau, n_clusters=k, keep="min_id"
+    ).select("vec_id", "dup_of", "is_kept").collect()
+    kept = {r["vec_id"] for r in out if r["is_kept"]}
+    dropped = {r["vec_id"]: r["dup_of"] for r in out if not r["is_kept"]}
+    n_total = emb.count()
+    bad_audit = [
+        (v, d)
+        for v, d in dropped.items()
+        if d not in kept or (min(d, v), max(d, v)) not in exact
+    ]
+    if extra:
+        failures.append(("semantic_dedup", f"{len(extra)} pairs not in exact set"))
+        print(f"FAIL semantic_dedup (differential): false pairs {sorted(extra)[:5]}")
+    elif len(kept) + len(dropped) != n_total:
+        failures.append(("semantic_dedup", "kept+dropped != total"))
+        print(f"FAIL semantic_dedup (differential): {len(kept)}+{len(dropped)} != {n_total}")
+    elif bad_audit:
+        failures.append(("semantic_dedup", f"{len(bad_audit)} bad dup_of entries"))
+        print(f"FAIL semantic_dedup (differential): bad audit {bad_audit[:5]}")
+    else:
+        recall = len(got) / len(exact) if exact else 1.0
+        print(
+            f"ok   semantic_dedup  (differential: {len(got)} pairs all exact-verified, "
+            f"{len(dropped)} dropped with valid audit trail; cluster recall "
+            f"{recall:.2f} of {len(exact)} exact pairs)"
+        )
+    return failures
+
+
 def main():
     only = set(sys.argv[1:])
     spec = importlib.util.spec_from_file_location("e", "/root/repo/__spark_entry__.py")
@@ -215,6 +280,8 @@ def main():
     lsh_trio = {"dedup_minhash", "dedup_simhash", "dedup_groups"}
     if not only or only & lsh_trio:
         failures += differential_lsh_checks(spark)
+    if not only or "semantic_dedup" in only:
+        failures += differential_semdedup_check(spark)
     if failures:
         print(f"\n{len(failures)} FAILURES: {[f[0] for f in failures]}")
         sys.exit(1)
