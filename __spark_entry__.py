@@ -417,6 +417,28 @@ def q_semantic_dedup(spark, sf):
     return out.select("vec_id", "dup_of", "is_kept").orderBy("vec_id")
 
 
+def q_quality_classifier(spark, sf):
+    # fastText-analog quality classifier (HashingTF + LogisticRegression,
+    # pyspark.ml) distilled from the heuristic quality score. Model training
+    # is not SQL-expressible -> rows-only driver check; the differential
+    # oracle (tools/oracle_compare.py) gates holdout accuracy vs the weak
+    # labels instead.
+    from linkml_store_spark.operators.quality_model import (
+        score_quality,
+        train_quality_classifier,
+        weak_quality_labels,
+    )
+
+    docs = weak_quality_labels(_t(spark, sf, "documents"), threshold=0.7)
+    model = train_quality_classifier(docs)
+    scored = score_quality(model, docs)
+    return scored.select(
+        "doc_id",
+        "label",
+        (F.col("quality_prob") >= 0.5).cast("int").alias("pred"),
+    ).orderBy("doc_id")
+
+
 def q_text_stats(spark, sf):
     from linkml_store_spark.operators.textanalysis import (
         bpe_token_count,
@@ -1439,6 +1461,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_stats": q_span_stats,
     "paragraph_dedup": q_paragraph_dedup,
     "semantic_dedup": q_semantic_dedup,
+    "quality_classifier": q_quality_classifier,
     "text_stats": q_text_stats,
     "text_lang_facet": q_text_lang_facet,
     "derived_projection": q_derived_projection,

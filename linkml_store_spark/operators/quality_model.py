@@ -1,0 +1,171 @@
+"""Learned document-quality classifier (fastText-style) on Spark ML.
+
+The standard corpus-curation move (GPT-3/CCNet/RedPajama pipelines): train a
+linear classifier to separate "reference-quality" text from raw-crawl text,
+then keep documents whose predicted quality clears a threshold (optionally
+with Pareto-style stochastic keeping). fastText's architecture is a bag of
+hashed n-gram features into a linear layer — exactly
+``RegexTokenizer -> HashingTF(binary word counts + hashed bigrams) ->
+LogisticRegression`` on Spark ML, which is what this module builds.
+
+Everything is distributed end-to-end:
+  * featurization is per-row (HashingTF is stateless — no vocabulary to
+    broadcast or fit, the property that lets fastText scale);
+  * LogisticRegression trains via L-BFGS with ``treeAggregate`` gradient
+    passes — no driver-side data materialization at any point;
+  * scoring is a single narrow map (model coefficients broadcast once).
+
+At 100 TB: train on a (stratified) sample — a linear model saturates long
+before corpus scale — then score the full corpus with the fitted model; the
+scoring pass is shuffle-free.
+
+When no labeled reference corpus is available, ``weak_quality_labels``
+bootstraps labels from the heuristic quality signals
+(operators/textanalysis.py), the usual distillation seed.
+
+Reference parity: the reference's inference surface
+(src/linkml_store/inference/implementations/sklearn_inference_engine.py)
+fits sklearn models on driver-collected pandas frames; this operator is the
+corpus-scale counterpart and part of the LLM-pipeline extension.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "weak_quality_labels",
+    "train_quality_classifier",
+    "score_quality",
+    "quality_filter",
+]
+
+
+def weak_quality_labels(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Bootstrap binary labels from the heuristic quality score: 1.0 where
+    ``quality_score(text) >= threshold`` else 0.0."""
+    from linkml_store_spark.operators.textanalysis import quality_score
+
+    return df.withColumn(
+        label_col,
+        (quality_score(F.col(text_col)) >= threshold).cast("double"),
+    )
+
+
+def _feature_pipeline(text_col: str, num_features: int, use_bigrams: bool):
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import HashingTF, NGram, RegexTokenizer, VectorAssembler
+
+    stages = [
+        RegexTokenizer(
+            inputCol=text_col, outputCol="__words", pattern=r"\W+", toLowercase=True
+        )
+    ]
+    if use_bigrams:
+        stages += [
+            NGram(n=2, inputCol="__words", outputCol="__bigrams"),
+            HashingTF(
+                inputCol="__words", outputCol="__tf1", numFeatures=num_features
+            ),
+            HashingTF(
+                inputCol="__bigrams", outputCol="__tf2", numFeatures=num_features
+            ),
+            VectorAssembler(inputCols=["__tf1", "__tf2"], outputCol="__features"),
+        ]
+    else:
+        stages.append(
+            HashingTF(
+                inputCol="__words", outputCol="__features", numFeatures=num_features
+            )
+        )
+    return Pipeline(stages=stages)
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    num_features: int = 1 << 15,
+    use_bigrams: bool = True,
+    reg_param: float = 1e-4,
+    max_iter: int = 50,
+):
+    """Fit the fastText-analog pipeline; returns a PipelineModel whose
+    ``transform`` adds ``prediction`` and ``probability``. The label column
+    must be 0.0/1.0 doubles (see ``weak_quality_labels``)."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+
+    feats = _feature_pipeline(text_col, num_features, use_bigrams)
+    lr = LogisticRegression(
+        featuresCol="__features",
+        labelCol=label_col,
+        regParam=reg_param,
+        maxIter=max_iter,
+        standardization=False,
+    )
+    return Pipeline(stages=[feats, lr]).fit(df)
+
+
+def score_quality(
+    model,
+    df: DataFrame,
+    out_col: str = "quality_prob",
+) -> DataFrame:
+    """Add P(label=1) as ``out_col``; drops the intermediate feature columns
+    so the output schema is input + one double column. Shuffle-free map."""
+    from pyspark.ml.functions import vector_to_array
+
+    scored = model.transform(df)
+    extra = [
+        c
+        for c in ("__words", "__bigrams", "__tf1", "__tf2", "__features",
+                  "rawPrediction", "probability", "prediction")
+        if c in scored.columns
+    ]
+    return scored.withColumn(
+        out_col, F.round(vector_to_array(F.col("probability"))[1], 6)
+    ).drop(*extra)
+
+
+def quality_filter(
+    model,
+    df: DataFrame,
+    keep_threshold: float = 0.5,
+    out_col: str = "quality_prob",
+) -> DataFrame:
+    """The curation filter: rows whose predicted quality clears the bar."""
+    return score_quality(model, df, out_col).filter(F.col(out_col) >= keep_threshold)
+
+
+def train_test_quality_eval(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    test_fraction: float = 0.25,
+    seed: int = 42,
+    **train_kw,
+) -> Tuple[object, float]:
+    """Deterministic hash-split train/eval; returns (model, holdout accuracy).
+    The split is content-hash based (stable under repartitioning), the same
+    discipline as operators/splits.py."""
+    bucket = F.pmod(F.xxhash64(F.col(text_col)), F.lit(1000))
+    test = df.filter(bucket < int(test_fraction * 1000))
+    train = df.filter(bucket >= int(test_fraction * 1000))
+    model = train_quality_classifier(train, text_col, label_col, **train_kw)
+    scored = score_quality(model, test)
+    agg = scored.agg(
+        F.avg(
+            ((F.col("quality_prob") >= 0.5).cast("double") == F.col(label_col))
+            .cast("double")
+        ).alias("acc")
+    ).first()
+    return model, float(agg["acc"])

@@ -1,0 +1,73 @@
+"""fastText-style quality classifier on Spark ML."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkml_store_spark.operators import quality_model
+
+GOOD_WORDS = (
+    "the quick brown fox jumps over a lazy dog and then it runs to the "
+    "river where the water is clear and the trees are tall in the morning"
+).split()
+BAD_WORDS = "zxqj kvw pqzt wxvk jqzz vvkx qqpw zzkt xkvq wjpq".split()
+
+
+def _doc(rng, words, n=30):
+    return " ".join(rng.choice(words) for _ in range(n))
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = random.Random(7)
+    rows = [
+        {"doc_id": i, "text": _doc(rng, GOOD_WORDS), "label": 1.0}
+        for i in range(120)
+    ] + [
+        {"doc_id": 200 + i, "text": _doc(rng, BAD_WORDS), "label": 0.0}
+        for i in range(120)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_train_and_score_separable(corpus):
+    model, acc = quality_model.train_test_quality_eval(corpus)
+    assert acc >= 0.95
+    scored = quality_model.score_quality(model, corpus)
+    # output schema: input + one rounded double column, no ml intermediates
+    assert set(scored.columns) == {"doc_id", "text", "label", "quality_prob"}
+    mean_good = scored.filter("label = 1.0").agg(F.avg("quality_prob")).first()[0]
+    mean_bad = scored.filter("label = 0.0").agg(F.avg("quality_prob")).first()[0]
+    assert mean_good > 0.9 > 0.1 > mean_bad
+
+
+def test_quality_filter(corpus):
+    model = quality_model.train_quality_classifier(corpus)
+    kept = quality_model.quality_filter(model, corpus, keep_threshold=0.5)
+    labels = kept.groupBy("label").count().collect()
+    by_label = {r["label"]: r["count"] for r in labels}
+    # the filter keeps nearly all good docs and nearly no bad ones
+    assert by_label.get(1.0, 0) >= 110
+    assert by_label.get(0.0, 0) <= 10
+
+
+def test_weak_labels_bootstrap(spark):
+    rows = [
+        {"doc_id": 0, "text": "The quick brown fox jumps over the lazy dog near the river bank."},
+        {"doc_id": 1, "text": "zzz !!!! @@@@ ???? xxxx !!!! @@@@ zzzz"},
+    ]
+    df = quality_model.weak_quality_labels(spark.createDataFrame(rows))
+    got = {r["doc_id"]: r["label"] for r in df.collect()}
+    assert got[0] == 1.0 and got[1] == 0.0
+
+
+def test_unigram_only_pipeline(corpus):
+    model = quality_model.train_quality_classifier(
+        corpus, use_bigrams=False, num_features=1 << 12
+    )
+    scored = quality_model.score_quality(model, corpus)
+    acc = scored.agg(
+        F.avg(((F.col("quality_prob") >= 0.5).cast("double") == F.col("label")).cast("double"))
+    ).first()[0]
+    assert acc >= 0.95

@@ -232,6 +232,27 @@ def differential_semdedup_check(spark) -> list:
     return failures
 
 
+def differential_quality_check(spark) -> list:
+    """Differential oracle for ``quality_classifier`` (iterative L-BFGS is
+    not SQL-expressible): on a content-hash holdout the fitted model must
+    reproduce the weak labels it distills with accuracy >= 0.85 (measured
+    0.97 at sf0.01 — the bar leaves slack for optimizer jitter, not for a
+    broken pipeline, which scores ~0.5)."""
+    from linkml_store_spark.operators.quality_model import (
+        train_test_quality_eval,
+        weak_quality_labels,
+    )
+    from linkml_store_spark.sources.tables import load_table
+
+    docs = weak_quality_labels(load_table(spark, SF, "documents"), threshold=0.7)
+    _, acc = train_test_quality_eval(docs)
+    if acc < 0.85:
+        print(f"FAIL quality_classifier (differential): holdout accuracy {acc:.3f} < 0.85")
+        return [("quality_classifier", f"holdout accuracy {acc:.3f}")]
+    print(f"ok   quality_classifier  (differential: holdout accuracy {acc:.3f} >= 0.85)")
+    return []
+
+
 def main():
     only = set(sys.argv[1:])
     spec = importlib.util.spec_from_file_location("e", "/root/repo/__spark_entry__.py")
@@ -282,6 +303,8 @@ def main():
         failures += differential_lsh_checks(spark)
     if not only or "semantic_dedup" in only:
         failures += differential_semdedup_check(spark)
+    if not only or "quality_classifier" in only:
+        failures += differential_quality_check(spark)
     if failures:
         print(f"\n{len(failures)} FAILURES: {[f[0] for f in failures]}")
         sys.exit(1)
