@@ -417,6 +417,30 @@ def q_semantic_dedup(spark, sf):
     return out.select("vec_id", "dup_of", "is_kept").orderBy("vec_id")
 
 
+def q_deterministic_shuffle(spark, sf):
+    # epoch-reproducible global training order (TeraSort shape: range
+    # partition + local sort on md5(id||salt)); the oracle replays the
+    # identical key so the permutation is value-checked
+    from linkml_store_spark.operators.splits import deterministic_shuffle
+
+    docs = _t(spark, sf, "documents")
+    return deterministic_shuffle(docs, "doc_id", salt="ep1").select(
+        "doc_id", "shuffle_key"
+    )
+
+
+def q_token_budget_sample(spark, sf):
+    # "~2000 tokens of the corpus": hash-ordered prefix under a running
+    # token total, computed with the bucketed two-pass cumsum (no global
+    # window); the oracle is the naive single-window SQL formulation
+    from linkml_store_spark.operators.splits import token_budget_sample
+
+    docs = _t(spark, sf, "documents")
+    return token_budget_sample(docs, "text", 2000, "doc_id").select(
+        "doc_id", "source"
+    ).orderBy("doc_id")
+
+
 def q_quality_classifier(spark, sf):
     # fastText-analog quality classifier (HashingTF + LogisticRegression,
     # pyspark.ml) distilled from the heuristic quality score. Model training
@@ -1462,6 +1486,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "paragraph_dedup": q_paragraph_dedup,
     "semantic_dedup": q_semantic_dedup,
     "quality_classifier": q_quality_classifier,
+    "deterministic_shuffle": q_deterministic_shuffle,
+    "token_budget_sample": q_token_budget_sample,
     "text_stats": q_text_stats,
     "text_lang_facet": q_text_lang_facet,
     "derived_projection": q_derived_projection,
@@ -1700,6 +1726,26 @@ ORACLES: dict[str, str] = {
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE len(list_intersect(a.s, b.s))::DOUBLE
               / len(list_distinct(list_concat(a.s, b.s))) >= 0.4
+    """,
+    "deterministic_shuffle": """
+        SELECT doc_id,
+               substr(md5(CAST(doc_id AS VARCHAR) || 'ep1'), 1, 8) AS shuffle_key
+        FROM documents
+    """,
+    "token_budget_sample": r"""
+        WITH t AS (
+          SELECT doc_id, source,
+                 substr(md5(CAST(doc_id AS VARCHAR) || 'budget'), 1, 8) AS k,
+                 CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(TRIM(text), '\s+')) END AS n
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, source,
+                 sum(n) OVER (ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t
+        )
+        SELECT doc_id, source FROM c WHERE cum <= 2000 ORDER BY doc_id
     """,
     "span_stats": r"""
         WITH toks AS (

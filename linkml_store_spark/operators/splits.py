@@ -184,3 +184,117 @@ def stratified_sample(
     if fraction >= 1.0:
         return df
     return df.filter(u < F.lit(_frac_hex(fraction)))
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str,
+    salt: str = "shuffle",
+    partitions: int = 0,
+    key_col: str = "shuffle_key",
+) -> DataFrame:
+    """Global deterministic "random" ordering for training consumption.
+
+    Training runs need the corpus in a shuffled order that is reproducible
+    (same salt -> same order) and changeable (new salt -> fresh epoch
+    permutation) — ``orderBy(rand())`` is neither. The permutation key is
+    the same ``md5(id || salt)`` machinery as the splits: a pure projection.
+
+    The returned frame carries ``key_col`` and is range-partitioned +
+    sorted on it, so a parquet/JSONL write emits files that concatenate
+    into the global shuffled order WITHOUT a single-reducer sort: range
+    partitioning splits the keyspace, each partition sorts locally —
+    the standard distributed total-order (TeraSort) shape. Downstream
+    readers sort tiny per-file row groups by ``key_col`` or just consume
+    files in name order.
+    """
+    keyed = df.withColumn(key_col, _u_hex(F.col(id_col), salt))
+    n = partitions or keyed.sparkSession.sparkContext.defaultParallelism
+    return keyed.repartitionByRange(n, key_col, id_col).sortWithinPartitions(
+        key_col, id_col
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    text_col: str,
+    budget: int,
+    id_col: str,
+    by: Sequence[str] = (),
+    salt: str = "budget",
+    token_col: Column = None,
+    bucket_chars: int = 2,
+) -> DataFrame:
+    """Deterministic token-budget subsampling: keep the hash-ordered prefix
+    of the corpus whose running token total stays within ``budget`` — "give
+    me ~10B tokens of this source" without materializing a global sort.
+
+    With ``by`` the budget applies per group (e.g. per source — the
+    data-mixture step when targets are token counts, not row fractions):
+    one window cumsum per group, shuffle keyed by the group.
+
+    Without ``by`` the budget is global. A naive global cumsum is an
+    unpartitioned window (single reducer). Instead the hash keyspace is cut
+    into ``16**bucket_chars`` lexicographic buckets (uniform by md5
+    construction): pass 1 aggregates per-bucket token totals (tiny — one row
+    per bucket) and turns them into prefix offsets on the driver; pass 2
+    windows WITHIN each bucket and adds the bucket's offset. Both passes are
+    one shuffle each, partitions stay bounded, and the kept set is a pure
+    function of (the id set, salt) — reproducible run-to-run and
+    replayable in SQL. (Unlike the split/cap operators it is NOT
+    append-stable: new ids interleave into the hash order by design,
+    keeping the sample uniform over the grown corpus.)
+
+    Rows are kept while the running total AFTER including the row is within
+    budget; the first over-budget row is dropped (strict cap).
+    """
+    from pyspark.sql.window import Window
+
+    from linkml_store_spark.operators.textanalysis import whitespace_token_count
+
+    tok = token_col if token_col is not None else whitespace_token_count(F.col(text_col))
+    key = _u_hex(F.col(id_col), salt)
+    d = df.withColumn("__tbk", key).withColumn("__tbt", tok.cast("long"))
+
+    if by:
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col("__tbk"), F.col(id_col))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = F.sum("__tbt").over(w)
+        return (
+            d.withColumn("__tbc", cum)
+            .filter(F.col("__tbc") <= budget)
+            .drop("__tbk", "__tbt", "__tbc")
+        )
+
+    bucket = F.substring(F.col("__tbk"), 1, bucket_chars)
+    d = d.withColumn("__tbb", bucket)
+    totals = {
+        r["__tbb"]: r["t"]
+        for r in d.groupBy("__tbb").agg(F.sum("__tbt").alias("t")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(totals):  # lexicographic == numeric for fixed-width hex
+        offsets[b] = acc
+        acc += totals[b]
+    if not offsets:
+        return df.filter(F.lit(False))
+    off_expr = F.coalesce(
+        F.create_map(
+            *[x for b, o in offsets.items() for x in (F.lit(b), F.lit(o))]
+        )[F.col("__tbb")],
+        F.lit(0),
+    )
+    w = (
+        Window.partitionBy("__tbb")
+        .orderBy(F.col("__tbk"), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = off_expr + F.sum("__tbt").over(w)
+    return (
+        d.withColumn("__tbc", cum)
+        .filter(F.col("__tbc") <= budget)
+        .drop("__tbk", "__tbt", "__tbb", "__tbc")
+    )

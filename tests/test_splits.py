@@ -132,3 +132,83 @@ def test_cap_per_key_exact_deterministic(spark, sf_dir):
         r["doc_id"] for r in cap_per_key(docs.repartition(13), "source", "doc_id", 5).collect()
     )
     assert ids1 == ids2
+
+
+def test_deterministic_shuffle_reproducible(spark, sf_dir):
+    import hashlib
+
+    from linkml_store_spark.operators.splits import deterministic_shuffle
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = deterministic_shuffle(docs, "doc_id", salt="ep1")
+    b = deterministic_shuffle(docs, "doc_id", salt="ep1")
+    c = deterministic_shuffle(docs, "doc_id", salt="ep2")
+    order_a = [r["doc_id"] for r in a.collect()]
+    # every row present exactly once; same salt -> same permutation
+    assert sorted(order_a) == sorted(r["doc_id"] for r in docs.collect())
+    assert order_a == [r["doc_id"] for r in b.collect()]
+    assert order_a != [r["doc_id"] for r in c.collect()]
+    # the key is the documented md5 construction (engine-replayable)
+    row = a.select("doc_id", "shuffle_key").first()
+    expect = hashlib.md5(f"{row['doc_id']}ep1".encode()).hexdigest()[:8]
+    assert row["shuffle_key"] == expect
+
+
+def test_token_budget_sample_global_matches_reference(spark, sf_dir):
+    import hashlib
+
+    from linkml_store_spark.operators.splits import token_budget_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = docs.select("doc_id", "text").collect()
+    ref = sorted(
+        (hashlib.md5(f"{r['doc_id']}budget".encode()).hexdigest()[:8], r["doc_id"],
+         len(r["text"].strip().split()))
+        for r in rows
+    )
+    budget, acc, keep = 2000, 0, set()
+    for _, did, n in ref:
+        if acc + n <= budget:
+            acc += n
+            keep.add(did)
+        else:
+            break
+    got = {r["doc_id"] for r in
+           token_budget_sample(docs, "text", budget, "doc_id").collect()}
+    assert got == keep and 0 < len(got) < len(rows)
+
+
+def test_token_budget_sample_bucketed_equals_naive_window(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from linkml_store_spark.operators.splits import _u_hex, token_budget_sample
+    from linkml_store_spark.operators.textanalysis import whitespace_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    # naive single-reducer formulation (test-only; the operator avoids it)
+    w = Window.orderBy(_u_hex(F.col("doc_id"), "budget"), F.col("doc_id")) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    naive = {
+        r["doc_id"]
+        for r in docs.withColumn(
+            "__c", F.sum(whitespace_token_count(F.col("text")).cast("long")).over(w)
+        ).filter(F.col("__c") <= 3000).collect()
+    }
+    got = {r["doc_id"] for r in
+           token_budget_sample(docs, "text", 3000, "doc_id").collect()}
+    assert got == naive
+
+
+def test_token_budget_sample_per_group(spark, sf_dir):
+    from linkml_store_spark.operators.splits import token_budget_sample
+    from linkml_store_spark.operators.textanalysis import whitespace_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = token_budget_sample(docs, "text", 800, "doc_id", by=["source"])
+    sums = out.withColumn(
+        "n", whitespace_token_count(F.col("text"))
+    ).groupBy("source").agg(F.sum("n").alias("t")).collect()
+    assert len(sums) == docs.select("source").distinct().count()
+    assert all(r["t"] <= 800 for r in sums)
+    # schema round-trips: no helper columns leak
+    assert out.columns == docs.columns
