@@ -417,6 +417,19 @@ def q_semantic_dedup(spark, sf):
     return out.select("vec_id", "dup_of", "is_kept").orderBy("vec_id")
 
 
+def q_bpe_tokenize(spark, sf):
+    # distributed BPE: corpus word-count (one groupBy) -> deterministic
+    # driver-side merge loop on the bounded vocab -> broadcast encode.
+    # Training is not SQL-expressible -> rows-only driver check; the
+    # differential oracle re-derives the merges from DuckDB word counts
+    # via an independent reference implementation (tools/oracle_compare.py).
+    from linkml_store_spark.operators.bpe import bpe_token_counts, train_bpe
+
+    docs = _t(spark, sf, "documents")
+    merges = train_bpe(docs, num_merges=30)
+    return bpe_token_counts(docs, merges).select("doc_id", "n_bpe").orderBy("doc_id")
+
+
 def q_deterministic_shuffle(spark, sf):
     # epoch-reproducible global training order (TeraSort shape: range
     # partition + local sort on md5(id||salt)); the oracle replays the
@@ -1487,6 +1500,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "quality_classifier": q_quality_classifier,
     "deterministic_shuffle": q_deterministic_shuffle,
+    "bpe_tokenize": q_bpe_tokenize,
     "token_budget_sample": q_token_budget_sample,
     "text_stats": q_text_stats,
     "text_lang_facet": q_text_lang_facet,

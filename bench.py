@@ -6,7 +6,8 @@ Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 
 Methodology mirrors BASELINE.md: warm session, parquet scans (no caching /
 persist — every timing includes the scan, like the DuckDB baseline's
-parquet views), one warm-up run then best of 3.
+parquet views), one warm-up run then best of 5 (``$BENCH_RUNS``) — min, not
+mean, because scheduler noise on a shared box only ever adds time.
 
 Plan reuse: each query's DataFrame is constructed ONCE and the timed region
 re-executes the SAME Dataset (Spark caches the analyzed/optimized plan on
@@ -42,7 +43,7 @@ from linkml_store_spark.streaming.events import windowed_event_counts_batch
 from linkml_store_spark.where import apply_where
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-RUNS = int(os.environ.get("BENCH_RUNS", "3"))
+RUNS = int(os.environ.get("BENCH_RUNS", "5"))
 
 
 def build_queries(spark, sf):

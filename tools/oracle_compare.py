@@ -232,6 +232,78 @@ def differential_semdedup_check(spark) -> list:
     return failures
 
 
+def differential_bpe_check(spark) -> list:
+    """Differential oracle for ``bpe_tokenize``: DuckDB independently
+    computes the corpus word frequencies; an independent pure-Python
+    reference merge loop (re-written here, not the operator's helpers)
+    derives the expected merges; the operator's trained merges must be
+    identical, and the distributed pandas-UDF encoding of a 50-doc sample
+    must equal driver-side re-encoding under those merges."""
+    from linkml_store_spark.operators.bpe import (
+        bpe_encode,
+        bpe_encode_word,
+        train_bpe,
+    )
+    from linkml_store_spark.sources.tables import load_table
+
+    con = duckdb.connect()
+    wf = con.execute(f"""
+        SELECT w AS word, count(*) AS freq
+        FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+              FROM read_parquet('{SF}/documents.parquet'))
+        WHERE w != '' GROUP BY w
+    """).fetchall()
+
+    def ref_merges(word_freqs, n):
+        vocab = {}
+        for w, f in word_freqs:
+            k = tuple(w) + ("</w>",)
+            vocab[k] = vocab.get(k, 0) + f
+        out = []
+        for _ in range(n):
+            pc = {}
+            for syms, f in vocab.items():
+                for p in zip(syms, syms[1:]):
+                    pc[p] = pc.get(p, 0) + f
+            if not pc or max(pc.values()) < 2:
+                break
+            best = min(p for p, c in pc.items() if c == max(pc.values()))
+            out.append(best)
+            nv = {}
+            for syms, f in vocab.items():
+                res, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                        res.append(best[0] + best[1]); i += 2
+                    else:
+                        res.append(syms[i]); i += 1
+                nv[tuple(res)] = nv.get(tuple(res), 0) + f
+            vocab = nv
+        return out
+
+    expect = ref_merges(wf, 30)
+    docs = load_table(spark, SF, "documents")
+    got = train_bpe(docs, num_merges=30)
+    if got != expect:
+        bad = next(i for i, (a, b) in enumerate(zip(got, expect)) if a != b)
+        print(f"FAIL bpe_tokenize (differential): merge {bad}: {got[bad]} != {expect[bad]}")
+        return [("bpe_tokenize", f"merge divergence at rank {bad}")]
+    ranks = {p: i for i, p in enumerate(got)}
+    sample = bpe_encode(docs.limit(50), got).select("text", "bpe_tokens").collect()
+    for r in sample:
+        drv = []
+        for w in r["text"].lower().split():
+            drv.extend(bpe_encode_word(w, ranks))
+        if r["bpe_tokens"] != drv:
+            print("FAIL bpe_tokenize (differential): distributed encode != driver encode")
+            return [("bpe_tokenize", "encode divergence")]
+    print(
+        f"ok   bpe_tokenize  (differential: 30 merges == independent reference "
+        f"over DuckDB word counts; 50-doc distributed encode == driver encode)"
+    )
+    return []
+
+
 def differential_quality_check(spark) -> list:
     """Differential oracle for ``quality_classifier`` (iterative L-BFGS is
     not SQL-expressible): on a content-hash holdout the fitted model must
@@ -305,6 +377,8 @@ def main():
         failures += differential_semdedup_check(spark)
     if not only or "quality_classifier" in only:
         failures += differential_quality_check(spark)
+    if not only or "bpe_tokenize" in only:
+        failures += differential_bpe_check(spark)
     if failures:
         print(f"\n{len(failures)} FAILURES: {[f[0] for f in failures]}")
         sys.exit(1)

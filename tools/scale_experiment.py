@@ -29,6 +29,7 @@ ORDER_STEP = 6_000_000  # > max l_orderkey at sf0.1
 def generate(n: int) -> str:
     out = f"{ROOT}/x{n}"
     _generate_embeddings(n, out)
+    _generate_documents(n, out)
     if os.path.exists(f"{out}/_DONE"):
         return out
     os.makedirs(out, exist_ok=True)
@@ -76,6 +77,35 @@ def _generate_embeddings(n: int, out: str) -> None:
     open(f"{out}/_DONE_EMB", "w").write("ok")
 
 
+def _generate_documents(n: int, out: str) -> None:
+    # added with the span/segment dedup shapes -> own marker so existing
+    # x{N} dirs gain documents without a full regenerate
+    if os.path.exists(f"{out}/_DONE_DOCS"):
+        return
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"""
+        COPY (
+          SELECT doc_id + i.i * 10000 AS doc_id, text, lang, source, n_chars
+          FROM read_parquet('{SRC}/documents.parquet')
+          CROSS JOIN (SELECT unnest(range({n})) AS i) i
+        ) TO '{out}/documents.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 1000000)
+    """)
+    open(f"{out}/_DONE_DOCS", "w").write("ok")
+
+
+def _entry_oracles() -> dict:
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "e", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                          "__spark_entry__.py")
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m.oracle_sql()
+
+
 def query_vector(d: str) -> list:
     """The kNN query vector is an INPUT (the reference embeds the query text
     first) — fetched once outside both engines' timed regions."""
@@ -98,11 +128,12 @@ def time_best(fn, runs: int = 3) -> float:
 
 def duckdb_workload(d: str) -> dict:
     con = duckdb.connect()
-    for t in ["lineitem", "orders", "customer", "embeddings"]:
+    for t in ["lineitem", "orders", "customer", "embeddings", "documents"]:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
         )
     qv = query_vector(d)
+    oracles = _entry_oracles()
     qs = {
         "filter_count": "SELECT COUNT(*) FROM lineitem WHERE l_returnflag = 'R'",
         # b1 shape: find equality + LIMIT 100 (fetches rows, not a count)
@@ -130,6 +161,10 @@ def duckdb_workload(d: str) -> dict:
             SELECT vec_id, label,
                    list_cosine_similarity(embedding, {qv}) AS score
             FROM embeddings ORDER BY score DESC LIMIT 10""",
+        # span/segment dedup shapes: the EXACT oracle SQL from the entry
+        # contract, run on the replicated documents table
+        "span_dedup": oracles["span_stats"],
+        "segment_dedup": oracles["paragraph_dedup"],
     }
     return {k: time_best(lambda s=v: con.execute(s).fetchall()) for k, v in qs.items()}
 
@@ -139,12 +174,17 @@ def spark_workload(spark, d: str) -> dict:
 
     from linkml_store_spark.facets import facet_df
     from linkml_store_spark.index.search import knn
+    from linkml_store_spark.operators.spandedup import (
+        duplicate_segment_stats,
+        duplicated_span_stats,
+    )
     from linkml_store_spark.where import apply_where
 
     li = spark.read.parquet(f"{d}/lineitem.parquet")
     o = spark.read.parquet(f"{d}/orders.parquet")
     c = spark.read.parquet(f"{d}/customer.parquet")
     emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    docs = spark.read.parquet(f"{d}/documents.parquet")
     qv = query_vector(d)
     # plan reuse + Arrow materialization: same methodology as bench.py —
     # each query Dataset is constructed once, timed runs re-execute it
@@ -178,6 +218,12 @@ def spark_workload(spark, d: str) -> dict:
         # (per-partition heaps; embedding column pruned from the result)
         "knn": knn(emb, qv, vector_col="embedding", k=10).select(
             "vec_id", "label", "score"
+        ),
+        # span/segment dedup: explode -> 8-byte-hash groupBy -> hash join;
+        # replication makes EVERY gram a cross-doc duplicate (worst case)
+        "span_dedup": duplicated_span_stats(docs, "text", "doc_id", k=8),
+        "segment_dedup": duplicate_segment_stats(
+            docs, "text", "doc_id", sep_regex=None, tokens_per_segment=10
         ),
     }
     return {k: time_best(df.toPandas) for k, df in plans.items()}
