@@ -790,6 +790,98 @@ class Collection:
             self.df, text_col, id_col or self._require_pk()
         )
 
+    def dedup_spans(
+        self, text_col: str = "text", k: int = 13, id_col: Optional[str] = None,
+        stats_only: bool = False,
+    ) -> DataFrame:
+        """ExactSubstr-style duplicated-span removal, or per-doc coverage
+        stats with ``stats_only`` (operators/spandedup.py)."""
+        from linkml_store_spark.operators.spandedup import (
+            dedup_spans_keep_first,
+            duplicated_span_stats,
+        )
+
+        idc = id_col or self._require_pk()
+        if stats_only:
+            return duplicated_span_stats(self.df, text_col, idc, k=k)
+        return dedup_spans_keep_first(self.df, text_col, idc, k=k)
+
+    def dedup_segments(
+        self, text_col: str = "text", id_col: Optional[str] = None,
+        sep_regex: Optional[str] = r"\n{2,}",
+        tokens_per_segment: Optional[int] = None,
+    ) -> DataFrame:
+        """CCNet-style paragraph/segment dedup keeping canonical first
+        occurrences (operators/spandedup.py)."""
+        from linkml_store_spark.operators.spandedup import remove_duplicate_segments
+
+        return remove_duplicate_segments(
+            self.df, text_col, id_col or self._require_pk(),
+            sep_regex=sep_regex, tokens_per_segment=tokens_per_segment,
+        )
+
+    def dedup_semantic(
+        self, vector_col: str = "embedding", threshold: float = 0.9,
+        n_clusters: int = 16, id_col: Optional[str] = None,
+        keep: str = "far_from_centroid",
+    ) -> DataFrame:
+        """SemDeDup semantic dedup over an embedding column: rows with
+        is_kept/dup_of audit columns (operators/semdedup.py)."""
+        from linkml_store_spark.operators.semdedup import semantic_dedup
+
+        return semantic_dedup(
+            self.df, vector_col, id_col or self._require_pk(),
+            threshold=threshold, n_clusters=n_clusters, keep=keep,
+        )
+
+    def quality_model(
+        self, text_col: str = "text", label_col: Optional[str] = None,
+        weak_label_threshold: float = 0.5, **train_kw,
+    ):
+        """Train the fastText-analog quality classifier on this corpus;
+        labels from ``label_col`` or weak-label bootstrap
+        (operators/quality_model.py). Returns the fitted PipelineModel —
+        score any collection with ``score_quality(model, coll.df)``."""
+        from linkml_store_spark.operators.quality_model import (
+            train_quality_classifier,
+            weak_quality_labels,
+        )
+
+        df = self.df
+        if label_col is None:
+            df = weak_quality_labels(df, text_col, "label", weak_label_threshold)
+            label_col = "label"
+        return train_quality_classifier(df, text_col, label_col, **train_kw)
+
+    def train_tokenizer(
+        self, text_col: str = "text", num_merges: int = 1000, **kw
+    ) -> list:
+        """Train a BPE tokenizer on this corpus; returns the ranked merge
+        list for ``operators/bpe.bpe_encode`` (operators/bpe.py)."""
+        from linkml_store_spark.operators.bpe import train_bpe
+
+        return train_bpe(self.df, text_col, num_merges=num_merges, **kw)
+
+    def shuffle(self, salt: str = "shuffle", id_col: Optional[str] = None) -> DataFrame:
+        """Deterministic epoch-reproducible global shuffle
+        (operators/splits.py)."""
+        from linkml_store_spark.operators.splits import deterministic_shuffle
+
+        return deterministic_shuffle(self.df, id_col or self._require_pk(), salt=salt)
+
+    def sample_tokens(
+        self, budget: int, text_col: str = "text", by=(),
+        id_col: Optional[str] = None, salt: str = "budget",
+    ) -> DataFrame:
+        """Token-budget subsample — hash-ordered prefix under a running
+        token total, optionally per group (operators/splits.py)."""
+        from linkml_store_spark.operators.splits import token_budget_sample
+
+        return token_budget_sample(
+            self.df, text_col, budget, id_col or self._require_pk(),
+            by=by, salt=salt,
+        )
+
     # ------------------------------------------------------------------ #
     # diff / patch (§2.2)
     # ------------------------------------------------------------------ #

@@ -419,3 +419,80 @@ def test_upsert_df_shuffle_path_matches_broadcast(spark):
         else:
             # broadcast hint is a physical-plan choice only — same merge
             assert got == expected
+
+
+# ------------------------------------------------------------------ #
+# Collection wrappers for the round-3 corpus-hygiene operators
+# ------------------------------------------------------------------ #
+@pytest.fixture(scope="module")
+def doc_collection(spark):
+    from linkml_store_spark import Client
+
+    client = Client(spark=spark)
+    db = client.attach_database("memory", alias="r3wrap")
+    coll = db.create_collection("docs", identifier_attribute="doc_id")
+    coll.insert(
+        spark.createDataFrame(
+            [
+                {"doc_id": 0, "text": "alpha beta gamma delta epsilon zeta eta theta unique zero"},
+                {"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta eta theta other one here"},
+                {"doc_id": 2, "text": "totally different words in this tiny document body"},
+            ]
+        )
+    )
+    return coll
+
+
+def test_collection_dedup_spans(doc_collection):
+    stats = doc_collection.dedup_spans(k=4, stats_only=True)
+    by_id = {r["doc_id"]: r["dup_tokens"] for r in stats.collect()}
+    assert by_id[1] == 8 and by_id[0] == 0 and by_id[2] == 0
+    cleaned = {r["doc_id"]: r["text"] for r in doc_collection.dedup_spans(k=4).collect()}
+    assert cleaned[1] == "other one here"
+
+
+def test_collection_dedup_segments(doc_collection):
+    out = doc_collection.dedup_segments(sep_regex=None, tokens_per_segment=4)
+    texts = {r["doc_id"]: r["text"] for r in out.collect()}
+    # doc 1's first 4-token segment duplicates doc 0's -> removed
+    assert not texts[1].startswith("alpha beta gamma delta")
+    assert texts[0].startswith("alpha beta gamma delta")
+
+
+def test_collection_shuffle_and_sample_tokens(doc_collection):
+    assert [r["doc_id"] for r in doc_collection.shuffle(salt="e1").collect()] == [
+        r["doc_id"] for r in doc_collection.shuffle(salt="e1").collect()
+    ]
+    sampled = doc_collection.sample_tokens(budget=15)
+    total = sum(len(r["text"].split()) for r in sampled.collect())
+    assert 0 < total <= 15
+
+
+def test_collection_quality_model_and_tokenizer(doc_collection):
+    merges = doc_collection.train_tokenizer(num_merges=5)
+    assert len(merges) == 5 and all(len(m) == 2 for m in merges)
+    model = doc_collection.quality_model(weak_label_threshold=0.6)
+    from linkml_store_spark.operators.quality_model import score_quality
+
+    scored = score_quality(model, doc_collection.df)
+    assert "quality_prob" in scored.columns and scored.count() == 3
+
+
+def test_collection_dedup_semantic(spark):
+    from linkml_store_spark import Client
+
+    client = Client(spark=spark)
+    db = client.attach_database("memory", alias="r3vec")
+    coll = db.create_collection("vecs", identifier_attribute="vec_id")
+    coll.insert(
+        spark.createDataFrame(
+            [
+                {"vec_id": 0, "embedding": [1.0, 0.0]},
+                {"vec_id": 1, "embedding": [0.999, 0.01]},
+                {"vec_id": 2, "embedding": [0.0, 1.0]},
+            ]
+        )
+    )
+    out = coll.dedup_semantic(threshold=0.99, n_clusters=1, keep="min_id")
+    kept = sorted(r["vec_id"] for r in out.filter("is_kept").collect())
+    assert kept == [0, 2]
