@@ -11,18 +11,21 @@ Spark-first formulation:
     (``operators/similarity.build_ivf``): deterministic driver-side k-means
     on a bounded sample, assignment as a pure JVM argmin expression — the
     cluster id doubles as the equi-join key;
-  * candidate generation is a self-equi-join on the cluster id — one shuffle
-    keyed by cluster, candidate volume Σ_c |c|², never corpus²;
+  * the pairwise sweep is ONE groupBy on the cluster id + a blockwise
+    unit-normalized matmul per cluster inside ``applyInPandas`` — each
+    vector crosses the wire once per row (candidate volume Σ_c |c|² is
+    *compute*, never shuffle);
   * the keep/drop rule follows the paper: order cluster members by distance
     to their centroid (farthest kept first — retains the most diverse
     examples), drop a member iff a higher-priority member is within
     ``threshold`` cosine. This is exactly the paper's triangular sweep of
-    the within-cluster similarity matrix, expressed as a join predicate —
-    no iteration, no transitive closure needed.
+    the within-cluster similarity matrix — no iteration, no transitive
+    closure needed.
 
-Scale notes (100 TB): the dominant cost is the within-cluster pair join;
-with balanced clusters of size m the volume is n·m — tune ``n_clusters``
-so m stays bounded (paper uses 50k clusters at web scale). A single giant
+Scale notes (100 TB): the dominant cost is the per-cluster O(m²·d) matmul;
+with balanced clusters of size m total work is n·m·d — tune ``n_clusters``
+so m stays bounded (paper uses 50k clusters at web scale; blockwise columns
+cap the in-memory similarity slab at m×2048 doubles). A single giant
 cluster is the skew case: raise ``n_clusters`` or pre-split hot clusters
 (the same salting dial as any skewed self-join; see operators/scale.py).
 
@@ -43,8 +46,9 @@ from typing import Optional, Tuple
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from linkml_store_spark.functions.vector import cosine_similarity, dot, vec_lit
+from linkml_store_spark.functions.vector import dot, vec_lit
 from linkml_store_spark.operators.similarity import build_ivf
 
 __all__ = ["semantic_dup_pairs", "semantic_dedup", "assign_clusters"]
@@ -96,23 +100,38 @@ def semantic_dup_pairs(
     one clustering across calls."""
     if assigned is None:
         assigned, _ = assign_clusters(df, vector_col, n_clusters, sample_size, seed)
-    l = assigned.select(
-        F.col(id_col).alias("left_id"),
-        F.col(vector_col).alias("__vl"),
-        "__cluster",
+    id_field = assigned.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField("left_id", id_field.dataType),
+            T.StructField("right_id", id_field.dataType),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
-    r = assigned.select(
-        F.col(id_col).alias("right_id"),
-        F.col(vector_col).alias("__vr"),
-        "__cluster",
-    )
-    return (
-        l.join(r, "__cluster")
-        .filter(F.col("left_id") < F.col("right_id"))
-        .withColumn("cosine", cosine_similarity(F.col("__vl"), F.col("__vr")))
-        .filter(F.col("cosine") >= threshold)
-        .select("left_id", "right_id", "cosine")
-    )
+    tau = float(threshold)
+
+    def _pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        M = np.stack([np.asarray(v, dtype=float) for v in pdf[vector_col]])
+        n = np.linalg.norm(M, axis=1)
+        n[n == 0] = 1.0
+        U = M / n[:, None]
+        ls, rs, cs = [], [], []
+        ids = pdf[id_col].to_numpy()
+        for i0 in range(0, len(U), 2048):  # blockwise: memory m x 2048
+            S = U @ U[i0 : i0 + 2048].T
+            for c in range(S.shape[1]):
+                i = i0 + c
+                hit = np.nonzero(S[:i, c] >= tau)[0]
+                ls.extend(ids[hit])
+                rs.extend([ids[i]] * len(hit))
+                cs.extend(S[hit, c])
+        return pd.DataFrame({"left_id": ls, "right_id": rs, "cosine": cs})
+
+    return assigned.groupBy("__cluster").applyInPandas(_pairs, out_schema)
 
 
 def semantic_dedup(
@@ -124,6 +143,7 @@ def semantic_dedup(
     sample_size: int = 10_000,
     seed: int = 42,
     keep: str = "far_from_centroid",
+    assigned: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Rows surviving semantic dedup, with ``is_kept``/``dup_of`` columns
     added for the dropped rows' audit trail (call ``.filter("is_kept")`` for
@@ -137,41 +157,57 @@ def semantic_dedup(
 
     A row is dropped iff some strictly-higher-priority row in its cluster is
     within ``threshold`` cosine; ``dup_of`` records the highest-priority such
-    partner. Single pass: cluster self-join + one groupBy on the loser id.
+    partner. One shuffle (the groupBy on the cluster id); each cluster's
+    triangular sweep is a blockwise unit-normalized matmul inside
+    ``applyInPandas`` — vectors cross the wire once per ROW, never once per
+    pair. (The join formulation shipped both vectors with every candidate
+    pair: ~1 KB x 80M pairs of exchange at the 100k-vector measurement —
+    the measured bottleneck, not the cosine arithmetic.)
     """
-    assigned, _ = assign_clusters(df, vector_col, n_clusters, sample_size, seed)
-    if keep == "far_from_centroid":
-        # larger __cdist = farther = higher priority; ties break to lower id
-        prio = F.struct(
-            (-F.col("__cdist")).alias("p0"), F.col(id_col).alias("p1")
-        )
-    elif keep == "min_id":
-        prio = F.struct(F.lit(0.0).alias("p0"), F.col(id_col).alias("p1"))
-    else:
+    if keep not in ("far_from_centroid", "min_id"):
         raise ValueError(f"unknown keep strategy: {keep}")
-    ranked = assigned.withColumn("__prio", prio)
+    if assigned is None:
+        assigned, _ = assign_clusters(df, vector_col, n_clusters, sample_size, seed)
+    id_field = df.schema[id_col]
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("dup_of", id_field.dataType),
+            T.StructField("is_kept", T.BooleanType()),
+        ]
+    )
+    orig_cols = df.columns
+    tau = float(threshold)
+    by_centroid = keep == "far_from_centroid"
 
-    a = ranked.select(
-        F.col(id_col).alias("__ida"),
-        F.col(vector_col).alias("__va"),
-        F.col("__prio").alias("__pa"),
-        "__cluster",
-    )
-    b = ranked.select(
-        F.col(id_col).alias("__idb"),
-        F.col(vector_col).alias("__vb"),
-        F.col("__prio").alias("__pb"),
-        "__cluster",
-    )
-    # loser = b-side row with a strictly-higher-priority near neighbor
-    losers = (
-        a.join(b, "__cluster")
-        .filter(F.col("__pa") < F.col("__pb"))
-        .filter(cosine_similarity(F.col("__va"), F.col("__vb")) >= threshold)
-        .groupBy("__idb")
-        .agg(F.min_by("__ida", "__pa").alias("dup_of"))
-    )
-    out = ranked.drop("__prio", "__cdist", "__cluster").join(
-        losers.withColumnRenamed("__idb", id_col), id_col, "left"
-    )
-    return out.withColumn("is_kept", F.col("dup_of").isNull())
+    def _dedup(pdf):
+        import numpy as np
+        import pandas as pd
+
+        if by_centroid:
+            # larger __cdist = farther = higher priority; ties to lower id
+            pdf = pdf.sort_values(
+                ["__cdist", id_col], ascending=[False, True], kind="mergesort"
+            ).reset_index(drop=True)
+        else:
+            pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        M = np.stack([np.asarray(v, dtype=float) for v in pdf[vector_col]])
+        n = np.linalg.norm(M, axis=1)
+        n[n == 0] = 1.0
+        U = M / n[:, None]
+        ids = pdf[id_col].to_numpy()
+        dup_of = np.full(len(U), None, dtype=object)
+        for i0 in range(0, len(U), 2048):  # blockwise: memory m x 2048
+            S = U @ U[i0 : i0 + 2048].T
+            for c in range(S.shape[1]):
+                i = i0 + c
+                hit = np.nonzero(S[:i, c] >= tau)[0]
+                if len(hit):
+                    # highest-priority partner = first in priority order
+                    dup_of[i] = ids[hit[0]]
+        out = pdf[orig_cols].copy()
+        out["dup_of"] = pd.Series(dup_of, dtype=object)
+        out["is_kept"] = pd.Series([d is None for d in dup_of], dtype=bool)
+        return out
+
+    return assigned.groupBy("__cluster").applyInPandas(_dedup, out_schema)
