@@ -39,6 +39,9 @@ class CorpusConfig:
     # dedup
     minhash_permutations: int = 64
     lsh_bands: int = 16
+    # span dedup (stage 3b, off by default — ExactSubstr removal of >=k-token
+    # runs already seen elsewhere; doc-level LSH dedup can't catch these)
+    span_dedup_k: Optional[int] = None
     # split
     split_fractions: Dict[str, float] = field(
         default_factory=lambda: {"train": 0.98, "val": 0.01, "test": 0.01}
@@ -103,6 +106,16 @@ def prepare_training_corpus(
     keep = groups.filter(F.col(ic) == F.col("canonical_id")).select(ic)
     unique = gated.join(keep, ic, "left_semi")
     report["after_dedup"] = unique.count()
+
+    # 3b. optional span-level dedup: remove >=k-token runs duplicated across
+    # the surviving docs (boilerplate that doc-level LSH leaves behind);
+    # re-apply the token floor since removal can hollow a doc out
+    if cfg.span_dedup_k:
+        from linkml_store_spark.operators.spandedup import dedup_spans_keep_first
+
+        unique = dedup_spans_keep_first(unique, tc, ic, k=cfg.span_dedup_k)
+        unique = unique.filter(bpe_token_count(F.col(tc)) >= cfg.min_tokens)
+        report["after_span_dedup"] = unique.count()
 
     # 4. deterministic split (append-stable — docs keep their split forever)
     split = hash_split(unique, ic, cfg.split_fractions, salt=cfg.split_salt)

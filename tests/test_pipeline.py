@@ -42,3 +42,23 @@ def test_prepare_training_corpus(spark, sf_dir):
 
     # all three splits present
     assert packed.select("split").distinct().count() == 3
+
+
+def test_pipeline_span_dedup_stage(spark):
+    from linkml_store_spark.operators.pipeline import CorpusConfig, prepare_training_corpus
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            {"doc_id": 100, "text": f"{base} completely original ending one two three"},
+            # shares the 10-token run with doc 100 but differs enough that
+            # doc-level LSH at default threshold keeps both
+            {"doc_id": 101, "text": f"unrelated prefix words here {base} and another different tail"},
+            {"doc_id": 102, "text": "entirely distinct document with its own vocabulary set"},
+        ]
+    )
+    cfg = CorpusConfig(span_dedup_k=5, min_tokens=3, chunk_tokens=8, pack_budget=16)
+    packed, report = prepare_training_corpus(docs, cfg)
+    assert "after_span_dedup" in report
+    assert report["after_span_dedup"] <= report["after_dedup"]
+    assert packed.count() > 0

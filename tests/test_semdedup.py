@@ -113,3 +113,26 @@ def test_sf_embeddings_smoke(spark, sf_dir):
     # dropped rows must each have a partner with verified cosine >= threshold
     pairs = semdedup.semantic_dup_pairs(emb, threshold=0.99, n_clusters=8)
     assert pairs.filter("cosine < 0.99").count() == 0
+
+
+def test_cosine_pairwise_matches_native(spark):
+    from linkml_store_spark.functions.vector import cosine_pairwise, cosine_similarity
+
+    rows = [
+        (0, [1.0, 2.0, 3.0], [1.0, 2.0, 3.0]),
+        (1, [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]),
+        (2, [0.0, 0.0, 0.0], [1.0, 1.0, 1.0]),  # zero norm -> 0.0
+        (3, [1.5, -2.0, 0.5], [-1.0, 4.0, 2.0]),
+    ]
+    df = spark.createDataFrame(rows, ["i", "a", "b"])
+    got = {
+        r["i"]: (r["p"], r["n"])
+        for r in df.select(
+            "i",
+            cosine_pairwise(F.col("a"), F.col("b")).alias("p"),
+            cosine_similarity(F.col("a"), F.col("b")).alias("n"),
+        ).collect()
+    }
+    for i, (p, n) in got.items():
+        assert abs(p - n) < 1e-12, (i, p, n)
+    assert got[2][0] == 0.0
