@@ -113,3 +113,59 @@ def test_count_and_page_share_filter_pushdown(spark, sf_dir):
     filtered = apply_where(orders, {"o_orderstatus": "F"})
     s = explain_str(filtered.limit(5))
     assert "EqualTo(o_orderstatus,F)" in s
+
+
+def test_span_dedup_joins_on_hash_not_text(spark, sf_dir):
+    from linkml_store_spark.operators.spandedup import duplicated_span_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = duplicated_span_stats(docs, "text", "doc_id", k=8)
+    s = explain_str(q)
+    # candidate generation must be 8-byte-hash keyed, never pairwise
+    assert "xxhash64" in s
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+    # the per-gram frequency aggregate partial-combines map-side
+    assert "partial_count" in s
+
+
+def test_segment_dedup_partial_aggregates(spark, sf_dir):
+    from linkml_store_spark.operators.spandedup import duplicate_segment_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = duplicate_segment_stats(
+        docs, "text", "doc_id", sep_regex=None, tokens_per_segment=10
+    )
+    s = explain_str(q)
+    assert "xxhash64" in s and "CartesianProduct" not in s
+    assert "partial_count" in s
+
+
+def test_token_budget_global_windows_are_bucket_partitioned(spark, sf_dir):
+    from linkml_store_spark.operators.splits import token_budget_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = token_budget_sample(docs, "text", 2000, "doc_id")
+    s = explain_str(q)
+    # the cumsum window must be partitioned by the hash-prefix bucket —
+    # an unpartitioned (single-reducer) global window would list no
+    # partition expressions before the ordering spec
+    win = next(
+        line for line in s.split("\n") if "windowspecdefinition" in line
+    )
+    assert "__tbb" in win.split("windowspecdefinition", 1)[1].split("ASC")[0]
+
+
+def test_semantic_dedup_is_single_group_pass(spark, sf_dir):
+    from linkml_store_spark.operators.semdedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = semantic_dedup(emb, "embedding", "vec_id", threshold=0.9, n_clusters=4)
+    s = explain_str(q)
+    # one grouped-map pass; vectors never flow through a pair join
+    import re
+
+    nodes = re.findall(r"^\(\d+\) FlatMapGroupsInPandas", s, re.MULTILINE)
+    assert len(nodes) == 1
+    assert "SortMergeJoin" not in s and "CartesianProduct" not in s
