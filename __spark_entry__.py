@@ -430,6 +430,34 @@ def q_bpe_tokenize(spark, sf):
     return bpe_token_counts(docs, merges).select("doc_id", "n_bpe").orderBy("doc_id")
 
 
+def q_span_dedup_incremental(spark, sf):
+    """Continuous-ingestion ExactSubstr dedup (operators/spandedup.py):
+    batch 2's duplicated spans are removed against batch 1 via the persisted
+    gram index only (the corpus is never re-scanned). Rows-only check — the
+    index holds grams of the CLEANED text (removal splices surviving tokens
+    into new adjacencies), so a SQL replay would have to re-implement the
+    operator; cross-batch semantics are pinned in tests/test_spandedup.py."""
+    import tempfile
+
+    from linkml_store_spark.operators.spandedup import span_dedup_incremental
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    idx = tempfile.mkdtemp(prefix="gram_index_") + "/idx"
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    o1 = span_dedup_incremental(b1, idx, "text", k=8)
+    o2 = span_dedup_incremental(b2, idx, "text", k=8)
+    from linkml_store_spark.operators.textanalysis import whitespace_token_count
+
+    return (
+        o1.union(o2)
+        .select(
+            "doc_id", whitespace_token_count(F.col("text")).alias("n_tokens_left")
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_deterministic_shuffle(spark, sf):
     # epoch-reproducible global training order (TeraSort shape: range
     # partition + local sort on md5(id||salt)); the oracle replays the
@@ -1501,6 +1529,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_classifier": q_quality_classifier,
     "deterministic_shuffle": q_deterministic_shuffle,
     "bpe_tokenize": q_bpe_tokenize,
+    "span_dedup_incremental": q_span_dedup_incremental,
     "token_budget_sample": q_token_budget_sample,
     "text_stats": q_text_stats,
     "text_lang_facet": q_text_lang_facet,

@@ -344,3 +344,81 @@ def remove_duplicate_segments(
         out_col,
         F.when(F.col("__keep").isNull(), F.lit("")).otherwise(rebuilt),
     ).drop("__keep")
+
+
+# --------------------------------------------------------------------- #
+# incremental (continuous-ingestion) span dedup vs a persisted gram index
+# --------------------------------------------------------------------- #
+def span_dedup_incremental(
+    new_df: DataFrame,
+    index_path: str,
+    text_col: str,
+    id_col: str = "doc_id",
+    k: int = 13,
+    out_col: Optional[str] = None,
+) -> DataFrame:
+    """ExactSubstr dedup of a NEW batch against everything ever ingested:
+    the only persisted state is the gram index (gram_hash) — one 8-byte row
+    per distinct k-gram, appended (never rewritten) per batch.
+
+    A batch token is removed iff it is covered by a k-window whose gram
+    already exists in the index (seen in a previous batch) or whose
+    canonical first occurrence is elsewhere in this batch (the same
+    keep-first rule as ``dedup_spans_keep_first``). The cleaned batch's
+    grams are then appended. Returns the batch rows with ``out_col``
+    rewritten (same contract as the batch operator).
+
+    Scale shape: one shuffle join of the batch's gram hashes against the
+    index on uniformly-hashed 8-byte keys; the corpus is never re-scanned —
+    per-batch cost is O(batch + matching index slice). Same at-most-once
+    caveat as ``dedup.dedup_incremental``: concurrent writers could both
+    miss each other's in-flight grams.
+    """
+    import os
+
+    out_col = out_col or text_col
+    spark = new_df.sparkSession
+    win = ngram_windows(new_df, text_col, id_col, k)
+
+    # within-batch duplicated windows (keep-first) …
+    dup_batch = duplicated_windows(win, id_col, cross_doc_only=True).filter(
+        ~F.col("is_canonical")
+    ).select(id_col, "start")
+    # … plus any window whose gram was already ingested
+    if os.path.exists(index_path):
+        stored = spark.read.parquet(index_path)
+        dup_hist = win.join(stored, "gram_hash", "left_semi").select(id_col, "start")
+        dup = dup_batch.union(dup_hist).distinct()
+    else:
+        dup = dup_batch
+
+    drop_pos = (
+        dup.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + F.lit(k - 1))
+            ).alias("__pos"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("__pos").alias("__drop"))
+    )
+    toks = _tokens(F.col(text_col))
+    rebuilt = F.array_join(
+        F.filter(toks, lambda t, i: ~F.array_contains(F.col("__drop"), i)), " "
+    )
+    cleaned = new_df.join(drop_pos, id_col, "left").withColumn(
+        out_col,
+        F.when(F.col("__drop").isNull(), F.col(text_col)).otherwise(rebuilt),
+    ).drop("__drop")
+    # materialize BEFORE appending — lazy lineage re-evaluated after the
+    # append would match the batch against its own just-written grams
+    cleaned = cleaned.localCheckpoint(eager=True)
+
+    # append the SURVIVING text's grams (what the corpus now contains)
+    new_grams = (
+        ngram_windows(cleaned, out_col, id_col, k)
+        .select("gram_hash")
+        .distinct()
+    )
+    new_grams.write.mode("append").parquet(index_path)
+    return cleaned

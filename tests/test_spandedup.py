@@ -136,3 +136,44 @@ def test_token_window_segments(spark):
     # the shared "a b c" window is a cross-doc duplicate in both docs
     assert stats[0]["dup_segments"] == 1
     assert stats[1]["dup_segments"] == 1
+
+
+def test_span_dedup_incremental(spark, tmp_path):
+    idx = str(tmp_path / "gram_index")
+    b1 = spark.createDataFrame(
+        [
+            {"doc_id": 0, "text": "alpha beta gamma delta epsilon zeta"},
+            {"doc_id": 1, "text": "one two three four five six seven"},
+        ]
+    )
+    out1 = {r["doc_id"]: r["text"] for r in
+            spandedup.span_dedup_incremental(b1, idx, "text", k=4).collect()}
+    # first batch: no history, nothing cross-doc duplicated -> untouched
+    assert out1[0] == "alpha beta gamma delta epsilon zeta"
+    assert out1[1] == "one two three four five six seven"
+
+    # second batch: doc 10 repeats batch-1 text; doc 11 is fresh; docs 12/13
+    # duplicate each other within the batch (keep-first applies)
+    b2 = spark.createDataFrame(
+        [
+            {"doc_id": 10, "text": "alpha beta gamma delta epsilon zeta"},
+            {"doc_id": 11, "text": "totally new words appearing here now"},
+            {"doc_id": 12, "text": "shared run red green blue cyan magenta"},
+            {"doc_id": 13, "text": "shared run red green blue cyan magenta"},
+        ]
+    )
+    out2 = {r["doc_id"]: r["text"] for r in
+            spandedup.span_dedup_incremental(b2, idx, "text", k=4).collect()}
+    assert out2[10] == ""                     # wiped: seen in batch 1
+    assert out2[11] == "totally new words appearing here now"
+    assert out2[12] == "shared run red green blue cyan magenta"
+    assert out2[13] == ""                     # within-batch dup of 12
+
+    # third batch: doc 11's and doc 12's content are both history now
+    b3 = spark.createDataFrame(
+        [{"doc_id": 20, "text": "totally new words appearing here now"},
+         {"doc_id": 21, "text": "shared run red green blue cyan magenta"}]
+    )
+    out3 = {r["doc_id"]: r["text"] for r in
+            spandedup.span_dedup_incremental(b3, idx, "text", k=4).collect()}
+    assert out3[20] == "" and out3[21] == ""
