@@ -267,3 +267,46 @@ def stream_near_dedup_into(
     )
     q.awaitTermination()
     return q
+
+
+def stream_span_dedup_into(
+    stream_df: DataFrame,
+    index_path: str,
+    output_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 13,
+):
+    """Streaming ExactSubstr span dedup against ALL history via the
+    persisted gram index: each micro-batch removes every token covered by a
+    >=k-token run seen in ANY earlier batch (or earlier in this batch),
+    writes the cleaned rows to the parquet sink, and appends the surviving
+    text's grams (``spandedup.span_dedup_incremental`` — the only state is
+    the append-only 8-byte gram_hash table).
+
+    Complements ``stream_near_dedup_into``: that drops whole near-duplicate
+    DOCUMENTS; this strips duplicated SPANS inside documents that are
+    otherwise novel — the boilerplate case doc-level LSH can't touch. Same
+    foreachBatch seam, same per-batch cost O(batch + matching index slice),
+    same stated at-most-once caveat (sink write and index append are two
+    non-atomic actions; a transactional table format closes the gap).
+    """
+    from linkml_store_spark.operators.spandedup import span_dedup_incremental
+
+    def apply_batch(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        cleaned = span_dedup_incremental(
+            batch_df, index_path, text_col, id_col, k=k
+        )
+        cleaned.write.mode("append").parquet(output_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -297,3 +297,37 @@ def test_stream_near_dedup_against_band_index(spark, tmp_path):
     ids = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert 1 in ids and 2 in ids and 4 in ids
     assert 3 not in ids  # near-dup of doc 1, caught across batches/runs
+
+
+def test_stream_span_dedup_against_gram_index(spark, tmp_path):
+    """Duplicated >=k-token RUNS arriving in later micro-batches are
+    stripped via the persisted gram index while the novel remainder of the
+    document survives (doc-level near-dedup would have kept or dropped the
+    whole doc)."""
+    from linkml_store_spark.streaming.events import stream_span_dedup_into
+
+    run = "alpha beta gamma delta epsilon zeta eta theta"
+    src = tmp_path / "src"
+    src.mkdir()
+    b1 = spark.createDataFrame(
+        [(1, f"{run} first document tail"),
+         (2, "unrelated second document with its own words")],
+        ["doc_id", "text"],
+    )
+    _drop_parquet_file(b1, src, "f1.parquet", tmp_path)
+    stream = spark.readStream.schema(b1.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "idx")
+    ck = str(tmp_path / "ck")
+    stream_span_dedup_into(stream, idx, out, ck, k=4)
+    b2 = spark.createDataFrame(
+        [(3, f"novel opening words then {run} and a novel ending")],
+        ["doc_id", "text"],
+    )
+    _drop_parquet_file(b2, src, "f2.parquet", tmp_path)
+    stream_span_dedup_into(stream, idx, out, ck, k=4)
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert got[1] == f"{run} first document tail"       # canonical, intact
+    assert got[3] == "novel opening words then and a novel ending"
