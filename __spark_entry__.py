@@ -130,6 +130,16 @@ def q_find_size(spark, sf):
     return df.agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_find_mod(spark, sf):
+    # $mod field extension (Mongo semantics) — deterministic residue-class
+    # selection, the "every 4th document" audit-sampling idiom
+    df = _where(_t(spark, sf, "orders"), {"o_orderkey": {"$mod": [4, 2]}})
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
 def q_sort_topk(spark, sf):
     df = _t(spark, sf, "orders")
     return (
@@ -1503,6 +1513,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "find_notnull": q_find_notnull,
     "find_exists": q_find_exists,
     "find_size": q_find_size,
+    "find_mod": q_find_mod,
     "sort_topk": q_sort_topk,
     "distinct_status": q_distinct_status,
     "facet_priority": q_facet_priority,
@@ -1634,6 +1645,10 @@ ORACLES: dict[str, str] = {
     """,
     "find_size": """
         SELECT COUNT(*) AS n FROM embeddings WHERE len(embedding) = 64
+    """,
+    "find_mod": """
+        SELECT COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS sum_price
+        FROM orders WHERE o_orderkey % 4 = 2
     """,
     "sort_topk": """
         SELECT o_orderkey, o_totalprice FROM orders

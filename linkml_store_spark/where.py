@@ -95,6 +95,30 @@ def _field_type(schema: T.StructType, path: str) -> Optional[T.DataType]:
     return cur
 
 
+#: Mongo-ish aliases for the $type schema check
+_TYPE_NAMES = {
+    T.StringType: "string",
+    T.LongType: "long",
+    T.IntegerType: "int",
+    T.DoubleType: "double",
+    T.FloatType: "float",
+    T.BooleanType: "bool",
+    T.TimestampType: "timestamp",
+    T.DateType: "date",
+    T.ArrayType: "array",
+    T.StructType: "object",
+    T.MapType: "object",
+    T.DecimalType: "decimal",
+}
+
+
+def _type_name(t: Optional[T.DataType]) -> str:
+    for cls, name in _TYPE_NAMES.items():
+        if isinstance(t, cls):
+            return name
+    return "null" if t is None else t.simpleString()
+
+
 def _is_array(df: Optional[DataFrame], path: str) -> bool:
     if df is None:
         return False
@@ -181,6 +205,56 @@ def _compile_condition(path: str, spec: Any, df: Optional[DataFrame]) -> Column:
                 continue
             if op == "$not":
                 conds.append(~_compile_condition(path, v, df))
+                continue
+            if op == "$all":
+                # array lhs must contain EVERY listed element
+                vals = v if isinstance(v, (list, tuple)) else [v]
+                conds.append(
+                    reduce(
+                        lambda a, b: a & b,
+                        [F.array_contains(col, F.lit(x)) for x in vals],
+                    )
+                    if vals
+                    else F.lit(True)  # vacuous: every array contains all of []
+                )
+                continue
+            if op == "$elemMatch":
+                # some array element satisfies the sub-clause; elements may be
+                # structs (sub-clause keys = element fields) or scalars
+                # (operator-only sub-clause applied to the element itself)
+                def _elem_pred(e: Column) -> Column:
+                    preds = []
+                    for ek, ev in v.items():
+                        if ek.startswith("$") or ek in _RAW_OPERATORS:
+                            fn = _OPERATORS.get(ek) or _RAW_OPERATORS.get(ek)
+                            if fn is None:
+                                raise ValueError(
+                                    f"unsupported $elemMatch operator: {ek!r}"
+                                )
+                            preds.append(fn(e, ev, False))
+                        elif isinstance(ev, dict):
+                            for fk, fv in ev.items():
+                                fn = _OPERATORS.get(fk) or _RAW_OPERATORS.get(fk)
+                                if fn is None:
+                                    raise ValueError(
+                                        f"unsupported $elemMatch operator: {fk!r}"
+                                    )
+                                preds.append(fn(e.getField(ek), fv, False))
+                        else:
+                            preds.append(_eq(e.getField(ek), ev, False))
+                    return reduce(lambda a, b: a & b, preds)
+
+                conds.append(F.exists(col, _elem_pred))
+                continue
+            if op == "$mod":
+                divisor, remainder = v
+                conds.append(col % F.lit(divisor) == F.lit(remainder))
+                continue
+            if op == "$type":
+                # schema-level check (columnar store: one type per column) —
+                # TRUE/FALSE for all rows of the column
+                t = _field_type(df.schema, path) if df is not None else None
+                conds.append(F.lit(_type_name(t) == str(v).lower()))
                 continue
             fn = _OPERATORS.get(op) or _RAW_OPERATORS.get(op)
             if fn is None:

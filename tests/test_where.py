@@ -126,3 +126,47 @@ def test_exists_and_size(spark):
     assert {r["id"] for r in apply_where(df, {"n": {"$exists": True}}).collect()} == {1, 3}
     assert {r["id"] for r in apply_where(df, {"n": {"$exists": False}}).collect()} == {2}
     assert {r["id"] for r in apply_where(df, {"tags": {"$size": 2}}).collect()} == {2}
+
+
+def test_all_operator(spark):
+    from linkml_store_spark.where import apply_where
+
+    df = spark.createDataFrame(
+        [(1, ["x", "y", "z"]), (2, ["x"]), (3, ["y", "z"]), (4, None)],
+        ["id", "tags"],
+    )
+    assert {r["id"] for r in apply_where(df, {"tags": {"$all": ["x", "y"]}}).collect()} == {1}
+    assert {r["id"] for r in apply_where(df, {"tags": {"$all": ["y"]}}).collect()} == {1, 3}
+    # vacuous $all: [] matches every non-null array (and nulls stay null-rejected
+    # only by other predicates — Mongo returns all docs with the field)
+    assert {r["id"] for r in apply_where(df, {"tags": {"$all": []}}).collect()} == {1, 2, 3, 4}
+
+
+def test_elem_match_struct_and_scalar(spark):
+    from linkml_store_spark.where import apply_where
+
+    rows = [
+        {"id": 1, "hist": [{"kind": "a", "v": 5}, {"kind": "b", "v": 50}]},
+        {"id": 2, "hist": [{"kind": "a", "v": 100}]},
+        {"id": 3, "hist": [{"kind": "b", "v": 1}]},
+    ]
+    df = spark.createDataFrame(rows)
+    # struct elements: BOTH conditions must hold on the SAME element
+    got = {r["id"] for r in apply_where(
+        df, {"hist": {"$elemMatch": {"kind": "a", "v": {"$gte": 50}}}}
+    ).collect()}
+    assert got == {2}  # doc 1 has kind=a (v=5) and v=50 (kind=b) but no single element with both
+    # scalar elements: operator-only sub-clause applies to the element
+    nums = spark.createDataFrame([(1, [3, 9]), (2, [1, 2]), (3, [])], ["id", "ns"])
+    got = {r["id"] for r in apply_where(nums, {"ns": {"$elemMatch": {"$gte": 5}}}).collect()}
+    assert got == {1}
+
+
+def test_mod_and_type(spark):
+    from linkml_store_spark.where import apply_where
+
+    df = spark.createDataFrame([(1, 10), (2, 11), (3, 14)], ["id", "n"])
+    assert {r["id"] for r in apply_where(df, {"n": {"$mod": [4, 2]}}).collect()} == {1, 3}
+    # $type is a schema-level check on a columnar store: all rows or none
+    assert apply_where(df, {"n": {"$type": "long"}}).count() == 3
+    assert apply_where(df, {"n": {"$type": "string"}}).count() == 0
