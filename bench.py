@@ -176,17 +176,64 @@ def main():
 
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
-    print(
-        json.dumps(
-            {
-                "metric": "baseline_b1_b12_total",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
+    out = {
+        "metric": "baseline_b1_b12_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # Same-run DuckDB companion (BASELINE.md's B1-B12 SQL, same warm+best-of
+    # methodology): BASELINE.md's numbers were measured on one calendar day;
+    # this box's absolute speed drifts ±30-40% run-to-run (measured: the
+    # identical DuckDB workload spans 182-250 ms across sessions). The
+    # same-process companion pins both engines to the SAME machine state so
+    # the ratio stays meaningful regardless of when the driver runs.
+    try:
+        out["duckdb_same_run"] = _duckdb_companion()
+        out["duckdb_same_run_total"] = round(sum(out["duckdb_same_run"].values()), 4)
+    except Exception:  # noqa: BLE001 — the companion is informative only
+        pass
+    print(json.dumps(out))
+
+
+def _duckdb_companion() -> dict:
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ["lineitem", "orders", "customer", "events", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
-    )
+    qv = con.execute(
+        "SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id=0"
+    ).fetchone()[0]
+    qs = {
+        "b1": "SELECT * FROM lineitem WHERE l_returnflag='R' LIMIT 100",
+        "b2": "SELECT COUNT(*) FROM lineitem WHERE l_returnflag='R'",
+        "b3": "SELECT COUNT(*) FROM lineitem WHERE l_quantity>=5.0 AND l_quantity<30.0",
+        "b4": "SELECT COUNT(*) FROM orders WHERE o_orderpriority IN ('1-URGENT','2-HIGH')",
+        "b5": "SELECT l_returnflag, COUNT(*) c FROM lineitem GROUP BY 1 ORDER BY c DESC LIMIT 100",
+        "b6": "SELECT l_returnflag,l_linestatus, COUNT(*) c FROM lineitem GROUP BY 1,2 ORDER BY c DESC LIMIT 100",
+        "b7": """SELECT l_returnflag,l_linestatus,SUM(l_quantity),SUM(l_extendedprice),
+                 SUM(l_extendedprice*(1-l_discount)),AVG(l_quantity),AVG(l_discount),COUNT(*)
+                 FROM lineitem WHERE l_shipdate<='1998-09-02' GROUP BY 1,2""",
+        "b8": "SELECT o_orderkey,o_totalprice FROM orders ORDER BY o_totalprice DESC LIMIT 10",
+        "b9": "SELECT c_mktsegment, SUM(o_totalprice) FROM orders JOIN customer ON o_custkey=c_custkey GROUP BY 1",
+        "b10": "SELECT user_id, event_id FROM (SELECT user_id, event_id, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn FROM events) t WHERE rn=1",
+        "b11": "SELECT date_trunc('hour', ts) h, event_type, COUNT(*), SUM(value) FROM events GROUP BY 1,2",
+        "b12": f"SELECT vec_id, label, list_cosine_similarity(CAST(embedding AS DOUBLE[]), {qv}) s FROM embeddings ORDER BY s DESC LIMIT 10",
+    }
+    timings = {}
+    for name, q in qs.items():
+        con.execute(q).fetchall()
+        best = float("inf")
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            con.execute(q).fetchall()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+    return timings
 
 
 if __name__ == "__main__":
