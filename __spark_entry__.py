@@ -997,6 +997,26 @@ def _media_from_docs(spark, sf):
     )
 
 
+def q_multimodal_real_decode(spark, sf):
+    """REAL image decode end-to-end: deterministic gradient images encoded
+    as PNG/PPM/BMP by the pure-stdlib codecs (functions/imagecodec.py),
+    decoded + featurized distributed (Arrow mapInPandas). VALUE-oracled:
+    the gradient means are analytically computable, so DuckDB arithmetic
+    over generate_series verifies the whole encode->decode->mean path —
+    any codec bit-error shifts the mean and fails the hash."""
+    from linkml_store_spark.operators.multimodal import (
+        codec_decode,
+        extract_features,
+        real_media_df,
+    )
+
+    media = real_media_df(spark, n=16)
+    feats = extract_features(media, decode_fn=codec_decode)
+    return feats.select(
+        "media_id", F.round("mean_pixel", 6).alias("mean_pixel")
+    ).orderBy("media_id")
+
+
 def q_multimodal_features(spark, sf):
     """Binary-column decode+featurize through the real Arrow-batched
     mapInPandas stage; oracle checks the deterministic columns (payload
@@ -1571,6 +1591,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "facet_multivalued": q_facet_multivalued,
     "set_ops": q_set_ops,
     "multimodal_features": q_multimodal_features,
+    "multimodal_real_decode": q_multimodal_real_decode,
     "multimodal_frames": q_multimodal_frames,
     "ann_ivf": q_ann_ivf,
     "quantiles_by_priority": q_quantiles_by_priority,
@@ -2204,6 +2225,24 @@ ORACLES: dict[str, str] = {
         INTERSECT
         SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice >= 400000.0
         ORDER BY k
+    """,
+    "multimodal_real_decode": """
+        WITH dims AS (
+          SELECT i, 16 + (i % 4) * 8 AS w, 12 + (i % 3) * 8 AS h
+          FROM (SELECT unnest(range(16)) AS i)
+        ),
+        px AS (
+          SELECT d.i,
+                 ((x.x * 7 + d.i) % 256)
+                 + ((y.y * 5 + 2 * d.i) % 256)
+                 + ((x.x + y.y + 3 * d.i) % 256) AS s
+          FROM dims d,
+               LATERAL (SELECT unnest(range(d.w)) AS x) x,
+               LATERAL (SELECT unnest(range(d.h)) AS y) y
+        )
+        SELECT i AS media_id,
+               ROUND(SUM(s)::DOUBLE / (COUNT(*) * 3), 6) AS mean_pixel
+        FROM px GROUP BY i ORDER BY i
     """,
     "multimodal_features": """
         SELECT doc_id AS media_id,

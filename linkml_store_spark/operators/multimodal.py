@@ -4,11 +4,16 @@ North-star extension: image/audio/video ride as opaque ``binary`` columns
 with a struct of metadata; decode / feature-extract / resize / frame-sample
 run as Arrow-batched ``mapInPandas`` stages.
 
-The decode step is STUBBED (no image/audio libraries in this container):
-``decode_fn=None`` uses a deterministic fake (shape/«pixels» derived from the
-payload hash) so the Spark-side plumbing — schema, batch shape, partition
-behavior, UDF signatures — is real and tested. Swap ``decode_fn`` for a
-PIL/torchaudio call in a real deployment; nothing else changes.
+The decode step is REAL for lossless container formats: PNG / PPM / PGM /
+BMP decode, nearest-neighbor resize, and re-encode are implemented
+pure-stdlib in ``functions/imagecodec.py`` (zlib + struct + numpy — no PIL
+needed), used by ``codec_decode`` and the default ``resize_images`` path.
+Only DCT-family formats (JPEG &c.) and audio remain behind the library
+gate: for those, ``decode_fn=None`` on ``extract_features`` falls back to
+a deterministic fake (pixels seeded from the payload hash) so the
+Spark-side plumbing — schema, batch shape, partition behavior, UDF
+signatures — stays testable; swap in a PIL/torchaudio ``decode_fn`` and
+nothing else changes.
 
 Scale notes: binary columns are parquet-native; mapInPandas streams Arrow
 batches so a 100 TB image table never materializes rows in Python lists;
@@ -74,6 +79,40 @@ def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
     seed = int.from_bytes(hashlib.sha1(payload).digest()[:4], "big")
     rng = np.random.RandomState(seed)
     return rng.randint(0, 256, size=(min(height, 8), min(width, 8), 3), dtype=np.uint8)
+
+
+def codec_decode(payload: bytes, width: int, height: int) -> np.ndarray:
+    """REAL decode via the pure-stdlib codecs (PNG/PPM/PGM/BMP); the meta
+    width/height are advisory — actual dimensions come from the payload."""
+    from linkml_store_spark.functions.imagecodec import decode_image
+
+    return decode_image(payload)
+
+
+def real_media_df(spark, n: int = 16) -> DataFrame:
+    """Media table with REAL payloads: deterministic gradient images encoded
+    round-robin as PNG / PPM / BMP by the stdlib codecs."""
+    from linkml_store_spark.functions.imagecodec import encode_bmp, encode_png, encode_ppm
+
+    encoders = [("png", encode_png), ("ppm", encode_ppm), ("bmp", encode_bmp)]
+    rows = []
+    for i in range(n):
+        w, h = 16 + (i % 4) * 8, 12 + (i % 3) * 8
+        yy, xx = np.mgrid[0:h, 0:w]
+        px = np.stack(
+            [(xx * 7 + i) % 256, (yy * 5 + 2 * i) % 256, (xx + yy + 3 * i) % 256],
+            axis=2,
+        ).astype(np.uint8)
+        fmt, enc = encoders[i % 3]
+        rows.append(
+            {
+                "media_id": i,
+                "kind": "image",
+                "payload": bytearray(enc(px)),
+                "meta": {"format": fmt, "width": w, "height": h, "duration_ms": 0},
+            }
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
 FEATURE_SCHEMA = T.StructType(
@@ -147,17 +186,31 @@ def resize_images(
     resize_fn: Optional[Callable[[bytes, int, int], bytes]] = None,
 ) -> DataFrame:
     """Resize stage: payload -> payload' with updated meta. The default
-    implementation STUBS the actual resampling (raises NotImplementedError
-    when asked to do real pixel work without a library) but keeps the
-    schema/metadata plumbing honest."""
+    resamples for REAL via the pure-stdlib codecs (decode PNG/PPM/PGM/BMP,
+    nearest-neighbor resample, re-encode in the same format); pass
+    ``resize_fn`` for formats that need a codec library (JPEG &c.)."""
+
+    def _codec_resize(payload: bytes, w: int, h: int) -> bytes:
+        from linkml_store_spark.functions.imagecodec import (
+            decode_image,
+            encode_bmp,
+            encode_png,
+            encode_ppm,
+            resize_nearest,
+            sniff_format,
+        )
+
+        fmt = sniff_format(payload)
+        px = resize_nearest(decode_image(payload), w, h)
+        if fmt == "png":
+            return encode_png(px)
+        if fmt in ("ppm", "pgm"):
+            return encode_ppm(px)
+        return encode_bmp(px)
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fn = resize_fn or _codec_resize
         for pdf in batches:
-            if resize_fn is None:
-                raise NotImplementedError(
-                    "real image resampling requires an image library; "
-                    "pass resize_fn=... (e.g. PIL-based)"
-                )
             if len(pdf) == 0:
                 continue
             # the codec call is inherently per-item; everything else is a
@@ -165,7 +218,7 @@ def resize_images(
             # as extract_features — no per-row dict rebuild)
             out = pdf.copy()
             out["payload"] = [
-                resize_fn(bytes(p), target_width, target_height)
+                fn(bytes(p), target_width, target_height)
                 for p in pdf["payload"]
             ]
             out["meta"] = [
