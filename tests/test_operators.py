@@ -134,5 +134,32 @@ def test_pca_project(spark, sf_dir):
     # PCA components carry variance: coordinates are not all identical
     xs = {round(r["pca"][0], 6) for r in rows}
     assert len(xs) > 10
-    with pytest.raises(NotImplementedError):
-        tsne_project(emb, "embedding", sample_size=50)
+    # t-SNE runs for real via the built-in numpy implementation (sklearn
+    # absent in this container) — bounded sample, deterministic
+    y = tsne_project(emb, "embedding", sample_size=50, n_iter=60)
+    assert y.shape == (50, 2)
+    y2 = tsne_project(emb, "embedding", sample_size=50, n_iter=60)
+    import numpy as np
+
+    assert np.array_equal(y, y2)
+
+
+def test_tsne_separates_clusters():
+    import numpy as np
+
+    from linkml_store_spark.operators.dimreduce import _tsne_numpy
+
+    rng = np.random.RandomState(0)
+    # three well-separated 10-d Gaussian clusters
+    X = np.concatenate(
+        [rng.randn(20, 10) * 0.1 + mu for mu in (0.0, 8.0, -8.0)]
+    )
+    Y = _tsne_numpy(X, perplexity=10, n_iter=300, seed=1)
+    labels = np.repeat([0, 1, 2], 20)
+    # mean within-cluster distance far below mean between-cluster distance
+    d = np.linalg.norm(Y[:, None, :] - Y[None, :, :], axis=2)
+    same = labels[:, None] == labels[None, :]
+    np.fill_diagonal(same, False)
+    within = d[same].mean()
+    between = d[(~same)].mean()
+    assert within * 3 < between
