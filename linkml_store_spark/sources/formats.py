@@ -221,15 +221,25 @@ def read_objects_df(
         except ImportError as e:
             raise NotImplementedError("hdf5 support requires h5py") from e
     if fmt == "rds":
-        # R data file via pyreadr (reference format_utils.py:198-201);
-        # optional dependency, absent in this environment
+        # R data file (reference format_utils.py:198-201). pyreadr when
+        # installed (full format coverage); otherwise the pure-stdlib XDR
+        # reader (sources/rds.py) handles the saveRDS data.frame subset —
+        # no dependency needed, same trade as the stdlib XLSX parser.
         try:
             import pyreadr
 
             result = pyreadr.read_r(path)
             return spark.createDataFrame(next(iter(result.values())))
-        except ImportError as e:
-            raise NotImplementedError("rds support requires pyreadr") from e
+        except ImportError:
+            from linkml_store_spark.sources.rds import read_rds_frame
+
+            cols = read_rds_frame(path)
+            names = list(cols)
+            rows = [
+                {k: cols[k][i] for k in names}
+                for i in range(len(cols[names[0]]) if names else 0)
+            ]
+            return spark.createDataFrame(rows) if rows else spark.range(0).drop("id")
     raise ValueError(f"unsupported format: {fmt}")
 
 

@@ -96,13 +96,61 @@ def test_read_pkl(spark, tmp_path):
     assert df.count() == 2
 
 
-def test_rds_gated(spark, tmp_path):
-    import pytest
+def test_rds_roundtrip_stdlib(spark, tmp_path):
+    """RDS reads for real via the pure-stdlib XDR parser (sources/rds.py):
+    gzip + uncompressed containers, NA handling, typed columns."""
+    from linkml_store_spark.sources.rds import read_rds_frame, write_rds
 
-    p = tmp_path / "x.rds"
-    p.write_bytes(b"")
-    with pytest.raises((NotImplementedError, Exception)):
-        read_objects_df(spark, str(p), fmt="rds")
+    cols = {
+        "id": [1, 2, None, 4],
+        "score": [1.5, None, 3.25, -2.0],
+        "name": ["a", None, "c", "d"],
+        "ok": [True, False, None, True],
+    }
+    for compress in (True, False):
+        p = tmp_path / f"x_{compress}.rds"
+        write_rds(str(p), cols, compress=compress)
+        assert read_rds_frame(str(p)) == cols
+        df = read_objects_df(spark, str(p), fmt="rds")
+        assert df.count() == 4 and set(df.columns) == set(cols)
+        got = {r["id"]: r["name"] for r in df.collect()}
+        assert got[1] == "a" and got[2] is None
+
+
+def test_rds_factor_and_v3(tmp_path):
+    """Factor columns resolve through their levels; version-3 header (with
+    native-encoding field) parses."""
+    import gzip as _gz
+    import struct as _st
+
+    from linkml_store_spark.sources.rds import _NA_INT, read_rds_frame
+
+    out = bytearray()
+    out += b"X\n" + _st.pack(">iii", 3, 0x040100, 0x020300)
+    out += _st.pack(">i", 5) + b"UTF-8"          # v3 native encoding
+    out += _st.pack(">ii", 19 | 0x200, 1)        # VECSXP, 1 column, has attrs
+    # factor column: INTSXP codes with levels + class attrs
+    out += _st.pack(">ii", 13 | 0x200, 3)        # INTSXP, 3 values, has attrs
+    out += _st.pack(">iii", 2, 1, _NA_INT)       # codes: "y", "x", NA
+    def sym(name):
+        b = name.encode()
+        return _st.pack(">i", 1) + _st.pack(">ii", 9 | (1 << 15), len(b)) + b
+    def strs(vals):
+        b = _st.pack(">ii", 16, len(vals))
+        for v in vals:
+            vb = v.encode()
+            b += _st.pack(">ii", 9 | (1 << 15), len(vb)) + vb
+        return b
+    out += _st.pack(">i", 2 | 0x400) + sym("levels") + strs(["x", "y"])
+    out += _st.pack(">i", 2 | 0x400) + sym("class") + strs(["factor"])
+    out += _st.pack(">i", 254)                   # end column attrs
+    # frame attrs: names + class
+    out += _st.pack(">i", 2 | 0x400) + sym("names") + strs(["lab"])
+    out += _st.pack(">i", 2 | 0x400) + sym("class") + strs(["data.frame"])
+    out += _st.pack(">i", 254)
+    p = tmp_path / "f.rds"
+    p.write_bytes(_gz.compress(bytes(out)))
+    assert read_rds_frame(str(p)) == {"lab": ["y", "x", None]}
 
 
 def test_hdf5_gated(spark, tmp_path):
