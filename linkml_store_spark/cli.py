@@ -643,3 +643,74 @@ def approx_distinct(obj: Context, col_, by, output_type, output):
 
 if __name__ == "__main__":
     cli()
+
+
+@cli.command(name="dedup-spans")
+@click.option("-k", "--window", "k", default=13, show_default=True,
+              help="minimum duplicated run length in tokens")
+@click.option("--text-col", default="text", show_default=True)
+@click.option("--stats", "stats_only", is_flag=True,
+              help="report per-doc coverage instead of rewriting text")
+@OUTPUT_OPT
+@OUTPUT_FILE_OPT
+@click.pass_obj
+def dedup_spans_cmd(obj: Context, k, text_col, stats_only, output_type, output):
+    """ExactSubstr span dedup (Lee et al. 2021 k-gram approximation):
+    strip >=k-token runs whose canonical occurrence is elsewhere."""
+    df = obj.collection.dedup_spans(text_col=text_col, k=k, stats_only=stats_only)
+    _render([r.asDict(recursive=True) for r in df.collect()], output_type, output)
+
+
+@cli.command(name="dedup-segments")
+@click.option("--text-col", default="text", show_default=True)
+@click.option("--sep-regex", default=r"\n{2,}", show_default=True)
+@click.option("--tokens-per-segment", type=int, default=None,
+              help="fixed token windows instead of separator splitting")
+@OUTPUT_OPT
+@OUTPUT_FILE_OPT
+@click.pass_obj
+def dedup_segments_cmd(obj: Context, text_col, sep_regex, tokens_per_segment,
+                       output_type, output):
+    """CCNet-style paragraph dedup keeping canonical first occurrences."""
+    if tokens_per_segment:
+        sep_regex = None
+    df = obj.collection.dedup_segments(
+        text_col=text_col, sep_regex=sep_regex,
+        tokens_per_segment=tokens_per_segment,
+    )
+    _render([r.asDict(recursive=True) for r in df.collect()], output_type, output)
+
+
+@cli.command(name="train-tokenizer")
+@click.option("--text-col", default="text", show_default=True)
+@click.option("--merges", "num_merges", default=1000, show_default=True)
+@click.option("-O", "--output", default=None, help="write merges JSON here")
+@click.pass_obj
+def train_tokenizer_cmd(obj: Context, text_col, num_merges, output):
+    """Train a BPE tokenizer on this collection (distributed word count +
+    driver merge loop); prints/writes the ranked merge list."""
+    import json as _json
+
+    merges = obj.collection.train_tokenizer(text_col=text_col, num_merges=num_merges)
+    payload = _json.dumps([list(m) for m in merges])
+    if output:
+        with open(output, "w") as f:
+            f.write(payload)
+        click.echo(f"{len(merges)} merges -> {output}")
+    else:
+        click.echo(payload)
+
+
+@cli.command(name="sample-tokens")
+@click.option("--budget", required=True, type=int, help="token budget")
+@click.option("--text-col", default="text", show_default=True)
+@click.option("--by", default=None, help="comma-separated group columns")
+@OUTPUT_OPT
+@OUTPUT_FILE_OPT
+@click.pass_obj
+def sample_tokens_cmd(obj: Context, budget, text_col, by, output_type, output):
+    """Deterministic token-budget subsample (hash-ordered prefix)."""
+    df = obj.collection.sample_tokens(
+        budget, text_col=text_col, by=by.split(",") if by else ()
+    )
+    _render([r.asDict(recursive=True) for r in df.collect()], output_type, output)

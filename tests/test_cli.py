@@ -238,3 +238,35 @@ def test_cli_config_flag(tmp_path):
         ["-C", str(cfg_path), "-d", "confdb", "-c", "C", "query", "-w", "{code: FR}"]
     )
     assert "FR" in r.output and "US" not in r.output
+
+
+def test_cli_corpus_hygiene_verbs(wh, tmp_path, spark):
+    docs = tmp_path / "docs.jsonl"
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        {"doc_id": 0, "text": f"{shared} original tail here"},
+        {"doc_id": 1, "text": f"prefix words {shared} unique ending"},
+        {"doc_id": 2, "text": "fully distinct text in this document body"},
+    ]
+    with open(docs, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    _run(["-d", wh, "-c", "docs", "--identifier", "doc_id", "insert", str(docs)])
+
+    r = _run(["-d", wh, "-c", "docs", "--identifier", "doc_id", "dedup-spans", "-k", "4", "--stats"])
+    stats = {x["doc_id"]: x for x in json.loads(r.output)}
+    assert stats[1]["dup_tokens"] == 8 and stats[0]["dup_tokens"] == 0
+
+    r = _run(["-d", wh, "-c", "docs", "--identifier", "doc_id", "dedup-segments", "--tokens-per-segment", "4"])
+    seg = {x["doc_id"]: x["text"] for x in json.loads(r.output)}
+    assert seg[0].startswith("alpha beta gamma delta")
+
+    merges_file = tmp_path / "merges.json"
+    _run(["-d", wh, "-c", "docs", "train-tokenizer", "--merges", "5",
+          "-O", str(merges_file)])
+    merges = json.loads(merges_file.read_text())
+    assert len(merges) == 5 and all(len(m) == 2 for m in merges)
+
+    r = _run(["-d", wh, "-c", "docs", "--identifier", "doc_id", "sample-tokens", "--budget", "12"])
+    sampled = json.loads(r.output)
+    assert 0 < sum(len(x["text"].split()) for x in sampled) <= 12
