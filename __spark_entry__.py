@@ -1863,7 +1863,8 @@ ORACLES: dict[str, str] = {
         SELECT d.doc_id,
                len(string_split_regex(lower(trim(d.text)), '\s+')) AS n_tokens,
                coalesce(c.dup_windows, 0) AS dup_windows,
-               coalesce(c.dup_tokens, 0) AS dup_tokens,
+               least(coalesce(c.dup_tokens, 0),
+                     len(string_split_regex(lower(trim(d.text)), '\s+'))) AS dup_tokens,
                round(least(coalesce(c.dup_tokens, 0)::DOUBLE
                      / greatest(len(string_split_regex(lower(trim(d.text)), '\s+')), 1),
                      1.0), 6) AS dup_fraction

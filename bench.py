@@ -9,13 +9,22 @@ persist — every timing includes the scan, like the DuckDB baseline's
 parquet views), one warm-up run then best of 5 (``$BENCH_RUNS``) — min, not
 mean, because scheduler noise on a shared box only ever adds time.
 
-Plan reuse: each query's DataFrame is constructed ONCE and the timed region
-re-executes the SAME Dataset (Spark caches the analyzed/optimized plan on
-the JVM Dataset, so repeat actions skip Catalyst). This is the prepared-
-statement analog of DuckDB re-running a trivially-planned SQL string —
-every timed run still lists files, scans parquet, and executes the full
-physical plan. At interactive latencies Catalyst's ~50-100 ms per fresh
-plan otherwise dominates 3-50 ms queries.
+Plan reuse WITHOUT shuffle-output reuse: each query's DataFrame is
+constructed ONCE and the timed region re-executes the SAME Dataset (Spark
+caches the analyzed/optimized plan on the JVM Dataset, so repeat actions
+skip Catalyst) — the prepared-statement analog of DuckDB re-running a
+trivially-planned SQL string. At interactive latencies Catalyst's
+~50-150 ms per fresh plan otherwise dominates 3-50 ms queries.
+
+HONESTY GUARD: re-executing one Dataset also lets the scheduler SKIP
+completed shuffle map stages (their map outputs stay registered), which
+would silently turn "re-run the query" into "re-run only the final
+stage" — scans included. ``_bust_shuffle_outputs`` unregisters every
+registered shuffle's map outputs before each timed run, so every timed
+run re-scans parquet and re-executes the full physical plan. (Broadcast
+variables stay cached with the plan — the prepared-statement hash-table
+analog.) Discovered round 3: the round-2 numbers for shuffle-bearing
+queries were final-stage-only artifacts.
 
 AQE is disabled for this workload: runtime re-planning re-optimizes per
 *execution* (AdaptiveSparkPlanExec), adding a planning round plus per-stage
@@ -164,11 +173,13 @@ def main():
     for fn in queries.values():
         fn()
 
+    bust = _shuffle_buster(spark)
     timings = {}
     for name, fn in queries.items():
         fn()  # per-query warm-up
         best = float("inf")
         for _ in range(RUNS):
+            bust()
             t0 = time.perf_counter()
             fn()
             best = min(best, time.perf_counter() - t0)
@@ -195,6 +206,31 @@ def main():
     except Exception:  # noqa: BLE001 — the companion is informative only
         pass
     print(json.dumps(out))
+
+
+def _shuffle_buster(spark):
+    """Returns a callable that unregisters every registered shuffle's map
+    outputs (MapOutputTrackerMaster) so the next action re-executes map
+    stages instead of skipping them. Internal API — on any failure returns
+    a no-op and prints a warning (numbers would then be final-stage-only
+    for shuffle queries, which must not pass silently)."""
+    try:
+        env = spark.sparkContext._jsc.sc().env()
+        tracker = env.mapOutputTracker()
+        tracker.shuffleStatuses()  # probe the master-side API
+
+        def bust():
+            it = tracker.shuffleStatuses().keySet().iterator()
+            while it.hasNext():
+                tracker.unregisterAllMapAndMergeOutput(it.next())
+
+        return bust
+    except Exception as exc:  # noqa: BLE001
+        import sys
+
+        print(f"WARNING: shuffle-bust unavailable ({exc}); shuffle-bearing "
+              "timings may reflect final-stage-only re-execution", file=sys.stderr)
+        return lambda: None
 
 
 def _duckdb_companion() -> dict:

@@ -69,18 +69,17 @@ def ngram_windows(
     starts = F.when(
         n >= k, F.sequence(F.lit(0), n - F.lit(k))
     ).otherwise(F.array(F.lit(0)))
-    grams = F.transform(
+    # hash the token-array slice directly — xxhash64 hashes arrays
+    # structurally, so no per-window gram STRING is ever built (the
+    # string-building variant measured 1.5x slower at 22M windows)
+    hashes = F.transform(
         starts,
-        lambda s: F.array_join(F.slice(toks, s + 1, F.lit(k)), " "),
+        lambda s: F.xxhash64(F.slice(toks, s + 1, F.lit(k))),
     )
-    return (
-        df.select(
-            F.col(id_col),
-            n.alias("n_tokens"),
-            F.posexplode(grams).alias("start", "__gram"),
-        )
-        .withColumn("gram_hash", F.xxhash64("__gram"))
-        .drop("__gram")
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.posexplode(hashes).alias("start", "gram_hash"),
     )
 
 
@@ -147,12 +146,35 @@ def duplicated_span_stats(
     only non-canonical occurrences (what ExactSubstr removal would delete).
     One groupBy on the gram hash + one window over per-doc positions.
     """
+    # ONE-PASS formulation: the windows relation is consumed once — the
+    # per-gram aggregate carries each gram's occurrence list alongside its
+    # stats, and non-canonical occurrences explode back out of the (already
+    # duplicate-filtered) aggregate. The join formulation scans+explodes the
+    # corpus TWICE and shuffles the full window relation a second time for
+    # the dup-set join (measured 1.5x slower at 22M windows). Occurrence
+    # lists are bounded per gram by real duplication counts; cap extreme
+    # boilerplate with duplicated_windows(max_freq=...) + the join path.
     win = ngram_windows(df, text_col, id_col, k)
-    dup = duplicated_windows(win, id_col, cross_doc_only)
+    per_gram = win.groupBy("gram_hash").agg(
+        F.count_distinct(F.col(id_col)).alias("__nd"),
+        F.count(F.lit(1)).alias("__n"),
+        F.min(F.struct(F.col(id_col), F.col("start"))).alias("__first"),
+        F.collect_list(F.struct(F.col(id_col), F.col("start"))).alias("__occs"),
+    )
+    dup = per_gram.filter(
+        (F.col("__nd") > 1) if cross_doc_only else (F.col("__n") > 1)
+    )
+    occ = dup.select("__first", F.explode("__occs").alias("__o"))
     if not include_canonical:
-        dup = dup.filter(~F.col("is_canonical"))
+        occ = occ.filter(
+            (F.col("__o")[id_col] != F.col("__first")[id_col])
+            | (F.col("__o")["start"] != F.col("__first")["start"])
+        )
     covered = (
-        dup.withColumnRenamed(id_col, "__pid")
+        occ.select(
+            F.col("__o")[id_col].alias("__pid"),
+            F.col("__o")["start"].alias("start"),
+        )
         .withColumn("__cov", _covered_token_count(k))
         .groupBy("__pid")
         .agg(
@@ -168,7 +190,10 @@ def duplicated_span_stats(
             id_col,
             "n_tokens",
             F.coalesce("dup_windows", F.lit(0)).alias("dup_windows"),
-            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            # a sub-k document's whole-doc window covers n_tokens, not k
+            F.least(
+                F.coalesce("dup_tokens", F.lit(0)), F.col("n_tokens").cast("long")
+            ).alias("dup_tokens"),
             F.round(
                 F.least(
                     F.coalesce("dup_tokens", F.lit(0))

@@ -177,3 +177,57 @@ def test_span_dedup_incremental(spark, tmp_path):
     out3 = {r["doc_id"]: r["text"] for r in
             spandedup.span_dedup_incremental(b3, idx, "text", k=4).collect()}
     assert out3[20] == "" and out3[21] == ""
+
+
+# ------------------------------------------------------------------ #
+# property-based differential: operator vs brute-force python reference
+# ------------------------------------------------------------------ #
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_WORDS = ["aa", "bb", "cc", "dd"]
+
+
+def _ref_span_stats(texts, k):
+    """Independent brute-force reference: dict of doc -> (n_tokens,
+    dup_windows, dup_tokens) under the non-canonical cross-doc rule."""
+    toks = {i: t.split() for i, t in enumerate(texts)}
+    wins = {}  # gram -> [(doc, start)]
+    for i, ts in toks.items():
+        starts = range(len(ts) - k + 1) if len(ts) >= k else [0]
+        for s in starts:
+            wins.setdefault(" ".join(ts[s : s + k]), []).append((i, s))
+    out = {i: [len(ts), 0, set()] for i, ts in toks.items()}
+    for occ in wins.values():
+        if len({d for d, _ in occ}) < 2:
+            continue
+        canon = min(occ)
+        for d, s in occ:
+            if (d, s) == canon:
+                continue
+            out[d][1] += 1
+            n = len(toks[d])
+            hi = min(s + k, n) if len(toks[d]) >= k else n
+            out[d][2].update(range(s, hi))
+    return {i: (v[0], v[1], len(v[2])) for i, v in out.items()}
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=1, max_size=12).map(" ".join),
+        min_size=2,
+        max_size=5,
+    )
+)
+def test_span_stats_matches_bruteforce(spark, texts):
+    k = 3
+    df = spark.createDataFrame(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_windows"], r["dup_tokens"])
+        for r in spandedup.duplicated_span_stats(df, "text", k=k).collect()
+    }
+    ref = _ref_span_stats(texts, k)
+    assert got == ref

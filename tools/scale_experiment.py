@@ -89,7 +89,12 @@ def _generate_documents(n: int, out: str) -> None:
           SELECT doc_id + i.i * 10000 AS doc_id, text, lang, source, n_chars
           FROM read_parquet('{SRC}/documents.parquet')
           CROSS JOIN (SELECT unnest(range({n})) AS i) i
-        ) TO '{out}/documents.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 1000000)
+        ) TO '{out}/documents.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 5000)
+        -- 5k-row groups: a row group is the minimum split unit for BOTH
+        -- engines (DuckDB parallelizes over row groups; Spark snaps byte
+        -- splits to them). The text column compresses ~50x, so coarse row
+        -- groups decode into a handful of multi-GB single-thread explode
+        -- tasks (measured: 1M-row groups went single-core)
     """)
     open(f"{out}/_DONE_DOCS", "w").write("ok")
 
@@ -116,14 +121,35 @@ def query_vector(d: str) -> list:
     return [float(x) for x in v]
 
 
-def time_best(fn, runs: int = 3) -> float:
+def time_best(fn, runs: int = 3, before=None) -> float:
     fn()
     best = float("inf")
     for _ in range(runs):
+        if before is not None:
+            before()
         t0 = time.perf_counter()
         fn()
         best = min(best, time.perf_counter() - t0)
     return round(best, 3)
+
+
+def shuffle_buster(spark):
+    """Unregister all shuffle map outputs so re-executing a cached Dataset
+    re-runs its map stages (scans included) instead of skipping them.
+    Same honesty guard as bench.py — discovered round 3: without it,
+    repeat executions of one Dataset time only the FINAL stage of
+    shuffle-bearing queries (the round-2 'flat totals' were this
+    artifact, not real scan throughput)."""
+    env = spark.sparkContext._jsc.sc().env()
+    tracker = env.mapOutputTracker()
+    tracker.shuffleStatuses()
+
+    def bust():
+        it = tracker.shuffleStatuses().keySet().iterator()
+        while it.hasNext():
+            tracker.unregisterAllMapAndMergeOutput(it.next())
+
+    return bust
 
 
 def duckdb_workload(d: str) -> dict:
@@ -184,7 +210,6 @@ def spark_workload(spark, d: str) -> dict:
     o = spark.read.parquet(f"{d}/orders.parquet")
     c = spark.read.parquet(f"{d}/customer.parquet")
     emb = spark.read.parquet(f"{d}/embeddings.parquet")
-    docs = spark.read.parquet(f"{d}/documents.parquet")
     qv = query_vector(d)
     # plan reuse + Arrow materialization: same methodology as bench.py —
     # each query Dataset is constructed once, timed runs re-execute it
@@ -219,14 +244,46 @@ def spark_workload(spark, d: str) -> dict:
         "knn": knn(emb, qv, vector_col="embedding", k=10).select(
             "vec_id", "label", "score"
         ),
-        # span/segment dedup: explode -> 8-byte-hash groupBy -> hash join;
-        # replication makes EVERY gram a cross-doc duplicate (worst case)
-        "span_dedup": duplicated_span_stats(docs, "text", "doc_id", k=8),
-        "segment_dedup": duplicate_segment_stats(
-            docs, "text", "doc_id", sep_regex=None, tokens_per_segment=10
-        ),
     }
-    return {k: time_best(df.toPandas) for k, df in plans.items()}
+    bust = shuffle_buster(spark)
+    timings = {k: time_best(df.toPandas, before=bust) for k, df in plans.items()}
+
+    # span/segment dedup: explode -> 8-byte-hash groupBy -> hash join;
+    # replication makes EVERY gram a cross-doc duplicate (worst case).
+    # Two honesty requirements that differ from the micro-queries above:
+    #  * a FRESH Dataset per run — re-executing one Dataset lets Spark
+    #    reuse the explode+aggregate stage's shuffle files, so timed runs
+    #    would skip the expensive stage entirely (DuckDB re-executes
+    #    fully; plan reuse is fair, shuffle-output reuse is not);
+    #  * split size matched to the data: the replicated text compresses
+    #    ~50x, so under the 128 MB default the whole multi-GB-decoded
+    #    table is ONE scan task. 256 KB splits snap to the 50k-row
+    #    groups -> one task per row group, the same per-workload sizing
+    #    knob bench.py documents (DuckDB parallelizes over row groups
+    #    automatically; Spark needs the conf to match).
+    d_path = d
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+
+    def fresh(builder):
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(256 * 1024))
+        spark.conf.set("spark.sql.files.openCostInBytes", str(256 * 1024))
+        try:
+            d = spark.read.parquet(f"{d_path}/documents.parquet")
+            return builder(d).toPandas()
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+
+    timings["span_dedup"] = time_best(
+        lambda: fresh(lambda d: duplicated_span_stats(d, "text", "doc_id", k=8))
+    )
+    timings["segment_dedup"] = time_best(
+        lambda: fresh(
+            lambda d: duplicate_segment_stats(
+                d, "text", "doc_id", sep_regex=None, tokens_per_segment=10
+            )
+        )
+    )
+    return timings
 
 
 def main():
