@@ -36,6 +36,7 @@ def knn(
     vector_col: str = INDEX_COLUMN,
     k: int = 10,
     score_col: str = "score",
+    kernel: Optional[str] = None,
 ) -> DataFrame:
     """Distributed brute-force top-k: score every row, TakeOrdered k.
 
@@ -54,10 +55,19 @@ def knn(
         cosine_to_query_native,
     )
 
-    if len(query_vector) <= NATIVE_COSINE_MAX_DIM:
+    if kernel is None:
+        kernel = "native" if len(query_vector) <= NATIVE_COSINE_MAX_DIM else "arrow"
+    # explicit override: per-ROW-COUNT the trade flips too — the JVM
+    # expression's per-element bounds/null checks cost ~5-20x a fused numpy
+    # matmul lane, so above ~100k rows kernel="arrow" wins despite the
+    # Python-worker round trip (measured honestly in SCALING.md); at
+    # bench-sized inputs "native" wins (no worker startup on the path).
+    if kernel == "native":
         score = cosine_to_query_native(query_vector)(F.col(vector_col))
-    else:
+    elif kernel == "arrow":
         score = cosine_to_query(query_vector)(F.col(vector_col))
+    else:
+        raise ValueError(f"unknown kernel: {kernel}")
     scored = df.withColumn(score_col, score)
     return scored.orderBy(F.desc(score_col)).limit(k)
 

@@ -72,7 +72,9 @@ def _generate_embeddings(n: int, out: str) -> None:
           SELECT vec_id + i.i * 2000 AS vec_id, embedding, label
           FROM read_parquet('{SRC}/embeddings.parquet')
           CROSS JOIN (SELECT unnest(range({n})) AS i) i
-        ) TO '{out}/embeddings.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 1000000)
+        ) TO '{out}/embeddings.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 20000)
+        -- 20k-row groups: same split-unit reasoning as documents — one
+        -- monolithic row group serializes the whole scan on one core
     """)
     open(f"{out}/_DONE_EMB", "w").write("ok")
 
