@@ -264,3 +264,93 @@ def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
     ys = np.minimum(((np.arange(height) + 0.5) * h / height).astype(int), h - 1)
     xs = np.minimum(((np.arange(width) + 0.5) * w / width).astype(int), w - 1)
     return arr[ys][:, xs]
+
+
+# ------------------------------------------------------------------ #
+# audio: WAV (RIFF PCM) — same no-dependency trade as the image codecs
+# ------------------------------------------------------------------ #
+def sniff_media(data: bytes) -> str:
+    """Extends sniff_format with audio: 'wav' or the image formats."""
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return "wav"
+    return sniff_format(data)
+
+
+def decode_wav(data: bytes):
+    """Decode a RIFF/WAVE PCM payload to (samples, sample_rate): samples is
+    float64 in [-1, 1], shape (n_frames, n_channels). Covers 8/16/32-bit
+    integer PCM and 32-bit float PCM — the interchange subset; compressed
+    codecs (MP3/AAC/...) stay behind the library gate."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, raw = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            raw = body
+    if fmt is None or raw is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _bps, _align, bits = fmt
+    if audio_fmt == 1:  # integer PCM
+        if bits == 8:
+            x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+        elif bits == 16:
+            x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+        elif bits == 32:
+            x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+        else:
+            raise NotImplementedError(f"{bits}-bit integer PCM unsupported")
+    elif audio_fmt == 3 and bits == 32:  # IEEE float
+        x = np.frombuffer(raw, dtype="<f4").astype(np.float64)
+    else:
+        raise NotImplementedError(f"WAV format code {audio_fmt}/{bits}bit unsupported")
+    n = (len(x) // n_ch) * n_ch
+    return x[:n].reshape(-1, n_ch), rate
+
+
+def encode_wav(samples, sample_rate: int, bits: int = 16) -> bytes:
+    """Encode float samples in [-1, 1] (n_frames[, n_channels]) as 16-bit
+    PCM WAV — fixture/export path."""
+    s = np.asarray(samples, dtype=np.float64)
+    if s.ndim == 1:
+        s = s[:, None]
+    if bits != 16:
+        raise NotImplementedError("encoder emits 16-bit PCM only")
+    n_ch = s.shape[1]
+    pcm = np.clip(np.round(s * 32767.0), -32768, 32767).astype("<i2").tobytes()
+    hdr = b"WAVE" + b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, n_ch, sample_rate,
+        sample_rate * n_ch * 2, n_ch * 2, 16,
+    ) + b"data" + struct.pack("<I", len(pcm))
+    return b"RIFF" + struct.pack("<I", 4 + len(hdr) + len(pcm)) + hdr + pcm
+
+
+def audio_features(samples, sample_rate: int, n_bands: int = 8) -> dict:
+    """Deterministic per-clip features: duration, RMS, peak, zero-crossing
+    rate, and an ``n_bands`` log-spaced FFT band-energy profile — the
+    numeric columns an audio curation pipeline filters on."""
+    s = np.asarray(samples, dtype=np.float64)
+    if s.ndim == 2:
+        s = s.mean(axis=1)  # downmix
+    n = len(s)
+    rms = float(np.sqrt(np.mean(s * s))) if n else 0.0
+    peak = float(np.abs(s).max()) if n else 0.0
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(s))))) if n > 1 else 0.0
+    spec = np.abs(np.fft.rfft(s)) if n else np.zeros(1)
+    edges = np.unique(
+        np.geomspace(1, max(len(spec) - 1, 1), n_bands + 1).astype(int)
+    )
+    bands = [float(spec[a:b].sum()) for a, b in zip(edges, edges[1:])]
+    bands += [0.0] * (n_bands - len(bands))
+    return {
+        "duration_s": n / sample_rate if sample_rate else 0.0,
+        "rms": rms,
+        "peak": peak,
+        "zcr": zcr,
+        "band_energy": bands,
+    }

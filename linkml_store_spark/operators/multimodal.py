@@ -247,3 +247,55 @@ def sample_frames(
         ),
     ).filter(F.col("frame_ts").isNotNull())
     return frames.select("media_id", "kind", "frame_ts", "payload", "meta")
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        T.StructField("zcr", T.DoubleType()),
+        T.StructField("band_energy", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def extract_audio_features(
+    df: DataFrame,
+    n_bands: int = 8,
+) -> DataFrame:
+    """REAL audio decode + featurize for WAV PCM payloads (pure-stdlib RIFF
+    parser, ``functions/imagecodec.decode_wav``): per-clip duration, RMS,
+    peak, zero-crossing rate, and a log-spaced FFT band-energy profile —
+    the numeric columns an audio curation pipeline filters on. Arrow-batched
+    mapInPandas; compressed codecs (MP3/...) raise through the decode gate.
+    """
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from linkml_store_spark.functions.imagecodec import audio_features, decode_wav
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples, rate = decode_wav(bytes(payload))
+                f = audio_features(samples, rate, n_bands=n_bands)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "sample_rate": rate,
+                        "n_channels": samples.shape[1],
+                        "duration_s": f["duration_s"],
+                        "rms": f["rms"],
+                        "peak": f["peak"],
+                        "zcr": f["zcr"],
+                        "band_energy": f["band_energy"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(process, schema=AUDIO_FEATURE_SCHEMA)

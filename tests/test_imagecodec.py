@@ -133,3 +133,57 @@ def test_resize_images_real_default(spark):
     # format preserved through the round trip
     fmts = {ic.sniff_format(bytes(r["payload"])) for r in out}
     assert fmts == {"png", "ppm", "bmp"}
+
+
+# ------------------------------------------------------------------ #
+# audio: WAV codec + distributed feature extraction
+# ------------------------------------------------------------------ #
+def test_wav_roundtrip_and_formats():
+    t = np.linspace(0, 1, 8000, endpoint=False)
+    stereo = np.stack([np.sin(2 * np.pi * 440 * t), np.sin(2 * np.pi * 220 * t)], axis=1)
+    data = ic.encode_wav(stereo, 8000)
+    assert ic.sniff_media(data) == "wav"
+    out, rate = ic.decode_wav(data)
+    assert rate == 8000 and out.shape == (8000, 2)
+    assert np.abs(out - stereo).max() < 1e-3  # 16-bit quantization
+    with pytest.raises(NotImplementedError):
+        # an fmt chunk claiming a compressed codec gates cleanly
+        bad = bytearray(data)
+        bad[20:22] = (85).to_bytes(2, "little")  # WAVE_FORMAT_MPEGLAYER3
+        ic.decode_wav(bytes(bad))
+
+
+def test_audio_features_sine():
+    t = np.linspace(0, 1, 8000, endpoint=False)
+    mono = np.sin(2 * np.pi * 440 * t)
+    f = ic.audio_features(mono, 8000)
+    assert abs(f["duration_s"] - 1.0) < 1e-9
+    assert abs(f["rms"] - 1 / np.sqrt(2)) < 1e-3
+    assert abs(f["peak"] - 1.0) < 1e-3
+    # a 440 Hz tone crosses zero ~880 times/s
+    assert 0.1 < f["zcr"] < 0.13
+    # band energy concentrates in one band
+    be = np.array(f["band_energy"])
+    assert be.max() > 0.9 * be.sum()
+
+
+def test_extract_audio_features_distributed(spark):
+    from linkml_store_spark.operators import multimodal as mm
+
+    rows = []
+    for i, hz in enumerate([220, 440, 880]):
+        t = np.linspace(0, 0.5, 4000, endpoint=False)
+        wav = ic.encode_wav(np.sin(2 * np.pi * hz * t), 8000)
+        rows.append(
+            {"media_id": i, "kind": "audio", "payload": bytearray(wav),
+             "meta": {"format": "wav", "width": 0, "height": 0, "duration_ms": 500}}
+        )
+    df = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in mm.extract_audio_features(df).collect()}
+    assert len(feats) == 3
+    for i in range(3):
+        assert abs(feats[i]["duration_s"] - 0.5) < 1e-9
+        assert feats[i]["sample_rate"] == 8000
+        assert abs(feats[i]["rms"] - 1 / np.sqrt(2)) < 1e-2
+    # higher pitch -> higher zero-crossing rate
+    assert feats[0]["zcr"] < feats[1]["zcr"] < feats[2]["zcr"]
