@@ -1017,6 +1017,45 @@ def q_multimodal_real_decode(spark, sf):
     ).orderBy("media_id")
 
 
+def q_multimodal_audio(spark, sf):
+    """REAL audio decode end-to-end: deterministic sine clips encoded as
+    16-bit PCM WAV by the pure-stdlib codec, decoded + featurized
+    distributed (Arrow mapInPandas). VALUE-oracled: DuckDB replays the
+    identical synthesis + int16 quantization with SIN() over
+    generate_series and re-derives duration/RMS/zero-crossing-rate —
+    a codec bit-error shifts the features and fails the hash."""
+    import math
+
+    from linkml_store_spark.functions.imagecodec import encode_wav
+    from linkml_store_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_audio_features,
+    )
+
+    rows = []
+    for i, hz in enumerate([220, 440, 880, 1760]):
+        n, rate = 4000, 8000
+        samples = [math.sin(2 * math.pi * hz * t / rate) for t in range(n)]
+        rows.append(
+            {
+                "media_id": i,
+                "kind": "audio",
+                "payload": bytearray(encode_wav(samples, rate)),
+                "meta": {"format": "wav", "width": 0, "height": 0,
+                         "duration_ms": int(1000 * n / rate)},
+            }
+        )
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    feats = extract_audio_features(media)
+    return feats.select(
+        "media_id",
+        "sample_rate",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+        F.round("zcr", 6).alias("zcr"),
+    ).orderBy("media_id")
+
+
 def q_multimodal_features(spark, sf):
     """Binary-column decode+featurize through the real Arrow-batched
     mapInPandas stage; oracle checks the deterministic columns (payload
@@ -1592,6 +1631,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_ops": q_set_ops,
     "multimodal_features": q_multimodal_features,
     "multimodal_real_decode": q_multimodal_real_decode,
+    "multimodal_audio": q_multimodal_audio,
     "multimodal_frames": q_multimodal_frames,
     "ann_ivf": q_ann_ivf,
     "quantiles_by_priority": q_quantiles_by_priority,
@@ -2226,6 +2266,31 @@ ORACLES: dict[str, str] = {
         INTERSECT
         SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice >= 400000.0
         ORDER BY k
+    """,
+    "multimodal_audio": """
+        WITH params AS (
+          SELECT * FROM (VALUES (0,220),(1,440),(2,880),(3,1760)) p(media_id, hz)
+        ),
+        x AS (
+          SELECT media_id, t.t AS t,
+                 LEAST(GREATEST(ROUND(SIN(2*PI()*hz*t.t/8000.0)*32767.0),
+                                -32768), 32767) / 32768.0 AS v
+          FROM params, LATERAL (SELECT unnest(range(4000)) AS t) t
+        ),
+        z AS (
+          SELECT media_id, t, v,
+                 CASE WHEN v < 0 THEN 1 ELSE 0 END AS sb,
+                 lag(CASE WHEN v < 0 THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY media_id ORDER BY t) AS psb
+          FROM x
+        )
+        SELECT media_id,
+               8000 AS sample_rate,
+               ROUND(4000 / 8000.0, 6) AS duration_s,
+               ROUND(SQRT(AVG(v*v)), 6) AS rms,
+               ROUND(AVG(CASE WHEN psb IS NULL THEN NULL
+                              ELSE ABS(sb - psb) END), 6) AS zcr
+        FROM z GROUP BY media_id ORDER BY media_id
     """,
     "multimodal_real_decode": """
         WITH dims AS (

@@ -198,3 +198,30 @@ def test_textlines_and_text(spark, tmp_path):
     assert read_objects_df(spark, str(p), "textlines").count() == 3
     stats = read_objects_df(spark, str(p), "text").first()
     assert stats["lines"] >= 3 and stats["md5"] is not None
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_col_vals = st.one_of(
+    st.lists(st.one_of(st.none(), st.integers(-2**31+1, 2**31-2)), min_size=1, max_size=8),
+    st.lists(st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False,
+                                            width=64)), min_size=1, max_size=8),
+    st.lists(st.one_of(st.none(), st.booleans()), min_size=1, max_size=8),
+    st.lists(st.one_of(st.none(), st.text(max_size=12)), min_size=1, max_size=8),
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.dictionaries(st.text(alphabet="abcdefgh", min_size=1, max_size=6),
+                       _col_vals, min_size=1, max_size=4), st.booleans())
+def test_rds_property_roundtrip(tmp_path_factory, cols, compress):
+    """write_rds -> read_rds_frame is the identity on the supported
+    data.frame subset (types, NA, gzip), for arbitrary frames."""
+    from linkml_store_spark.sources.rds import read_rds_frame, write_rds
+
+    n = min(len(v) for v in cols.values())
+    cols = {k: v[:n] for k, v in cols.items()}
+    p = tmp_path_factory.mktemp("rds") / "x.rds"
+    write_rds(str(p), cols, compress=compress)
+    assert read_rds_frame(str(p)) == cols
