@@ -187,3 +187,40 @@ def test_extract_audio_features_distributed(spark):
         assert abs(feats[i]["rms"] - 1 / np.sqrt(2)) < 1e-2
     # higher pitch -> higher zero-crossing rate
     assert feats[0]["zcr"] < feats[1]["zcr"] < feats[2]["zcr"]
+
+
+# ------------------------------------------------------------------ #
+# property-based roundtrips
+# ------------------------------------------------------------------ #
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(1, 12), st.integers(1, 12), st.sampled_from([1, 2, 3, 4]),
+       st.integers(0, 2**32 - 1))
+def test_png_property_roundtrip(h, w, c, seed):
+    px = _img(h, w, c, seed=seed % 1000)
+    assert np.array_equal(ic.decode_png(ic.encode_png(px)), px)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(1, 12), st.integers(1, 12), st.sampled_from([1, 3]),
+       st.integers(0, 999))
+def test_ppm_bmp_property_roundtrip(h, w, c, seed):
+    px = _img(h, w, c, seed=seed)
+    assert np.array_equal(ic.decode_ppm(ic.encode_ppm(px)), px)
+    if c == 3:
+        assert np.array_equal(ic.decode_bmp(ic.encode_bmp(px)), px)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(1, 500), st.sampled_from([1, 2]), st.integers(0, 999))
+def test_wav_property_roundtrip(n, ch, seed):
+    rng = np.random.RandomState(seed)
+    s = rng.uniform(-1, 1, size=(n, ch))
+    out, rate = ic.decode_wav(ic.encode_wav(s, 16000))
+    assert rate == 16000 and out.shape == (n, ch)
+    # quantization bound: 0.5/32768 rounding + |s|/32768 from the standard
+    # 32767-encode / 32768-decode scale asymmetry
+    assert np.abs(out - s).max() <= (1.5 / 32768) + 1e-12
