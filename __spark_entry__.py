@@ -1897,7 +1897,8 @@ ORACLES: dict[str, str] = {
           FROM dup WHERE rn > 1
         ),
         cov AS (
-          SELECT doc_id, count(*) AS dup_windows, sum(cov) AS dup_tokens
+          SELECT doc_id, count(*) AS dup_windows,
+                 CAST(sum(cov) AS BIGINT) AS dup_tokens
           FROM covw GROUP BY doc_id
         )
         SELECT d.doc_id,

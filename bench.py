@@ -135,10 +135,11 @@ def build_queries(spark, sf):
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     # b12: brute-force cosine kNN top-10 — the 64-d query unrolls to the
     # codegen'd JVM cosine (knn picks it; no Python worker in the plan);
-    # the embedding payload column is pruned from the result projection
-    plans["b12"] = knn(emb, qv, vector_col="embedding", k=10).select(
-        "vec_id", "label", "score"
-    )
+    # keep_vector=False drops the embedding payload BEFORE the top-k sort
+    # so the TakeOrdered heaps never carry the wide column
+    plans["b12"] = knn(
+        emb, qv, vector_col="embedding", k=10, keep_vector=False
+    ).select("vec_id", "label", "score")
 
     # toPandas = Arrow-batched materialization (the fetchall analog in the
     # DuckDB baseline); row-at-a-time pickle collect() measured 2x slower

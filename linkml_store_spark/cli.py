@@ -641,10 +641,6 @@ def approx_distinct(obj: Context, col_, by, output_type, output):
     _render(rows, output_type, output)
 
 
-if __name__ == "__main__":
-    cli()
-
-
 @cli.command(name="dedup-spans")
 @click.option("-k", "--window", "k", default=13, show_default=True,
               help="minimum duplicated run length in tokens")
@@ -714,3 +710,7 @@ def sample_tokens_cmd(obj: Context, budget, text_col, by, output_type, output):
         budget, text_col=text_col, by=by.split(",") if by else ()
     )
     _render([r.asDict(recursive=True) for r in df.collect()], output_type, output)
+
+
+if __name__ == "__main__":
+    cli()

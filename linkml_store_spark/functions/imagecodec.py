@@ -327,7 +327,9 @@ def encode_wav(samples, sample_rate: int, bits: int = 16) -> bytes:
         "<IHHIIHH", 16, 1, n_ch, sample_rate,
         sample_rate * n_ch * 2, n_ch * 2, 16,
     ) + b"data" + struct.pack("<I", len(pcm))
-    return b"RIFF" + struct.pack("<I", 4 + len(hdr) + len(pcm)) + hdr + pcm
+    # RIFF chunk size = file size - 8 bytes (the "RIFF" tag + this field);
+    # hdr already starts with the 4-byte "WAVE" form type.
+    return b"RIFF" + struct.pack("<I", len(hdr) + len(pcm)) + hdr + pcm
 
 
 def audio_features(samples, sample_rate: int, n_bands: int = 8) -> dict:

@@ -37,6 +37,7 @@ def knn(
     k: int = 10,
     score_col: str = "score",
     kernel: Optional[str] = None,
+    keep_vector: bool = True,
 ) -> DataFrame:
     """Distributed brute-force top-k: score every row, TakeOrdered k.
 
@@ -69,6 +70,13 @@ def knn(
     else:
         raise ValueError(f"unknown kernel: {kernel}")
     scored = df.withColumn(score_col, score)
+    if not keep_vector:
+        # TakeOrderedAndProject stores WHOLE rows in its per-partition heaps
+        # and projects only at the end, so the vector payload (the widest
+        # column by far) rides through every heap sift unless dropped BEFORE
+        # the sort — measured ~1.5x end-to-end at 400k x 64-d. Callers that
+        # need the vectors back (MMR re-ranking) keep the default.
+        scored = scored.drop(vector_col)
     return scored.orderBy(F.desc(score_col)).limit(k)
 
 
@@ -88,7 +96,9 @@ def vector_search(
     """
     df = apply_where(index_df, where)
     pool = limit if mmr_relevance_factor is None else max(limit, candidate_multiplier * limit)
-    top = knn(df, query_vector, k=pool).collect()
+    top = knn(
+        df, query_vector, k=pool, keep_vector=mmr_relevance_factor is not None
+    ).collect()
     results = [
         (float(r["score"]), {k: v for k, v in r.asDict(recursive=True).items() if k != "score"})
         for r in top

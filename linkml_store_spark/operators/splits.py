@@ -247,6 +247,13 @@ def token_budget_sample(
 
     Rows are kept while the running total AFTER including the row is within
     budget; the first over-budget row is dropped (strict cap).
+
+    Both paths share the bucketed two-pass shape — pass 1's per-bucket
+    totals frame is tiny (groups x 16**bucket_chars rows), so its prefix
+    offsets are a window over THAT frame (no driver collect anywhere), and
+    pass 2's cumsum window is partitioned by (by..., bucket): no partition
+    ever holds more than ~1/16**bucket_chars of one group's rows, so a
+    single giant source never funnels through one reducer.
     """
     from pyspark.sql.window import Window
 
@@ -254,47 +261,44 @@ def token_budget_sample(
 
     tok = token_col if token_col is not None else whitespace_token_count(F.col(text_col))
     key = _u_hex(F.col(id_col), salt)
-    d = df.withColumn("__tbk", key).withColumn("__tbt", tok.cast("long"))
-
-    if by:
-        w = (
-            Window.partitionBy(*by)
-            .orderBy(F.col("__tbk"), F.col(id_col))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        cum = F.sum("__tbt").over(w)
-        return (
-            d.withColumn("__tbc", cum)
-            .filter(F.col("__tbc") <= budget)
-            .drop("__tbk", "__tbt", "__tbc")
-        )
-
-    bucket = F.substring(F.col("__tbk"), 1, bucket_chars)
-    d = d.withColumn("__tbb", bucket)
-    totals = {
-        r["__tbb"]: r["t"]
-        for r in d.groupBy("__tbb").agg(F.sum("__tbt").alias("t")).collect()
-    }
-    offsets, acc = {}, 0
-    for b in sorted(totals):  # lexicographic == numeric for fixed-width hex
-        offsets[b] = acc
-        acc += totals[b]
-    if not offsets:
-        return df.filter(F.lit(False))
-    off_expr = F.coalesce(
-        F.create_map(
-            *[x for b, o in offsets.items() for x in (F.lit(b), F.lit(o))]
-        )[F.col("__tbb")],
-        F.lit(0),
+    group_cols = list(by)
+    d = (
+        df.withColumn("__tbk", key)
+        .withColumn("__tbt", tok.cast("long"))
+        .withColumn("__tbb", F.substring(F.col("__tbk"), 1, bucket_chars))
     )
+
+    # pass 1: per-(group, bucket) token totals -> lexicographic prefix
+    # offsets (hex buckets sort lexicographically == numerically), computed
+    # as a window over the tiny totals frame itself
+    tot = d.groupBy(*group_cols, "__tbb").agg(F.sum("__tbt").alias("__t"))
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__tbb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = tot.withColumn(
+        "__off", F.coalesce(F.sum("__t").over(w_off), F.lit(0))
+    ).drop("__t")
+
+    # pass 2: within-bucket cumsum + the bucket's offset; broadcast the
+    # offsets frame (null-safe on group keys so a null source still groups;
+    # renamed columns keep the join condition unambiguous)
+    off_r = off.withColumnRenamed("__tbb", "__ob")
+    for c in group_cols:
+        off_r = off_r.withColumnRenamed(c, f"__og_{c}")
+    cond = F.col("__tbb") == F.col("__ob")
+    for c in group_cols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__og_{c}"))
+    d2 = d.join(F.broadcast(off_r), cond)
+
     w = (
-        Window.partitionBy("__tbb")
+        Window.partitionBy(*group_cols, "__tbb")
         .orderBy(F.col("__tbk"), F.col(id_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = off_expr + F.sum("__tbt").over(w)
-    return (
-        d.withColumn("__tbc", cum)
-        .filter(F.col("__tbc") <= budget)
-        .drop("__tbk", "__tbt", "__tbb", "__tbc")
-    )
+    cum = F.col("__off") + F.sum("__tbt").over(w)
+    drop = ["__tbk", "__tbt", "__tbb", "__tbc", "__ob", "__off"] + [
+        f"__og_{c}" for c in group_cols
+    ]
+    return d2.withColumn("__tbc", cum).filter(F.col("__tbc") <= budget).drop(*drop)

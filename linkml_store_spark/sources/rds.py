@@ -225,11 +225,12 @@ class _Writer:
 
     def _charsxp(self, s: Optional[str]):
         if s is None:
-            self._int(_CHARSXP | (1 << 12))
+            # NA_character_: length -1, no encoding levels set
+            self._int(_CHARSXP)
             self._int(-1)
             return
         b = s.encode("utf-8")
-        self._int(_CHARSXP | (1 << 12))  # levels bits: UTF-8 flag position
+        self._int(_CHARSXP | (8 << 12))  # levels: CE_UTF8 mask (bit 3 of levels)
         self._int(len(b))
         self.out += b
 

@@ -215,7 +215,8 @@ def _compile_condition(path: str, spec: Any, df: Optional[DataFrame]) -> Column:
                         [F.array_contains(col, F.lit(x)) for x in vals],
                     )
                     if vals
-                    else F.lit(True)  # vacuous: every array contains all of []
+                    # MongoDB: {field: {$all: []}} matches NO documents
+                    else F.lit(False)
                 )
                 continue
             if op == "$elemMatch":

@@ -155,6 +155,24 @@ def test_token_budget_global_windows_are_bucket_partitioned(spark, sf_dir):
     assert "__tbb" in win.split("windowspecdefinition", 1)[1].split("ASC")[0]
 
 
+def test_token_budget_by_group_windows_are_bucket_partitioned(spark, sf_dir):
+    # the per-group (data-mixture) path must NOT partition its cumsum
+    # window by the bare group key — one giant source would funnel
+    # through a single reducer; the partition spec must carry the
+    # hash-prefix bucket alongside the group columns
+    from linkml_store_spark.operators.splits import token_budget_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = token_budget_sample(docs, "text", 2000, "doc_id", by=["lang"])
+    s = explain_str(q)
+    for line in s.split("\n"):
+        if "windowspecdefinition" not in line:
+            continue
+        part = line.split("windowspecdefinition", 1)[1].split("ASC")[0]
+        if "lang" in part:
+            assert "__tbb" in part, f"bare-group window partition: {line}"
+
+
 def test_semantic_dedup_is_single_group_pass(spark, sf_dir):
     from linkml_store_spark.operators.semdedup import semantic_dedup
 

@@ -137,9 +137,8 @@ def test_all_operator(spark):
     )
     assert {r["id"] for r in apply_where(df, {"tags": {"$all": ["x", "y"]}}).collect()} == {1}
     assert {r["id"] for r in apply_where(df, {"tags": {"$all": ["y"]}}).collect()} == {1, 3}
-    # vacuous $all: [] matches every non-null array (and nulls stay null-rejected
-    # only by other predicates — Mongo returns all docs with the field)
-    assert {r["id"] for r in apply_where(df, {"tags": {"$all": []}}).collect()} == {1, 2, 3, 4}
+    # MongoDB semantics: {field: {$all: []}} matches NO documents
+    assert {r["id"] for r in apply_where(df, {"tags": {"$all": []}}).collect()} == set()
 
 
 def test_elem_match_struct_and_scalar(spark):

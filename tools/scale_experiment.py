@@ -241,11 +241,13 @@ def spark_workload(spark, d: str) -> dict:
         "in_count": apply_where(
             o, {"o_orderpriority": {"$in": ["1-URGENT", "2-HIGH"]}}
         ).agg(F.count(F.lit(1)).alias("n")),
-        # b12 shape: codegen'd unrolled cosine + TakeOrderedAndProject
-        # (per-partition heaps; embedding column pruned from the result)
-        "knn": knn(emb, qv, vector_col="embedding", k=10).select(
-            "vec_id", "label", "score"
-        ),
+        # b12 shape: Arrow matmul kernel + TakeOrderedAndProject
+        # (per-partition heaps; keep_vector=False drops the embedding
+        # payload BEFORE the sort so the heaps never carry it)
+        "knn": knn(
+            emb, qv, vector_col="embedding", k=10, kernel="arrow",
+            keep_vector=False,
+        ).select("vec_id", "label", "score"),
     }
     bust = shuffle_buster(spark)
     timings = {k: time_best(df.toPandas, before=bust) for k, df in plans.items()}
