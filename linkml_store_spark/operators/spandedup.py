@@ -21,6 +21,17 @@ Scale notes (100 TB):
   * the exploded window/segment relation is the big intermediate — it flows
     straight into a map-side-combined groupBy on an 8-byte ``xxhash64`` key
     and never materializes wider than (id, pos, hash);
+  * **hash-collision bound**: a single 64-bit gram key collides (birthday
+    bound) once the corpus approaches ~2^32 distinct grams — far below the
+    ~10^13 grams of a 100 TB corpus, where spurious "duplicates" would be
+    common. The REPORTING operators (``duplicated_span_stats``,
+    ``duplicate_segment_stats``) accept that approximation (a collision
+    inflates a coverage statistic by one window). The DESTRUCTIVE operators
+    (``dedup_spans_keep_first``, ``span_dedup_incremental``) key every gram
+    by a PAIR of independently-seeded xxhash64 values (``second_hash=True``)
+    — an effective 128-bit key whose corpus-level collision probability at
+    10^13 grams is ~1e-13, so legitimate text is never deleted on a hash
+    accident;
   * the duplicated-hash set is joined back by the same 8-byte key — shuffle
     volume is bounded by token count, never by the quadratic pair count
     (same single-pass shape as ``operators/contamination.py``);
@@ -56,6 +67,7 @@ def ngram_windows(
     text_col: str,
     id_col: str = "doc_id",
     k: int = 13,
+    second_hash: bool = False,
 ) -> DataFrame:
     """One row per overlapping k-token window: (id, start, n_tokens, gram_hash).
 
@@ -63,6 +75,13 @@ def ngram_windows(
     [start, start+k). Documents shorter than ``k`` tokens contribute a single
     whole-document window so they still participate in dedup. Pure
     explode-over-sequence — all JVM expressions, no Python in the plan.
+
+    ``second_hash`` adds ``gram_hash2``, an INDEPENDENTLY-seeded xxhash64 of
+    the same slice (the seed column comes FIRST — a suffixed constant would
+    collide whenever gram_hash collides, since multi-column xxhash64 chains
+    state). Keying on the pair is effectively 128-bit — the destructive
+    operators use it so a 64-bit birthday collision can never delete
+    legitimate text (see module scale notes).
     """
     toks = _tokens(F.col(text_col))
     n = F.size(toks)
@@ -72,6 +91,25 @@ def ngram_windows(
     # hash the token-array slice directly — xxhash64 hashes arrays
     # structurally, so no per-window gram STRING is ever built (the
     # string-building variant measured 1.5x slower at 22M windows)
+    if second_hash:
+        hashes = F.transform(
+            starts,
+            lambda s: F.struct(
+                F.xxhash64(F.slice(toks, s + 1, F.lit(k))).alias("h1"),
+                F.xxhash64(F.lit(1), F.slice(toks, s + 1, F.lit(k))).alias("h2"),
+            ),
+        )
+        return df.select(
+            F.col(id_col),
+            n.alias("n_tokens"),
+            F.posexplode(hashes).alias("start", "__gh"),
+        ).select(
+            id_col,
+            "n_tokens",
+            "start",
+            F.col("__gh")["h1"].alias("gram_hash"),
+            F.col("__gh")["h2"].alias("gram_hash2"),
+        )
     hashes = F.transform(
         starts,
         lambda s: F.xxhash64(F.slice(toks, s + 1, F.lit(k))),
@@ -97,9 +135,14 @@ def duplicated_windows(
     cross-document-contamination setting); set it False for within-document
     repetition removal too. ``max_freq`` drops grams above a frequency cap
     before the join (boilerplate guard — at 100 TB a few viral grams would
-    otherwise skew the join).
+    otherwise skew the join). Windows carrying a ``gram_hash2`` column
+    (``ngram_windows(second_hash=True)``) group and join on the 128-bit
+    pair automatically.
     """
-    per_gram = windows.groupBy("gram_hash").agg(
+    keys = ["gram_hash"] + (
+        ["gram_hash2"] if "gram_hash2" in windows.columns else []
+    )
+    per_gram = windows.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_occurrences"),
         F.count_distinct(F.col(id_col)).alias("__n_docs"),
         F.min(F.struct(F.col(id_col), F.col("start"))).alias("__first"),
@@ -109,7 +152,7 @@ def duplicated_windows(
     )
     if max_freq is not None:
         dup = dup.filter(F.col("n_occurrences") <= max_freq)
-    joined = windows.join(dup, "gram_hash")
+    joined = windows.join(dup, keys)
     return joined.withColumn(
         "is_canonical",
         (F.col(id_col) == F.col("__first")[id_col])
@@ -222,10 +265,12 @@ def dedup_spans_keep_first(
     [start, start+k); a position is dropped iff some such window covers it.
     The per-doc covered-position set is built by exploding each window to its
     k offsets and aggregating a distinct set — bounded by document length,
-    never corpus size.
+    never corpus size. Grams are keyed by a 128-bit double-hash pair: this
+    operator DELETES text, so the 64-bit birthday bound (~2^32 grams) is not
+    acceptable at corpus scale (see module scale notes).
     """
     out_col = out_col or text_col
-    win = ngram_windows(df, text_col, id_col, k)
+    win = ngram_windows(df, text_col, id_col, k, second_hash=True)
     dup = duplicated_windows(win, id_col, cross_doc_only=True).filter(
         ~F.col("is_canonical")
     )
@@ -276,6 +321,37 @@ def _segment_array(
     )
 
 
+def _segment_hash_array(
+    text_col: Column, sep_regex: Optional[str], tokens_per_segment: Optional[int]
+) -> Column:
+    """Per-segment normalized-content hashes WITHOUT materializing segment
+    strings. Normalization = lowercase + whitespace collapse (CCNet hashes
+    normalized paragraphs so trivial variants collide); two texts normalize
+    equal iff their lowercased token arrays are equal, so ``xxhash64`` over
+    the token array replaces the ``regexp_replace``'d normalized STRING the
+    round-3 implementation built per segment (the segment-shape hot spot —
+    the span path hashes token slices directly and measured 3x cheaper
+    per unit input).
+    """
+    if sep_regex is not None:
+        segs = _segment_array(text_col, sep_regex, tokens_per_segment)
+        return F.transform(
+            segs,
+            lambda s: F.xxhash64(
+                F.filter(F.split(F.lower(s), r"\s+"), lambda t: t != "")
+            ),
+        )
+    n = tokens_per_segment or 10
+    toks = _tokens(text_col)
+    n_seg = F.ceil(F.size(toks) / F.lit(n)).cast("int")
+    # fixed token windows: hash the token-array slice directly — no segment
+    # string is ever built anywhere in the plan
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(n_seg, F.lit(1)) - 1),
+        lambda i: F.xxhash64(F.slice(toks, i * n + 1, F.lit(n))),
+    )
+
+
 def segment_occurrences(
     df: DataFrame,
     text_col: str,
@@ -286,17 +362,17 @@ def segment_occurrences(
     """One row per segment: (id, seg_idx, seg_hash, n_segments).
 
     Normalization before hashing: lowercase + whitespace collapse (CCNet
-    normalizes before paragraph hashing so trivial variants collide).
+    normalizes before paragraph hashing so trivial variants collide). The
+    exploded relation carries only (id, idx, 8-byte hash) — segment strings
+    never leave the per-document row (fixed-window mode never builds them
+    at all).
     """
-    segs = _segment_array(F.col(text_col), sep_regex, tokens_per_segment)
+    hashes = _segment_hash_array(F.col(text_col), sep_regex, tokens_per_segment)
     return df.select(
         F.col(id_col),
-        F.size(segs).alias("n_segments"),
-        F.posexplode(segs).alias("seg_idx", "__seg"),
-    ).withColumn(
-        "seg_hash",
-        F.xxhash64(F.regexp_replace(F.lower(F.col("__seg")), r"\s+", " ")),
-    ).drop("__seg")
+        F.size(hashes).alias("n_segments"),
+        F.posexplode(hashes).alias("seg_idx", "seg_hash"),
+    )
 
 
 def duplicate_segment_stats(
@@ -308,18 +384,31 @@ def duplicate_segment_stats(
 ) -> DataFrame:
     """Per-document segment-dedup profile: (id, n_segments, dup_segments,
     dup_fraction), where a segment is duplicated iff its normalized content
-    appears in at least one other document. One groupBy on the segment hash.
+    appears in at least one other document.
+
+    ONE-PASS formulation (same shape as ``duplicated_span_stats``): the
+    per-hash aggregate carries each hash's occurrence list, and occurrences
+    of duplicated hashes explode back out of the already-filtered aggregate
+    — the exploded corpus relation is scanned/shuffled once, not joined
+    against itself a second time.
     """
     occ = segment_occurrences(df, text_col, id_col, sep_regex, tokens_per_segment)
     per_hash = occ.groupBy("seg_hash").agg(
-        F.count_distinct(F.col(id_col)).alias("__n_docs")
+        F.count_distinct(F.col(id_col)).alias("__n_docs"),
+        F.collect_list(F.col(id_col)).alias("__occ_ids"),
     )
     dup = (
-        occ.join(per_hash.filter(F.col("__n_docs") > 1), "seg_hash")
+        per_hash.filter(F.col("__n_docs") > 1)
+        .select(F.explode("__occ_ids").alias(id_col))
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("dup_segments"))
     )
-    base = occ.groupBy(id_col).agg(F.max("n_segments").alias("n_segments"))
+    base = df.select(
+        F.col(id_col),
+        F.size(
+            _segment_hash_array(F.col(text_col), sep_regex, tokens_per_segment)
+        ).alias("n_segments"),
+    )
     return base.join(dup, id_col, "left").select(
         id_col,
         "n_segments",
@@ -344,17 +433,19 @@ def remove_duplicate_segments(
     """CCNet paragraph dedup: keep each duplicated segment only at its
     canonical first occurrence (lowest (id, seg_idx)); every other occurrence
     is removed. Rebuilds the text from surviving segments in order.
+
+    The keep-set falls straight out of the per-hash aggregate — the min
+    (id, seg_idx) struct IS the kept occurrence — so the exploded relation
+    is aggregated once and never joined back against itself.
     """
     out_col = out_col or text_col
     occ = segment_occurrences(df, text_col, id_col, sep_regex, tokens_per_segment)
-    canon = occ.groupBy("seg_hash").agg(
-        F.min(F.struct(F.col(id_col), F.col("seg_idx"))).alias("__first")
-    )
     keep_idx = (
-        occ.join(canon, "seg_hash")
-        .filter(
-            (F.col(id_col) == F.col("__first")[id_col])
-            & (F.col("seg_idx") == F.col("__first")["seg_idx"])
+        occ.groupBy("seg_hash")
+        .agg(F.min(F.struct(F.col(id_col), F.col("seg_idx"))).alias("__first"))
+        .select(
+            F.col("__first")[id_col].alias(id_col),
+            F.col("__first")["seg_idx"].alias("seg_idx"),
         )
         .groupBy(id_col)
         .agg(F.collect_set("seg_idx").alias("__keep"))
@@ -383,8 +474,11 @@ def span_dedup_incremental(
     out_col: Optional[str] = None,
 ) -> DataFrame:
     """ExactSubstr dedup of a NEW batch against everything ever ingested:
-    the only persisted state is the gram index (gram_hash) — one 8-byte row
-    per distinct k-gram, appended (never rewritten) per batch.
+    the only persisted state is the gram index — one row per distinct
+    k-gram, appended (never rewritten) per batch. Index rows carry the
+    128-bit (gram_hash, gram_hash2) double-hash pair: removal is
+    destructive, so the 64-bit birthday bound is not acceptable at corpus
+    scale (see module scale notes).
 
     A batch token is removed iff it is covered by a k-window whose gram
     already exists in the index (seen in a previous batch) or whose
@@ -403,7 +497,7 @@ def span_dedup_incremental(
 
     out_col = out_col or text_col
     spark = new_df.sparkSession
-    win = ngram_windows(new_df, text_col, id_col, k)
+    win = ngram_windows(new_df, text_col, id_col, k, second_hash=True)
 
     # within-batch duplicated windows (keep-first) …
     dup_batch = duplicated_windows(win, id_col, cross_doc_only=True).filter(
@@ -412,7 +506,9 @@ def span_dedup_incremental(
     # … plus any window whose gram was already ingested
     if os.path.exists(index_path):
         stored = spark.read.parquet(index_path)
-        dup_hist = win.join(stored, "gram_hash", "left_semi").select(id_col, "start")
+        dup_hist = win.join(
+            stored, ["gram_hash", "gram_hash2"], "left_semi"
+        ).select(id_col, "start")
         dup = dup_batch.union(dup_hist).distinct()
     else:
         dup = dup_batch
@@ -441,8 +537,8 @@ def span_dedup_incremental(
 
     # append the SURVIVING text's grams (what the corpus now contains)
     new_grams = (
-        ngram_windows(cleaned, out_col, id_col, k)
-        .select("gram_hash")
+        ngram_windows(cleaned, out_col, id_col, k, second_hash=True)
+        .select("gram_hash", "gram_hash2")
         .distinct()
     )
     new_grams.write.mode("append").parquet(index_path)

@@ -232,6 +232,67 @@ def differential_semdedup_check(spark) -> list:
     return failures
 
 
+def differential_span_incremental_check(spark) -> list:
+    """Differential oracle for ``span_dedup_incremental``: when batches
+    arrive in id order, incremental dedup over batches 1..N must equal
+    ``dedup_spans_keep_first`` on the unioned corpus (same k) — the batch
+    operator keeps the lowest-(id, start) occurrence, and id-ordered
+    batching means every canonical occurrence lands in the same-or-earlier
+    batch, so the persisted gram index replays exactly the batch keep-first
+    rule. (The registered QUERY splits by doc_id parity — a setting where
+    the two formulations legitimately differ on which copy survives — so
+    this check uses a median id split; the known residual divergence
+    source, splice-created grams from rewritten batch-1 text, does not
+    occur on this corpus and a mismatch here is a real defect.)
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from linkml_store_spark.operators.spandedup import (
+        dedup_spans_keep_first,
+        span_dedup_incremental,
+    )
+    from linkml_store_spark.sources.tables import load_table
+
+    failures = []
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    cutoff = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    idx = tempfile.mkdtemp(prefix="gram_index_diff_") + "/idx"
+    o1 = span_dedup_incremental(
+        docs.filter(F.col("doc_id") <= cutoff), idx, "text", k=8
+    )
+    o2 = span_dedup_incremental(
+        docs.filter(F.col("doc_id") > cutoff), idx, "text", k=8
+    )
+    inc = {r["doc_id"]: r["text"] for r in o1.union(o2).collect()}
+    ref = {
+        r["doc_id"]: r["text"]
+        for r in dedup_spans_keep_first(docs, "text", k=8).collect()
+    }
+    if set(inc) != set(ref):
+        failures.append(("span_dedup_incremental", "doc id sets differ"))
+        print("FAIL span_dedup_incremental (differential): doc id sets differ")
+    else:
+        bad = [i for i in ref if inc[i] != ref[i]]
+        if bad:
+            failures.append(
+                ("span_dedup_incremental", f"{len(bad)} docs differ from batch dedup")
+            )
+            print(
+                f"FAIL span_dedup_incremental (differential): {len(bad)} docs "
+                f"differ, e.g. doc {bad[0]!r}:\n  inc : {inc[bad[0]][:120]!r}"
+                f"\n  ref : {ref[bad[0]][:120]!r}"
+            )
+        else:
+            print(
+                f"ok   span_dedup_incremental  (differential: id-ordered "
+                f"2-batch incremental == dedup_spans_keep_first on the union, "
+                f"{len(ref)} docs byte-identical)"
+            )
+    return failures
+
+
 def differential_bpe_check(spark) -> list:
     """Differential oracle for ``bpe_tokenize``: DuckDB independently
     computes the corpus word frequencies; an independent pure-Python
@@ -379,6 +440,8 @@ def main():
         failures += differential_quality_check(spark)
     if not only or "bpe_tokenize" in only:
         failures += differential_bpe_check(spark)
+    if not only or "span_dedup_incremental" in only:
+        failures += differential_span_incremental_check(spark)
     if failures:
         print(f"\n{len(failures)} FAILURES: {[f[0] for f in failures]}")
         sys.exit(1)
