@@ -132,7 +132,12 @@ def _nearest_centroid_udf(centroids: np.ndarray):
     c2 = (C * C).sum(axis=1)
 
     def _kernel(vs):
-        M = np.stack([np.asarray(v, dtype=float) for v in vs])
+        if len(vs) == 0:
+            return pd.Series([], dtype="int32")
+        # one C-level vstack instead of a per-row asarray loop (same fix as
+        # functions/vector.cosine_to_query — the Python iteration was the
+        # kernel's real cost, not the matmul)
+        M = np.vstack(vs.to_numpy()).astype(np.float64, copy=False)
         d = c2[None, :] - 2.0 * (M @ C.T)
         return pd.Series(d.argmin(axis=1).astype("int32"))
 
