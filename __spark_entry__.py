@@ -446,7 +446,9 @@ def q_span_dedup_incremental(spark, sf):
     gram index only (the corpus is never re-scanned). Rows-only check — the
     index holds grams of the CLEANED text (removal splices surviving tokens
     into new adjacencies), so a SQL replay would have to re-implement the
-    operator; cross-batch semantics are pinned in tests/test_spandedup.py."""
+    operator; the DIFFERENTIAL oracle (tools/oracle_compare.py) proves
+    id-ordered 2-batch incremental == dedup_spans_keep_first on the union,
+    byte-identical; cross-batch edge cases in tests/test_spandedup.py."""
     import tempfile
 
     from linkml_store_spark.operators.spandedup import span_dedup_incremental
@@ -1322,8 +1324,10 @@ def q_pack_sequences(spark, sf):
     """Greedy sequence packing (operators/packing.py): 64-token chunks
     filled into 256-token training sequences per partition (iterator-wide
     mapInPandas state). Stateful greedy assignment is not SQL-expressible
-    — rows-only check; invariants (budget, conservation, prefix-sum
-    offsets, determinism) are pinned in tests/test_packing.py."""
+    — rows-only SQL check; the DIFFERENTIAL oracle
+    (tools/oracle_compare.py differential_packing_check) verifies
+    conservation, budget, prefix-sum offsets and determinism against an
+    independent recomputation."""
     from linkml_store_spark.operators.chunking import chunk_by_tokens
     from linkml_store_spark.operators.packing import pack_sequences
 
@@ -1415,8 +1419,10 @@ def q_repetition_stats(spark, sf):
 def q_dedup_incremental(spark, sf):
     """Continuous-ingestion dedup (operators/dedup.py): batch 2 is deduped
     against batch 1 via the persisted band index only (the corpus itself
-    is never re-scanned). Seeded-hash LSH => rows-only check; cross-batch
-    semantics pinned in tests/test_dedup.py."""
+    is never re-scanned). Seeded-hash LSH => rows-only SQL check; the
+    DIFFERENTIAL oracle (tools/oracle_compare.py) proves the id-ordered
+    2-batch incremental survivor set equals one-shot minhash_dedup_groups
+    canonicals over the union."""
     import tempfile
 
     from linkml_store_spark.operators.dedup import dedup_incremental
@@ -1436,7 +1442,10 @@ def q_corpus_pipeline(spark, sf):
     """The full training-corpus pipeline in one call (operators/
     pipeline.py): scrub → quality gate → near-dedup → split → chunk →
     pack. Returns the per-stage row account (monotone by construction);
-    LSH dedup inside makes it rows-only."""
+    LSH dedup inside blocks a full SQL replay, but the PARTIAL oracle
+    (tools/oracle_compare.py) has DuckDB replay normalize+scrub+BPE-token
+    chunk arithmetic over the actual surviving ids and checks every pack
+    against the budget."""
     from linkml_store_spark.operators.pipeline import (
         CorpusConfig,
         prepare_training_corpus,

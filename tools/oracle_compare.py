@@ -293,6 +293,213 @@ def differential_span_incremental_check(spark) -> list:
     return failures
 
 
+def differential_dedup_incremental_check(spark) -> list:
+    """Differential oracle for ``dedup_incremental``: with id-ordered
+    batches, the incremental survivor set must equal one-shot
+    ``minhash_dedup_groups`` canonicals over the union (same seeds/params).
+    Equivalence assumes no cross-batch bucket BRIDGES (a batch-2 doc
+    linking two otherwise-disjoint batch-1 clusters) — none exist in this
+    corpus, so a mismatch here is a real cross-batch-semantics defect.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from linkml_store_spark.operators.dedup import (
+        dedup_incremental,
+        minhash_dedup_groups,
+    )
+    from linkml_store_spark.sources.tables import load_table
+
+    failures = []
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    cutoff = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    idx = tempfile.mkdtemp(prefix="band_index_diff_") + "/idx"
+    s1 = dedup_incremental(docs.filter(F.col("doc_id") <= cutoff), idx, "text")
+    s2 = dedup_incremental(docs.filter(F.col("doc_id") > cutoff), idx, "text")
+    inc = {r["doc_id"] for r in s1.union(s2).select("doc_id").collect()}
+    groups = minhash_dedup_groups(docs, "text", "doc_id")
+    ref = {
+        r["doc_id"]
+        for r in groups.filter(
+            F.col("doc_id") == F.col("canonical_id")
+        ).select("doc_id").collect()
+    }
+    if inc != ref:
+        failures.append(
+            ("dedup_incremental", f"survivors differ: inc-only "
+             f"{sorted(inc - ref)[:5]}, ref-only {sorted(ref - inc)[:5]}")
+        )
+        print(f"FAIL dedup_incremental (differential): {len(inc ^ ref)} ids differ")
+    else:
+        print(
+            f"ok   dedup_incremental  (differential: id-ordered 2-batch "
+            f"incremental survivor set == one-shot minhash_dedup_groups "
+            f"canonicals, {len(ref)} docs)"
+        )
+    return failures
+
+
+def differential_packing_check(spark) -> list:
+    """Differential oracle for ``pack_sequences`` (stateful greedy
+    assignment — not SQL-expressible). Invariants checked against an
+    independent recomputation at sf0.01:
+
+    * conservation — the packed chunk-id multiset equals the input chunk
+      ids exactly (nothing dropped, nothing duplicated);
+    * budget — every pack's token total <= budget (single over-budget
+      chunks are allowed their own pack, like every packer);
+    * offsets — within a pack, offset = prefix sum of member token counts
+      in position order, positions contiguous from 0;
+    * determinism — a second run produces the identical assignment.
+    """
+    from pyspark.sql import functions as F
+
+    from linkml_store_spark.operators.chunking import chunk_by_tokens
+    from linkml_store_spark.operators.packing import pack_sequences
+    from linkml_store_spark.sources.tables import load_table
+
+    failures = []
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    chunks = chunk_by_tokens(docs, chunk_tokens=64).select(
+        F.concat_ws("_", "doc_id", "chunk_idx").alias("cid"), "n_tokens"
+    )
+    budget = 256
+    rows = pack_sequences(chunks, "cid", "n_tokens", budget=budget,
+                          num_partitions=8).collect()
+    rows2 = pack_sequences(chunks, "cid", "n_tokens", budget=budget,
+                           num_partitions=8).collect()
+    in_ids = sorted(r["cid"] for r in chunks.collect())
+    in_tok = {r["cid"]: r["n_tokens"] for r in chunks.collect()}
+    out_ids = sorted(r["cid"] for r in rows)
+    problems = []
+    if in_ids != out_ids:
+        problems.append("conservation: chunk-id multiset differs")
+    packs = {}
+    for r in rows:
+        packs.setdefault(r["pack_id"], []).append(r)
+    for pid, members in packs.items():
+        members.sort(key=lambda r: r["pack_pos"])
+        if [m["pack_pos"] for m in members] != list(range(len(members))):
+            problems.append(f"pack {pid}: positions not contiguous")
+            break
+        if len(members) > 1 and sum(m["n_tokens"] for m in members) > budget:
+            problems.append(f"pack {pid}: over budget")
+            break
+        off = 0
+        for m in members:
+            if m["pack_offset"] != off:
+                problems.append(f"pack {pid}: offset mismatch")
+                break
+            if in_tok.get(m["cid"]) != m["n_tokens"]:
+                problems.append(f"pack {pid}: token count altered")
+                break
+            off += m["n_tokens"]
+    key = lambda rs: sorted((r["cid"], r["pack_id"], r["pack_pos"], r["pack_offset"]) for r in rs)  # noqa: E731
+    if key(rows) != key(rows2):
+        problems.append("determinism: two runs differ")
+    if problems:
+        failures.append(("pack_sequences", "; ".join(problems[:3])))
+        print(f"FAIL pack_sequences (differential): {problems[:3]}")
+    else:
+        fill = sum(r["n_tokens"] for r in rows) / (budget * len(packs))
+        print(
+            f"ok   pack_sequences  (differential: conservation + budget + "
+            f"prefix offsets + determinism over {len(rows)} chunks in "
+            f"{len(packs)} packs, mean fill {fill:.0%})"
+        )
+    return failures
+
+
+def differential_corpus_pipeline_check(spark, con) -> list:
+    """Partial oracle for ``corpus_pipeline``: the LSH dedup stage is
+    seeded-random, but every count AROUND it is independently checkable —
+    ``after_quality_gate`` from the package's own gate inputs is already
+    covered by the scrub/repetition SQL oracles, so here DuckDB replays
+    the CHUNK arithmetic: given the pipeline's actual surviving doc ids,
+    the chunk count must equal sum(ceil(n_tokens/chunk_tokens)) computed
+    by DuckDB over those docs' (normalized, scrubbed) text, and the pack
+    stage must conserve chunks (every chunk appears in exactly one pack)
+    within budget.
+    """
+    from pyspark.sql import functions as F
+
+    from linkml_store_spark.operators.pipeline import (
+        CorpusConfig,
+        prepare_training_corpus,
+    )
+    from linkml_store_spark.sources.tables import load_table
+
+    failures = []
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    cfg = CorpusConfig(chunk_tokens=128, pack_budget=1024, pack_partitions=8)
+    packed, report = prepare_training_corpus(docs, cfg)
+    rows = packed.select("chunk_id", "n_tokens", "pack_id", "split").collect()
+    surviving = sorted({int(r["chunk_id"].split("#")[0]) for r in rows})
+    # DuckDB replays the pipeline's text transforms over exactly the
+    # surviving ids: normalize (NFC + control strip + horizontal-whitespace
+    # collapse + trim, operators/normalize.py) -> the 4-pattern PII scrub
+    # (operators/scrub.py) -> BPE-ish pre-token count (textanalysis._BPE_SPLIT)
+    # -> ceil-division into chunk counts (operators/chunking.py)
+    ids = ",".join(str(i) for i in surviving)
+    expected_chunks = con.execute(rf"""
+        WITH normed AS (
+          SELECT doc_id,
+                 trim(regexp_replace(regexp_replace(
+                     nfc_normalize(text),
+                     '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                     '[ \t]+', ' ', 'g')) AS text
+          FROM documents WHERE doc_id IN ({ids})
+        ), scrubbed AS (
+          SELECT doc_id,
+                 regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                     text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
+                     '\b(?:\d{{1,3}}\.){{3}}\d{{1,3}}\b', '[IP]', 'g'),
+                     '\b\d{{3}}-\d{{2}}-\d{{4}}\b', '[SSN]', 'g'),
+                     '\+?\b\d{{3}}[-. ]\d{{3}}[-. ]\d{{4}}\b', '[PHONE]', 'g') AS text
+          FROM normed
+        )
+        SELECT SUM(CAST(ceil(
+            len(regexp_extract_all(text, '\s*(?:[A-Za-z]+|\d{{1,3}}|[^\sA-Za-z\d]+)'))
+            / {cfg.chunk_tokens}.0) AS BIGINT))
+        FROM scrubbed
+    """).fetchone()[0]
+    got_chunks = len(rows)
+    if report["chunks"] != got_chunks:
+        failures.append(("corpus_pipeline", "report chunks != packed rows"))
+        print("FAIL corpus_pipeline: report chunks != packed rows")
+    elif expected_chunks != got_chunks:
+        failures.append(
+            ("corpus_pipeline", f"chunks {got_chunks} != DuckDB {expected_chunks}")
+        )
+        print(
+            f"FAIL corpus_pipeline (partial oracle): chunk count {got_chunks} "
+            f"!= DuckDB-replayed {expected_chunks}"
+        )
+    else:
+        over = {}
+        for r in rows:
+            over.setdefault((r["split"], r["pack_id"]), 0)
+            over[(r["split"], r["pack_id"])] += r["n_tokens"]
+        multi = [k for k, v in over.items() if v > cfg.pack_budget]
+        # a pack may exceed budget only if it is a single over-budget chunk
+        singles = {
+            k for k in multi
+            if sum(1 for r in rows if (r["split"], r["pack_id"]) == k) == 1
+        }
+        if set(multi) - singles:
+            failures.append(("corpus_pipeline", "multi-chunk pack over budget"))
+            print("FAIL corpus_pipeline: multi-chunk pack over budget")
+        else:
+            print(
+                f"ok   corpus_pipeline  (partial oracle: chunk count "
+                f"{got_chunks} == DuckDB replay over the {len(surviving)} "
+                f"surviving docs; all {len(over)} packs within budget)"
+            )
+    return failures
+
+
 def differential_bpe_check(spark) -> list:
     """Differential oracle for ``bpe_tokenize``: DuckDB independently
     computes the corpus word frequencies; an independent pure-Python
@@ -442,6 +649,12 @@ def main():
         failures += differential_bpe_check(spark)
     if not only or "span_dedup_incremental" in only:
         failures += differential_span_incremental_check(spark)
+    if not only or "dedup_incremental" in only:
+        failures += differential_dedup_incremental_check(spark)
+    if not only or "pack_sequences" in only:
+        failures += differential_packing_check(spark)
+    if not only or "corpus_pipeline" in only:
+        failures += differential_corpus_pipeline_check(spark, con)
     if failures:
         print(f"\n{len(failures)} FAILURES: {[f[0] for f in failures]}")
         sys.exit(1)
