@@ -1019,6 +1019,26 @@ def q_multimodal_real_decode(spark, sf):
     ).orderBy("media_id")
 
 
+def q_multimodal_jpeg(spark, sf):
+    """REAL baseline-JPEG decode end-to-end (functions/jpegcodec.py — pure
+    numpy DCT + canonical Huffman, no PIL): piecewise-flat grayscale images
+    where the quality-76 luma DC quantizer (exactly 8) makes every 8x8
+    block's round-trip BIT-EXACT, so the full encode -> entropy-code ->
+    decode -> mean path is VALUE-oracled by plain DuckDB arithmetic while
+    the payload still exercises multi-block Huffman + DC prediction."""
+    from linkml_store_spark.operators.multimodal import (
+        codec_decode,
+        extract_features,
+        jpeg_media_df,
+    )
+
+    media = jpeg_media_df(spark, n=16)
+    feats = extract_features(media, decode_fn=codec_decode)
+    return feats.select(
+        "media_id", F.round("mean_pixel", 6).alias("mean_pixel")
+    ).orderBy("media_id")
+
+
 def q_multimodal_audio(spark, sf):
     """REAL audio decode end-to-end: deterministic sine clips encoded as
     16-bit PCM WAV by the pure-stdlib codec, decoded + featurized
@@ -1640,6 +1660,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_ops": q_set_ops,
     "multimodal_features": q_multimodal_features,
     "multimodal_real_decode": q_multimodal_real_decode,
+    "multimodal_jpeg": q_multimodal_jpeg,
     "multimodal_audio": q_multimodal_audio,
     "multimodal_frames": q_multimodal_frames,
     "ann_ivf": q_ann_ivf,
@@ -2319,6 +2340,17 @@ ORACLES: dict[str, str] = {
         SELECT i AS media_id,
                ROUND(SUM(s)::DOUBLE / (COUNT(*) * 3), 6) AS mean_pixel
         FROM px GROUP BY i ORDER BY i
+    """,
+    "multimodal_jpeg": """
+        WITH blocks AS (
+          SELECT i.i, ((i.i * 31 + bx.bx * 17 + by.by * 29) % 256) AS v
+          FROM (SELECT unnest(range(16)) AS i) i,
+               (SELECT unnest(range(4)) AS bx) bx,
+               (SELECT unnest(range(3)) AS by) by
+        )
+        SELECT i AS media_id,
+               ROUND(AVG(v::DOUBLE), 6) AS mean_pixel
+        FROM blocks GROUP BY i ORDER BY i
     """,
     "multimodal_features": """
         SELECT doc_id AS media_id,

@@ -43,9 +43,12 @@ _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
 def sniff_format(data: bytes) -> str:
-    """Magic-byte format detection: 'png' | 'ppm' | 'pgm' | 'bmp' | 'unknown'."""
+    """Magic-byte format detection:
+    'png' | 'jpeg' | 'ppm' | 'pgm' | 'bmp' | 'unknown'."""
     if data[:8] == _PNG_SIG:
         return "png"
+    if data[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     if data[:2] == b"P6":
         return "ppm"
     if data[:2] == b"P5":
@@ -57,17 +60,21 @@ def sniff_format(data: bytes) -> str:
 
 def decode_image(data: bytes) -> np.ndarray:
     """Dispatch on magic bytes; raises NotImplementedError for formats that
-    genuinely need a codec library (JPEG/GIF/WEBP/...)."""
+    genuinely need a codec library (GIF/WEBP/progressive JPEG/...)."""
     fmt = sniff_format(data)
     if fmt == "png":
         return decode_png(data)
+    if fmt == "jpeg":
+        from linkml_store_spark.functions.jpegcodec import decode_jpeg
+
+        return decode_jpeg(data)
     if fmt in ("ppm", "pgm"):
         return decode_ppm(data)
     if fmt == "bmp":
         return decode_bmp(data)
     raise NotImplementedError(
-        "payload is not a PNG/PPM/PGM/BMP; lossy formats (e.g. JPEG) need an "
-        "image library — pass decode_fn=..."
+        "payload is not a PNG/JPEG/PPM/PGM/BMP; other formats (GIF/WEBP/...) "
+        "need an image library — pass decode_fn=..."
     )
 
 

@@ -4,16 +4,18 @@ North-star extension: image/audio/video ride as opaque ``binary`` columns
 with a struct of metadata; decode / feature-extract / resize / frame-sample
 run as Arrow-batched ``mapInPandas`` stages.
 
-The decode step is REAL for lossless container formats: PNG / PPM / PGM /
-BMP decode, nearest-neighbor resize, and re-encode are implemented
-pure-stdlib in ``functions/imagecodec.py`` (zlib + struct + numpy — no PIL
-needed), used by ``codec_decode`` and the default ``resize_images`` path.
-Only DCT-family formats (JPEG &c.) and audio remain behind the library
-gate: for those, ``decode_fn=None`` on ``extract_features`` falls back to
-a deterministic fake (pixels seeded from the payload hash) so the
+The decode step is REAL for PNG / PPM / PGM / BMP (pure-stdlib,
+``functions/imagecodec.py``) AND baseline sequential JPEG — the dominant
+crawl format — via the built-in numpy DCT/Huffman codec
+(``functions/jpegcodec.py``; 4:4:4 / 4:2:2 / 4:2:0 / grayscale), all used
+by ``codec_decode`` and the default ``resize_images`` path. Only
+progressive JPEG, GIF/WEBP, and exotic audio containers remain behind the
+library gate: for those, ``decode_fn=None`` on ``extract_features`` falls
+back to a deterministic fake (pixels seeded from the payload hash) so the
 Spark-side plumbing — schema, batch shape, partition behavior, UDF
 signatures — stays testable; swap in a PIL/torchaudio ``decode_fn`` and
-nothing else changes.
+nothing else changes (recommended for throughput: the built-in JPEG
+Huffman loop is reference-grade Python, libjpeg-turbo is ~100x).
 
 Scale notes: binary columns are parquet-native; mapInPandas streams Arrow
 batches so a 100 TB image table never materializes rows in Python lists;
@@ -87,6 +89,44 @@ def codec_decode(payload: bytes, width: int, height: int) -> np.ndarray:
     from linkml_store_spark.functions.imagecodec import decode_image
 
     return decode_image(payload)
+
+
+def jpeg_media_df(spark, n: int = 16, width: int = 32, height: int = 24) -> DataFrame:
+    """Media table with REAL baseline-JPEG payloads (functions/jpegcodec.py).
+
+    Images are PIECEWISE-FLAT grayscale on the 8x8 block grid with block
+    value ``(i*31 + bx*17 + by*29) % 256``. At quality 76 the luma DC
+    quantizer is exactly 8, so a flat block's only nonzero coefficient
+    round-trips losslessly (DC_q = v - 128 exactly) — the decode is
+    BIT-EXACT despite JPEG being lossy in general, which makes the whole
+    encode -> Huffman -> decode -> mean path value-oracleable by plain
+    arithmetic while still exercising multi-block entropy coding and the
+    DC prediction chain (block-to-block diffs are nonzero)."""
+    from linkml_store_spark.functions.jpegcodec import encode_jpeg
+
+    assert width % 8 == 0 and height % 8 == 0
+    rows = []
+    for i in range(n):
+        img = np.empty((height, width), dtype=np.uint8)
+        for by in range(height // 8):
+            for bx in range(width // 8):
+                img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    i * 31 + bx * 17 + by * 29
+                ) % 256
+        rows.append(
+            {
+                "media_id": i,
+                "kind": "image",
+                "payload": bytearray(encode_jpeg(img, quality=76)),
+                "meta": {
+                    "format": "jpeg",
+                    "width": width,
+                    "height": height,
+                    "duration_ms": 0,
+                },
+            }
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
 def real_media_df(spark, n: int = 16) -> DataFrame:
