@@ -123,9 +123,12 @@ def build_queries(spark, sf, qv=None):
         ),
         # b10: latest event per user — max_by aggregate (argmax_per_key),
         # partial-aggregates map-side; measured 4.5x over the row_number
-        # window on skewed keys (SCALING.md)
-        "b10": argmax_per_key(events, "user_id", ["ts", "event_id"]).select(
-            "user_id", "event_id"
+        # window on skewed keys (SCALING.md). payload_cols prunes the
+        # carried struct to the two output columns (Catalyst can't prune
+        # inside an aggregate argument)
+        "b10": argmax_per_key(
+            events, "user_id", ["ts", "event_id"],
+            payload_cols=["user_id", "event_id"],
         ),
         # b11: hourly time-bucket agg
         "b11": windowed_event_counts_batch(events),

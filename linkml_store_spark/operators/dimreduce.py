@@ -142,19 +142,137 @@ def tsne_project(
         return _tsne_numpy(mat, seed=seed, **tsne_kwargs)
 
 
+def _umap_fit_ab(min_dist: float = 0.1, spread: float = 1.0):
+    """Fit the (a, b) curve parameters so 1/(1+a·d^{2b}) approximates the
+    piecewise target exp(-(d-min_dist)/spread) for d > min_dist, 1 below —
+    the same least-squares fit umap-learn runs, done with a coarse-to-fine
+    grid (no scipy needed). Deterministic."""
+    import numpy as np
+
+    xs = np.linspace(0, spread * 3, 300)
+    target = np.where(xs < min_dist, 1.0, np.exp(-(xs - min_dist) / spread))
+
+    def sse(a, b):
+        return float(((1.0 / (1.0 + a * xs ** (2 * b)) - target) ** 2).sum())
+
+    best = (1.0, 1.0)
+    for _ in range(4):  # refine around the best point
+        a0, b0 = best
+        grid_a = np.linspace(max(a0 * 0.25, 1e-3), a0 * 4, 25)
+        grid_b = np.linspace(max(b0 * 0.5, 0.1), b0 * 2, 25)
+        best = min(((a, b) for a in grid_a for b in grid_b), key=lambda ab: sse(*ab))
+    return best
+
+
+def _umap_numpy(
+    X,
+    n_components: int = 2,
+    n_neighbors: int = 15,
+    min_dist: float = 0.1,
+    n_epochs: int = 200,
+    negative_sample_rate: int = 5,
+    learning_rate: float = 1.0,
+    seed: int = 42,
+):
+    """UMAP (McInnes, Healy & Melville 2018), pure numpy.
+
+    The paper's pipeline on an exact kNN graph: per-point rho (distance to
+    the nearest neighbor) and sigma binary-searched so the smoothed kNN
+    weights sum to log2(k); fuzzy-union symmetrization W + Wt - W*Wt; PCA
+    init; per-epoch SGD where each edge attracts with probability w/w_max
+    (the cadence umap-learn's epochs_per_sample schedule produces in
+    expectation) plus ``negative_sample_rate`` uniform repulsions, with the
+    paper's gradient clipping and linearly decaying step. O(n^2) kNN —
+    correct for the visualization-sized samples this operator feeds; the
+    distributed path for full corpora is PCA. Deterministic per seed.
+    """
+    import numpy as np
+
+    X = np.asarray(X, dtype=np.float64)
+    n = len(X)
+    k = min(n_neighbors, n - 1)
+    ss = (X * X).sum(axis=1)
+    D = np.sqrt(np.maximum(ss[:, None] + ss[None, :] - 2.0 * (X @ X.T), 0.0))
+    np.fill_diagonal(D, np.inf)
+    knn_idx = np.argsort(D, axis=1)[:, :k]
+    knn_d = np.take_along_axis(D, knn_idx, axis=1)
+
+    # smooth kNN distances (paper Algorithm 3)
+    target = np.log2(k)
+    rho = knn_d[:, 0].copy()
+    sigma = np.empty(n)
+    for i in range(n):
+        lo, hi, mid = 0.0, np.inf, 1.0
+        d = np.maximum(knn_d[i] - rho[i], 0.0)
+        for _ in range(64):
+            s = np.exp(-d / mid).sum()
+            if abs(s - target) < 1e-5:
+                break
+            if s > target:
+                hi, mid = mid, (lo + mid) / 2
+            else:
+                lo, mid = mid, mid * 2 if hi == np.inf else (mid + hi) / 2
+        sigma[i] = mid
+    W = np.exp(-np.maximum(knn_d - rho[:, None], 0.0) / sigma[:, None])
+
+    # fuzzy union on the sparse edge list
+    heads = np.repeat(np.arange(n), k)
+    tails = knn_idx.ravel()
+    w = W.ravel()
+    M = np.zeros((n, n))
+    M[heads, tails] = w
+    M = M + M.T - M * M.T
+    ei, ej = np.nonzero(np.triu(M, 1))
+    ew = M[ei, ej]
+    if len(ew) == 0:
+        rng = np.random.RandomState(seed)
+        return rng.randn(n, n_components) * 1e-2
+
+    a, b = _umap_fit_ab(min_dist)
+    # deterministic PCA init scaled to the usual 10-unit box
+    Xc = X - X.mean(axis=0)
+    _, _, Vt = np.linalg.svd(Xc, full_matrices=False)
+    Y = Xc @ Vt[:n_components].T
+    Y = 10.0 * Y / max(np.abs(Y).max(), 1e-12)
+
+    rng = np.random.RandomState(seed)
+    p_edge = ew / ew.max()
+    for epoch in range(n_epochs):
+        alpha = learning_rate * (1.0 - epoch / n_epochs)
+        active = rng.rand(len(ew)) < p_edge
+        hi_, ti_ = ei[active], ej[active]
+        d = Y[hi_] - Y[ti_]
+        d2 = (d * d).sum(axis=1)
+        g = (-2.0 * a * b * d2 ** (b - 1.0)) / (1.0 + a * d2 ** b)
+        g[d2 <= 0] = 0.0
+        upd = np.clip(g[:, None] * d, -4.0, 4.0) * alpha
+        np.add.at(Y, hi_, upd)
+        np.add.at(Y, ti_, -upd)
+        for _ in range(negative_sample_rate):
+            neg = rng.randint(0, n, size=len(hi_))
+            dn = Y[hi_] - Y[neg]
+            dn2 = (dn * dn).sum(axis=1)
+            gr = (2.0 * b) / ((0.001 + dn2) * (1.0 + a * dn2 ** b))
+            gr[neg == hi_] = 0.0
+            np.add.at(Y, hi_, np.clip(gr[:, None] * dn, -4.0, 4.0) * alpha)
+    return Y - Y.mean(axis=0)
+
+
 def umap_project(df: DataFrame, vector_col: str, sample_size: int = 5000, seed: int = 42, **kwargs):
-    """UMAP on a bounded sample — same optional-dependency gate as t-SNE."""
+    """UMAP on a bounded distributed sample (driver-side algorithm, like the
+    reference's plotting path, dimensionality_reduction.py:31-450). Uses
+    umap-learn when installed; otherwise the built-in numpy implementation
+    (``_umap_numpy``) — no optional dependency required. PCA (pca_project)
+    remains the distributed path for full-corpus projection."""
     rows = (
         df.select(vector_col).sample(fraction=1.0, seed=seed).limit(sample_size).collect()
     )
-    try:
-        import umap  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "UMAP requires umap-learn (not installed); PCA (pca_project) is "
-            "the distributed alternative"
-        ) from e
     import numpy as np
 
     mat = np.array([r[0] for r in rows], dtype=float)
-    return umap.UMAP(**kwargs).fit_transform(mat)
+    try:
+        import umap  # noqa: F401
+
+        return umap.UMAP(random_state=seed, **kwargs).fit_transform(mat)
+    except ImportError:
+        return _umap_numpy(mat, seed=seed, **kwargs)

@@ -52,6 +52,7 @@ def argmax_per_key(
     df: DataFrame,
     partition_by: Union[str, List[str]],
     order_cols: List[str],
+    payload_cols: List[str] = None,
 ) -> DataFrame:
     """Skew-immune latest/argmax per key: the full row holding the maximum
     ``order_cols`` tuple within each key, via a ``max_by`` aggregate.
@@ -62,11 +63,18 @@ def argmax_per_key(
     on a 20M-row table where one key owns 50% of rows (SCALING.md).
     Results are identical and deterministic when ``order_cols`` form a
     total order within each key (include a unique id as tiebreaker).
+
+    ``payload_cols`` bounds the carried row: Catalyst cannot prune columns
+    INSIDE an aggregate's struct argument, so by default every column rides
+    through the per-row struct build and the agg hash-map buffer — callers
+    that need only a few columns should name them (the output is exactly
+    ``payload_cols``; include the key if you want it back).
     """
     if isinstance(partition_by, str):
         partition_by = [partition_by]
+    carry = payload_cols or df.columns
     ord_struct = F.struct(*[F.col(c) for c in order_cols])
-    row = F.max_by(F.struct(*[F.col(c) for c in df.columns]), ord_struct)
+    row = F.max_by(F.struct(*[F.col(c) for c in carry]), ord_struct)
     return df.groupBy(*partition_by).agg(row.alias("__row")).select("__row.*")
 
 

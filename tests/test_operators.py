@@ -163,3 +163,39 @@ def test_tsne_separates_clusters():
     within = d[same].mean()
     between = d[(~same)].mean()
     assert within * 3 < between
+
+
+def test_umap_separates_clusters_and_is_deterministic():
+    # built-in numpy UMAP: three well-separated 16-d Gaussians must stay
+    # separated in the 2-d embedding (inter-centroid distance >> intra
+    # spread), and the layout is a pure function of the seed
+    import numpy as np
+
+    from linkml_store_spark.operators.dimreduce import _umap_numpy
+
+    rng = np.random.RandomState(0)
+    centers = rng.randn(3, 16) * 8
+    X = np.vstack([c + rng.randn(60, 16) for c in centers])
+    labels = np.repeat([0, 1, 2], 60)
+    Y = _umap_numpy(X, n_neighbors=10, n_epochs=120, seed=1)
+    assert Y.shape == (180, 2)
+    intra = [
+        np.linalg.norm(Y[labels == a] - Y[labels == a].mean(axis=0), axis=1).mean()
+        for a in range(3)
+    ]
+    inter = [
+        np.linalg.norm(Y[labels == a].mean(axis=0) - Y[labels == b].mean(axis=0))
+        for a in range(3)
+        for b in range(a + 1, 3)
+    ]
+    assert min(inter) > 2 * max(intra), (min(inter), max(intra))
+    assert np.array_equal(Y, _umap_numpy(X, n_neighbors=10, n_epochs=120, seed=1))
+
+
+def test_umap_project_runs_without_umap_learn(spark, sf_dir):
+    from linkml_store_spark.operators.dimreduce import umap_project
+    from linkml_store_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    y = umap_project(emb, "embedding", sample_size=40, n_epochs=30)
+    assert y.shape == (40, 2)
