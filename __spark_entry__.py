@@ -149,6 +149,26 @@ def q_sort_topk(spark, sf):
     )
 
 
+def q_topk_pruned(spark, sf):
+    """Statistics-pruned top-k (operators/topk.py): parquet footer min/max
+    derive a provably-safe threshold (k-th largest row-group max vs the
+    min-mass bound) pushed into the scan, so row groups below it are never
+    read. Identical result to plain ORDER BY ... LIMIT — the oracle IS the
+    plain SQL."""
+    import os
+
+    from linkml_store_spark.operators.topk import topk_stats_pruned
+
+    return topk_stats_pruned(
+        spark,
+        os.path.join(sf, "orders.parquet"),
+        "o_totalprice",
+        k=10,
+        select_cols=["o_orderkey", "o_totalprice"],
+        tiebreakers=[F.asc("o_orderkey")],
+    )
+
+
 def q_distinct_status(spark, sf):
     return _t(spark, sf, "orders").select("o_orderstatus").distinct()
 
@@ -1603,6 +1623,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "find_size": q_find_size,
     "find_mod": q_find_mod,
     "sort_topk": q_sort_topk,
+    "topk_pruned": q_topk_pruned,
     "distinct_status": q_distinct_status,
     "facet_priority": q_facet_priority,
     "facet_multiselect": q_facet_multiselect,
@@ -1742,6 +1763,10 @@ ORACLES: dict[str, str] = {
         FROM orders WHERE o_orderkey % 4 = 2
     """,
     "sort_topk": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+    "topk_pruned": """
         SELECT o_orderkey, o_totalprice FROM orders
         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
     """,

@@ -1,0 +1,152 @@
+"""Statistics-pruned top-k over parquet: turn footer min/max into a
+provably-safe scan filter.
+
+``ORDER BY col DESC LIMIT k`` on a 100 TB table is a full scan in stock
+Spark (TakeOrderedAndProject heaps still READ everything). But parquet
+footers already carry per-row-group min/max for every column, and a safe
+threshold derived from them turns the top-k into a pushed-down range scan:
+
+  * **one-per-group bound** — the k-th largest row-group MAX is <= the
+    k-th largest value overall (each of those k groups contributes at
+    least one value, its max, that is >= the threshold);
+  * **min-mass bound** — sort groups by MIN descending and accumulate row
+    counts until >= k: every one of those >= k rows is >= that group's
+    min, so the k-th largest value is >= it too.
+
+τ = the larger of the two bounds; ``col >= τ`` then reaches the scan as a
+PushedFilter, so row groups whose max < τ are never read and surviving
+pages are range-filtered before the heap. On time-ordered, clustered, or
+Z-ordered data (operators/scale.write_clustered / write_zordered) the scan
+collapses to ~k rows' worth of groups; on adversarially uniform data the
+filter still discards almost every row before the sort. Falls back to the
+plain TakeOrdered plan whenever statistics are missing.
+
+The footer read is planning-time work on the DRIVER: one metadata fetch
+per file (no data IO) — the same footer listing Spark itself performs.
+String columns are NOT pruned (parquet may truncate string min/max, so
+the bound would be unsafe); numeric, date, and timestamp columns are.
+
+Reference parity: the reference's find+sort surface
+(src/linkml_store/api/collection.py sort/limit) has no statistics
+pruning — north-star scale extension.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: parquet physical types whose min/max statistics are exact (strings /
+#: byte arrays may be truncated by writers — unsafe to prune on)
+_SAFE_PHYSICAL = {"INT32", "INT64", "FLOAT", "DOUBLE", "BOOLEAN"}
+
+
+def _row_group_stats(path: str, col: str):
+    """[(min, max, non_null_rows)] across every row group of every file
+    under ``path``; None when any group lacks exact stats for ``col``.
+    Row mass is NON-NULL rows (parquet min/max ignore nulls, so the
+    min-mass bound must too — and a table whose non-null mass <= k must
+    not be pruned at all: the plain plan's nulls-last tail would differ).
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(dp, f)
+            for dp, _dn, fns in os.walk(path)
+            for f in fns
+            if f.endswith(".parquet")
+        )
+    else:
+        files = [path]
+    if not files:
+        return None
+    out = []
+    for fp in files:
+        md = pq.ParquetFile(fp).metadata
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            c = None
+            for j in range(rg.num_columns):
+                if rg.column(j).path_in_schema == col:
+                    c = rg.column(j)
+                    break
+            if c is None:
+                return None
+            st = c.statistics
+            if (
+                st is None
+                or not st.has_min_max
+                or not st.has_null_count
+                or c.physical_type not in _SAFE_PHYSICAL
+            ):
+                return None
+            out.append((st.min, st.max, rg.num_rows - st.null_count))
+    return out
+
+
+def topk_threshold(stats, k: int, descending: bool = True):
+    """The provably-safe τ from row-group stats, or None when no bound
+    beats scanning (e.g. k exceeds the total row count)."""
+    if not stats or sum(r for _, _, r in stats) <= k:
+        return None
+    if descending:
+        maxes = sorted((mx for _mn, mx, _r in stats), reverse=True)
+        bound1 = maxes[k - 1] if len(maxes) >= k else None
+        best = None
+        acc = 0
+        for mn, _mx, r in sorted(stats, key=lambda t: t[0], reverse=True):
+            acc += r
+            best = mn
+            if acc >= k:
+                break
+        bound2 = best if acc >= k else None
+        cands = [b for b in (bound1, bound2) if b is not None]
+        return max(cands) if cands else None
+    mins = sorted(mn for mn, _mx, _r in stats)
+    bound1 = mins[k - 1] if len(mins) >= k else None
+    best = None
+    acc = 0
+    for _mn, mx, r in sorted(stats, key=lambda t: t[1]):
+        acc += r
+        best = mx
+        if acc >= k:
+            break
+    bound2 = best if acc >= k else None
+    cands = [b for b in (bound1, bound2) if b is not None]
+    return min(cands) if cands else None
+
+
+def topk_stats_pruned(
+    spark: SparkSession,
+    path: str,
+    value_col: str,
+    k: int = 10,
+    descending: bool = True,
+    select_cols: Optional[Sequence[str]] = None,
+    tiebreakers: Optional[List] = None,
+) -> DataFrame:
+    """Top-k rows of a parquet table by ``value_col``, with the footer-
+    statistics threshold pushed into the scan. Identical result to the
+    plain ``orderBy(...).limit(k)`` plan (pinned by test + oracle);
+    ``tiebreakers`` (list of Columns) make the result deterministic under
+    value ties."""
+    df = spark.read.parquet(path)
+    tau = None
+    try:
+        tau = topk_threshold(_row_group_stats(path, value_col), k, descending)
+    except Exception:  # noqa: BLE001 — stats are an optimization, never a risk
+        tau = None
+    if tau is not None:
+        df = df.filter(
+            F.col(value_col) >= tau if descending else F.col(value_col) <= tau
+        )
+    if select_cols:
+        df = df.select(*select_cols)
+    order = [F.desc(value_col) if descending else F.asc(value_col)]
+    order += list(tiebreakers or [])
+    return df.orderBy(*order).limit(k)

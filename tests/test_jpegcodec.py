@@ -203,3 +203,30 @@ def test_jpeg_media_distributed_decode(spark):
             [(i * 31 + bx * 17 + by * 29) % 256 for by in range(3) for bx in range(4)]
         )
         assert abs(got[i] - expect) < 1e-9, (i, got[i], expect)
+
+
+# ------------------------------------------------------------------ #
+# property-based
+# ------------------------------------------------------------------ #
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(1, 20), st.integers(1, 20), st.sampled_from([1, 3]),
+       st.integers(5, 100), st.integers(0, 999))
+def test_jpeg_property_roundtrip_shape_and_bound(h, w, c, q, seed):
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (h, w) if c == 1 else (h, w, c), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=q))
+    assert out.shape == (h, w, c)
+    assert out.dtype == np.uint8
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(0, 255), st.integers(1, 3), st.integers(1, 4))
+def test_jpeg_property_flat_blocks_exact_at_q76(v, bh, bw_):
+    # every flat 8x8-block grayscale image is bit-exact at quality 76
+    img = np.full((bh * 8, bw_ * 8), v, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=76))
+    assert np.array_equal(out[:, :, 0], img)

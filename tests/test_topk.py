@@ -1,0 +1,124 @@
+"""Statistics-pruned top-k (operators/topk.py): threshold math, result
+parity with the plain TakeOrdered plan, pushdown plan shape, and the
+clustered-data case where pruning actually skips row groups."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from linkml_store_spark.operators.topk import (
+    topk_stats_pruned,
+    topk_threshold,
+)
+
+
+def test_threshold_math_descending():
+    # groups: (min, max, non_null_rows)
+    stats = [(0, 100, 5), (50, 90, 5), (80, 85, 5)]
+    # k=2: one-per-group bound = 2nd largest max = 90; min-mass: sorted by
+    # min desc -> (80,..5) already >= 2 rows -> 80. tau = max(90, 80) = 90
+    assert topk_threshold(stats, 2, descending=True) == 90
+    # k=10: only 3 maxes -> one-per-group unavailable; min-mass: 80-group
+    # has 5 rows, add 50-group -> 10 rows -> tau = 50
+    assert topk_threshold(stats, 10, descending=True) == 50
+    # k >= total non-null mass: no pruning
+    assert topk_threshold(stats, 15, descending=True) is None
+
+
+def test_threshold_math_ascending():
+    stats = [(0, 100, 5), (50, 90, 5), (80, 85, 5)]
+    # k=2 ascending: 2nd smallest min = 50; max-mass: group with smallest
+    # max (85) has 5 rows >= 2 -> 85. tau = min(50, 85) = 50
+    assert topk_threshold(stats, 2, descending=False) == 50
+
+
+def test_threshold_null_mass():
+    # a group whose rows are mostly null must not inflate the min-mass
+    # bound (non-null counts are what the caller passes)
+    stats = [(99, 100, 1), (0, 98, 50)]
+    # k=5 descending: one-per-group needs 5 groups (unavailable);
+    # min-mass: min=99 group has only 1 non-null -> must include min=0
+    assert topk_threshold(stats, 5, descending=True) == 0
+
+
+def test_parity_with_plain_plan(spark, sf_dir):
+    path = os.path.join(sf_dir, "orders.parquet")
+    pruned = topk_stats_pruned(
+        spark, path, "o_totalprice", k=10,
+        select_cols=["o_orderkey", "o_totalprice"],
+        tiebreakers=[F.asc("o_orderkey")],
+    ).collect()
+    plain = (
+        spark.read.parquet(path)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .collect()
+    )
+    assert [tuple(r) for r in pruned] == [tuple(r) for r in plain]
+
+
+def test_parity_ascending(spark, sf_dir):
+    path = os.path.join(sf_dir, "orders.parquet")
+    pruned = topk_stats_pruned(
+        spark, path, "o_totalprice", k=7, descending=False,
+        select_cols=["o_orderkey", "o_totalprice"],
+        tiebreakers=[F.asc("o_orderkey")],
+    ).collect()
+    plain = (
+        spark.read.parquet(path)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(7)
+        .collect()
+    )
+    assert [tuple(r) for r in pruned] == [tuple(r) for r in plain]
+
+
+def test_filter_reaches_scan(spark, sf_dir):
+    path = os.path.join(sf_dir, "orders.parquet")
+    q = topk_stats_pruned(spark, path, "o_totalprice", k=10)
+    s = q._sc._jvm.PythonSQLUtils.explainString(q._jdf.queryExecution(), "formatted")
+    assert "GreaterThanOrEqual(o_totalprice" in s, s
+
+
+def test_clustered_data_prunes_row_groups(spark, tmp_path):
+    # range-partition + sort by the value column (the write_clustered
+    # layout): the threshold lands in the top slice and row groups below
+    # it are skipped by pushdown
+    path = str(tmp_path / "clustered")
+    n = 20000
+    df = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") * 7 % n).cast("double").alias("v")
+    )
+    df.repartitionByRange(8, "v").sortWithinPartitions("v").write.parquet(path)
+    out = topk_stats_pruned(
+        spark, path, "v", k=5, tiebreakers=[F.asc("k")]
+    ).collect()
+    expect = (
+        spark.read.parquet(path).orderBy(F.desc("v"), F.asc("k")).limit(5).collect()
+    )
+    assert [tuple(r) for r in out] == [tuple(r) for r in expect]
+    from linkml_store_spark.operators.topk import _row_group_stats
+
+    stats = _row_group_stats(path, "v")
+    tau = topk_threshold(stats, 5)
+    # pruning is real: most row groups' max falls below tau
+    prunable = sum(1 for _mn, mx, _r in stats if mx < tau)
+    assert prunable >= len(stats) - 2, (tau, stats)
+
+
+def test_missing_stats_falls_back(spark, tmp_path):
+    # string value column: physical type BYTE_ARRAY is excluded (parquet
+    # may truncate string stats) -> no filter, plain plan, same answer
+    path = str(tmp_path / "strs")
+    df = spark.createDataFrame(
+        [(i, f"name{i:05d}") for i in range(100)], ["id", "name"]
+    )
+    df.coalesce(1).write.parquet(path)
+    out = topk_stats_pruned(
+        spark, path, "name", k=3, tiebreakers=[F.asc("id")]
+    ).collect()
+    assert [r["name"] for r in out] == ["name00099", "name00098", "name00097"]
