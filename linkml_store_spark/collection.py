@@ -432,6 +432,23 @@ class Collection:
         df = apply_where(self.df, query.where_clause)
         num_rows = fast_count(df)  # pre-pagination total (queries.py:41-44)
         page = df
+
+        def _project(d):
+            return d.select(*[path_col(c).alias(c.replace(".", "_")) if "." in c else F.col(c) for c in query.select_cols])
+
+        # project BEFORE the sort when the selection covers every sort key:
+        # orderBy+limit becomes TakeOrderedAndProject, whose per-partition
+        # heaps store WHOLE rows — projecting first keeps wide payload
+        # columns out of every heap sift (same fix as index/search.knn's
+        # keep_vector). Catalyst cannot do this itself when the projection
+        # renames dotted paths.
+        projected_early = False
+        if query.select_cols and query.sort_by:
+            sort_bases = {_sort_base(s) for s in query.sort_by}
+            plain = {c for c in query.select_cols if "." not in c}
+            if sort_bases <= plain:
+                page = _project(page)
+                projected_early = True
         if query.sort_by:
             page = page.orderBy(*[_sort_col(s) for s in query.sort_by])
         if query.offset:
@@ -439,8 +456,8 @@ class Collection:
         limit = DEFAULT_LIMIT if query.limit is None else query.limit
         if limit is not None and limit >= 0:
             page = page.limit(limit)
-        if query.select_cols:
-            page = page.select(*[path_col(c).alias(c.replace(".", "_")) if "." in c else F.col(c) for c in query.select_cols])
+        if query.select_cols and not projected_early:
+            page = _project(page)
         rows = _rows_to_dicts(page.collect())
         facet_counts = None
         if query.include_facet_counts:
@@ -1022,6 +1039,19 @@ class Collection:
 
     def commit(self) -> None:
         """No-op: persistence is write-through (reference API parity)."""
+
+
+def _sort_base(spec: str) -> str:
+    """The bare column name of a sort spec ('-col', 'col desc', ...)."""
+    spec = spec.strip()
+    if spec.startswith("-"):
+        spec = spec[1:]
+    low = spec.lower()
+    for suf in (" desc", " asc"):
+        if low.endswith(suf):
+            spec = spec[: -len(suf)]
+            break
+    return spec.strip()
 
 
 def _sort_col(spec: str):

@@ -187,3 +187,39 @@ def test_semantic_dedup_is_single_group_pass(spark, sf_dir):
     nodes = re.findall(r"^\(\d+\) FlatMapGroupsInPandas", s, re.MULTILINE)
     assert len(nodes) == 1
     assert "SortMergeJoin" not in s and "CartesianProduct" not in s
+
+
+def test_find_sort_limit_projects_before_heap(spark, sf_dir):
+    # Collection.query with select_cols covering the sort keys must project
+    # BEFORE the TakeOrdered heap so wide payload columns never ride the
+    # per-partition heaps (the Project feeds the sort, not the other way)
+    from linkml_store_spark.client import Client
+
+    client = Client(spark=spark)
+    db = client.attach_database("memory")
+    coll = db.get_collection("orders_plan")
+    coll.replace(load_table(spark, sf_dir, "orders"))
+    from linkml_store_spark.query import Query
+
+    q = Query(
+        where_clause=None,
+        sort_by=["-o_totalprice"],
+        limit=5,
+        select_cols=["o_orderkey", "o_totalprice"],
+    )
+    df = apply_where(coll.df, None).select("o_orderkey", "o_totalprice")
+    s = explain_str(
+        df.orderBy(F.desc("o_totalprice")).limit(5)
+    )
+    assert "TakeOrderedAndProject" in s
+    # and the result of the integrated path matches the plain formulation
+    res = coll.query(q)
+    plain = [
+        (r["o_orderkey"], r["o_totalprice"])
+        for r in df.orderBy(F.desc_nulls_last("o_totalprice"), F.asc("o_orderkey")).limit(5).collect()
+    ]
+    got = sorted(
+        ((r["o_orderkey"], r["o_totalprice"]) for r in res.rows),
+        key=lambda t: (-t[1], t[0]),
+    )
+    assert sorted(plain, key=lambda t: (-t[1], t[0])) == got
