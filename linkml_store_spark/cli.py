@@ -712,5 +712,41 @@ def sample_tokens_cmd(obj: Context, budget, text_col, by, output_type, output):
     _render([r.asDict(recursive=True) for r in df.collect()], output_type, output)
 
 
+@cli.command(name="project")
+@click.option("--method", type=click.Choice(["pca", "tsne", "umap"]),
+              default="pca", show_default=True)
+@click.option("--vector-col", default="embedding", show_default=True)
+@click.option("-k", "--components", default=2, show_default=True)
+@click.option("--sample-size", default=2000, show_default=True,
+              help="bounded sample for the driver-side methods (tsne/umap)")
+@OUTPUT_OPT
+@OUTPUT_FILE_OPT
+@click.pass_obj
+def project_cmd(obj: Context, method, vector_col, components, sample_size,
+                output_type, output):
+    """Dimensionality-reduction projection of an embedding column
+    (reference plotting/dimensionality_reduction.py): PCA is distributed
+    (Spark ML); t-SNE/UMAP run on a bounded sample with built-in numpy
+    implementations (sklearn/umap-learn used when installed)."""
+    from linkml_store_spark.operators.dimreduce import (
+        pca_project,
+        tsne_project,
+        umap_project,
+    )
+
+    df = obj.collection.df
+    if method == "pca":
+        out = pca_project(df, vector_col, k=components)
+        rows = [r.asDict(recursive=True) for r in out.collect()]
+    else:
+        fn = tsne_project if method == "tsne" else umap_project
+        coords = fn(df, vector_col, sample_size=sample_size)
+        rows = [
+            {"idx": i, **{f"c{j}": float(v) for j, v in enumerate(row)}}
+            for i, row in enumerate(coords)
+        ]
+    _render(rows, output_type, output)
+
+
 if __name__ == "__main__":
     cli()

@@ -270,3 +270,25 @@ def test_cli_corpus_hygiene_verbs(wh, tmp_path, spark):
     r = _run(["-d", wh, "-c", "docs", "--identifier", "doc_id", "sample-tokens", "--budget", "12"])
     sampled = json.loads(r.output)
     assert 0 < sum(len(x["text"].split()) for x in sampled) <= 12
+
+
+def test_cli_project(wh, spark, sf_dir, tmp_path):
+    import numpy as np
+
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    jl = tmp_path / "emb.jsonl"
+    rows = spark.read.parquet(emb_path).limit(60).collect()
+    with open(jl, "w") as f:
+        for r in rows:
+            f.write(json.dumps({"vec_id": r["vec_id"],
+                                "embedding": [float(x) for x in r["embedding"]]}) + "\n")
+    # distributed PCA: one row per input with a 2-d coordinate array
+    r = _run(["-d", wh, "-c", "emb", "insert", str(jl)])
+    r = _run(["-d", wh, "-c", "emb", "project", "--method", "pca"])
+    out = json.loads(r.output)
+    assert len(out) == 60 and len(out[0]["pca"]) == 2
+    # built-in numpy UMAP on a bounded sample
+    r = _run(["-d", wh, "-c", "emb", "project", "--method", "umap",
+              "--sample-size", "40"])
+    out = json.loads(r.output)
+    assert len(out) == 40 and {"c0", "c1"} <= set(out[0])
