@@ -740,7 +740,9 @@ def project_cmd(obj: Context, method, vector_col, components, sample_size,
         rows = [r.asDict(recursive=True) for r in out.collect()]
     else:
         fn = tsne_project if method == "tsne" else umap_project
-        coords = fn(df, vector_col, sample_size=sample_size)
+        coords = fn(
+            df, vector_col, sample_size=sample_size, n_components=components
+        )
         rows = [
             {"idx": i, **{f"c{j}": float(v) for j, v in enumerate(row)}}
             for i, row in enumerate(coords)

@@ -137,9 +137,23 @@ def tsne_project(
     try:
         from sklearn.manifold import TSNE
 
-        return TSNE(random_state=seed, **tsne_kwargs).fit_transform(mat)
+        kw = dict(tsne_kwargs)
+        kw.setdefault("random_state", seed)
+        return TSNE(**kw).fit_transform(mat)
     except ImportError:
-        return _tsne_numpy(mat, seed=seed, **tsne_kwargs)
+        return _tsne_numpy(mat, seed=tsne_kwargs.get("random_state", seed),
+                           **_accepted_kwargs(_tsne_numpy, tsne_kwargs))
+
+
+def _accepted_kwargs(fn, kwargs):
+    """Subset of ``kwargs`` the numpy fallback's signature accepts —
+    callers hand sklearn/umap-learn parameter names (``metric``,
+    ``n_jobs``, ``random_state``…) that the fallbacks don't take; seed is
+    threaded separately."""
+    import inspect
+
+    allowed = set(inspect.signature(fn).parameters) - {"X", "seed"}
+    return {k: v for k, v in kwargs.items() if k in allowed}
 
 
 def _umap_fit_ab(min_dist: float = 0.1, spread: float = 1.0):
@@ -273,6 +287,9 @@ def umap_project(df: DataFrame, vector_col: str, sample_size: int = 5000, seed: 
     try:
         import umap  # noqa: F401
 
-        return umap.UMAP(random_state=seed, **kwargs).fit_transform(mat)
+        kw = dict(kwargs)
+        kw.setdefault("random_state", seed)
+        return umap.UMAP(**kw).fit_transform(mat)
     except ImportError:
-        return _umap_numpy(mat, seed=seed, **kwargs)
+        return _umap_numpy(mat, seed=kwargs.get("random_state", seed),
+                           **_accepted_kwargs(_umap_numpy, kwargs))

@@ -386,22 +386,30 @@ def duplicate_segment_stats(
     dup_fraction), where a segment is duplicated iff its normalized content
     appears in at least one other document.
 
-    ONE-PASS formulation (same shape as ``duplicated_span_stats``): the
-    per-hash aggregate carries each hash's occurrence list, and occurrences
-    of duplicated hashes explode back out of the already-filtered aggregate
-    — the exploded corpus relation is scanned/shuffled once, not joined
-    against itself a second time.
+    ONE-PASS formulation (same shape as ``duplicated_span_stats``), with
+    every aggregation buffer bounded: occurrences reduce to per
+    (seg_hash, id) counts first (fixed-width rows, map-side combined), a
+    window over the already-reduced relation marks hashes seen in more
+    than one document, and the per-doc sum reads only those rows. A viral
+    boilerplate segment occurring millions of times therefore never
+    accumulates an unbounded array — the widest intermediate is O(distinct
+    docs per hash) fixed-width rows, and the exploded corpus relation is
+    still scanned/shuffled once.
     """
+    from pyspark.sql.window import Window
+
     occ = segment_occurrences(df, text_col, id_col, sep_regex, tokens_per_segment)
-    per_hash = occ.groupBy("seg_hash").agg(
-        F.count_distinct(F.col(id_col)).alias("__n_docs"),
-        F.collect_list(F.col(id_col)).alias("__occ_ids"),
+    per_hash_doc = occ.groupBy("seg_hash", id_col).agg(
+        F.count(F.lit(1)).alias("__n_occ")
     )
+    # rows are already distinct per (hash, doc): the partition row count IS
+    # the distinct-doc count for the hash
+    n_docs = F.count(F.lit(1)).over(Window.partitionBy("seg_hash"))
     dup = (
-        per_hash.filter(F.col("__n_docs") > 1)
-        .select(F.explode("__occ_ids").alias(id_col))
+        per_hash_doc.withColumn("__n_docs", n_docs)
+        .filter(F.col("__n_docs") > 1)
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("dup_segments"))
+        .agg(F.sum("__n_occ").alias("dup_segments"))
     )
     base = df.select(
         F.col(id_col),
@@ -503,11 +511,30 @@ def span_dedup_incremental(
     dup_batch = duplicated_windows(win, id_col, cross_doc_only=True).filter(
         ~F.col("is_canonical")
     ).select(id_col, "start")
-    # … plus any window whose gram was already ingested
+    # … plus any window whose gram was already ingested. An index written
+    # by a pre-double-hash release carries only ``gram_hash``; its second
+    # hash cannot be reconstructed (it hashes the original text), so the
+    # whole index — this batch's appends included — stays in legacy
+    # single-hash mode: joining new-format rows against it would silently
+    # miss, and appending wide rows would leave a mixed-schema directory.
+    legacy_index = False
     if os.path.exists(index_path):
         stored = spark.read.parquet(index_path)
+        legacy_index = "gram_hash2" not in stored.columns
+        if legacy_index:
+            import warnings
+
+            warnings.warn(
+                f"gram index at {index_path} predates 128-bit keys; "
+                "matching on gram_hash alone (64-bit birthday bound). "
+                "Rebuild the index to upgrade.",
+                stacklevel=2,
+            )
+            join_keys = ["gram_hash"]
+        else:
+            join_keys = ["gram_hash", "gram_hash2"]
         dup_hist = win.join(
-            stored, ["gram_hash", "gram_hash2"], "left_semi"
+            stored.select(*join_keys), join_keys, "left_semi"
         ).select(id_col, "start")
         dup = dup_batch.union(dup_hist).distinct()
     else:
@@ -535,10 +562,12 @@ def span_dedup_incremental(
     # append would match the batch against its own just-written grams
     cleaned = cleaned.localCheckpoint(eager=True)
 
-    # append the SURVIVING text's grams (what the corpus now contains)
+    # append the SURVIVING text's grams (what the corpus now contains),
+    # keeping the directory schema-consistent with what is already there
+    gram_cols = ["gram_hash"] if legacy_index else ["gram_hash", "gram_hash2"]
     new_grams = (
         ngram_windows(cleaned, out_col, id_col, k, second_hash=True)
-        .select("gram_hash", "gram_hash2")
+        .select(*gram_cols)
         .distinct()
     )
     new_grams.write.mode("append").parquet(index_path)

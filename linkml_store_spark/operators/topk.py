@@ -131,10 +131,17 @@ def topk_stats_pruned(
     tiebreakers: Optional[List] = None,
 ) -> DataFrame:
     """Top-k rows of a parquet table by ``value_col``, with the footer-
-    statistics threshold pushed into the scan. Identical result to the
-    plain ``orderBy(...).limit(k)`` plan (pinned by test + oracle);
-    ``tiebreakers`` (list of Columns) make the result deterministic under
-    value ties."""
+    statistics threshold pushed into the scan.
+
+    **Null ordering is pinned to NULLS LAST in both directions** (matching
+    DuckDB's default, and the only ordering under which the pushed range
+    filter — which necessarily eliminates nulls — is safe). The result is
+    identical to the plain ``orderBy(desc_nulls_last|asc_nulls_last)
+    .limit(k)`` plan (pinned by test + oracle): nulls can only surface in
+    the top k when the non-null mass is <= k, and ``topk_threshold``
+    refuses to prune exactly that case (its row masses are non-null
+    counts). ``tiebreakers`` (list of Columns) make the result
+    deterministic under value ties."""
     df = spark.read.parquet(path)
     tau = None
     try:
@@ -147,6 +154,8 @@ def topk_stats_pruned(
         )
     if select_cols:
         df = df.select(*select_cols)
-    order = [F.desc(value_col) if descending else F.asc(value_col)]
+    order = [
+        F.desc_nulls_last(value_col) if descending else F.asc_nulls_last(value_col)
+    ]
     order += list(tiebreakers or [])
     return df.orderBy(*order).limit(k)

@@ -292,3 +292,8 @@ def test_cli_project(wh, spark, sf_dir, tmp_path):
               "--sample-size", "40"])
     out = json.loads(r.output)
     assert len(out) == 40 and {"c0", "c1"} <= set(out[0])
+    # -k is honored on the sample-based methods too (3-D projection)
+    r = _run(["-d", wh, "-c", "emb", "project", "--method", "umap",
+              "--sample-size", "30", "-k", "3"])
+    out = json.loads(r.output)
+    assert len(out) == 30 and {"c0", "c1", "c2"} <= set(out[0])

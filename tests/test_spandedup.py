@@ -179,6 +179,37 @@ def test_span_dedup_incremental(spark, tmp_path):
     assert out3[20] == "" and out3[21] == ""
 
 
+def test_span_dedup_incremental_legacy_index(spark, tmp_path):
+    # an index written by the pre-double-hash release (gram_hash only) must
+    # keep working: matches join on gram_hash alone, appends stay narrow so
+    # the directory never mixes schemas
+    import warnings
+
+    idx = str(tmp_path / "legacy_index")
+    b1 = spark.createDataFrame(
+        [{"doc_id": 0, "text": "alpha beta gamma delta epsilon zeta"}]
+    )
+    (
+        spandedup.ngram_windows(b1, "text", "doc_id", 4, second_hash=True)
+        .select("gram_hash")  # simulate the old single-hash format
+        .distinct()
+        .write.parquet(idx)
+    )
+    b2 = spark.createDataFrame(
+        [{"doc_id": 10, "text": "alpha beta gamma delta epsilon zeta"},
+         {"doc_id": 11, "text": "totally new words appearing here now"}]
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = {r["doc_id"]: r["text"] for r in
+               spandedup.span_dedup_incremental(b2, idx, "text", k=4).collect()}
+    assert any("128-bit" in str(x.message) for x in w)
+    assert out[10] == ""  # matched via gram_hash-only history
+    assert out[11] == "totally new words appearing here now"
+    stored = spark.read.parquet(idx)
+    assert stored.columns == ["gram_hash"]  # appends stayed legacy-narrow
+
+
 # ------------------------------------------------------------------ #
 # property-based differential: operator vs brute-force python reference
 # ------------------------------------------------------------------ #

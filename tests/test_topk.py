@@ -110,6 +110,38 @@ def test_clustered_data_prunes_row_groups(spark, tmp_path):
     assert prunable >= len(stats) - 2, (tau, stats)
 
 
+def test_null_values_parity_both_directions(spark, tmp_path):
+    # Null ordering is pinned NULLS LAST in both directions (DuckDB's
+    # default): ascending pruned top-k must match the asc_nulls_last plain
+    # plan even though the pushed filter eliminates nulls.
+    path = str(tmp_path / "nulls")
+    rows = [(i, float(i) if i % 3 else None) for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    df.repartition(4).write.parquet(path)
+    for desc in (True, False):
+        pruned = topk_stats_pruned(
+            spark, path, "v", k=5, descending=desc, tiebreakers=[F.asc("id")]
+        ).collect()
+        order = F.desc_nulls_last("v") if desc else F.asc_nulls_last("v")
+        plain = (
+            spark.read.parquet(path).orderBy(order, F.asc("id")).limit(5).collect()
+        )
+        assert [tuple(r) for r in pruned] == [tuple(r) for r in plain], desc
+        assert all(r["v"] is not None for r in pruned)
+
+
+def test_null_mass_guard_keeps_null_tail(spark, tmp_path):
+    # non-null mass <= k: pruning must be refused so the null tail of the
+    # nulls-last ordering survives into the result
+    path = str(tmp_path / "mostly_null")
+    rows = [(i, float(i) if i < 3 else None) for i in range(50)]
+    spark.createDataFrame(rows, ["id", "v"]).coalesce(1).write.parquet(path)
+    out = topk_stats_pruned(
+        spark, path, "v", k=5, descending=False, tiebreakers=[F.asc("id")]
+    ).collect()
+    assert [r["v"] for r in out] == [0.0, 1.0, 2.0, None, None]
+
+
 def test_missing_stats_falls_back(spark, tmp_path):
     # string value column: physical type BYTE_ARRAY is excluded (parquet
     # may truncate string stats) -> no filter, plain plan, same answer
