@@ -84,6 +84,9 @@ class Collection:
         self._df: Optional[DataFrame] = None
         self._indexers: Dict[str, "Indexer"] = {}
         self._index_dfs: Dict[str, DataFrame] = {}
+        #: vector_col -> (assigned_df, centroids, nprobe) — durable or
+        #: in-memory IVF indexes that ``knn``/``search`` auto-route to
+        self._vector_indexes: Dict[str, tuple] = {}
 
     # ------------------------------------------------------------------ #
     # plumbing
@@ -176,6 +179,11 @@ class Collection:
         self._post_modification_hook(appended)
 
     def _post_modification_hook(self, appended: Optional[DataFrame] = None) -> None:
+        # IVF centroids/assignments are stale after ANY modification
+        # (appends included — new vectors would be missing from the probe
+        # set); drop them and knn falls back to the exact brute plan until
+        # the index is rebuilt.
+        self._vector_indexes.clear()
         # The reference fully reindexes shadow collections on ANY
         # modification (collection.py:289-295) — a documented hot spot. Here
         # pure appends refresh incrementally: only the new rows are embedded
@@ -602,6 +610,104 @@ class Collection:
         self._index_dfs[index_name] = idx_df
         return idx_df
 
+    def build_vector_index(
+        self,
+        vector_col: str = "embedding",
+        n_centroids: int = 16,
+        nprobe: int = 4,
+        durable: Optional[bool] = None,
+        index_name: Optional[str] = None,
+        seed: int = 42,
+    ):
+        """Build an IVF index over ``vector_col`` (or over a text index's
+        shadow ``__index__`` column when ``index_name`` is given) and
+        register it so ``knn``/``search`` auto-route to the probed,
+        partition-pruned plan — users get the scale path without calling
+        ``operators.similarity`` directly.
+
+        ``durable=True`` (the default when the database has a location)
+        persists the hive-partitioned-by-centroid layout next to the
+        collection, so probes prune PARTITIONS at the scan; in-memory
+        databases keep the assigned DataFrame lazily. Any modification to
+        the collection drops the registration (``_post_modification_hook``)
+        and queries fall back to the exact brute plan until rebuilt.
+
+        North-star extension: the reference's search surface
+        (src/linkml_store/api/collection.py:531-623) is always a full
+        scan; this is the FAISS-IVF layout expressed relationally."""
+        import os as _os
+
+        from linkml_store_spark.operators.similarity import (
+            build_ivf,
+            read_ivf_index,
+            write_ivf_index,
+        )
+
+        if index_name is not None:
+            if index_name not in self._index_dfs:
+                self.index_objects(index_name)
+            src = self._index_dfs[index_name]
+            key = f"__index__@{index_name}"
+            from linkml_store_spark.index.indexer import INDEX_COLUMN
+
+            col = INDEX_COLUMN
+        else:
+            src = self.df
+            key, col = vector_col, vector_col
+        assigned, centroids = build_ivf(
+            src, col, n_centroids=n_centroids, seed=seed, with_norm=True
+        )
+        if durable is None:
+            durable = bool(self.database.location)
+        if durable and self.database.location:
+            path = _os.path.join(
+                self.database.location, f"__ivf__{self.alias}__{key}"
+            )
+            write_ivf_index(assigned, path, centroids, compact=True)
+            assigned, centroids = read_ivf_index(self.spark, path)
+        self._vector_indexes[key] = (assigned, centroids, nprobe)
+        return assigned, centroids
+
+    def knn(
+        self,
+        query_vector: Sequence,
+        vector_col: str = "embedding",
+        k: int = 10,
+        exact: bool = False,
+        score_col: str = "score",
+        keep_vector: bool = False,
+    ) -> DataFrame:
+        """Top-k rows by cosine to ``query_vector`` — auto-routed: when a
+        vector index built by ``build_vector_index`` is registered for
+        ``vector_col`` (and ``exact`` is not forced), the probed
+        partition-pruned IVF plan runs — all-JVM scoring, no Python stage;
+        otherwise the exact distributed brute-force plan
+        (``index.search.knn``)."""
+        from linkml_store_spark.index.search import knn as _knn
+        from linkml_store_spark.operators.similarity import ivf_knn
+
+        idx = None if exact else self._vector_indexes.get(vector_col)
+        if idx is not None:
+            assigned, centroids, nprobe = idx
+            out = ivf_knn(
+                assigned,
+                centroids,
+                query_vector,
+                vector_col=vector_col,
+                k=k,
+                nprobe=nprobe,
+                score_col=score_col,
+            )
+            return out.drop(vector_col) if not keep_vector else out
+        return _knn(
+            self.df,
+            query_vector,
+            vector_col=vector_col,
+            k=k,
+            score_col=score_col,
+            keep_vector=keep_vector,
+        )
+
     def search(
         self,
         query: str,
@@ -613,7 +719,10 @@ class Collection:
     ) -> QueryResult:
         """Vector search: embed query, cosine against the shadow index,
         top-k desc; optional MMR diversification
-        (reference collection.py:531-623, indexer.py:158-211)."""
+        (reference collection.py:531-623, indexer.py:158-211). When
+        ``build_vector_index(index_name=...)`` has registered an IVF index
+        for this text index and the query has no prefilter, the probed
+        IVF plan serves the candidates instead of the full scan."""
         if not self._indexers:
             self.attach_indexer()  # auto-create default (collection.py:576-592)
         if index_name is None:
@@ -624,13 +733,57 @@ class Collection:
         idx_df = self._index_dfs[index_name]
         from linkml_store_spark.index.search import vector_search
 
-        ranked = vector_search(
-            idx_df,
-            indexer.text_to_vector(query),
-            where=where,
-            limit=limit,
-            mmr_relevance_factor=mmr_relevance_factor,
-        )
+        ivf = None if where else self._vector_indexes.get(f"__index__@{index_name}")
+        if ivf is not None:
+            from linkml_store_spark.index.indexer import INDEX_COLUMN
+            from linkml_store_spark.operators.similarity import ivf_knn
+
+            assigned, centroids, nprobe = ivf
+            qv = indexer.text_to_vector(query)
+            pool = (
+                limit if mmr_relevance_factor is None else max(limit, 4 * limit)
+            )
+            top = ivf_knn(
+                assigned, centroids, qv, INDEX_COLUMN, k=pool, nprobe=nprobe
+            ).collect()
+            ranked = [
+                (
+                    float(r["score"]),
+                    {
+                        k_: v
+                        for k_, v in r.asDict(recursive=True).items()
+                        if k_ != "score"
+                    },
+                )
+                for r in top
+            ]
+            if mmr_relevance_factor is not None:
+                import numpy as _np
+
+                from linkml_store_spark.index.search import (
+                    mmr_diversified_search,
+                )
+
+                vecs = [
+                    _np.asarray(obj[INDEX_COLUMN], dtype=float)
+                    for _, obj in ranked
+                ]
+                order = mmr_diversified_search(
+                    _np.asarray(qv, dtype=float),
+                    vecs,
+                    mmr_relevance_factor,
+                    top_n=limit,
+                )
+                ranked = [ranked[i] for i in order]
+            ranked = ranked[:limit]
+        else:
+            ranked = vector_search(
+                idx_df,
+                indexer.text_to_vector(query),
+                where=where,
+                limit=limit,
+                mmr_relevance_factor=mmr_relevance_factor,
+            )
         rows = []
         for score, obj in ranked:
             obj = {k: v for k, v in obj.items() if k != "__index__"}

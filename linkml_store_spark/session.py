@@ -67,6 +67,16 @@ def get_spark(
         # push MIN/MAX/COUNT straight into parquet footers (statistics-only
         # answers for unfiltered aggregates — metadata reads at any scale)
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Align Spark's whole-stage-codegen fallback with HotSpot's hard
+        # 8000-byte DontCompileHugeMethods refusal. The default (65535)
+        # keeps WSCG for generated methods the JIT then refuses to compile,
+        # so wide unrolled expressions (the 64-term native dot/cosine
+        # kernels in functions/vector.py) run JVM-INTERPRETED: measured
+        # 0.70 s vs 0.17 s for a 64-d dot over 400k rows. Below the limit
+        # nothing changes; above it Spark falls back to per-operator
+        # codegen whose split methods JIT fine. (SPARK-21871 added the
+        # conf for exactly this.)
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -108,3 +108,85 @@ def test_ivf_index_roundtrip_prunes_partitions(spark, tmp_path):
     assert "__centroid" in pf
     # exact-vs-ivf sanity: self vector is its own nearest neighbor
     assert rows[0]["vec_id"] == emb.first()["vec_id"]
+
+
+def test_ivf_native_scoring_matches_arrow(spark):
+    from linkml_store_spark.operators.similarity import build_ivf, ivf_knn
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in emb.first()["embedding"]]
+    # native assignment too: an in-memory (unmaterialized) index re-derives
+    # __centroid inside the query plan — the durable path materializes it
+    assigned, cents = build_ivf(
+        emb, "embedding", n_centroids=8, with_norm=True, assign_method="native"
+    )
+    nat = ivf_knn(assigned, cents, qv, "embedding", k=5, nprobe=3, method="native")
+    arr = ivf_knn(assigned, cents, qv, "embedding", k=5, nprobe=3, method="arrow")
+    nrows, arows = nat.collect(), arr.collect()
+    assert [r["vec_id"] for r in nrows] == [r["vec_id"] for r in arows]
+    for a, b in zip(nrows, arows):
+        assert abs(a["score"] - b["score"]) < 1e-9
+    # native plan has NO python stage (the point: no Arrow-bridge floor)
+    s = nat._sc._jvm.PythonSQLUtils.explainString(
+        nat._jdf.queryExecution(), "formatted"
+    )
+    assert "ArrowEvalPython" not in s and "BatchEvalPython" not in s, s
+
+
+def test_collection_knn_auto_routes(spark, tmp_path):
+    from linkml_store_spark.client import Client
+
+    client = Client(spark=spark)
+    db = client.attach_database(f"file:{tmp_path}/wh", alias="wh")
+    coll = db.create_collection("emb", identifier_attribute="vec_id")
+    coll.insert(spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))
+    first = coll.df.first()
+    qv = [float(x) for x in first["embedding"]]
+    # brute route (no index yet)
+    brute = coll.knn(qv, k=5)
+    assert brute.collect()[0]["vec_id"] == first["vec_id"]
+    # build a DURABLE index -> auto-route to the probed plan
+    coll.build_vector_index("embedding", n_centroids=8, nprobe=3)
+    import os
+
+    assert any("__ivf__emb__embedding" in d for d in os.listdir(f"{tmp_path}/wh"))
+    routed = coll.knn(qv, k=5)
+    s = routed._sc._jvm.PythonSQLUtils.explainString(
+        routed._jdf.queryExecution(), "formatted"
+    )
+    assert "__centroid" in s  # probe filter present -> IVF plan
+    assert "ArrowEvalPython" not in s  # native scoring, no python stage
+    assert routed.collect()[0]["vec_id"] == first["vec_id"]
+    # exact=True forces the brute plan back
+    s2 = coll.knn(qv, k=5, exact=True)._sc._jvm.PythonSQLUtils.explainString(
+        coll.knn(qv, k=5, exact=True)._jdf.queryExecution(), "formatted"
+    )
+    assert "__centroid" not in s2
+    # any modification drops the registration -> brute again
+    coll.insert([{"vec_id": 999999, "embedding": [0.0] * 64, "label": 0}])
+    s3 = coll.knn(qv, k=5)._sc._jvm.PythonSQLUtils.explainString(
+        coll.knn(qv, k=5)._jdf.queryExecution(), "formatted"
+    )
+    assert "__centroid" not in s3
+
+
+def test_collection_search_ivf_route(spark, tmp_path):
+    from linkml_store_spark.client import Client
+
+    client = Client(spark=spark)
+    db = client.attach_database("memory", alias="mem2")
+    coll = db.create_collection("docs")
+    coll.insert(
+        [
+            {"id": i, "title": f"document about topic {i % 7} number {i}"}
+            for i in range(200)
+        ]
+    )
+    coll.attach_indexer("simple")
+    base = coll.search("document about topic 3", limit=5)
+    coll.build_vector_index(index_name="simple", n_centroids=4, nprobe=4)
+    routed = coll.search("document about topic 3", limit=5)
+    # probing ALL centroids == exact: identical ranking
+    assert [r["id"] for r in routed.rows] == [r["id"] for r in base.rows]
+    for a, b in zip(routed.ranked_rows, base.ranked_rows):
+        assert abs(a[0] - b[0]) < 1e-9
