@@ -87,6 +87,10 @@ class Collection:
         #: vector_col -> (assigned_df, centroids, nprobe) — durable or
         #: in-memory IVF indexes that ``knn``/``search`` auto-route to
         self._vector_indexes: Dict[str, tuple] = {}
+        #: True iff ``_df`` is exactly the scan of the persisted parquet
+        #: store (so parquet footer statistics describe the live data —
+        #: the gate for the stats-pruned default top-k plan in ``query``)
+        self._df_is_store_scan: bool = False
 
     # ------------------------------------------------------------------ #
     # plumbing
@@ -100,6 +104,8 @@ class Collection:
         """The collection as a (lazy) DataFrame."""
         if self._df is None:
             loaded = self.database._load_collection_df(self.alias)
+            if loaded is not None:
+                self._df_is_store_scan = True
             if loaded is None and self.derived_from:
                 loaded = self._materialize_derived()
             if loaded is None:
@@ -174,7 +180,9 @@ class Collection:
         appended: Optional[DataFrame] = None,
     ) -> None:
         self._df = df
+        self._df_is_store_scan = False  # in-memory plan until re-persisted
         if persist:
+            # _save_collection_df re-points _df at the rewritten parquet
             self.database._save_collection_df(self.alias, df)
         self._post_modification_hook(appended)
 
@@ -440,6 +448,50 @@ class Collection:
         df = apply_where(self.df, query.where_clause)
         num_rows = fast_count(df)  # pre-pagination total (queries.py:41-44)
         page = df
+        limit = DEFAULT_LIMIT if query.limit is None else query.limit
+        # Statistics-pruned top-k as the DEFAULT sort+limit plan: an
+        # unfiltered single-key sort over the parquet-backed store gets the
+        # provably-safe footer threshold pushed into the scan
+        # (operators/topk.py — row groups whose max falls below τ are never
+        # read). Falls through silently whenever stats are missing, the
+        # sort is multi-key/filtered, or the store isn't a clean scan.
+        # Null ordering stays correct: _sort_col pins NULLS LAST both
+        # directions, and topk_threshold refuses to prune when the non-null
+        # mass <= k (the only case nulls can reach the page).
+        if (
+            query.sort_by
+            and len(query.sort_by) == 1
+            and query.where_clause is None
+            and limit is not None
+            and 0 <= limit <= 100_000
+            and self._df_is_store_scan
+            and self.database.location
+        ):
+            try:
+                import os as _os
+
+                from linkml_store_spark.operators.topk import (
+                    _row_group_stats,
+                    topk_threshold,
+                )
+
+                path = self.database._collection_path(self.alias)
+                if _os.path.exists(path):
+                    spec = query.sort_by[0].strip()
+                    base = _sort_base(spec)
+                    descending = spec.startswith("-") or spec.lower().endswith(
+                        " desc"
+                    )
+                    k_eff = (query.offset or 0) + limit
+                    tau = topk_threshold(
+                        _row_group_stats(path, base), k_eff, descending
+                    )
+                    if tau is not None:
+                        page = page.filter(
+                            F.col(base) >= tau if descending else F.col(base) <= tau
+                        )
+            except Exception:  # noqa: BLE001 — stats are an optimization only
+                pass
 
         def _project(d):
             return d.select(*[path_col(c).alias(c.replace(".", "_")) if "." in c else F.col(c) for c in query.select_cols])
@@ -461,7 +513,6 @@ class Collection:
             page = page.orderBy(*[_sort_col(s) for s in query.sort_by])
         if query.offset:
             page = page.offset(query.offset)
-        limit = DEFAULT_LIMIT if query.limit is None else query.limit
         if limit is not None and limit >= 0:
             page = page.limit(limit)
         if query.select_cols and not projected_early:
@@ -830,6 +881,7 @@ class Collection:
             self.spark, path, target_file_bytes=target_file_bytes, sort_cols=sort_cols
         )
         self._df = self.spark.read.parquet(path)
+        self._df_is_store_scan = True
         self.database._register_view(self.alias)
         return report
 

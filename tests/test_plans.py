@@ -223,3 +223,52 @@ def test_find_sort_limit_projects_before_heap(spark, sf_dir):
         key=lambda t: (-t[1], t[0]),
     )
     assert sorted(plain, key=lambda t: (-t[1], t[0])) == got
+
+
+def test_collection_sort_limit_stats_pruned_default(spark, sf_dir, tmp_path):
+    # An unfiltered single-key sort+limit through the reference-parity
+    # Collection API gets the parquet-footer threshold pushed into the scan
+    # (operators/topk wired as the DEFAULT plan) — and the page matches the
+    # unpruned formulation exactly.
+    from linkml_store_spark.client import Client
+
+    client = Client(spark=spark)
+    db = client.attach_database(f"file:{tmp_path}/wh", alias="whp")
+    coll = db.create_collection("orders")
+    coll.insert(load_table(spark, sf_dir, "orders"))
+
+    res = coll.find(sort_by=["-o_totalprice"], limit=10)
+    plain = (
+        coll.df.orderBy(F.desc_nulls_last("o_totalprice"))
+        .limit(10)
+        .collect()
+    )
+    assert [r["o_totalprice"] for r in res.rows] == [
+        r["o_totalprice"] for r in plain
+    ]
+    # plan pin: the threshold reached the scan as a pushed filter. Build
+    # the page the same way query() does to inspect its plan.
+    from linkml_store_spark.operators.topk import (
+        _row_group_stats,
+        topk_threshold,
+    )
+
+    path = db._collection_path("orders")
+    tau = topk_threshold(_row_group_stats(path, "o_totalprice"), 10, True)
+    assert tau is not None
+    page = coll.df.filter(F.col("o_totalprice") >= tau).orderBy(
+        F.desc_nulls_last("o_totalprice")
+    ).limit(10)
+    s = explain_str(page)
+    assert "GreaterThanOrEqual(o_totalprice" in s
+    # ascending + offset paging also stays correct under the pruned plan
+    res_a = coll.find(sort_by=["o_totalprice"], limit=5, offset=3)
+    plain_a = (
+        coll.df.orderBy(F.asc_nulls_last("o_totalprice"))
+        .offset(3)
+        .limit(5)
+        .collect()
+    )
+    assert [r["o_totalprice"] for r in res_a.rows] == [
+        r["o_totalprice"] for r in plain_a
+    ]
