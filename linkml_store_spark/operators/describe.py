@@ -60,9 +60,14 @@ def describe(df: DataFrame) -> DataFrame:
             ]
     stats = df.agg(*aggs).collect()[0].asDict()
 
-    # top/freq (mode) per column: ONE grouping-sets pass over all scalar
-    # columns (the facet engine's single-scan path) instead of a groupBy
-    # per column; non-scalar columns (arrays/structs) fall back per-column.
+    # top/freq (mode) per column: ONE grouping-sets pass over every scalar
+    # AND array column (the facet engine's single-scan path) — arrays ride
+    # along as their canonical JSON so the pass never groups by a complex
+    # type; only structs/maps (rare, and whose Row repr JSON can't
+    # reproduce) fall back to a per-column groupBy. One job regardless of
+    # column count — N columns must not mean N scans at 100 TB.
+    import json as _json
+
     from linkml_store_spark.facets import query_facets_one_pass
 
     scalar_cols = [
@@ -70,12 +75,33 @@ def describe(df: DataFrame) -> DataFrame:
         for f in df.schema.fields
         if not isinstance(f.dataType, (T.ArrayType, T.StructType, T.MapType))
     ]
+    array_cols = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, T.ArrayType)
+    ]
+    facet_src = df
+    jmap = {}
+    for c in array_cols:
+        jc = f"__describe_json__{c}"
+        facet_src = facet_src.withColumn(jc, F.to_json(F.col(c)))
+        jmap[jc] = c
+    one_pass_cols = scalar_cols + list(jmap)
     modes = {}
-    if len(scalar_cols) >= 2:
-        facet_tops = query_facets_one_pass(df, None, scalar_cols, facet_limit=1)
+    if one_pass_cols:
+        facet_tops = query_facets_one_pass(
+            facet_src, None, one_pass_cols, facet_limit=1
+        )
         for c, pairs in facet_tops.items():
-            if pairs:
-                modes[c] = pairs[0]
+            if not pairs:
+                continue
+            val, cnt = pairs[0]
+            if c in jmap:
+                # same printable form as collecting the array value itself
+                modes[jmap[c]] = (
+                    _json.loads(val) if val is not None else None,
+                    cnt,
+                )
+            else:
+                modes[c] = (val, cnt)
     rows = []
     for c in df.columns:
         if c in modes:

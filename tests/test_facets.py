@@ -142,3 +142,32 @@ def test_group_by_agg_map(coll):
     europe = next(g for g in out if g["continent"] == "Europe")
     assert len(europe["objects"]) == 4
     assert {"name", "capital"} == set(europe["objects"][0].keys())
+
+
+def test_describe_array_column_single_pass(spark):
+    from linkml_store_spark.operators.describe import describe
+
+    df = spark.createDataFrame(
+        [
+            {"id": 1, "tags": ["a", "b"]},
+            {"id": 2, "tags": ["a", "b"]},
+            {"id": 3, "tags": ["c"]},
+            {"id": 4, "tags": None},
+        ]
+    )
+    rows = {r["column"]: r for r in describe(df).collect()}
+    # array mode rides the one-pass facet scan as JSON; printable form
+    # matches collecting the array value itself
+    assert rows["tags"]["top"] == str(["a", "b"])
+    assert rows["tags"]["freq"] == 2
+    assert rows["tags"]["count"] == 3  # nulls excluded from count
+    assert rows["id"]["count"] == 4
+
+
+def test_describe_single_column(spark):
+    from linkml_store_spark.operators.describe import describe
+
+    df = spark.createDataFrame([{"x": 1.0}, {"x": 2.0}, {"x": 2.0}])
+    r = describe(df).collect()[0]
+    assert r["count"] == 3 and r["top"] == "2.0" and r["freq"] == 2
+    assert r["mean"] == pytest.approx(5 / 3)
