@@ -164,6 +164,16 @@ def main():
     mpb = os.environ.get("BENCH_MAX_PARTITION_BYTES", str(2 * 1024 * 1024))
     extra["spark.sql.files.maxPartitionBytes"] = mpb
     extra["spark.sql.files.openCostInBytes"] = mpb
+    # get_spark's default hugeMethodLimit=8000 trades a fixed ~15-40 ms of
+    # split-codegen setup per execution for JIT-compiled evaluation of wide
+    # unrolled expressions — a 3-4x win for b12's 64-d cosine at 400k+ rows
+    # (SCALING.md, measured under the default). sf0.1's 2000 vectors sit far
+    # below that crossover (~30k rows), where only the fixed cost shows, so
+    # the benchmark keeps Spark's stock 65535 here. Same per-workload-sizing
+    # rationale (and env override) as the split-size knob above.
+    extra["spark.sql.codegen.hugeMethodLimit"] = os.environ.get(
+        "BENCH_HUGE_METHOD_LIMIT", "65535"
+    )
     if os.environ.get("BENCH_MIN_PARTITION_NUM"):
         extra["spark.sql.files.minPartitionNum"] = os.environ["BENCH_MIN_PARTITION_NUM"]
     spark = get_spark(

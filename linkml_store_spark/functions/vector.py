@@ -72,9 +72,17 @@ def _native_cosine(e: Column, qv: List[float], qn: float) -> Column:
     # expression in when(size(e)=d, ...) instead measured ~2x slower
     # (cold-codegen penalty on the doubled branch body); the poison term
     # is measurement-identical to the unguarded expression.
-    nrm = nrm + F.when(F.get(e, len(qv)).isNull(), F.lit(0.0))
+    poison = F.when(F.get(e, len(qv)).isNull(), F.lit(0.0))
+    nrm = nrm + poison
+    # poison the dot too: greatest() IGNORES nulls, so a null norm alone
+    # would otherwise let a longer vector score dot/1e-300 instead of null
+    dot_e = dot_e + poison
     n = F.sqrt(nrm) * F.lit(qn)
-    return F.when(n == 0, F.lit(0.0)).otherwise(dot_e / n)
+    # zero-norm guard WITHOUT duplicating the unrolled norm inside a CASE
+    # branch (the old when(n == 0, ...).otherwise(dot/n) embedded the whole
+    # 64-term norm twice — double codegen size for the same result): a zero
+    # norm implies a zero dot, so dot/max(n, tiny) is already 0.0
+    return dot_e / F.greatest(n, F.lit(1e-300))
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
