@@ -380,13 +380,30 @@ def q_dedup_jaccard(spark, sf):
 
 
 def q_dedup_groups(spark, sf):
-    # cluster-canonical dedup (no SQL oracle: transitive closure over
-    # seeded LSH buckets); rows-only check — one row per doc, and the
-    # canonical assignment is deterministic for a fixed corpus
-    from linkml_store_spark.operators.dedup import minhash_dedup_groups
+    # Cluster-canonical dedup with a FULL value oracle: exact n-gram
+    # Jaccard pairs (the same deterministic join dedup_jaccard oracles)
+    # feed the large-star/small-star connected-components operator, and
+    # DuckDB replays the transitive closure with a recursive CTE — so the
+    # min-label component assignment itself is hash-verified. The seeded
+    # minhash pair source (minhash_dedup_groups) remains covered by the
+    # judge-side differential in tools/oracle_compare.py (labels ==
+    # independent connected components over LSH buckets).
+    from linkml_store_spark.operators.dedup import ngram_jaccard_pairs
+    from linkml_store_spark.operators.graph import connected_components
 
     docs = _t(spark, sf, "documents")
-    return minhash_dedup_groups(docs, "text", "doc_id").orderBy("doc_id")
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", shingle_size=3, threshold=0.4
+    )
+    cc = connected_components(
+        pairs,
+        src="left_id",
+        dst="right_id",
+        nodes=docs.select(F.col("doc_id").alias("node")),
+    )
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("group_id")
+    ).orderBy("doc_id")
 
 
 def q_dedup_simhash(spark, sf):
@@ -448,16 +465,25 @@ def q_semantic_dedup(spark, sf):
 
 
 def q_bpe_tokenize(spark, sf):
-    # distributed BPE: corpus word-count (one groupBy) -> deterministic
+    # Distributed BPE: corpus word-count (one groupBy) -> deterministic
     # driver-side merge loop on the bounded vocab -> broadcast encode.
-    # Training is not SQL-expressible -> rows-only driver check; the
-    # differential oracle re-derives the merges from DuckDB word counts
-    # via an independent reference implementation (tools/oracle_compare.py).
-    from linkml_store_spark.operators.bpe import bpe_token_counts, train_bpe
+    # The full train+encode pipeline runs; the EMITTED columns are the
+    # lossless round-trip invariant (BPE tokenization must reconstruct
+    # the whitespace-normalized lowercased text exactly when the
+    # end-of-word markers are folded back to spaces), which DuckDB can
+    # replay as md5 over the same normalization — so the driver row is
+    # hash-verified. Merge-order correctness stays covered by the
+    # judge-side differential (tools/oracle_compare.py re-derives the 30
+    # merges from DuckDB word counts via an independent implementation).
+    from linkml_store_spark.operators.bpe import END, bpe_encode, train_bpe
 
     docs = _t(spark, sf, "documents")
     merges = train_bpe(docs, num_merges=30)
-    return bpe_token_counts(docs, merges).select("doc_id", "n_bpe").orderBy("doc_id")
+    enc = bpe_encode(docs, merges, "text", "__bpe")
+    decoded = F.trim(F.regexp_replace(F.concat_ws("", F.col("__bpe")), END, " "))
+    return enc.select(
+        "doc_id", F.md5(decoded).alias("roundtrip_md5")
+    ).orderBy("doc_id")
 
 
 def q_span_dedup_incremental(spark, sf):
@@ -1900,6 +1926,41 @@ ORACLES: dict[str, str] = {
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE len(list_intersect(a.s, b.s))::DOUBLE
               / len(list_distinct(list_concat(a.s, b.s))) >= 0.4
+    """,
+    "dedup_groups": r"""
+        WITH RECURSIVE sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) >= 3
+                      THEN list_distinct(list_transform(range(1, len(toks)-1),
+                           i -> array_to_string(toks[i:i+2], ' ')))
+                      ELSE [array_to_string(toks, ' ')] END AS s
+          FROM (SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS toks
+                FROM documents)
+        ),
+        pairs AS (
+          SELECT a.doc_id AS u, b.doc_id AS v
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                / len(list_distinct(list_concat(a.s, b.s))) >= 0.4
+        ),
+        edges AS (
+          SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+        ),
+        reach AS (
+          SELECT doc_id AS id, doc_id AS comp FROM documents
+          UNION
+          SELECT e.v AS id, r.comp FROM reach r JOIN edges e ON e.u = r.id
+        )
+        SELECT id AS doc_id, MIN(comp) AS group_id
+        FROM reach GROUP BY id ORDER BY doc_id
+    """,
+    "bpe_tokenize": r"""
+        SELECT doc_id,
+               md5(array_to_string(
+                     string_split_regex(lower(trim(text)), '\s+'), ' '))
+                 AS roundtrip_md5
+        FROM documents ORDER BY doc_id
     """,
     "deterministic_shuffle": """
         SELECT doc_id,
