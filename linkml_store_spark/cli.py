@@ -712,6 +712,41 @@ def sample_tokens_cmd(obj: Context, budget, text_col, by, output_type, output):
     _render([r.asDict(recursive=True) for r in df.collect()], output_type, output)
 
 
+@cli.command(name="build-vector-index")
+@click.option("--vector-col", default="embedding", show_default=True)
+@click.option("--centroids", default=16, show_default=True)
+@click.option("--nprobe", default=4, show_default=True)
+@click.pass_obj
+def build_vector_index_cmd(obj: Context, vector_col, centroids, nprobe):
+    """Build the durable IVF vector index (partition-pruned, all-JVM
+    probes); knn/search auto-route to it afterwards."""
+    obj.collection.build_vector_index(
+        vector_col, n_centroids=centroids, nprobe=nprobe
+    )
+    click.echo(
+        f"Built IVF index on {obj.collection.alias}.{vector_col} "
+        f"({centroids} centroids, nprobe={nprobe})"
+    )
+
+
+@cli.command(name="knn")
+@click.argument("query_vector")
+@click.option("--vector-col", default="embedding", show_default=True)
+@click.option("-k", default=10, show_default=True)
+@click.option("--exact", is_flag=True, help="force the brute-force plan")
+@OUTPUT_OPT
+@OUTPUT_FILE_OPT
+@click.pass_obj
+def knn_cmd(obj: Context, query_vector, vector_col, k, exact, output_type, output):
+    """Top-k rows by cosine to QUERY_VECTOR (JSON list) — auto-routed to
+    the IVF index when one is built, exact brute force otherwise."""
+    import json as _json
+
+    qv = _json.loads(query_vector)
+    df = obj.collection.knn(qv, vector_col=vector_col, k=k, exact=exact)
+    _render([r.asDict(recursive=True) for r in df.collect()], output_type, output)
+
+
 @cli.command(name="project")
 @click.option("--method", type=click.Choice(["pca", "tsne", "umap"]),
               default="pca", show_default=True)

@@ -297,3 +297,23 @@ def test_cli_project(wh, spark, sf_dir, tmp_path):
               "--sample-size", "30", "-k", "3"])
     out = json.loads(r.output)
     assert len(out) == 30 and {"c0", "c1", "c2"} <= set(out[0])
+
+
+def test_cli_vector_index_and_knn(wh, spark, sf_dir, tmp_path):
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    jl = tmp_path / "emb2.jsonl"
+    rows = spark.read.parquet(emb_path).limit(80).collect()
+    with open(jl, "w") as f:
+        for r in rows:
+            f.write(json.dumps({"vec_id": r["vec_id"],
+                                "embedding": [float(x) for x in r["embedding"]]}) + "\n")
+    _run(["-d", wh, "-c", "vecs", "insert", str(jl)])
+    qv = json.dumps([float(x) for x in rows[0]["embedding"]])
+    r = _run(["-d", wh, "-c", "vecs", "knn", qv, "-k", "3"])
+    out = json.loads(r.output)
+    assert out[0]["vec_id"] == rows[0]["vec_id"]  # self is nearest
+    r = _run(["-d", wh, "-c", "vecs", "build-vector-index", "--centroids", "4"])
+    assert "Built IVF index" in r.output
+    r = _run(["-d", wh, "-c", "vecs", "knn", qv, "-k", "3"])
+    out2 = json.loads(r.output)
+    assert out2[0]["vec_id"] == rows[0]["vec_id"]
