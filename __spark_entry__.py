@@ -407,11 +407,18 @@ def q_dedup_groups(spark, sf):
 
 
 def q_dedup_simhash(spark, sf):
-    # no SQL oracle (bit-fiddling fingerprints); rows-only check
+    # FULL value oracle: the md5-low64 token hash is bit-identical in
+    # DuckDB, which replays the whole simhash (per-token hash -> per-bit
+    # sign-sum -> fingerprint) plus the exhaustive hamming join — exact
+    # equal to the pigeonhole-blocked join because max_hamming <= blocks-1
+    # guarantees a shared chunk. The xxhash64 production variant stays
+    # covered by the judge-side differential (blocked == exhaustive).
     from linkml_store_spark.operators.dedup import simhash_near_pairs
 
     docs = _t(spark, sf, "documents")
-    return simhash_near_pairs(docs, "text", "doc_id", max_hamming=3)
+    return simhash_near_pairs(
+        docs, "text", "doc_id", max_hamming=3, token_hash="md5"
+    ).orderBy("left_id", "right_id")
 
 
 def q_embedding_dup_exact(spark, sf):
@@ -1954,6 +1961,33 @@ ORACLES: dict[str, str] = {
         )
         SELECT id AS doc_id, MIN(comp) AS group_id
         FROM reach GROUP BY id ORDER BY doc_id
+    """,
+    "dedup_simhash": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+          FROM documents
+        ),
+        h AS (
+          SELECT doc_id, ('0x' || substr(md5(tok), 17, 16))::UBIGINT AS h
+          FROM toks
+        ),
+        bitsum AS (
+          SELECT doc_id, b.i,
+                 SUM(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          FROM h CROSS JOIN (SELECT unnest(range(64)) AS i) b
+          GROUP BY doc_id, b.i
+        ),
+        sig AS (
+          SELECT doc_id,
+                 SUM(CASE WHEN s > 0 THEN (1::UBIGINT << i) ELSE 0::UBIGINT END)::UBIGINT AS sig
+          FROM bitsum GROUP BY doc_id
+        )
+        SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+               bit_count(xor(a.sig, b.sig)) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        ORDER BY left_id, right_id
     """,
     "bpe_tokenize": r"""
         SELECT doc_id,

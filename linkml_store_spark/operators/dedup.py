@@ -376,20 +376,41 @@ def minhash_dedup_groups(
 # --------------------------------------------------------------------- #
 # SimHash
 # --------------------------------------------------------------------- #
+def _md5_low64(t: Column) -> Column:
+    """Low 64 bits (big-endian hex chars 17-32) of md5 as a signed long —
+    bit-identical to DuckDB's ``('0x' || substr(md5(t),17,16))::UBIGINT``
+    reinterpreted two's-complement, so simhash built on it is fully
+    SQL-replayable (the dedup_simhash oracle)."""
+    d = F.conv(F.substring(F.md5(t), 17, 16), 16, 10).cast("decimal(20,0)")
+    two63 = F.lit("9223372036854775808").cast("decimal(20,0)")
+    two64 = F.lit("18446744073709551616").cast("decimal(21,0)")
+    return F.when(d >= two63, d - two64).otherwise(d).cast("long")
+
+
 def simhash(
-    df: DataFrame, text_col: str, id_col: str = "doc_id", bits: int = 64
+    df: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    bits: int = 64,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
-    """(id, simhash bigint): per-token xxhash64, sign-sum each bit, collapse
+    """(id, simhash bigint): per-token hash, sign-sum each bit, collapse
     to a fingerprint.
 
     Projection-only (no explode/groupBy shuffle): token hashes materialize
     once per row, then each bit's sign-sum is an ``aggregate`` over that
     array — the same two-step pattern as minhash_signatures, for the same
     codegen/shuffle reasons.
+
+    ``token_hash``: "xxhash64" (one JVM instruction per token — the scale
+    default) or "md5" (md5 low-64; ~3x the per-token cost but exactly
+    reproducible in any engine with md5 — the variant the SQL value
+    oracle replays end-to-end).
     """
+    tok_fn = F.xxhash64 if token_hash == "xxhash64" else _md5_low64
     hashed = df.select(
         F.col(id_col),
-        F.transform(_tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("__hs"),
+        F.transform(_tokens(F.col(text_col)), lambda t: tok_fn(t)).alias("__hs"),
     )
     hs = F.col("__hs")
 
@@ -418,6 +439,7 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     blocks: int = 4,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by simhash hamming distance <= max_hamming.
 
@@ -428,7 +450,7 @@ def simhash_near_pairs(
     Fingerprints are persisted — the simhash job (explode + 64 bit-sums)
     feeds both sides of the blocking self-join.
     """
-    fp = simhash(df, text_col, id_col).persist()
+    fp = simhash(df, text_col, id_col, token_hash=token_hash).persist()
     width = 64 // blocks
     chunk_vals = F.array(
         *[
