@@ -450,17 +450,20 @@ class Collection:
         page = df
         limit = DEFAULT_LIMIT if query.limit is None else query.limit
         # Statistics-pruned top-k as the DEFAULT sort+limit plan: an
-        # unfiltered single-key sort over the parquet-backed store gets the
-        # provably-safe footer threshold pushed into the scan
-        # (operators/topk.py — row groups whose max falls below τ are never
-        # read). Falls through silently whenever stats are missing, the
-        # sort is multi-key/filtered, or the store isn't a clean scan.
-        # Null ordering stays correct: _sort_col pins NULLS LAST both
-        # directions, and topk_threshold refuses to prune when the non-null
-        # mass <= k (the only case nulls can reach the page).
+        # unfiltered sort over the parquet-backed store gets the provably-
+        # safe footer threshold for the PRIMARY sort key pushed into the
+        # scan (operators/topk.py — row groups whose max falls below τ are
+        # never read). Pruning on the first key alone is safe for
+        # multi-key sorts too: every lexicographic top-k row has a
+        # first-key value >= the k-th largest first-key value >= τ
+        # (secondary keys only reorder within first-key ties). Falls
+        # through silently whenever stats are missing, the query is
+        # filtered, or the store isn't a clean scan. Null ordering stays
+        # correct: _sort_col pins NULLS LAST both directions, and
+        # topk_threshold refuses to prune when the non-null mass <= k
+        # (the only case nulls can reach the page).
         if (
             query.sort_by
-            and len(query.sort_by) == 1
             and query.where_clause is None
             and limit is not None
             and 0 <= limit <= 100_000

@@ -272,3 +272,26 @@ def test_collection_sort_limit_stats_pruned_default(spark, sf_dir, tmp_path):
     assert [r["o_totalprice"] for r in res_a.rows] == [
         r["o_totalprice"] for r in plain_a
     ]
+
+
+def test_collection_multikey_sort_prunes_on_primary(spark, sf_dir, tmp_path):
+    # multi-key sort: pruning on the PRIMARY key alone is safe (secondary
+    # keys only reorder within primary-key ties) — page must equal the
+    # unpruned two-key formulation exactly
+    from linkml_store_spark.client import Client
+
+    client = Client(spark=spark)
+    db = client.attach_database(f"file:{tmp_path}/wh", alias="whmk")
+    coll = db.create_collection("orders")
+    coll.insert(load_table(spark, sf_dir, "orders"))
+    res = coll.find(sort_by=["-o_totalprice", "o_orderkey"], limit=8)
+    plain = (
+        coll.df.orderBy(
+            F.desc_nulls_last("o_totalprice"), F.asc_nulls_last("o_orderkey")
+        )
+        .limit(8)
+        .collect()
+    )
+    assert [(r["o_orderkey"], r["o_totalprice"]) for r in res.rows] == [
+        (r["o_orderkey"], r["o_totalprice"]) for r in plain
+    ]
