@@ -406,6 +406,28 @@ def q_dedup_groups(spark, sf):
     ).orderBy("doc_id")
 
 
+def q_ann_knn_join(spark, sf):
+    # IVF-bucketed kNN JOIN (the scale swap for find_matches' crossJoin):
+    # probes explode to their nprobe nearest centroid buckets and the
+    # candidate join is an equi-join on the bucket id. Run ALL-PROBE
+    # (nprobe == n_centroids), which is provably exact — every pair
+    # shares a bucket — so the brute-force SQL is a true value oracle.
+    from linkml_store_spark.operators.similarity import ivf_knn_join
+
+    emb = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    left = emb.filter(F.col("vec_id") < 50)
+    right = emb.filter(F.col("vec_id") >= 50)
+    out = ivf_knn_join(
+        left, right, vector_col="embedding", left_id="vec_id",
+        right_id="vec_id", k=3, n_centroids=8, nprobe=8,
+    )
+    return out.select(
+        "left_id", "right_id", F.round("score", 4).alias("score"), "rank"
+    ).orderBy("left_id", "rank")
+
+
 def q_dedup_simhash(spark, sf):
     # FULL value oracle: the md5-low64 token hash is bit-identical in
     # DuckDB, which replays the whole simhash (per-token hash -> per-bit
@@ -1676,6 +1698,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_dup_exact": q_embedding_dup_exact,
     "dedup_groups": q_dedup_groups,
     "dedup_simhash": q_dedup_simhash,
+    "ann_knn_join": q_ann_knn_join,
     "span_stats": q_span_stats,
     "paragraph_dedup": q_paragraph_dedup,
     "semantic_dedup": q_semantic_dedup,
@@ -2324,6 +2347,25 @@ ORACLES: dict[str, str] = {
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
         ) GROUP BY user_id ORDER BY user_id
+    """,
+    "ann_knn_join": """
+        WITH l AS (
+            SELECT vec_id AS left_id, CAST(embedding AS DOUBLE[]) AS lv
+            FROM embeddings WHERE vec_id < 50
+        ), r AS (
+            SELECT vec_id AS right_id, CAST(embedding AS DOUBLE[]) AS rv
+            FROM embeddings WHERE vec_id >= 50
+        ), scored AS (
+            SELECT left_id, right_id,
+                   list_cosine_similarity(lv, rv) AS raw_score,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY left_id
+                       ORDER BY list_cosine_similarity(lv, rv) DESC, right_id ASC
+                   ) AS rank
+            FROM l, r
+        )
+        SELECT left_id, right_id, ROUND(raw_score, 4) AS score, rank
+        FROM scored WHERE rank <= 3 ORDER BY left_id, rank
     """,
     "find_matches": """
         WITH l AS (

@@ -32,7 +32,16 @@ from linkml_store_spark.functions.vector import (
 )
 from linkml_store_spark.index.search import knn  # re-export of the baseline
 
-__all__ = ["knn", "lsh_knn", "build_ivf", "ivf_knn", "hyperplane_signature"]
+__all__ = [
+    "knn",
+    "lsh_knn",
+    "build_ivf",
+    "ivf_knn",
+    "ivf_knn_join",
+    "hyperplane_signature",
+    "write_ivf_index",
+    "read_ivf_index",
+]
 
 #: widest unrolled JVM dot that stays JIT-compilable after the
 #: hugeMethodLimit-aligned codegen fallback (one multiply-add chain)
@@ -284,3 +293,84 @@ def ivf_knn(
     scored = cand.withColumn(score_col, score)
     drop = [c for c in ("__centroid", "__norm") if c in scored.columns]
     return scored.orderBy(F.desc(score_col)).limit(k).drop(*drop)
+
+
+def _probe_centroids_expr(vector_col: Column, centroids: np.ndarray, nprobe: int) -> Column:
+    """Indices of the ``nprobe`` centroids nearest the row's vector, as a
+    pure Column expression: the per-centroid distance array is sorted as
+    (dist, idx) structs and sliced — all JVM, linear in n_centroids (same
+    expression-size discipline as ``_nearest_centroid_expr``)."""
+    from linkml_store_spark.functions.vector import dot, vec_lit
+
+    pairs = F.array(
+        *[
+            F.struct(
+                (F.lit(float(c @ c)) - 2.0 * dot(vector_col, vec_lit(c))).alias("d"),
+                F.lit(i).cast("int").alias("i"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.transform(
+        F.slice(F.array_sort(pairs), 1, nprobe), lambda s: s["i"]
+    )
+
+
+def ivf_knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    vector_col: str = "embedding",
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+    k: int = 1,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """kNN JOIN between two collections via shared IVF buckets — the scale
+    swap for ``index.search.find_matches``'s crossJoin (reference
+    ``utils/embedding_matcher.py:104-361`` semantics: per-left-row top-k
+    by cosine, rank ties broken by right id).
+
+    Shape: centroids are learned from the RIGHT (database) side; right
+    rows land in their nearest-centroid bucket, left rows EXPLODE to
+    their ``nprobe`` nearest buckets, and the candidate join is an
+    equi-join on the bucket id — shuffle volume is |L|·nprobe + |R|
+    rows instead of the |L|·|R| crossJoin. Exact when
+    ``nprobe == n_centroids`` (every pair lands in some shared bucket —
+    the configuration the value oracle runs); approximate below that
+    with the usual IVF recall/probe trade.
+
+    Returns (left_id, right_id, score, rank) like ``find_matches``.
+    """
+    from pyspark.sql.window import Window
+
+    from linkml_store_spark.functions.vector import cosine_pairwise
+
+    assigned_r, cents = build_ivf(
+        right.select(F.col(right_id).alias("right_id"),
+                     F.col(vector_col).alias("__rv")),
+        "__rv", n_centroids=n_centroids, seed=seed, with_norm=False,
+    )
+    probes = left.select(
+        F.col(left_id).alias("left_id"),
+        F.col(vector_col).alias("__lv"),
+        F.explode(
+            _probe_centroids_expr(F.col(vector_col), cents, nprobe)
+        ).alias("__centroid"),
+    )
+    pairs = probes.join(assigned_r, "__centroid").drop("__centroid")
+    if exclude_self:
+        pairs = pairs.filter(F.col("left_id") != F.col("right_id"))
+    scored = pairs.withColumn(
+        "score", cosine_pairwise(F.col("__lv"), F.col("__rv"))
+    )
+    w = Window.partitionBy("left_id").orderBy(
+        F.desc("score"), F.asc("right_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("left_id", "right_id", "score", "rank")
+    )

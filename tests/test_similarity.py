@@ -190,3 +190,52 @@ def test_collection_search_ivf_route(spark, tmp_path):
     assert [r["id"] for r in routed.rows] == [r["id"] for r in base.rows]
     for a, b in zip(routed.ranked_rows, base.ranked_rows):
         assert abs(a[0] - b[0]) < 1e-9
+
+
+def test_ivf_knn_join_allprobe_matches_exact(spark):
+    from linkml_store_spark.index.search import find_matches
+    from linkml_store_spark.operators.similarity import ivf_knn_join
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    left = emb.limit(40)
+    exact = find_matches(
+        left, emb, vector_col="embedding", left_id="vec_id",
+        right_id="vec_id", top_n=2,
+    ).collect()
+    # nprobe == n_centroids: every pair shares a bucket -> exact
+    bucketed = ivf_knn_join(
+        left, emb, k=2, n_centroids=8, nprobe=8
+    ).collect()
+    key = lambda rows: sorted((r["left_id"], r["right_id"], r["rank"]) for r in rows)
+    assert key(exact) == key(bucketed)
+    for a, b in zip(sorted(exact, key=lambda r: (r["left_id"], r["rank"])),
+                    sorted(bucketed, key=lambda r: (r["left_id"], r["rank"]))):
+        # HOF sequential sum vs numpy pairwise sum: last-ulp drift only
+        assert abs(a["score"] - b["score"]) < 1e-6
+
+
+def test_ivf_knn_join_partial_probe_recall_and_plan(spark):
+    from linkml_store_spark.index.search import find_matches
+    from linkml_store_spark.operators.similarity import ivf_knn_join
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    left = emb.limit(60)
+    exact = {
+        (r["left_id"], r["right_id"])
+        for r in find_matches(
+            left, emb, vector_col="embedding", left_id="vec_id",
+            right_id="vec_id", top_n=1,
+        ).collect()
+    }
+    approx_df = ivf_knn_join(left, emb, k=1, n_centroids=8, nprobe=4)
+    approx = {(r["left_id"], r["right_id"]) for r in approx_df.collect()}
+    # self-match (cosine 1.0) always lands in the probed home bucket, and
+    # most true NNs survive a 4-of-8 probe
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, recall
+    # scale shape: candidate join is an equi-join on the bucket id, never
+    # a cartesian product
+    s = approx_df._sc._jvm.PythonSQLUtils.explainString(
+        approx_df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s, s
