@@ -38,6 +38,7 @@ __all__ = [
     "build_ivf",
     "ivf_knn",
     "ivf_knn_join",
+    "ivf_append",
     "hyperplane_signature",
     "write_ivf_index",
     "read_ivf_index",
@@ -373,4 +374,47 @@ def ivf_knn_join(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("left_id", "right_id", "score", "rank")
+    )
+
+
+def ivf_append(
+    spark,
+    index_path: str,
+    new_df: DataFrame,
+    vector_col: str = "embedding",
+) -> None:
+    """Append new vectors to a durable IVF index WITHOUT a rebuild: each
+    new vector is assigned to its nearest EXISTING centroid and written
+    into that centroid's hive partition (parquet append — old files are
+    never touched). Centroids drift-free by construction; rebuild when
+    the corpus distribution has shifted enough that probe recall matters
+    (the same maintenance trade FAISS IVF makes).
+
+    Scale shape: one pass over the batch (Arrow-batched assignment +
+    norm), shuffled once onto the target partitions — per-batch cost is
+    O(batch), the corpus is never re-read.
+    """
+    import os
+
+    _vecs, centroids = read_ivf_index(spark, index_path)
+    assign = _nearest_centroid_udf(centroids)(F.col(vector_col))
+    batch = new_df.withColumn("__centroid", assign).withColumn(
+        "__norm",
+        F.sqrt(
+            F.aggregate(
+                F.col(vector_col),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        ),
+    )
+    # keep the column ORDER of the stored layout (parquet append with a
+    # reordered schema silently writes a second schema variant)
+    stored_cols = [c for c in _vecs.columns if c != "__centroid"] + ["__centroid"]
+    missing = set(stored_cols) - set(batch.columns)
+    if missing:
+        raise ValueError(f"new batch lacks index columns: {sorted(missing)}")
+    batch = batch.select(*stored_cols).repartition(len(centroids), "__centroid")
+    batch.write.mode("append").partitionBy("__centroid").parquet(
+        os.path.join(index_path, "vectors")
     )

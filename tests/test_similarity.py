@@ -239,3 +239,31 @@ def test_ivf_knn_join_partial_probe_recall_and_plan(spark):
         approx_df._jdf.queryExecution(), "formatted"
     )
     assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s, s
+
+
+def test_ivf_append_incremental(spark, tmp_path):
+    from linkml_store_spark.operators.similarity import (
+        build_ivf,
+        ivf_append,
+        ivf_knn,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    first = emb.filter(F.col("vec_id") < 250)
+    rest = emb.filter(F.col("vec_id") >= 250)
+    path = str(tmp_path / "ivf_inc")
+    assigned, cents = build_ivf(first, "embedding", n_centroids=8)
+    write_ivf_index(assigned, path, cents, compact=True)
+    ivf_append(spark, path, rest, "embedding")
+    vecs, cents2 = read_ivf_index(spark, path)
+    assert vecs.count() == emb.count()
+    # appended batch carries the same columns (no mixed-schema directory)
+    assert set(vecs.columns) == {"vec_id", "embedding", "label", "__norm", "__centroid"}
+    # an appended vector is findable as its own nearest neighbor via probes
+    target = rest.first()
+    qv = [float(x) for x in target["embedding"]]
+    top = ivf_knn(vecs, cents2, qv, "embedding", k=3, nprobe=3).collect()
+    assert top[0]["vec_id"] == target["vec_id"]
+    assert abs(top[0]["score"] - 1.0) < 1e-6

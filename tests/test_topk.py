@@ -154,3 +154,26 @@ def test_missing_stats_falls_back(spark, tmp_path):
         spark, path, "name", k=3, tiebreakers=[F.asc("id")]
     ).collect()
     assert [r["name"] for r in out] == ["name00099", "name00098", "name00097"]
+
+
+def test_timestamp_column_prunes(spark, sf_dir):
+    # events.ts is a timestamp: parquet stats are INT64 micros — the
+    # threshold must compare correctly against the timestamp column
+    import os
+
+    path = os.path.join(sf_dir, "events.parquet")
+    ts_col = "ts"
+    from linkml_store_spark.operators.topk import _row_group_stats
+
+    # pruning actually engages (datetime stats -> datetime threshold)
+    assert topk_threshold(_row_group_stats(path, ts_col), 5) is not None
+    pruned = topk_stats_pruned(
+        spark, path, ts_col, k=5, tiebreakers=[F.asc("event_id")]
+    ).collect()
+    plain = (
+        spark.read.parquet(path)
+        .orderBy(F.desc_nulls_last(ts_col), F.asc("event_id"))
+        .limit(5)
+        .collect()
+    )
+    assert [tuple(r) for r in pruned] == [tuple(r) for r in plain]
