@@ -84,8 +84,9 @@ class Collection:
         self._df: Optional[DataFrame] = None
         self._indexers: Dict[str, "Indexer"] = {}
         self._index_dfs: Dict[str, DataFrame] = {}
-        #: vector_col -> (assigned_df, centroids, nprobe) — durable or
-        #: in-memory IVF indexes that ``knn``/``search`` auto-route to
+        #: vector_col -> (assigned_df, centroids, nprobe, durable_path) —
+        #: IVF indexes that ``knn``/``search`` auto-route to; durable ones
+        #: survive pure appends via ivf_append (path None = in-memory)
         self._vector_indexes: Dict[str, tuple] = {}
         #: True iff ``_df`` is exactly the scan of the persisted parquet
         #: store (so parquet footer statistics describe the live data —
@@ -187,11 +188,33 @@ class Collection:
         self._post_modification_hook(appended)
 
     def _post_modification_hook(self, appended: Optional[DataFrame] = None) -> None:
-        # IVF centroids/assignments are stale after ANY modification
-        # (appends included — new vectors would be missing from the probe
-        # set); drop them and knn falls back to the exact brute plan until
-        # the index is rebuilt.
-        self._vector_indexes.clear()
+        # Vector indexes: a pure APPEND into a DURABLE IVF index is
+        # maintained incrementally (ivf_append — new vectors join their
+        # nearest existing centroid's partition; one pass over the batch).
+        # Anything else — updates/deletes/replaces, in-memory indexes,
+        # shadow-text indexes whose embedding column isn't in the batch —
+        # drops the registration and knn falls back to the exact brute
+        # plan until rebuilt.
+        if appended is not None and self._vector_indexes:
+            kept: Dict[str, tuple] = {}
+            for key, entry in list(self._vector_indexes.items()):
+                path = entry[3] if len(entry) > 3 else None
+                if path is None or key not in appended.columns:
+                    continue  # in-memory or shadow index: stale, drop
+                try:
+                    from linkml_store_spark.operators.similarity import (
+                        ivf_append,
+                        read_ivf_index,
+                    )
+
+                    ivf_append(self.spark, path, appended, key)
+                    assigned, cents = read_ivf_index(self.spark, path)
+                    kept[key] = (assigned, cents, entry[2], path)
+                except Exception:  # noqa: BLE001 — never block the insert
+                    pass
+            self._vector_indexes = kept
+        else:
+            self._vector_indexes.clear()
         # The reference fully reindexes shadow collections on ANY
         # modification (collection.py:289-295) — a documented hot spot. Here
         # pure appends refresh incrementally: only the new rows are embedded
@@ -713,13 +736,14 @@ class Collection:
         )
         if durable is None:
             durable = bool(self.database.location)
+        path = None
         if durable and self.database.location:
             path = _os.path.join(
                 self.database.location, f"__ivf__{self.alias}__{key}"
             )
             write_ivf_index(assigned, path, centroids, compact=True)
             assigned, centroids = read_ivf_index(self.spark, path)
-        self._vector_indexes[key] = (assigned, centroids, nprobe)
+        self._vector_indexes[key] = (assigned, centroids, nprobe, path)
         return assigned, centroids
 
     def knn(
@@ -742,7 +766,7 @@ class Collection:
 
         idx = None if exact else self._vector_indexes.get(vector_col)
         if idx is not None:
-            assigned, centroids, nprobe = idx
+            assigned, centroids, nprobe = idx[:3]
             out = ivf_knn(
                 assigned,
                 centroids,
@@ -792,7 +816,7 @@ class Collection:
             from linkml_store_spark.index.indexer import INDEX_COLUMN
             from linkml_store_spark.operators.similarity import ivf_knn
 
-            assigned, centroids, nprobe = ivf
+            assigned, centroids, nprobe = ivf[:3]
             qv = indexer.text_to_vector(query)
             pool = (
                 limit if mmr_relevance_factor is None else max(limit, 4 * limit)

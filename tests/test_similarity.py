@@ -162,8 +162,11 @@ def test_collection_knn_auto_routes(spark, tmp_path):
         coll.knn(qv, k=5, exact=True)._jdf.queryExecution(), "formatted"
     )
     assert "__centroid" not in s2
-    # any modification drops the registration -> brute again
-    coll.insert([{"vec_id": 999999, "embedding": [0.0] * 64, "label": 0}])
+    # a pure append MAINTAINS the durable index (ivf_append); a
+    # destructive mutation drops the registration -> brute again
+    coll.insert([{"vec_id": 999999, "embedding": [1.0] * 64, "label": 0}])
+    assert "embedding" in coll._vector_indexes
+    coll.delete_where({"vec_id": 999999})
     s3 = coll.knn(qv, k=5)._sc._jvm.PythonSQLUtils.explainString(
         coll.knn(qv, k=5)._jdf.queryExecution(), "formatted"
     )
@@ -267,3 +270,29 @@ def test_ivf_append_incremental(spark, tmp_path):
     top = ivf_knn(vecs, cents2, qv, "embedding", k=3, nprobe=3).collect()
     assert top[0]["vec_id"] == target["vec_id"]
     assert abs(top[0]["score"] - 1.0) < 1e-6
+
+
+def test_collection_append_maintains_durable_index(spark, tmp_path):
+    from linkml_store_spark.client import Client
+
+    client = Client(spark=spark)
+    db = client.attach_database(f"file:{tmp_path}/wh", alias="whinc")
+    coll = db.create_collection("emb", identifier_attribute="vec_id")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    coll.insert(emb.filter(F.col("vec_id") < 250))
+    coll.build_vector_index("embedding", n_centroids=8, nprobe=3)
+    # pure append: the durable index is MAINTAINED (ivf_append), not dropped
+    tail = emb.filter(F.col("vec_id") >= 250)
+    coll.insert(tail)
+    assert "embedding" in coll._vector_indexes
+    target = tail.first()
+    qv = [float(x) for x in target["embedding"]]
+    routed = coll.knn(qv, k=3)
+    s = routed._sc._jvm.PythonSQLUtils.explainString(
+        routed._jdf.queryExecution(), "formatted"
+    )
+    assert "__centroid" in s  # still the IVF plan
+    assert routed.collect()[0]["vec_id"] == target["vec_id"]
+    # a destructive mutation still drops it
+    coll.delete_where({"vec_id": 0})
+    assert coll._vector_indexes == {}
