@@ -374,11 +374,20 @@ def validate(obj: Context, schema_file, output_type, output):
 @click.option("--metric", default="cosine")
 @click.option("-n", "--max-matches", default=1, type=int)
 @click.option("--threshold", default=None, type=float)
+@click.option("--method", type=click.Choice(["exact", "ivf"]), default="exact",
+              show_default=True,
+              help="ivf = centroid-bucketed candidate join (cosine only): "
+                   "|L|*nprobe + |R| shuffle rows instead of the |L|*|R| "
+                   "cross product — the scale path for large collections")
+@click.option("--nprobe", default=4, show_default=True,
+              help="probes per query row for --method ivf")
 @OUTPUT_OPT
 @OUTPUT_FILE_OPT
 @click.pass_obj
-def find_matches_cmd(obj: Context, target_collection, metric, max_matches, threshold, output_type, output):
+def find_matches_cmd(obj: Context, target_collection, metric, max_matches,
+                     threshold, method, nprobe, output_type, output):
     """kNN between two collections (reference cli.py:998-1112)."""
+    from linkml_store_spark.index.indexer import INDEX_COLUMN
     from linkml_store_spark.index.search import find_matches
 
     src = obj.collection
@@ -392,10 +401,24 @@ def find_matches_cmd(obj: Context, target_collection, metric, max_matches, thres
     src_idx = next(iter(src._index_dfs.values()))
     tgt_idx = next(iter(tgt._index_dfs.values()))
     pk_s, pk_t = src._require_pk(), tgt._require_pk()
-    out = find_matches(
-        src_idx, tgt_idx, left_id=pk_s, right_id=pk_t,
-        metric=metric, top_n=max_matches, threshold=threshold,
-    )
+    if method == "ivf":
+        if metric != "cosine":
+            raise click.UsageError("--method ivf supports cosine only")
+        from linkml_store_spark.operators.similarity import ivf_knn_join
+
+        out = ivf_knn_join(
+            src_idx, tgt_idx, vector_col=INDEX_COLUMN, left_id=pk_s,
+            right_id=pk_t, k=max_matches, nprobe=nprobe,
+        )
+        if threshold is not None:
+            from pyspark.sql import functions as F
+
+            out = out.filter(F.col("score") >= threshold)
+    else:
+        out = find_matches(
+            src_idx, tgt_idx, left_id=pk_s, right_id=pk_t,
+            metric=metric, top_n=max_matches, threshold=threshold,
+        )
     _render([r.asDict() for r in out.collect()], output_type, output)
 
 

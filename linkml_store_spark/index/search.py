@@ -160,8 +160,11 @@ def find_matches(
 ) -> DataFrame:
     """kNN between two collections (reference
     ``utils/embedding_matcher.py:104-361``): cross-score + per-left-row
-    window top-n. At scale, swap the crossJoin for an LSH-bucketed candidate
-    join (operators/similarity.py) — same downstream ranking.
+    window top-n. At scale, swap the crossJoin for
+    ``operators.similarity.ivf_knn_join`` (centroid-bucketed candidate
+    equi-join; exact at nprobe == n_centroids, value-oracled) — same
+    downstream ranking; the find-matches CLI exposes it as
+    ``--method ivf``.
     """
     from pyspark.sql.window import Window
     from linkml_store_spark.functions.vector import DISTANCE_METRICS

@@ -317,3 +317,25 @@ def test_cli_vector_index_and_knn(wh, spark, sf_dir, tmp_path):
     r = _run(["-d", wh, "-c", "vecs", "knn", qv, "-k", "3"])
     out2 = json.loads(r.output)
     assert out2[0]["vec_id"] == rows[0]["vec_id"]
+
+
+def test_cli_find_matches_exact_and_ivf(wh, spark, tmp_path):
+    docs_a = [{"id": i, "name": f"item number {i} kind {i % 5}"} for i in range(30)]
+    docs_b = [{"id": 100 + i, "name": f"item number {i} kind {i % 5}"} for i in range(30)]
+    fa, fb = tmp_path / "a.jsonl", tmp_path / "b.jsonl"
+    for p, docs in ((fa, docs_a), (fb, docs_b)):
+        with open(p, "w") as f:
+            for d in docs:
+                f.write(json.dumps(d) + "\n")
+    _run(["-d", wh, "-c", "a", "insert", str(fa)])
+    _run(["-d", wh, "-c", "b", "insert", str(fb)])
+    r = _run(["-d", wh, "-c", "a", "--identifier", "id", "find-matches",
+              "--target-collection", "b", "-n", "1"])
+    exact = {x["left_id"]: x["right_id"] for x in json.loads(r.output)}
+    # identical text -> the offset twin is the top match
+    assert all(v == k + 100 for k, v in exact.items())
+    r = _run(["-d", wh, "-c", "a", "--identifier", "id", "find-matches",
+              "--target-collection", "b", "-n", "1",
+              "--method", "ivf", "--nprobe", "16"])
+    ivf = {x["left_id"]: x["right_id"] for x in json.loads(r.output)}
+    assert ivf == exact  # all-probe (nprobe >= centroids) is exact
