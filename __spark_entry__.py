@@ -1095,8 +1095,10 @@ def q_multimodal_real_decode(spark, sf):
 
 
 def q_multimodal_jpeg(spark, sf):
-    """REAL baseline-JPEG decode end-to-end (functions/jpegcodec.py — pure
-    numpy DCT + canonical Huffman, no PIL): piecewise-flat grayscale images
+    """REAL JPEG decode end-to-end (functions/jpegcodec.py — pure numpy
+    DCT + canonical Huffman, no PIL), BOTH entropy layouts: even media_ids
+    are baseline SOF0, odd ones PROGRESSIVE SOF2 (multi-scan successive
+    approximation + EOB runs, round 5). Piecewise-flat grayscale images
     where the quality-76 luma DC quantizer (exactly 8) makes every 8x8
     block's round-trip BIT-EXACT, so the full encode -> entropy-code ->
     decode -> mean path is VALUE-oracled by plain DuckDB arithmetic while

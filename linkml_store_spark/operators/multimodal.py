@@ -5,12 +5,12 @@ with a struct of metadata; decode / feature-extract / resize / frame-sample
 run as Arrow-batched ``mapInPandas`` stages.
 
 The decode step is REAL for PNG / PPM / PGM / BMP (pure-stdlib,
-``functions/imagecodec.py``) AND baseline sequential JPEG — the dominant
-crawl format — via the built-in numpy DCT/Huffman codec
-(``functions/jpegcodec.py``; 4:4:4 / 4:2:2 / 4:2:0 / grayscale), all used
-by ``codec_decode`` and the default ``resize_images`` path. Only
-progressive JPEG, GIF/WEBP, and exotic audio containers remain behind the
-library gate: for those, ``decode_fn=None`` on ``extract_features`` falls
+``functions/imagecodec.py``) AND Huffman-coded JPEG — baseline
+sequential plus, since round 5, progressive (SOF2) — via the built-in
+numpy DCT/Huffman codec (``functions/jpegcodec.py``; 4:4:4 / 4:2:2 /
+4:2:0 / grayscale), all used by ``codec_decode`` and the default
+``resize_images`` path. Only GIF/WEBP and exotic audio containers remain
+behind the library gate: for those, ``decode_fn=None`` on ``extract_features`` falls
 back to a deterministic fake (pixels seeded from the payload hash) so the
 Spark-side plumbing — schema, batch shape, partition behavior, UDF
 signatures — stays testable; swap in a PIL/torchaudio ``decode_fn`` and
@@ -101,8 +101,16 @@ def jpeg_media_df(spark, n: int = 16, width: int = 32, height: int = 24) -> Data
     BIT-EXACT despite JPEG being lossy in general, which makes the whole
     encode -> Huffman -> decode -> mean path value-oracleable by plain
     arithmetic while still exercising multi-block entropy coding and the
-    DC prediction chain (block-to-block diffs are nonzero)."""
-    from linkml_store_spark.functions.jpegcodec import encode_jpeg
+    DC prediction chain (block-to-block diffs are nonzero).
+
+    Odd media_ids are encoded PROGRESSIVE (SOF2, multi-scan successive
+    approximation — round 5) and even ones baseline, so one pass through
+    the decoder exercises both entropy layouts under the same bit-exact
+    oracle (the streams carry identical quantized coefficients)."""
+    from linkml_store_spark.functions.jpegcodec import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
 
     assert width % 8 == 0 and height % 8 == 0
     rows = []
@@ -113,11 +121,12 @@ def jpeg_media_df(spark, n: int = 16, width: int = 32, height: int = 24) -> Data
                 img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
                     i * 31 + bx * 17 + by * 29
                 ) % 256
+        enc = encode_jpeg_progressive if i % 2 else encode_jpeg
         rows.append(
             {
                 "media_id": i,
                 "kind": "image",
-                "payload": bytearray(encode_jpeg(img, quality=76)),
+                "payload": bytearray(enc(img, quality=76)),
                 "meta": {
                     "format": "jpeg",
                     "width": width,

@@ -63,11 +63,67 @@ def test_q100_adversarial_checkerboard_clamps():
     assert int(np.abs(out[:, :, 0].astype(int) - cb.astype(int)).max()) <= 1
 
 
-def test_progressive_rejected():
-    # minimal SOF2 (progressive) header after SOI
+def test_progressive_missing_scan_rejected():
+    # SOF2 parses now (round 5); a stream with no SOS still errors cleanly
     data = b"\xff\xd8\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 8, 1) + b"\x01\x11\x00"
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_jpeg(data)
+
+
+def _structured(shape, seed=7, noise=18.0):
+    import numpy as _np
+
+    rng = _np.random.RandomState(seed)
+    h, w = shape[:2]
+    c = shape[2] if len(shape) == 3 else 1
+    yy, xx = _np.mgrid[0:h, 0:w]
+    base = _np.zeros((h, w, c))
+    for ch in range(c):
+        base[:, :, ch] = 128 + 90 * _np.sin(xx / 3.0 + ch) + 30 * _np.cos(yy / 2.5)
+    img = _np.clip(base + rng.randn(h, w, c) * noise, 0, 255).astype(_np.uint8)
+    return img if len(shape) == 3 else img[:, :, 0]
+
+
+def test_progressive_decode_bit_identical_to_baseline():
+    # The progressive stream carries the same quantized coefficients, so
+    # after full decode the pixels must match the baseline stream EXACTLY
+    # — this exercises every SOF2 path: interleaved DC first (Al=1) +
+    # refinement, per-band non-interleaved AC first + refinement,
+    # newly-significant placement, correction bits, ZRL, and EOB runs.
+    from linkml_store_spark.functions.jpegcodec import encode_jpeg_progressive
+
+    for shape in [(24, 33, 3), (17, 16), (8, 8, 3), (40, 40)]:
+        img = _structured(shape)
+        for q in (85, 50, 95):
+            b = decode_jpeg(encode_jpeg(img, quality=q))
+            p = decode_jpeg(encode_jpeg_progressive(img, quality=q))
+            assert np.array_equal(b, p), (shape, q)
+
+
+def test_progressive_flat_image_long_eobruns():
+    # a flat image makes every AC band an end-of-band occurrence -> the
+    # encoder emits multi-block EOBRUN symbols and the decoder must count
+    # them across blocks
+    from linkml_store_spark.functions.jpegcodec import encode_jpeg_progressive
+
+    img = np.full((48, 56, 3), 77, dtype=np.uint8)
+    data = encode_jpeg_progressive(img, quality=85)
+    out = decode_jpeg(data)
+    assert np.array_equal(out, decode_jpeg(encode_jpeg(img, quality=85)))
+    # flat color decodes to (nearly) the constant everywhere
+    assert int(np.abs(out.astype(int) - 77).max()) <= 2
+
+
+def test_progressive_noise_all_refinement_paths():
+    from linkml_store_spark.functions.jpegcodec import encode_jpeg_progressive
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (32, 32, 3)).astype(np.uint8)
+    for q in (20, 85):
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_progressive(img, quality=q)),
+            decode_jpeg(encode_jpeg(img, quality=q)),
+        )
 
 
 def test_not_a_jpeg():
