@@ -55,12 +55,14 @@ def sniff_format(data: bytes) -> str:
         return "pgm"
     if data[:2] == b"BM":
         return "bmp"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return "unknown"
 
 
 def decode_image(data: bytes) -> np.ndarray:
     """Dispatch on magic bytes; raises NotImplementedError for formats that
-    genuinely need a codec library (GIF/WEBP/progressive JPEG/...)."""
+    genuinely need a codec library (WEBP/AVIF/...)."""
     fmt = sniff_format(data)
     if fmt == "png":
         return decode_png(data)
@@ -72,9 +74,13 @@ def decode_image(data: bytes) -> np.ndarray:
         return decode_ppm(data)
     if fmt == "bmp":
         return decode_bmp(data)
+    if fmt == "gif":
+        from linkml_store_spark.functions.gifcodec import decode_gif
+
+        return decode_gif(data)
     raise NotImplementedError(
-        "payload is not a PNG/JPEG/PPM/PGM/BMP; other formats (GIF/WEBP/...) "
-        "need an image library — pass decode_fn=..."
+        "payload is not a PNG/JPEG/GIF/PPM/PGM/BMP; other formats "
+        "(WEBP/...) need an image library — pass decode_fn=..."
     )
 
 
