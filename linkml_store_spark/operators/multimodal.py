@@ -9,8 +9,9 @@ The decode step is REAL for PNG / PPM / PGM / BMP (pure-stdlib,
 sequential plus, since round 5, progressive (SOF2) — via the built-in
 numpy DCT/Huffman codec (``functions/jpegcodec.py``; 4:4:4 / 4:2:2 /
 4:2:0 / grayscale), all used by ``codec_decode`` and the default
-``resize_images`` path. Only GIF/WEBP and exotic audio containers remain
-behind the library gate: for those, ``decode_fn=None`` on ``extract_features`` falls
+``resize_images`` path. Only WEBP and exotic audio
+containers remain behind the library gate (GIF incl. animation is
+built in, functions/gifcodec.py): for those, ``decode_fn=None`` on ``extract_features`` falls
 back to a deterministic fake (pixels seeded from the payload hash) so the
 Spark-side plumbing — schema, batch shape, partition behavior, UDF
 signatures — stays testable; swap in a PIL/torchaudio ``decode_fn`` and

@@ -96,9 +96,13 @@ def test_decode_image_dispatch_and_gate():
 
     out = ic.decode_image(encode_jpeg(px, quality=95))
     assert out.shape == px.shape
+    # GIF dispatches to the built-in LZW codec (lossless roundtrip)
+    from linkml_store_spark.functions.gifcodec import encode_gif
+
+    assert np.array_equal(ic.decode_image(encode_gif(px)), px)
     # formats that genuinely need a codec library still gate
     with pytest.raises(NotImplementedError):
-        ic.decode_image(b"GIF89a rest-of-gif")
+        ic.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
 
 
 def test_resize_nearest():
