@@ -1116,6 +1116,24 @@ def q_multimodal_jpeg(spark, sf):
     ).orderBy("media_id")
 
 
+def q_multimodal_gif(spark, sf):
+    """REAL GIF decode end-to-end (functions/gifcodec.py — pure-python LZW,
+    round 5): flat-plus-square images where GIF's losslessness makes the
+    decoded mean EXACT integer arithmetic — DuckDB replays it directly,
+    so a single LZW/palette/composition bit-error fails the hash."""
+    from linkml_store_spark.operators.multimodal import (
+        codec_decode,
+        extract_features,
+        gif_media_df,
+    )
+
+    media = gif_media_df(spark, n=12)
+    feats = extract_features(media, decode_fn=codec_decode)
+    return feats.select(
+        "media_id", F.round("mean_pixel", 6).alias("mean_pixel")
+    ).orderBy("media_id")
+
+
 def q_multimodal_audio(spark, sf):
     """REAL audio decode end-to-end: deterministic sine clips encoded as
     16-bit PCM WAV by the pure-stdlib codec, decoded + featurized
@@ -1740,6 +1758,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "multimodal_real_decode": q_multimodal_real_decode,
     "multimodal_jpeg": q_multimodal_jpeg,
+    "multimodal_gif": q_multimodal_gif,
     "multimodal_audio": q_multimodal_audio,
     "multimodal_frames": q_multimodal_frames,
     "ann_ivf": q_ann_ivf,
@@ -2515,6 +2534,16 @@ ORACLES: dict[str, str] = {
         SELECT i AS media_id,
                ROUND(AVG(v::DOUBLE), 6) AS mean_pixel
         FROM blocks GROUP BY i ORDER BY i
+    """,
+    "multimodal_gif": """
+        -- 16x16x3 image: background (i*37)%256 everywhere except the 8x8
+        -- inner square whose channels are ((i*53)%256, 0, 255); GIF is
+        -- lossless so the decoded mean is this exact integer arithmetic
+        SELECT i AS media_id,
+               ROUND((((256 - 64) * 3 * ((i * 37) % 256))::DOUBLE
+                      + 64 * (((i * 53) % 256) + 0 + 255))
+                     / (256 * 3), 6) AS mean_pixel
+        FROM (SELECT unnest(range(12)) AS i) ORDER BY i
     """,
     "multimodal_features": """
         SELECT doc_id AS media_id,

@@ -85,8 +85,9 @@ def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
 
 
 def codec_decode(payload: bytes, width: int, height: int) -> np.ndarray:
-    """REAL decode via the pure-stdlib codecs (PNG/PPM/PGM/BMP); the meta
-    width/height are advisory — actual dimensions come from the payload."""
+    """REAL decode via the pure-stdlib codecs (PNG/JPEG incl. progressive/
+    GIF/PPM/PGM/BMP); the meta width/height are advisory — actual
+    dimensions come from the payload."""
     from linkml_store_spark.functions.imagecodec import decode_image
 
     return decode_image(payload)
@@ -134,6 +135,29 @@ def jpeg_media_df(spark, n: int = 16, width: int = 32, height: int = 24) -> Data
                     "height": height,
                     "duration_ms": 0,
                 },
+            }
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def gif_media_df(spark, n: int = 12) -> DataFrame:
+    """Media table with REAL GIF payloads (functions/gifcodec.py). Flat
+    16x16 background ``(i*37) % 256`` with an 8x8 inner square of
+    ``((i*53) % 256, 0, 255)`` — GIF is LOSSLESS, so the decoded mean is
+    exact integer arithmetic any SQL engine replays."""
+    from linkml_store_spark.functions.gifcodec import encode_gif
+
+    rows = []
+    for i in range(n):
+        img = np.full((16, 16, 3), (i * 37) % 256, dtype=np.uint8)
+        img[4:12, 4:12] = [(i * 53) % 256, 0, 255]
+        rows.append(
+            {
+                "media_id": i,
+                "kind": "image",
+                "payload": bytearray(encode_gif(img)),
+                "meta": {"format": "gif", "width": 16, "height": 16,
+                         "duration_ms": 0},
             }
         )
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
