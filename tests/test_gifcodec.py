@@ -124,3 +124,27 @@ def test_gif_distributed_decode(spark):
         img = np.full((16, 16, 3), (i * 37) % 256, dtype=np.uint8)
         img[4:12, 4:12] = [(i * 53) % 256, 0, 255]
         assert abs(feats[i]["mean_pixel"] - float(img.mean())) < 1e-6
+
+
+# ------------------------------------------------------------------ #
+# property-based fuzzing
+# ------------------------------------------------------------------ #
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(3, 40),
+    w=st.integers(3, 40),
+    ncolors=st.integers(2, 17),
+    seed=st.integers(0, 10_000),
+    interlace=st.booleans(),
+)
+def test_gif_property_roundtrip(h, w, ncolors, seed, interlace):
+    rng = np.random.RandomState(seed)
+    palette = rng.randint(0, 256, (ncolors, 3)).astype(np.uint8)
+    idx = rng.randint(0, ncolors, (h, w))
+    img = palette[idx]
+    out = decode_gif(encode_gif(img, interlace=interlace))
+    assert np.array_equal(out, img)

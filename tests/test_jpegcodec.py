@@ -286,3 +286,24 @@ def test_jpeg_property_flat_blocks_exact_at_q76(v, bh, bw_):
     img = np.full((bh * 8, bw_ * 8), v, dtype=np.uint8)
     out = decode_jpeg(encode_jpeg(img, quality=76))
     assert np.array_equal(out[:, :, 0], img)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    h=st.integers(4, 40),
+    w=st.integers(4, 40),
+    c=st.sampled_from([1, 3]),
+    q=st.integers(20, 95),
+    seed=st.integers(0, 10_000),
+)
+def test_jpeg_property_progressive_equals_baseline(h, w, c, q, seed):
+    from linkml_store_spark.functions.jpegcodec import encode_jpeg_progressive
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (h, w, c)).astype(np.uint8)
+    if c == 1:
+        img = img[:, :, 0]
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(img, quality=q)),
+        decode_jpeg(encode_jpeg(img, quality=q)),
+    )
