@@ -323,6 +323,59 @@ def sample_frames(
     return frames.select("media_id", "kind", "frame_ts", "payload", "meta")
 
 
+ANIMATION_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("mean_pixel", T.DoubleType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def animation_frames(
+    df: DataFrame,
+    frames_fn: Optional[Callable[[bytes], list]] = None,
+) -> DataFrame:
+    """REAL animation frame extraction: one output row per decoded,
+    fully-composed frame (Arrow-batched ``mapInPandas``). The default
+    ``frames_fn`` is the built-in GIF codec (``decode_gif_frames`` —
+    disposal + transparency applied); a video library drops into the same
+    seam for MP4/WEBM without touching the distributed plumbing.
+
+    Scale shape: frame decode is per-payload work that parallelizes over
+    partitions; output volume is frames-per-media × rows, still columnar.
+    """
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from linkml_store_spark.functions.gifcodec import decode_gif_frames
+
+        fn = frames_fn or decode_gif_frames
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames = fn(bytes(payload))
+                for j, fr in enumerate(frames):
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "frame_idx": j,
+                            "n_frames": len(frames),
+                            "mean_pixel": float(np.asarray(fr).mean()),
+                            "width": int(fr.shape[1]),
+                            "height": int(fr.shape[0]),
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return df.select("media_id", "payload").mapInPandas(
+        process, schema=ANIMATION_FRAME_SCHEMA
+    )
+
+
 AUDIO_FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

@@ -148,3 +148,42 @@ def test_gif_property_roundtrip(h, w, ncolors, seed, interlace):
     img = palette[idx]
     out = decode_gif(encode_gif(img, interlace=interlace))
     assert np.array_equal(out, img)
+
+
+def test_animation_frames_distributed(spark):
+    # animated GIFs -> one row per composed frame via mapInPandas
+    from linkml_store_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        animation_frames,
+    )
+
+    rows = []
+    for i in range(4):
+        base = np.full((12, 12, 3), 40 + i, dtype=np.uint8)
+        frames = [base]
+        for j in range(1, 3 + (i % 2)):
+            f = base.copy()
+            f[2 : 2 + j, 2 : 2 + j] = [255, 255, 255]
+            frames.append(f)
+        rows.append(
+            {
+                "media_id": i,
+                "kind": "image",
+                "payload": bytearray(encode_gif(frames)),
+                "meta": {"format": "gif", "width": 12, "height": 12,
+                         "duration_ms": 100 * len(frames)},
+            }
+        )
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    out = animation_frames(media).collect()
+    by_media = {}
+    for r in out:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for i in range(4):
+        frames = sorted(by_media[i], key=lambda r: r["frame_idx"])
+        assert len(frames) == 3 + (i % 2)
+        assert frames[0]["n_frames"] == len(frames)
+        assert frames[0]["width"] == 12 and frames[0]["height"] == 12
+        # frame means strictly increase as the white square grows
+        means = [r["mean_pixel"] for r in frames]
+        assert means == sorted(means) and means[0] < means[-1]
