@@ -518,20 +518,30 @@ def q_bpe_tokenize(spark, sf):
 def q_span_dedup_incremental(spark, sf):
     """Continuous-ingestion ExactSubstr dedup (operators/spandedup.py):
     batch 2's duplicated spans are removed against batch 1 via the persisted
-    gram index only (the corpus is never re-scanned). Rows-only check — the
-    index holds grams of the CLEANED text (removal splices surviving tokens
-    into new adjacencies), so a SQL replay would have to re-implement the
-    operator; the DIFFERENTIAL oracle (tools/oracle_compare.py) proves
-    id-ordered 2-batch incremental == dedup_spans_keep_first on the union,
-    byte-identical; cross-batch edge cases in tests/test_spandedup.py."""
+    gram index only (the corpus is never re-scanned).
+
+    VALUE-oracled since round 5 through the equivalence the differential
+    oracle proves: id-ordered 2-batch incremental == one-shot
+    dedup_spans_keep_first on the union, byte-identical — and the
+    one-shot keep-first SURVIVING-TOKEN COUNT is pure SQL (the span_stats
+    window/duplicate CTEs + an interval-union over the non-canonical
+    windows). If the cleaned-gram adjacency effects ever broke the
+    equivalence on this corpus, the hash would go red — exactly what an
+    oracle is for. Cross-batch edge cases in tests/test_spandedup.py;
+    the byte-level differential stays in tools/oracle_compare.py."""
     import tempfile
 
     from linkml_store_spark.operators.spandedup import span_dedup_incremental
 
     docs = _t(spark, sf, "documents").select("doc_id", "text")
     idx = tempfile.mkdtemp(prefix="gram_index_") + "/idx"
-    b1 = docs.filter(F.col("doc_id") % 2 == 0)
-    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    # ID-ORDERED batches (median split): the setting where incremental ==
+    # batch keep-first holds exactly (every canonical occurrence lands in
+    # the same-or-earlier batch). A parity split would legitimately differ
+    # on which copy survives and is NOT oracle-able.
+    cutoff = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    b1 = docs.filter(F.col("doc_id") <= cutoff)
+    b2 = docs.filter(F.col("doc_id") > cutoff)
     o1 = span_dedup_incremental(b1, idx, "text", k=8)
     o2 = span_dedup_incremental(b2, idx, "text", k=8)
     from linkml_store_spark.operators.textanalysis import whitespace_token_count
@@ -2104,6 +2114,51 @@ ORACLES: dict[str, str] = {
                      / greatest(len(string_split_regex(lower(trim(d.text)), '\s+')), 1),
                      1.0), 6) AS dup_fraction
         FROM documents d LEFT JOIN cov c USING (doc_id)
+        ORDER BY d.doc_id
+    """,
+    "span_dedup_incremental": r"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+          FROM documents
+        ),
+        win AS (
+          SELECT doc_id, s.s AS start,
+                 array_to_string(t[s.s+1 : s.s+8], ' ') AS gram
+          FROM toks, LATERAL (
+            SELECT unnest(CASE WHEN len(t) >= 8
+                               THEN range(0, len(t)-8+1) ELSE [0] END) AS s
+          ) s
+        ),
+        pg AS (
+          SELECT gram FROM win GROUP BY gram
+          HAVING count(DISTINCT doc_id) > 1
+        ),
+        dup AS (
+          SELECT w.doc_id, w.start,
+                 row_number() OVER (PARTITION BY w.gram
+                                    ORDER BY w.doc_id, w.start) AS rn
+          FROM win w JOIN pg USING (gram)
+        ),
+        seg AS (
+          SELECT doc_id, start, start + 8 AS fin,
+                 max(start + 8) OVER (PARTITION BY doc_id ORDER BY start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+          FROM dup WHERE rn > 1
+        ),
+        rem AS (
+          SELECT doc_id,
+                 SUM(CASE WHEN prev_end IS NULL OR prev_end <= start
+                            THEN fin - start
+                          WHEN prev_end >= fin THEN 0
+                          ELSE fin - prev_end END) AS removed
+          FROM seg GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               greatest(
+                 (CASE WHEN trim(d.text) = '' THEN 0
+                       ELSE len(string_split_regex(lower(trim(d.text)), '\s+'))
+                  END) - coalesce(r.removed, 0), 0) AS n_tokens_left
+        FROM documents d LEFT JOIN rem r USING (doc_id)
         ORDER BY d.doc_id
     """,
     "paragraph_dedup": r"""
