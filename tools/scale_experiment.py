@@ -206,6 +206,7 @@ def spark_workload(spark, d: str) -> dict:
         duplicate_segment_stats,
         duplicated_span_stats,
     )
+    from linkml_store_spark.operators.topk import topk_stats_pruned
     from linkml_store_spark.where import apply_where
 
     li = spark.read.parquet(f"{d}/lineitem.parquet")
@@ -232,6 +233,12 @@ def spark_workload(spark, d: str) -> dict:
         "topk": o.select("o_orderkey", "o_totalprice")
         .orderBy(F.desc("o_totalprice"))
         .limit(10),
+        # the engine's DEFAULT sort+limit plan (Collection.query routes
+        # here): parquet-footer threshold pushed into the scan
+        "topk_pruned": topk_stats_pruned(
+            spark, f"{d}/orders.parquet", "o_totalprice", k=10,
+            select_cols=["o_orderkey", "o_totalprice"],
+        ),
         # customer stays sf0.1-sized while facts replicate — the textbook
         # broadcast dim (same hint the engine's join operators use)
         "join_agg": o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
