@@ -92,6 +92,11 @@ class Collection:
         #: store (so parquet footer statistics describe the live data —
         #: the gate for the stats-pruned default top-k plan in ``query``)
         self._df_is_store_scan: bool = False
+        #: column -> row-group stats of the persisted store: the footer
+        #: sweep is driver-side metadata IO proportional to file count, so
+        #: repeated sorted queries (paging) must not re-read it; cleared on
+        #: every modification alongside the scan flag
+        self._footer_stats_cache: Dict[str, Any] = {}
 
     # ------------------------------------------------------------------ #
     # plumbing
@@ -188,6 +193,8 @@ class Collection:
         self._post_modification_hook(appended)
 
     def _post_modification_hook(self, appended: Optional[DataFrame] = None) -> None:
+        # footer statistics no longer describe the store after any change
+        self._footer_stats_cache.clear()
         # Vector indexes: a pure APPEND into a DURABLE IVF index is
         # maintained incrementally (ivf_append — new vectors join their
         # nearest existing centroid's partition; one pass over the batch).
@@ -509,8 +516,12 @@ class Collection:
                         " desc"
                     )
                     k_eff = (query.offset or 0) + limit
+                    if base not in self._footer_stats_cache:
+                        self._footer_stats_cache[base] = _row_group_stats(
+                            path, base
+                        )
                     tau = topk_threshold(
-                        _row_group_stats(path, base), k_eff, descending
+                        self._footer_stats_cache[base], k_eff, descending
                     )
                     if tau is not None:
                         page = page.filter(
@@ -812,56 +823,26 @@ class Collection:
         from linkml_store_spark.index.search import vector_search
 
         ivf = None if where else self._vector_indexes.get(f"__index__@{index_name}")
+        qv = indexer.text_to_vector(query)
+        scored_pool_fn = None
         if ivf is not None:
             from linkml_store_spark.index.indexer import INDEX_COLUMN
             from linkml_store_spark.operators.similarity import ivf_knn
 
             assigned, centroids, nprobe = ivf[:3]
-            qv = indexer.text_to_vector(query)
-            pool = (
-                limit if mmr_relevance_factor is None else max(limit, 4 * limit)
-            )
-            top = ivf_knn(
+            # substitute the probed partition-pruned plan for the brute
+            # scan; vector_search keeps owning pool sizing/ranking/MMR
+            scored_pool_fn = lambda pool: ivf_knn(  # noqa: E731
                 assigned, centroids, qv, INDEX_COLUMN, k=pool, nprobe=nprobe
-            ).collect()
-            ranked = [
-                (
-                    float(r["score"]),
-                    {
-                        k_: v
-                        for k_, v in r.asDict(recursive=True).items()
-                        if k_ != "score"
-                    },
-                )
-                for r in top
-            ]
-            if mmr_relevance_factor is not None:
-                import numpy as _np
-
-                from linkml_store_spark.index.search import (
-                    mmr_diversified_search,
-                )
-
-                vecs = [
-                    _np.asarray(obj[INDEX_COLUMN], dtype=float)
-                    for _, obj in ranked
-                ]
-                order = mmr_diversified_search(
-                    _np.asarray(qv, dtype=float),
-                    vecs,
-                    mmr_relevance_factor,
-                    top_n=limit,
-                )
-                ranked = [ranked[i] for i in order]
-            ranked = ranked[:limit]
-        else:
-            ranked = vector_search(
-                idx_df,
-                indexer.text_to_vector(query),
-                where=where,
-                limit=limit,
-                mmr_relevance_factor=mmr_relevance_factor,
             )
+        ranked = vector_search(
+            idx_df,
+            qv,
+            where=where,
+            limit=limit,
+            mmr_relevance_factor=mmr_relevance_factor,
+            scored_pool_fn=scored_pool_fn,
+        )
         rows = []
         for score, obj in ranked:
             obj = {k: v for k, v in obj.items() if k != "__index__"}
@@ -909,6 +890,7 @@ class Collection:
         )
         self._df = self.spark.read.parquet(path)
         self._df_is_store_scan = True
+        self._footer_stats_cache.clear()  # the rewrite changed every footer
         self.database._register_view(self.alias)
         return report
 

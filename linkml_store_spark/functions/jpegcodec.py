@@ -582,8 +582,35 @@ class _ProgressiveState:
         # marker loop resynchronizes on the next 0xFF marker
         return reader.pos
 
-    # ---------------- DC scans (interleaved per spec) ---------------- #
+    # ---------------- DC scans ---------------------------------------- #
+    def _dc_block(self, reader, comp, td, row, col, ah, al, huff_dc):
+        cz = self.coef[comp["id"]]
+        if ah == 0:  # DC first
+            s = _huff_decode(reader, huff_dc[td])
+            diff = _extend(reader.read_bits(s), s)
+            self.pred[comp["id"]] += diff
+            cz[row, col, 0] = self.pred[comp["id"]] << al
+        else:  # DC refine: one raw bit
+            if reader.read_bit():
+                cz[row, col, 0] = int(cz[row, col, 0]) | (1 << al)
+
     def _dc_scan(self, reader, scan, ah, al, huff_dc, restart_interval):
+        if len(scan) == 1:
+            # ns=1 is NON-interleaved (T.81 A.2.2): the scan covers the
+            # component's own ceil(size/8) block grid, NOT the MCU-padded
+            # one — walking the padded grid on a subsampled component
+            # would desync the entropy stream
+            comp, td, _ta = scan[0]
+            nby, nbx = self._comp_block_dims(comp)
+            blk = 0
+            for row in range(nby):
+                for col in range(nbx):
+                    if restart_interval and blk and blk % restart_interval == 0:
+                        reader.sync_restart()
+                        self.pred = {k: 0 for k in self.pred}
+                    blk += 1
+                    self._dc_block(reader, comp, td, row, col, ah, al, huff_dc)
+            return
         mcu_count = 0
         for my in range(self.mcuy):
             for mx in range(self.mcux):
@@ -592,19 +619,13 @@ class _ProgressiveState:
                     self.pred = {k: 0 for k in self.pred}
                 mcu_count += 1
                 for comp, td, _ta in scan:
-                    cz = self.coef[comp["id"]]
                     for byy in range(comp["v"]):
                         for bxx in range(comp["h"]):
-                            row = my * comp["v"] + byy
-                            col = mx * comp["h"] + bxx
-                            if ah == 0:  # DC first
-                                s = _huff_decode(reader, huff_dc[td])
-                                diff = _extend(reader.read_bits(s), s)
-                                self.pred[comp["id"]] += diff
-                                cz[row, col, 0] = self.pred[comp["id"]] << al
-                            else:  # DC refine: one raw bit
-                                if reader.read_bit():
-                                    cz[row, col, 0] = int(cz[row, col, 0]) | (1 << al)
+                            self._dc_block(
+                                reader, comp, td,
+                                my * comp["v"] + byy, mx * comp["h"] + bxx,
+                                ah, al, huff_dc,
+                            )
 
     # ---------------- AC scans (non-interleaved) --------------------- #
     def _ac_scan(self, reader, one, ss, se, ah, al, huff_ac, restart_interval):

@@ -177,8 +177,11 @@ def _native_dot(e: Column, qv: List[float]) -> Column:
     for i, x in enumerate(qv):
         term = e[i].cast("double") * F.lit(x)
         out = term if out is None else out + term
-    # same longer-vector poison guard as _native_cosine: a non-null element
-    # past len(qv) turns the dot null so mismatched rows drop out of top-k
+    # same dimension guards as _native_cosine: a non-null element past
+    # len(qv) turns the dot null, so LONGER vectors drop out of the top-k
+    # (nulls-last); SHORTER vectors fail loudly — ANSI mode raises on the
+    # out-of-bounds e[i] access, matching the Arrow kernel's error on
+    # ragged batches
     return out + F.when(F.get(e, len(qv)).isNull(), F.lit(0.0))
 
 

@@ -87,18 +87,25 @@ def vector_search(
     limit: int = 10,
     mmr_relevance_factor: Optional[float] = None,
     candidate_multiplier: int = 4,
+    scored_pool_fn=None,
 ) -> List[Tuple[float, dict]]:
     """Search the shadow index; returns [(score, obj), ...] desc.
 
     ``where`` prefilters rows (pushed to the scan). With MMR, a candidate
     pool of ``candidate_multiplier * limit`` is fetched and re-ranked on the
-    driver.
+    driver. ``scored_pool_fn(pool_size) -> DataFrame`` substitutes a
+    different top-pool plan for the brute scan (Collection.search passes
+    the auto-routed IVF probe here) while this single implementation keeps
+    owning pool sizing, ranking, MMR, and the final trim.
     """
-    df = apply_where(index_df, where)
     pool = limit if mmr_relevance_factor is None else max(limit, candidate_multiplier * limit)
-    top = knn(
-        df, query_vector, k=pool, keep_vector=mmr_relevance_factor is not None
-    ).collect()
+    if scored_pool_fn is not None:
+        top = scored_pool_fn(pool).collect()
+    else:
+        df = apply_where(index_df, where)
+        top = knn(
+            df, query_vector, k=pool, keep_vector=mmr_relevance_factor is not None
+        ).collect()
     results = [
         (float(r["score"]), {k: v for k, v in r.asDict(recursive=True).items() if k != "score"})
         for r in top

@@ -75,8 +75,18 @@ def describe(df: DataFrame) -> DataFrame:
         for f in df.schema.fields
         if not isinstance(f.dataType, (T.ArrayType, T.StructType, T.MapType))
     ]
+    # only arrays of SCALAR elements ride the JSON pass: json round-trip
+    # of struct elements would print dicts where the per-column fallback
+    # prints Row reprs (and mode ties break on the JSON string rather
+    # than the array value — an acceptable ordering difference for
+    # scalars, documented here, but not a silent repr change for structs)
     array_cols = [
-        f.name for f in df.schema.fields if isinstance(f.dataType, T.ArrayType)
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.ArrayType)
+        and not isinstance(
+            f.dataType.elementType, (T.ArrayType, T.StructType, T.MapType)
+        )
     ]
     facet_src = df
     jmap = {}

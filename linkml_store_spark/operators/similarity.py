@@ -286,8 +286,13 @@ def ivf_knn(
         from linkml_store_spark.functions.vector import dot_to_query_native
 
         qn = float(np.linalg.norm(qv))
-        score = dot_to_query_native(query_vector)(F.col(vector_col)) / (
-            F.col("__norm") * F.lit(qn)
+        # greatest() guard: a zero-norm row (or zero query) must score 0.0
+        # like every other kernel, not raise DIVIDE_BY_ZERO under the
+        # session's ANSI default — a zero norm implies a zero dot, so
+        # dot/max(denom, tiny) is already 0.0 (same guard as
+        # _native_cosine; a poisoned/null dot stays null -> nulls-last)
+        score = dot_to_query_native(query_vector)(F.col(vector_col)) / F.greatest(
+            F.col("__norm") * F.lit(qn), F.lit(1e-300)
         )
     else:
         score = cosine_to_query(query_vector)(F.col(vector_col))

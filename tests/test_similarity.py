@@ -296,3 +296,22 @@ def test_collection_append_maintains_durable_index(spark, tmp_path):
     # a destructive mutation still drops it
     coll.delete_where({"vec_id": 0})
     assert coll._vector_indexes == {}
+
+
+def test_ivf_native_zero_norm_scores_zero(spark, tmp_path):
+    # a zero-norm vector must score 0.0 through the auto-routed native
+    # plan, not raise DIVIDE_BY_ZERO under the session's ANSI default
+    from linkml_store_spark.client import Client
+
+    db = Client(spark=spark).attach_database(f"file:{tmp_path}/wh", alias="zn")
+    coll = db.create_collection("emb", identifier_attribute="vec_id")
+    rows = [
+        {"vec_id": i, "embedding": [float((i * j) % 7 - 3) for j in range(8)],
+         "label": 0}
+        for i in range(60)
+    ]
+    rows.append({"vec_id": 999, "embedding": [0.0] * 8, "label": 0})
+    coll.insert(rows)
+    coll.build_vector_index("embedding", n_centroids=4, nprobe=4)
+    res = {r["vec_id"]: r["score"] for r in coll.knn([1.0] * 8, k=61).collect()}
+    assert res[999] == 0.0
