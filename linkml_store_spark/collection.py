@@ -716,9 +716,14 @@ class Collection:
         ``durable=True`` (the default when the database has a location)
         persists the hive-partitioned-by-centroid layout next to the
         collection, so probes prune PARTITIONS at the scan; in-memory
-        databases keep the assigned DataFrame lazily. Any modification to
-        the collection drops the registration (``_post_modification_hook``)
-        and queries fall back to the exact brute plan until rebuilt.
+        databases keep the assigned DataFrame lazily. Pure APPENDS are
+        absorbed incrementally (``ivf_append`` runs inside the insert —
+        one assignment pass + a partitioned parquet append, so inserts on
+        an indexed collection pay one extra write job; drop the index
+        first for bulk-load-then-rebuild workflows). Any other
+        modification drops the registration
+        (``_post_modification_hook``) and queries fall back to the exact
+        brute plan until rebuilt.
 
         North-star extension: the reference's search surface
         (src/linkml_store/api/collection.py:531-623) is always a full
