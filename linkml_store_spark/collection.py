@@ -476,7 +476,31 @@ class Collection:
         if not self.exists():
             return QueryResult(num_rows=0, rows=[], query=query)
         df = apply_where(self.df, query.where_clause)
-        num_rows = fast_count(df)  # pre-pagination total (queries.py:41-44)
+        # Pre-pagination total (queries.py:41-44). Simple single-column
+        # numeric range/equality predicates over the parquet store go
+        # through the zone-map count first: files whose row groups are all
+        # decided by footer min/max are answered from METADATA, only
+        # boundary files scan (operators/topk.stats_filtered_count) — on
+        # clustered/time-ordered layouts the most common analytics count
+        # becomes footer IO. Anything else takes the normal plan.
+        num_rows = None
+        if self._df_is_store_scan and self.database.location:
+            rng = _simple_range_clause(query.where_clause, self.df)
+            if rng is not None:
+                try:
+                    import os as _os
+
+                    from linkml_store_spark.operators.topk import (
+                        stats_filtered_count,
+                    )
+
+                    path = self.database._collection_path(self.alias)
+                    if _os.path.exists(path):
+                        num_rows = stats_filtered_count(self.spark, path, *rng)
+                except Exception:  # noqa: BLE001 — optimization only
+                    num_rows = None
+        if num_rows is None:
+            num_rows = fast_count(df)
         page = df
         limit = DEFAULT_LIMIT if query.limit is None else query.limit
         # Statistics-pruned top-k as the DEFAULT sort+limit plan: an
@@ -1288,3 +1312,55 @@ def _sort_col(spec: str):
     if spec.lower().endswith(" asc"):
         return F.col(spec[: -len(" asc")].strip()).asc_nulls_last()
     return F.col(spec).asc_nulls_last()
+
+
+def _simple_range_clause(where, df):
+    """(col, lo, hi, lo_inclusive, hi_inclusive) when ``where`` is a
+    single-column numeric range/equality dict whose zone-map count is
+    provably identical to the compiled predicate's count, else None.
+
+    Deliberately NARROW: plain column name (no dots/operators), numeric
+    column dtype (array equality means containment in the where-language,
+    string stats may be truncated, string timestamps compare unsafely
+    against datetime footer stats), numeric literal bounds, and only the
+    $gt/$gte/$lt/$lte operators (plus bare equality). Everything else
+    returns None and the caller takes the normal count plan.
+    """
+    import numbers
+
+    if not isinstance(where, dict) or len(where) != 1:
+        return None
+    col, spec = next(iter(where.items()))
+    if not isinstance(col, str) or col.startswith("$") or "." in col:
+        return None
+    try:
+        if not isinstance(df.schema[col].dataType, T.NumericType):
+            return None
+    except Exception:  # noqa: BLE001 — unknown column: let the plan fail
+        return None
+
+    def _num(v):
+        return isinstance(v, numbers.Number) and not isinstance(v, bool)
+
+    if isinstance(spec, dict):
+        lo = hi = None
+        lo_inc = hi_inc = True
+        for op, v in spec.items():
+            if not _num(v):
+                return None
+            if op == "$gte":
+                lo, lo_inc = v, True
+            elif op == "$gt":
+                lo, lo_inc = v, False
+            elif op == "$lte":
+                hi, hi_inc = v, True
+            elif op == "$lt":
+                hi, hi_inc = v, False
+            else:
+                return None
+        if lo is None and hi is None:
+            return None
+        return col, lo, hi, lo_inc, hi_inc
+    if _num(spec):
+        return col, spec, spec, True, True
+    return None

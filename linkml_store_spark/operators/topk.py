@@ -159,3 +159,127 @@ def topk_stats_pruned(
     ]
     order += list(tiebreakers or [])
     return df.orderBy(*order).limit(k)
+
+
+# ------------------------------------------------------------------ #
+# zone-map filtered count — the COUNT analog of the pruned top-k
+# ------------------------------------------------------------------ #
+def _file_zone_decision(path: str, col: str, lo, hi,
+                        lo_inclusive: bool = True, hi_inclusive: bool = True):
+    """Per-file zone-map triage for ``lo <= col <= hi`` (either bound may
+    be None = unbounded): returns (metadata_count, undecided_files) or
+    None when any footer lacks exact stats.
+
+    A row group is DECIDED when its [min, max] lies entirely inside the
+    predicate (contributes its non-null rows — nulls never satisfy a
+    range) or entirely outside it (contributes 0). Files whose every
+    group is decided are answered from metadata alone; the rest are
+    scanned normally (where Spark's reader still row-group-skips the
+    disjoint groups via the pushed filter). Same driver-side footer-only
+    IO as ``_row_group_stats``; string columns are never used (parquet
+    may truncate their stats).
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(dp, f)
+            for dp, _dn, fns in os.walk(path)
+            for f in fns
+            if f.endswith(".parquet")
+        )
+    else:
+        files = [path]
+    if not files:
+        return None
+    meta_count = 0
+    undecided = []
+    for fp in files:
+        md = pq.ParquetFile(fp).metadata
+        file_meta = 0
+        file_decided = True
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            c = None
+            for j in range(rg.num_columns):
+                if rg.column(j).path_in_schema == col:
+                    c = rg.column(j)
+                    break
+            if c is None:
+                return None
+            st = c.statistics
+            if (
+                st is None
+                or not st.has_min_max
+                or not st.has_null_count
+                or c.physical_type not in _SAFE_PHYSICAL
+            ):
+                return None
+            inside_lo = lo is None or (
+                st.min >= lo if lo_inclusive else st.min > lo
+            )
+            inside_hi = hi is None or (
+                st.max <= hi if hi_inclusive else st.max < hi
+            )
+            outside = (
+                lo is not None
+                and (st.max < lo if lo_inclusive else st.max <= lo)
+            ) or (
+                hi is not None
+                and (st.min > hi if hi_inclusive else st.min >= hi)
+            )
+            if inside_lo and inside_hi:
+                file_meta += rg.num_rows - st.null_count
+            elif outside:
+                pass  # contributes 0
+            else:
+                file_decided = False
+                break
+        if file_decided:
+            meta_count += file_meta
+        else:
+            undecided.append(fp)
+    return meta_count, undecided
+
+
+def stats_filtered_count(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo=None,
+    hi=None,
+    lo_inclusive: bool = True,
+    hi_inclusive: bool = True,
+) -> int:
+    """COUNT of rows with ``col`` in the given range over a parquet table,
+    answered from parquet footers wherever the zone maps decide the whole
+    file — the DuckDB/zone-map count optimization expressed over the same
+    footer statistics the pruned top-k uses.
+
+    On clustered / time-partitioned layouts (write_clustered,
+    write_zordered, natural time-ordered ingest — the realistic 100 TB
+    layout for time-range counts) almost every file is decided, so the
+    count is driver-metadata IO plus a scan of only the boundary files;
+    on adversarially uniform layouts it degrades gracefully to the plain
+    filtered count (every file undecided). Equality = ``lo == hi``.
+    Falls back to the plain scan whenever statistics are missing.
+    """
+    decision = None
+    try:
+        decision = _file_zone_decision(path, col, lo, hi, lo_inclusive, hi_inclusive)
+    except Exception:  # noqa: BLE001 — stats are an optimization only
+        decision = None
+    c = F.col(col)
+    pred = F.lit(True)
+    if lo is not None:
+        pred = pred & (c >= lo if lo_inclusive else c > lo)
+    if hi is not None:
+        pred = pred & (c <= hi if hi_inclusive else c < hi)
+    if decision is None:
+        return spark.read.parquet(path).filter(pred).count()
+    meta_count, undecided = decision
+    if not undecided:
+        return meta_count
+    return meta_count + spark.read.parquet(*undecided).filter(pred).count()

@@ -177,3 +177,96 @@ def test_timestamp_column_prunes(spark, sf_dir):
         .collect()
     )
     assert [tuple(r) for r in pruned] == [tuple(r) for r in plain]
+
+
+# ------------------------------------------------------------------ #
+# zone-map filtered count (stats_filtered_count)
+# ------------------------------------------------------------------ #
+from linkml_store_spark.operators.topk import (
+    _file_zone_decision,
+    stats_filtered_count,
+)
+
+
+def test_zone_count_matches_plain_scan(spark, sf_dir):
+    import os
+
+    path = os.path.join(sf_dir, "orders.parquet")
+    for lo, hi, li, hi_inc in [
+        (100000.0, 300000.0, True, True),
+        (None, 150000.0, True, False),
+        (400000.0, None, False, True),
+    ]:
+        got = stats_filtered_count(
+            spark, path, "o_totalprice", lo, hi, li, hi_inc
+        )
+        c = F.col("o_totalprice")
+        pred = F.lit(True)
+        if lo is not None:
+            pred = pred & (c >= lo if li else c > lo)
+        if hi is not None:
+            pred = pred & (c <= hi if hi_inc else c < hi)
+        assert got == spark.read.parquet(path).filter(pred).count()
+
+
+def test_zone_count_clustered_is_metadata_only(spark, tmp_path):
+    # clustered layout: interior files fully decided -> answered from
+    # footers; only the two boundary files need a scan
+    path = str(tmp_path / "clustered_cnt")
+    n = 40000
+    df = spark.range(n).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v")
+    )
+    df.repartitionByRange(8, "v").sortWithinPartitions("v").write.parquet(path)
+    lo, hi = 10000.0, 30000.0
+    decision = _file_zone_decision(path, "v", lo, hi)
+    assert decision is not None
+    meta, undecided = decision
+    assert len(undecided) <= 2, undecided  # only boundary files scan
+    assert meta > 0
+    got = stats_filtered_count(spark, path, "v", lo, hi)
+    assert got == 20001  # [10000, 30000] inclusive
+
+
+def test_zone_count_nulls_excluded(spark, tmp_path):
+    path = str(tmp_path / "null_cnt")
+    rows = [(i, float(i) if i % 4 else None) for i in range(400)]
+    spark.createDataFrame(rows, ["id", "v"]).coalesce(1).write.parquet(path)
+    # fully-covered range: nulls must NOT count
+    got = stats_filtered_count(spark, path, "v", 0.0, 400.0)
+    assert got == 300
+
+
+def test_zone_count_equality(spark, tmp_path):
+    path = str(tmp_path / "eq_cnt")
+    spark.createDataFrame(
+        [(i, float(i % 10)) for i in range(1000)], ["id", "v"]
+    ).coalesce(1).write.parquet(path)
+    assert stats_filtered_count(spark, path, "v", 3.0, 3.0) == 100
+
+
+def test_collection_count_uses_zone_maps(spark, sf_dir, tmp_path):
+    # the reference-parity find() total goes through the zone-map count
+    # for simple numeric ranges — and stays identical to the plain plan
+    from linkml_store_spark.client import Client
+    from linkml_store_spark.sources.tables import load_table
+
+    db = Client(spark=spark).attach_database(f"file:{tmp_path}/wh", alias="zc")
+    coll = db.create_collection("orders")
+    coll.insert(load_table(spark, sf_dir, "orders"))
+    res = coll.find({"o_totalprice": {"$gte": 100000.0, "$lt": 300000.0}}, limit=5)
+    plain = coll.df.filter(
+        (F.col("o_totalprice") >= 100000.0) & (F.col("o_totalprice") < 300000.0)
+    ).count()
+    assert res.num_rows == plain
+    # equality form
+    first_price = coll.df.first()["o_totalprice"]
+    res2 = coll.find({"o_totalprice": first_price}, limit=5)
+    assert res2.num_rows == coll.df.filter(
+        F.col("o_totalprice") == first_price
+    ).count()
+    # non-eligible clauses still work (string equality takes the plan)
+    res3 = coll.find({"o_orderpriority": "1-URGENT"}, limit=5)
+    assert res3.num_rows == coll.df.filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).count()
