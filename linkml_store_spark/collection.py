@@ -487,18 +487,27 @@ class Collection:
         if self._df_is_store_scan and self.database.location:
             rng = _simple_range_clause(query.where_clause, self.df)
             if rng is not None:
-                try:
-                    import os as _os
+                ck = ("count",) + rng
+                if ck in self._footer_stats_cache:
+                    # paging re-issues the same predicate with different
+                    # offsets — the total is invariant until a mutation
+                    num_rows = self._footer_stats_cache[ck]
+                else:
+                    try:
+                        import os as _os
 
-                    from linkml_store_spark.operators.topk import (
-                        stats_filtered_count,
-                    )
+                        from linkml_store_spark.operators.topk import (
+                            stats_filtered_count,
+                        )
 
-                    path = self.database._collection_path(self.alias)
-                    if _os.path.exists(path):
-                        num_rows = stats_filtered_count(self.spark, path, *rng)
-                except Exception:  # noqa: BLE001 — optimization only
-                    num_rows = None
+                        path = self.database._collection_path(self.alias)
+                        if _os.path.exists(path):
+                            num_rows = stats_filtered_count(
+                                self.spark, path, *rng
+                            )
+                            self._footer_stats_cache[ck] = num_rows
+                    except Exception:  # noqa: BLE001 — optimization only
+                        num_rows = None
         if num_rows is None:
             num_rows = fast_count(df)
         page = df

@@ -178,11 +178,17 @@ def _file_zone_decision(path: str, col: str, lo, hi,
     disjoint groups via the pushed filter). Same driver-side footer-only
     IO as ``_row_group_stats``; string columns are never used (parquet
     may truncate their stats).
+
+    Refuses (returns None) above ``max_files``: the footer sweep is
+    SEQUENTIAL driver IO, so on a store with tens of thousands of files
+    the distributed scan a 1000-executor cluster runs in parallel is the
+    better plan — a metadata shortcut must never become the bottleneck.
     """
     import os
 
     import pyarrow.parquet as pq
 
+    max_files = 4096
     if os.path.isdir(path):
         files = sorted(
             os.path.join(dp, f)
@@ -192,7 +198,7 @@ def _file_zone_decision(path: str, col: str, lo, hi,
         )
     else:
         files = [path]
-    if not files:
+    if not files or len(files) > max_files:
         return None
     meta_count = 0
     undecided = []
