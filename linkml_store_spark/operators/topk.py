@@ -272,6 +272,27 @@ def stats_filtered_count(
     filtered count (every file undecided). Equality = ``lo == hi``.
     Falls back to the plain scan whenever statistics are missing.
     """
+    if lo is None and hi is None:
+        # no predicate at all: NULLS COUNT (a range excludes them, the
+        # absence of a range does not) — plain metadata row total
+        import pyarrow.parquet as pq
+
+        try:
+            import os
+
+            files = (
+                sorted(
+                    os.path.join(dp, f)
+                    for dp, _dn, fns in os.walk(path)
+                    for f in fns
+                    if f.endswith(".parquet")
+                )
+                if os.path.isdir(path)
+                else [path]
+            )
+            return sum(pq.ParquetFile(fp).metadata.num_rows for fp in files)
+        except Exception:  # noqa: BLE001
+            return spark.read.parquet(path).count()
     decision = None
     try:
         decision = _file_zone_decision(path, col, lo, hi, lo_inclusive, hi_inclusive)

@@ -270,3 +270,46 @@ def test_collection_count_uses_zone_maps(spark, sf_dir, tmp_path):
     assert res3.num_rows == coll.df.filter(
         F.col("o_orderpriority") == "1-URGENT"
     ).count()
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    lo=st.one_of(st.none(), st.integers(-50, 450)),
+    hi=st.one_of(st.none(), st.integers(-50, 450)),
+    li=st.booleans(),
+    hin=st.booleans(),
+    nullfrac=st.sampled_from([0, 3, 7]),
+)
+def test_zone_count_property_matches_plain(
+    spark, tmp_path_factory, seed, lo, hi, li, hin, nullfrac
+):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    path = str(tmp_path_factory.mktemp("zc") / "t")
+    rows = [
+        (
+            i,
+            None
+            if (nullfrac and i % nullfrac == 0)
+            else float(rng.randint(0, 400)),
+        )
+        for i in range(500)
+    ]
+    spark.createDataFrame(rows, ["id", "v"]).repartition(3).write.parquet(path)
+    got = stats_filtered_count(
+        spark, path, "v", float(lo) if lo is not None else None,
+        float(hi) if hi is not None else None, li, hin,
+    )
+    c = F.col("v")
+    pred = F.lit(True)
+    if lo is not None:
+        pred = pred & (c >= float(lo) if li else c > float(lo))
+    if hi is not None:
+        pred = pred & (c <= float(hi) if hin else c < float(hi))
+    assert got == spark.read.parquet(path).filter(pred).count()
