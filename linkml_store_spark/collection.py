@@ -1357,14 +1357,17 @@ def _simple_range_clause(where, df):
         for op, v in spec.items():
             if not _num(v):
                 return None
-            if op == "$gte":
-                lo, lo_inc = v, True
-            elif op == "$gt":
-                lo, lo_inc = v, False
-            elif op == "$lte":
-                hi, hi_inc = v, True
-            elif op == "$lt":
-                hi, hi_inc = v, False
+            # both ops of one side may appear ({"$gte": 5, "$gt": 3}); the
+            # compiled predicate ANDs them, so the clause must INTERSECT —
+            # keep the stricter bound (ties: exclusive beats inclusive)
+            if op in ("$gte", "$gt"):
+                inc = op == "$gte"
+                if lo is None or v > lo or (v == lo and not inc):
+                    lo, lo_inc = v, inc
+            elif op in ("$lte", "$lt"):
+                inc = op == "$lte"
+                if hi is None or v < hi or (v == hi and not inc):
+                    hi, hi_inc = v, inc
             else:
                 return None
         if lo is None and hi is None:

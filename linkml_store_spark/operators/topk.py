@@ -42,17 +42,20 @@ from pyspark.sql import functions as F
 #: byte arrays may be truncated by writers — unsafe to prune on)
 _SAFE_PHYSICAL = {"INT32", "INT64", "FLOAT", "DOUBLE", "BOOLEAN"}
 
+#: driver-side footer sweeps are SEQUENTIAL — on a store with tens of
+#: thousands of files the distributed scan a 1000-executor cluster runs
+#: in parallel is the better plan, so every sweep refuses above this cap
+_MAX_SWEEP_FILES = 4096
 
-def _row_group_stats(path: str, col: str):
-    """[(min, max, non_null_rows)] across every row group of every file
-    under ``path``; None when any group lacks exact stats for ``col``.
-    Row mass is NON-NULL rows (parquet min/max ignore nulls, so the
-    min-mass bound must too — and a table whose non-null mass <= k must
-    not be pruned at all: the plain plan's nulls-last tail would differ).
-    """
+
+def _parquet_files(path: str, max_files: int = None):
+    """Sorted .parquet files under ``path`` (or [path] itself), or None
+    when empty / beyond ``max_files`` (default _MAX_SWEEP_FILES, read at
+    call time — a metadata shortcut must never become the bottleneck)."""
     import os
 
-    import pyarrow.parquet as pq
+    if max_files is None:
+        max_files = _MAX_SWEEP_FILES
 
     if os.path.isdir(path):
         files = sorted(
@@ -63,7 +66,45 @@ def _row_group_stats(path: str, col: str):
         )
     else:
         files = [path]
-    if not files:
+    if not files or len(files) > max_files:
+        return None
+    return files
+
+
+def _stat_nan(st) -> bool:
+    """True when a float column's footer min/max contains NaN — written by
+    parquet-mr/Spark (which fold NaN into the comparator) — so the column
+    provably CONTAINS NaN and every stats decision must be refused. Spark
+    ranks NaN above every value (measured: ``NaN >= lo`` is TRUE, ``NaN
+    <= hi`` is FALSE, ORDER BY DESC puts NaN first), while footer min/max
+    carry no NaN count — so neither a zone count (NaN passes lower bounds
+    but fails upper bounds) nor a top-k threshold (NaN poisons the
+    ordering math) can be decided from statistics. Spec-compliant writers
+    (arrow, polars) OMIT NaN from min/max instead, making hidden NaN
+    undetectable from footers — the parquet format's own limitation,
+    under which even the PLAIN Spark scan is layout-dependent (its pushed
+    filter row-group-skips hidden-NaN groups; DuckDB's zone maps measured
+    dropping the same row). Spark-written stores — what Database
+    persistence produces — are therefore fully guarded; foreign
+    NaN-bearing floats are documented as out of stats-decision scope."""
+    mn, mx = st.min, st.max
+    return (isinstance(mn, float) and mn != mn) or (
+        isinstance(mx, float) and mx != mx
+    )
+
+
+def _row_group_stats(path: str, col: str):
+    """[(min, max, non_null_rows)] across every row group of every file
+    under ``path``; None when any group lacks exact stats for ``col``.
+    Row mass is NON-NULL rows (parquet min/max ignore nulls, so the
+    min-mass bound must too — and a table whose non-null mass <= k must
+    not be pruned at all: the plain plan's nulls-last tail would differ).
+    NaN-bearing float stats refuse (see _stat_nan).
+    """
+    import pyarrow.parquet as pq
+
+    files = _parquet_files(path)
+    if files is None:
         return None
     out = []
     for fp in files:
@@ -83,6 +124,7 @@ def _row_group_stats(path: str, col: str):
                 or not st.has_min_max
                 or not st.has_null_count
                 or c.physical_type not in _SAFE_PHYSICAL
+                or _stat_nan(st)
             ):
                 return None
             out.append((st.min, st.max, rg.num_rows - st.null_count))
@@ -141,7 +183,17 @@ def topk_stats_pruned(
     the top k when the non-null mass is <= k, and ``topk_threshold``
     refuses to prune exactly that case (its row masses are non-null
     counts). ``tiebreakers`` (list of Columns) make the result
-    deterministic under value ties."""
+    deterministic under value ties.
+
+    NaN caveat: Spark ranks float NaN above every value (first under
+    DESC; it passes ``>= tau`` but fails ``<= tau``), and NaN in the
+    stats poisons the threshold math — so a NaN-bearing sort column must
+    never be pruned. Spark/parquet-mr-written files are guarded (NaN
+    lands in the footer min/max, which refuses pruning — see
+    ``_stat_nan``); spec-compliant writers omit NaN from statistics, so
+    hidden NaN in foreign files is out of pruning scope — the parquet
+    format's own limitation, shared by stats-trusting engines (DuckDB
+    measured dropping a hidden-NaN row via its parquet zone maps)."""
     df = spark.read.parquet(path)
     tau = None
     try:
@@ -179,27 +231,25 @@ def _file_zone_decision(path: str, col: str, lo, hi,
     IO as ``_row_group_stats``; string columns are never used (parquet
     may truncate their stats).
 
-    Refuses (returns None) above ``max_files``: the footer sweep is
-    SEQUENTIAL driver IO, so on a store with tens of thousands of files
-    the distributed scan a 1000-executor cluster runs in parallel is the
-    better plan — a metadata shortcut must never become the bottleneck.
-    """
-    import os
+    Refuses (returns None) above the shared ``_MAX_SWEEP_FILES`` cap: the
+    footer sweep is SEQUENTIAL driver IO, so on a store with tens of
+    thousands of files the distributed scan a 1000-executor cluster runs
+    in parallel is the better plan — a metadata shortcut must never
+    become the bottleneck.
 
+    Comparison domain mirrors Spark exactly: when the column is integral
+    and either bound is a float, Spark casts the COLUMN to double before
+    comparing — so the stats are cast through ``float()`` (same IEEE
+    round-half-even, and monotone, so group-level decisions stay valid
+    beyond 2^53 where exact-int comparison would diverge from the scan).
+    NaN-bearing float stats refuse every decision (see _stat_nan).
+    """
     import pyarrow.parquet as pq
 
-    max_files = 4096
-    if os.path.isdir(path):
-        files = sorted(
-            os.path.join(dp, f)
-            for dp, _dn, fns in os.walk(path)
-            for f in fns
-            if f.endswith(".parquet")
-        )
-    else:
-        files = [path]
-    if not files or len(files) > max_files:
+    files = _parquet_files(path)
+    if files is None:
         return None
+    float_bound = isinstance(lo, float) or isinstance(hi, float)
     meta_count = 0
     undecided = []
     for fp in files:
@@ -221,20 +271,37 @@ def _file_zone_decision(path: str, col: str, lo, hi,
                 or not st.has_min_max
                 or not st.has_null_count
                 or c.physical_type not in _SAFE_PHYSICAL
+                or _stat_nan(st)
             ):
                 return None
-            inside_lo = lo is None or (
-                st.min >= lo if lo_inclusive else st.min > lo
+            smin, smax, lo_e, hi_e = st.min, st.max, lo, hi
+            if c.physical_type in ("FLOAT", "DOUBLE"):
+                # Spark casts an integral literal to double; float() is
+                # that exact cast (IEEE round-half-even)
+                try:
+                    lo_e = None if lo is None else float(lo)
+                    hi_e = None if hi is None else float(hi)
+                except OverflowError:
+                    return None
+            elif float_bound and isinstance(smin, int) and not isinstance(
+                smin, bool
+            ):
+                # Spark compares cast(col as double) against the double
+                # literal; cast the stats the same way — the cast is
+                # monotone, so group-level decisions stay valid
+                smin, smax = float(smin), float(smax)
+            inside_lo = lo_e is None or (
+                smin >= lo_e if lo_inclusive else smin > lo_e
             )
-            inside_hi = hi is None or (
-                st.max <= hi if hi_inclusive else st.max < hi
+            inside_hi = hi_e is None or (
+                smax <= hi_e if hi_inclusive else smax < hi_e
             )
             outside = (
-                lo is not None
-                and (st.max < lo if lo_inclusive else st.max <= lo)
+                lo_e is not None
+                and (smax < lo_e if lo_inclusive else smax <= lo_e)
             ) or (
-                hi is not None
-                and (st.min > hi if hi_inclusive else st.min >= hi)
+                hi_e is not None
+                and (smin > hi_e if hi_inclusive else smin >= hi_e)
             )
             if inside_lo and inside_hi:
                 file_meta += rg.num_rows - st.null_count
@@ -271,25 +338,31 @@ def stats_filtered_count(
     on adversarially uniform layouts it degrades gracefully to the plain
     filtered count (every file undecided). Equality = ``lo == hi``.
     Falls back to the plain scan whenever statistics are missing.
+
+    NaN caveat (same scope as every stats-trusting engine): Spark ranks
+    NaN above every value (it passes lower bounds, fails upper bounds),
+    and footers carry no NaN count — so a float column CONTAINING NaN
+    must never be metadata-counted. Spark/parquet-mr-written files are
+    fully guarded (those writers fold NaN into min/max, which
+    ``_stat_nan`` detects and refuses); spec-compliant writers (arrow,
+    polars) omit NaN from statistics entirely, making hidden NaN
+    undetectable from footers — under which even the plain Spark scan is
+    layout-dependent (pushed filters row-group-skip hidden-NaN groups),
+    and DuckDB's zone maps measured dropping the same row. Keep NaN out
+    of columns you range-count (Collection stores are Spark-written, so
+    they are covered by the detection path).
     """
     if lo is None and hi is None:
         # no predicate at all: NULLS COUNT (a range excludes them, the
-        # absence of a range does not) — plain metadata row total
+        # absence of a range does not) — plain metadata row total. The
+        # same _MAX_SWEEP_FILES cap applies: this branch is sequential
+        # driver IO too.
         import pyarrow.parquet as pq
 
         try:
-            import os
-
-            files = (
-                sorted(
-                    os.path.join(dp, f)
-                    for dp, _dn, fns in os.walk(path)
-                    for f in fns
-                    if f.endswith(".parquet")
-                )
-                if os.path.isdir(path)
-                else [path]
-            )
+            files = _parquet_files(path)
+            if files is None:
+                return spark.read.parquet(path).count()
             return sum(pq.ParquetFile(fp).metadata.num_rows for fp in files)
         except Exception:  # noqa: BLE001
             return spark.read.parquet(path).count()

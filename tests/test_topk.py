@@ -313,3 +313,62 @@ def test_zone_count_property_matches_plain(
     if hi is not None:
         pred = pred & (c <= float(hi) if hin else c < float(hi))
     assert got == spark.read.parquet(path).filter(pred).count()
+
+
+def test_nan_stats_refuse_spark_written(spark, tmp_path):
+    # Spark/parquet-mr folds NaN into footer min/max; both the pruned
+    # top-k and the zone count must detect it and fall back to the plain
+    # plan (Spark range filters exclude NaN while ORDER BY ranks it above
+    # every value — no stats decision reproduces both)
+    path = str(tmp_path / "nan_store")
+    rows = [(i, float(i)) for i in range(50)] + [(50, float("nan")), (51, None)]
+    spark.createDataFrame(rows, ["id", "v"]).coalesce(1).write.parquet(path)
+    from linkml_store_spark.operators.topk import _row_group_stats
+
+    assert _row_group_stats(path, "v") is None  # NaN detected -> refuse
+    # pruned top-k falls back and still matches the plain plan exactly
+    # (NaN first under desc_nulls_last, then 49, 48, ...)
+    got = [r["id"] for r in topk_stats_pruned(spark, path, "v", k=3).collect()]
+    want = [
+        r["id"]
+        for r in spark.read.parquet(path)
+        .orderBy(F.desc_nulls_last("v"))
+        .limit(3)
+        .collect()
+    ]
+    assert got == want == [50, 49, 48]
+    # zone count refuses the metadata path and matches the plain count:
+    # Spark ranks NaN above every value, so it PASSES the lower bound
+    # (rows 10..49 plus the NaN row = 41) but fails any upper bound
+    assert stats_filtered_count(spark, path, "v", 10.0, None) == 41
+    assert stats_filtered_count(spark, path, "v", 10.0, 100.0) == 40
+
+
+def test_zone_count_int_column_float_bound_mirrors_spark_cast(spark, tmp_path):
+    # beyond 2^53 Spark compares cast(col as double) >= literal; exact
+    # Python int comparison would decide groups differently — the zone
+    # path must mirror the lossy cast
+    path = str(tmp_path / "bigint")
+    big = 9223372036854774800  # rounds DOWN to 9223372036854774784.0
+    rows = [(1, big), (2, 100)]
+    spark.createDataFrame(rows, ["id", "v"]).coalesce(1).write.parquet(path)
+    lo = 9223372036854774784.0
+    got = stats_filtered_count(spark, path, "v", lo, None)
+    plain = spark.read.parquet(path).filter(F.col("v") >= lo).count()
+    assert got == plain == 1
+
+
+def test_no_predicate_count_uses_capped_sweep(spark, tmp_path, monkeypatch):
+    # the lo=hi=None branch must honor the same file cap as the bounded
+    # branch (sequential driver IO), falling back to the distributed count
+    import linkml_store_spark.operators.topk as topk_mod
+
+    path = str(tmp_path / "many")
+    spark.createDataFrame([(i,) for i in range(20)], ["v"]).repartition(
+        4
+    ).write.parquet(path)
+    monkeypatch.setattr(topk_mod, "_MAX_SWEEP_FILES", 2)
+    # helper refuses beyond the cap...
+    assert topk_mod._parquet_files(path, topk_mod._MAX_SWEEP_FILES) is None
+    # ...and the count still answers via the Spark fallback
+    assert stats_filtered_count(spark, path, "v") == 20
