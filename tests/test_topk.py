@@ -284,10 +284,14 @@ from hypothesis import strategies as st
     li=st.booleans(),
     hin=st.booleans(),
     nullfrac=st.sampled_from([0, 3, 7]),
+    nanfrac=st.sampled_from([0, 11]),
 )
 def test_zone_count_property_matches_plain(
-    spark, tmp_path_factory, seed, lo, hi, li, hin, nullfrac
+    spark, tmp_path_factory, seed, lo, hi, li, hin, nullfrac, nanfrac
 ):
+    # nanfrac > 0 plants NaN rows: Spark's writer folds NaN into the
+    # footer min/max, so the zone path must detect it, refuse, and still
+    # agree with the plain scan (NaN ranks above every value in Spark)
     import numpy as np
 
     rng = np.random.RandomState(seed)
@@ -297,6 +301,8 @@ def test_zone_count_property_matches_plain(
             i,
             None
             if (nullfrac and i % nullfrac == 0)
+            else float("nan")
+            if (nanfrac and i % nanfrac == 1)
             else float(rng.randint(0, 400)),
         )
         for i in range(500)
