@@ -242,7 +242,16 @@ def _file_zone_decision(path: str, col: str, lo, hi,
     comparing — so the stats are cast through ``float()`` (same IEEE
     round-half-even, and monotone, so group-level decisions stay valid
     beyond 2^53 where exact-int comparison would diverge from the scan).
-    NaN-bearing float stats refuse every decision (see _stat_nan).
+
+    Degradation is PER FILE: a file whose stats are missing, inexact, or
+    NaN-bearing (see _stat_nan) just joins the undecided set and is
+    scanned with the pushed predicate — whatever Spark's scan computes
+    for it IS the plain plan's answer for that file, so mixed stores
+    (one statless/foreign writer among Spark-written files) keep the
+    metadata shortcut for every clean file. Only structural problems
+    refuse globally: an unsafe physical type (strings may truncate
+    min/max — table-wide, so per-file scanning would always win) or an
+    unrepresentable bound.
     """
     import pyarrow.parquet as pq
 
@@ -264,16 +273,21 @@ def _file_zone_decision(path: str, col: str, lo, hi,
                     c = rg.column(j)
                     break
             if c is None:
-                return None
+                # column absent in this file: the scan reads nulls for it
+                # (schema union), so the file is scannable, just undecided
+                file_decided = False
+                break
             st = c.statistics
+            if c.physical_type not in _SAFE_PHYSICAL:
+                return None  # table-wide property: strings never decide
             if (
                 st is None
                 or not st.has_min_max
                 or not st.has_null_count
-                or c.physical_type not in _SAFE_PHYSICAL
                 or _stat_nan(st)
             ):
-                return None
+                file_decided = False
+                break
             smin, smax, lo_e, hi_e = st.min, st.max, lo, hi
             if c.physical_type in ("FLOAT", "DOUBLE"):
                 # Spark casts an integral literal to double; float() is

@@ -378,3 +378,31 @@ def test_no_predicate_count_uses_capped_sweep(spark, tmp_path, monkeypatch):
     assert topk_mod._parquet_files(path, topk_mod._MAX_SWEEP_FILES) is None
     # ...and the count still answers via the Spark fallback
     assert stats_filtered_count(spark, path, "v") == 20
+
+
+def test_zone_count_mixed_store_per_file_degradation(spark, tmp_path):
+    # one clean Spark-written file (metadata-decided) + one NaN-bearing
+    # file (footer max=NaN -> undecided -> scanned): the zone count must
+    # still equal the plain scan, using metadata for the clean file only
+    path = str(tmp_path / "mixed")
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], ["id", "v"]
+    ).coalesce(1).write.parquet(path)
+    spark.createDataFrame(
+        [(100 + i, float(100 + i)) for i in range(20)]
+        + [(999, float("nan"))],
+        ["id", "v"],
+    ).coalesce(1).write.mode("append").parquet(path)
+    from linkml_store_spark.operators.topk import _file_zone_decision
+
+    dec = _file_zone_decision(path, "v", 0.0, 1000.0)
+    assert dec is not None
+    meta, undecided = dec
+    assert meta == 100 and len(undecided) == 1  # clean file decided
+    got = stats_filtered_count(spark, path, "v", 0.0, 1000.0)
+    plain = (
+        spark.read.parquet(path)
+        .filter((F.col("v") >= 0.0) & (F.col("v") <= 1000.0))
+        .count()
+    )
+    assert got == plain == 120
