@@ -351,7 +351,9 @@ def stats_filtered_count(
     count is driver-metadata IO plus a scan of only the boundary files;
     on adversarially uniform layouts it degrades gracefully to the plain
     filtered count (every file undecided). Equality = ``lo == hi``.
-    Falls back to the plain scan whenever statistics are missing.
+    Files with missing/NaN statistics degrade individually into the
+    scanned set (see _file_zone_decision); only table-wide problems
+    (unsafe physical type, oversized store) fall back to the plain scan.
 
     NaN caveat (same scope as every stats-trusting engine): Spark ranks
     NaN above every value (it passes lower bounds, fails upper bounds),
