@@ -1293,9 +1293,23 @@ class Collection:
         """No-op: persistence is write-through (reference API parity)."""
 
 
-def _sort_base(spec: str) -> str:
+def _sort_norm(spec) -> str:
+    """Normalize a sort spec to the reference's string form. Strings pass
+    through; ('col', 'desc'|'asc') tuples — a natural caller mistake the
+    reference API rejects with an obscure AttributeError — are accepted
+    as the equivalent string."""
+    if isinstance(spec, (tuple, list)):
+        if len(spec) == 1:
+            return str(spec[0])
+        if len(spec) == 2 and str(spec[1]).lower() in ("asc", "desc"):
+            return f"{spec[0]} {str(spec[1]).lower()}"
+        raise ValueError(f"bad sort spec: {spec!r}")
+    return spec
+
+
+def _sort_base(spec) -> str:
     """The bare column name of a sort spec ('-col', 'col desc', ...)."""
-    spec = spec.strip()
+    spec = _sort_norm(spec).strip()
     if spec.startswith("-"):
         spec = spec[1:]
     low = spec.lower()
@@ -1306,14 +1320,15 @@ def _sort_base(spec: str) -> str:
     return spec.strip()
 
 
-def _sort_col(spec: str):
+def _sort_col(spec):
     """'-col' means descending (reference ibis_collection.py:275-286).
+    ('col', 'desc') tuples are accepted too (see _sort_norm).
 
     Null placement follows the reference's canonical backend (DuckDB):
     NULLS LAST for BOTH directions. Spark's defaults differ (asc -> nulls
     first), so the null ordering is pinned explicitly.
     """
-    spec = spec.strip()
+    spec = _sort_norm(spec).strip()
     if spec.startswith("-"):
         return F.col(spec[1:]).desc_nulls_last()
     if spec.lower().endswith(" desc"):

@@ -361,3 +361,13 @@ def test_zone_count_range_clause_intersects_same_side_bounds(spark, tmp_path):
     assert res.num_rows == 5 == len(res.rows)
     res = coll.find({"v": {"$lt": 8.0, "$lte": 20.0}}, limit=100)
     assert res.num_rows == 8 == len(res.rows)
+
+
+def test_sort_by_accepts_tuple_specs(db):
+    coll = db.create_collection("S")
+    coll.insert([{"i": i, "v": float(100 - i)} for i in range(20)])
+    a = coll.find(None, sort_by=[("v", "desc"), ("i", "asc")], limit=3)
+    b = coll.find(None, sort_by=["-v", "i"], limit=3)
+    assert [r["i"] for r in a.rows] == [r["i"] for r in b.rows] == [0, 1, 2]
+    with pytest.raises(ValueError):
+        coll.find(None, sort_by=[("v", "sideways")], limit=3)
