@@ -248,10 +248,11 @@ def _file_zone_decision(path: str, col: str, lo, hi,
     scanned with the pushed predicate — whatever Spark's scan computes
     for it IS the plain plan's answer for that file, so mixed stores
     (one statless/foreign writer among Spark-written files) keep the
-    metadata shortcut for every clean file. Only structural problems
-    refuse globally: an unsafe physical type (strings may truncate
-    min/max — table-wide, so per-file scanning would always win) or an
-    unrepresentable bound.
+    metadata shortcut for every clean file. Structural problems refuse
+    globally: an unsafe physical type (strings may truncate min/max —
+    table-wide), an unrepresentable bound, or a file missing the column
+    entirely (a subset scan might not resolve the predicate column that
+    the whole-store schema union does).
     """
     import pyarrow.parquet as pq
 
@@ -273,10 +274,12 @@ def _file_zone_decision(path: str, col: str, lo, hi,
                     c = rg.column(j)
                     break
             if c is None:
-                # column absent in this file: the scan reads nulls for it
-                # (schema union), so the file is scannable, just undecided
-                file_decided = False
-                break
+                # column absent in this file: scanning ONLY the undecided
+                # subset could fail to resolve the predicate column at all
+                # (schema comes from the files read, not the store) —
+                # schema evolution is a table-wide concern, so refuse and
+                # let the plain whole-store scan resolve it by union
+                return None
             st = c.statistics
             if c.physical_type not in _SAFE_PHYSICAL:
                 return None  # table-wide property: strings never decide

@@ -406,3 +406,25 @@ def test_zone_count_mixed_store_per_file_degradation(spark, tmp_path):
         .count()
     )
     assert got == plain == 120
+
+
+def test_zone_count_missing_column_file_refuses_globally(spark, tmp_path):
+    # schema evolution: one file lacks the predicate column; a subset
+    # scan of just that file could not resolve the column, so the zone
+    # path must refuse and the public operator must still answer via the
+    # whole-store scan (schema union reads nulls for the missing column)
+    path = str(tmp_path / "evolved")
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], ["id", "v"]
+    ).coalesce(1).write.parquet(path)
+    spark.createDataFrame(
+        [(100 + i,) for i in range(10)], ["id"]
+    ).coalesce(1).write.mode("append").parquet(path)
+    from linkml_store_spark.operators.topk import _file_zone_decision
+
+    assert _file_zone_decision(path, "v", 10.0, None) is None
+    got = stats_filtered_count(spark, path, "v", 10.0, None)
+    plain = (
+        spark.read.parquet(path).filter(F.col("v") >= 10.0).count()
+    )
+    assert got == plain == 40
