@@ -543,11 +543,9 @@ class Collection:
 
                 path = self.database._collection_path(self.alias)
                 if _os.path.exists(path):
-                    spec = query.sort_by[0].strip()
-                    base = _sort_base(spec)
-                    descending = spec.startswith("-") or spec.lower().endswith(
-                        " desc"
-                    )
+                    # _sort_parse handles tuple specs too — the prune path
+                    # must see the same plan for every accepted spelling
+                    base, descending = _sort_parse(query.sort_by[0])
                     k_eff = (query.offset or 0) + limit
                     if base not in self._footer_stats_cache:
                         self._footer_stats_cache[base] = _row_group_stats(
@@ -1307,17 +1305,31 @@ def _sort_norm(spec) -> str:
     return spec
 
 
+def _sort_parse(spec):
+    """(base_column, descending) for any accepted sort spec. Suffix is
+    parsed BEFORE the '-' prefix so '-col desc' means column 'col'
+    descending (both markers agree); contradictory markers ('-col asc')
+    raise rather than silently picking one."""
+    s = _sort_norm(spec).strip()
+    suffix = None
+    low = s.lower()
+    if low.endswith(" desc"):
+        s, suffix = s[: -len(" desc")].strip(), True
+    elif low.endswith(" asc"):
+        s, suffix = s[: -len(" asc")].strip(), False
+    neg = s.startswith("-")
+    if neg:
+        s = s[1:].strip()
+        if suffix is False:
+            raise ValueError(
+                f"contradictory sort spec: {spec!r} ('-' prefix with 'asc')"
+            )
+    return s, bool(neg or suffix)
+
+
 def _sort_base(spec) -> str:
     """The bare column name of a sort spec ('-col', 'col desc', ...)."""
-    spec = _sort_norm(spec).strip()
-    if spec.startswith("-"):
-        spec = spec[1:]
-    low = spec.lower()
-    for suf in (" desc", " asc"):
-        if low.endswith(suf):
-            spec = spec[: -len(suf)]
-            break
-    return spec.strip()
+    return _sort_parse(spec)[0]
 
 
 def _sort_col(spec):
@@ -1328,14 +1340,9 @@ def _sort_col(spec):
     NULLS LAST for BOTH directions. Spark's defaults differ (asc -> nulls
     first), so the null ordering is pinned explicitly.
     """
-    spec = _sort_norm(spec).strip()
-    if spec.startswith("-"):
-        return F.col(spec[1:]).desc_nulls_last()
-    if spec.lower().endswith(" desc"):
-        return F.col(spec[: -len(" desc")].strip()).desc_nulls_last()
-    if spec.lower().endswith(" asc"):
-        return F.col(spec[: -len(" asc")].strip()).asc_nulls_last()
-    return F.col(spec).asc_nulls_last()
+    base, descending = _sort_parse(spec)
+    col = F.col(base)
+    return col.desc_nulls_last() if descending else col.asc_nulls_last()
 
 
 def _simple_range_clause(where, df):

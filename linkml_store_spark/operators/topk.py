@@ -355,8 +355,9 @@ def stats_filtered_count(
     on adversarially uniform layouts it degrades gracefully to the plain
     filtered count (every file undecided). Equality = ``lo == hi``.
     Files with missing/NaN statistics degrade individually into the
-    scanned set (see _file_zone_decision); only table-wide problems
-    (unsafe physical type, oversized store) fall back to the plain scan.
+    scanned set (see _file_zone_decision); table-wide problems fall back
+    to the plain scan entirely (unsafe physical type, oversized store,
+    a file missing the predicate column, an unrepresentable bound).
 
     NaN caveat (same scope as every stats-trusting engine): Spark ranks
     NaN above every value (it passes lower bounds, fails upper bounds),

@@ -371,3 +371,38 @@ def test_sort_by_accepts_tuple_specs(db):
     assert [r["i"] for r in a.rows] == [r["i"] for r in b.rows] == [0, 1, 2]
     with pytest.raises(ValueError):
         coll.find(None, sort_by=[("v", "sideways")], limit=3)
+
+
+def test_sort_spec_prefix_suffix_combinations(db):
+    coll = db.create_collection("SS")
+    coll.insert([{"i": i, "v": float(i)} for i in range(10)])
+    # '-col desc': both markers agree -> descending on 'col'
+    a = coll.find(None, sort_by=["-v desc"], limit=2)
+    assert [r["i"] for r in a.rows] == [9, 8]
+    # tuple with '-' prefix and agreeing direction
+    b = coll.find(None, sort_by=[("-v", "desc")], limit=2)
+    assert [r["i"] for r in b.rows] == [9, 8]
+    # contradictory markers raise clearly
+    with pytest.raises(ValueError):
+        coll.find(None, sort_by=["-v asc"], limit=2)
+    with pytest.raises(ValueError):
+        coll.find(None, sort_by=[("-v", "asc")], limit=2)
+
+
+def test_tuple_sort_gets_pruned_plan(spark, tmp_path):
+    """The stats-pruned default sort+limit plan must engage for tuple
+    specs exactly as for the string form (same τ filter in the plan)."""
+    from linkml_store_spark.query import Query
+
+    client = Client(spark)
+    db = client.attach_database(f"spark://{tmp_path}/wh")
+    coll = db.create_collection("P")
+    coll.insert([{"i": i, "v": float(i)} for i in range(5000)])
+    res_t = coll.query(Query(sort_by=[("v", "desc")], limit=5))
+    res_s = coll.query(Query(sort_by=["-v"], limit=5))
+    assert [r["i"] for r in res_t.rows] == [r["i"] for r in res_s.rows]
+    from linkml_store_spark.collection import _sort_parse
+
+    assert _sort_parse(("v", "desc")) == ("v", True)
+    assert _sort_parse("-v desc") == ("v", True)
+    assert _sort_parse("v") == ("v", False)
