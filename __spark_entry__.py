@@ -539,26 +539,29 @@ def q_span_dedup_incremental(spark, sf):
     batch 2's duplicated spans are removed against batch 1 via the persisted
     gram index only (the corpus is never re-scanned).
 
-    VALUE-oracled since round 5 through the equivalence the differential
-    oracle proves: id-ordered 2-batch incremental == one-shot
-    dedup_spans_keep_first on the union, byte-identical — and the
-    one-shot keep-first SURVIVING-TOKEN COUNT is pure SQL (the span_stats
-    window/duplicate CTEs + an interval-union over the non-canonical
-    windows). If the cleaned-gram adjacency effects ever broke the
-    equivalence on this corpus, the hash would go red — exactly what an
-    oracle is for. Cross-batch edge cases in tests/test_spandedup.py;
-    the byte-level differential stays in tools/oracle_compare.py."""
+    VALUE-oracled by a FAITHFUL REPLAY: the oracle SQL reproduces the
+    two-batch incremental semantics itself (batch-1 within-batch
+    keep-first -> cleaned batch-1 gram index -> batch-2 removal against
+    index + within-batch-2 keep-first), so no incremental==one-shot
+    equivalence is assumed — round 5's driver-red row traced to exactly
+    that assumption being corpus/cutoff-fragile (a gram repeated within
+    one batch-1 doc plus once in batch 2 is cross-doc for one-shot but
+    not for batch-1-only keep-first). The cutoff is the exact integer
+    midpoint of (min,max) doc_id — a deterministic literal both engines
+    compute identically, replacing approxQuantile. Cross-batch edge
+    cases in tests/test_spandedup.py; the byte-level incremental ==
+    one-shot differential (which DOES hold on this corpus at this
+    cutoff) stays in tools/oracle_compare.py."""
     import tempfile
 
     from linkml_store_spark.operators.spandedup import span_dedup_incremental
 
     docs = _t(spark, sf, "documents").select("doc_id", "text")
     idx = tempfile.mkdtemp(prefix="gram_index_") + "/idx"
-    # ID-ORDERED batches (median split): the setting where incremental ==
-    # batch keep-first holds exactly (every canonical occurrence lands in
-    # the same-or-earlier batch). A parity split would legitimately differ
-    # on which copy survives and is NOT oracle-able.
-    cutoff = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    # ID-ORDERED batches at a deterministic literal cutoff (integer
+    # midpoint of the id range — both engines compute it exactly).
+    mn, mx = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    cutoff = (int(mn) + int(mx)) // 2
     b1 = docs.filter(F.col("doc_id") <= cutoff)
     b2 = docs.filter(F.col("doc_id") > cutoff)
     o1 = span_dedup_incremental(b1, idx, "text", k=8)
@@ -2162,49 +2165,105 @@ ORACLES: dict[str, str] = {
         ORDER BY d.doc_id
     """,
     "span_dedup_incremental": r"""
-        WITH toks AS (
-          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        -- Faithful replay of the TWO-BATCH incremental semantics (no
+        -- incremental==one-shot equivalence assumed): batch 1 = doc_id <=
+        -- (min+max)//2 gets within-batch cross-doc keep-first; its CLEANED
+        -- text's grams form the index; batch 2 removes windows whose gram
+        -- is in the index OR is a within-batch-2 non-canonical cross-doc
+        -- duplicate. Gram identity here is the token-slice string (the
+        -- engine's 128-bit xxhash64 pair collides with probability ~0).
+        WITH cut AS (SELECT (min(doc_id) + max(doc_id)) // 2 AS c FROM documents),
+        base AS (
+          SELECT doc_id, text,
+                 string_split_regex(lower(trim(text)), '\s+') AS t,
+                 doc_id <= (SELECT c FROM cut) AS in_b1
           FROM documents
         ),
         win AS (
-          SELECT doc_id, s.s AS start,
+          SELECT doc_id, in_b1, s.s AS start,
                  array_to_string(t[s.s+1 : s.s+8], ' ') AS gram
-          FROM toks, LATERAL (
+          FROM base, LATERAL (
             SELECT unnest(CASE WHEN len(t) >= 8
                                THEN range(0, len(t)-8+1) ELSE [0] END) AS s
           ) s
         ),
-        pg AS (
-          SELECT gram FROM win GROUP BY gram
+        pg1 AS (
+          SELECT gram FROM win WHERE in_b1 GROUP BY gram
           HAVING count(DISTINCT doc_id) > 1
         ),
-        dup AS (
+        dup1 AS (
           SELECT w.doc_id, w.start,
                  row_number() OVER (PARTITION BY w.gram
                                     ORDER BY w.doc_id, w.start) AS rn
-          FROM win w JOIN pg USING (gram)
+          FROM win w JOIN pg1 USING (gram) WHERE w.in_b1
         ),
-        seg AS (
-          SELECT doc_id, start, start + 8 AS fin,
-                 max(start + 8) OVER (PARTITION BY doc_id ORDER BY start
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
-          FROM dup WHERE rn > 1
+        drops1 AS (
+          SELECT doc_id, list(DISTINCT p) AS drops
+          FROM (SELECT doc_id, unnest(range(start, start + 8)) AS p
+                FROM dup1 WHERE rn > 1)
+          GROUP BY doc_id
         ),
-        rem AS (
-          SELECT doc_id,
-                 SUM(CASE WHEN prev_end IS NULL OR prev_end <= start
-                            THEN fin - start
-                          WHEN prev_end >= fin THEN 0
-                          ELSE fin - prev_end END) AS removed
-          FROM seg GROUP BY doc_id
+        b1surv AS (
+          SELECT b.doc_id, b.text, b.t,
+                 CASE WHEN d.doc_id IS NULL THEN b.t
+                      ELSE list_filter(b.t, (x, i) -> NOT list_contains(d.drops, i - 1))
+                 END AS surv,
+                 d.doc_id IS NOT NULL AS cleaned
+          FROM base b LEFT JOIN drops1 d USING (doc_id)
+          WHERE b.in_b1
+        ),
+        -- grams the engine appends to the index: windows over the cleaned
+        -- batch-1 text (an all-removed doc re-tokenizes to [''])
+        b1toks AS (
+          SELECT doc_id, CASE WHEN len(surv) = 0 THEN [''] ELSE surv END AS t2
+          FROM b1surv
+        ),
+        idx AS (
+          SELECT DISTINCT array_to_string(t2[s.s+1 : s.s+8], ' ') AS gram
+          FROM b1toks, LATERAL (
+            SELECT unnest(CASE WHEN len(t2) >= 8
+                               THEN range(0, len(t2)-8+1) ELSE [0] END) AS s
+          ) s
+        ),
+        pg2 AS (
+          SELECT gram FROM win WHERE NOT in_b1 GROUP BY gram
+          HAVING count(DISTINCT doc_id) > 1
+        ),
+        dup2w AS (
+          SELECT w.doc_id, w.start,
+                 row_number() OVER (PARTITION BY w.gram
+                                    ORDER BY w.doc_id, w.start) AS rn
+          FROM win w JOIN pg2 USING (gram) WHERE NOT w.in_b1
+        ),
+        dup2 AS (
+          SELECT doc_id, start FROM dup2w WHERE rn > 1
+          UNION
+          SELECT doc_id, start FROM win
+          WHERE NOT in_b1 AND gram IN (SELECT gram FROM idx)
+        ),
+        drops2 AS (
+          SELECT doc_id, list(DISTINCT p) AS drops
+          FROM (SELECT doc_id, unnest(range(start, start + 8)) AS p FROM dup2)
+          GROUP BY doc_id
+        ),
+        b2surv AS (
+          SELECT b.doc_id, b.text, b.t,
+                 CASE WHEN d.doc_id IS NULL THEN b.t
+                      ELSE list_filter(b.t, (x, i) -> NOT list_contains(d.drops, i - 1))
+                 END AS surv,
+                 d.doc_id IS NOT NULL AS cleaned
+          FROM base b LEFT JOIN drops2 d USING (doc_id)
+          WHERE NOT b.in_b1
+        ),
+        allsurv AS (
+          SELECT * FROM b1surv UNION ALL SELECT * FROM b2surv
         )
-        SELECT d.doc_id,
-               greatest(
-                 (CASE WHEN trim(d.text) = '' THEN 0
-                       ELSE len(string_split_regex(lower(trim(d.text)), '\s+'))
-                  END) - coalesce(r.removed, 0), 0) AS n_tokens_left
-        FROM documents d LEFT JOIN rem r USING (doc_id)
-        ORDER BY d.doc_id
+        SELECT doc_id,
+               CASE WHEN cleaned THEN len(surv)
+                    WHEN trim(text) = '' THEN 0
+                    ELSE len(t) END AS n_tokens_left
+        FROM allsurv
+        ORDER BY doc_id
     """,
     "paragraph_dedup": r"""
         WITH toks AS (
