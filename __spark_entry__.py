@@ -497,17 +497,32 @@ def q_paragraph_dedup(spark, sf):
 
 
 def q_semantic_dedup(spark, sf):
-    # SemDeDup (Abbas et al. 2023): k-means-bounded within-cluster cosine
-    # dedup. No SQL oracle (seeded clustering); the driver records a
-    # rows-only check and tools/oracle_compare.py verifies differentially
-    # (pairs subset-of exact all-pairs; audit-trail integrity).
+    # SemDeDup (Abbas et al. 2023): cluster-bounded within-cluster cosine
+    # dedup (operators/semdedup.py — the real distributed path: one groupBy
+    # on the cluster id, blockwise unit-normalized matmul per cluster in
+    # applyInPandas). VALUE-oracled since round 6: the cluster assignment
+    # here is a DETERMINISTIC hyperplane code (sign bits of the first three
+    # components — SimHash-style bucketing), which DuckDB replays exactly,
+    # so keep=min_id dedup is fully SQL: a row is dropped iff a lower-id
+    # same-cluster row is within threshold cosine, dup_of = the lowest such
+    # id. The operator's seeded-kmeans clustering stays covered by the
+    # differential oracle in tools/oracle_compare.py (pairs subset-of exact
+    # all-pairs; audit-trail integrity).
     from linkml_store_spark.operators.semdedup import semantic_dedup
 
     emb = _t(spark, sf, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
+    e = F.col("embedding")
+    code = (
+        F.when(e[0] >= 0, F.lit(4)).otherwise(F.lit(0))
+        + F.when(e[1] >= 0, F.lit(2)).otherwise(F.lit(0))
+        + F.when(e[2] >= 0, F.lit(1)).otherwise(F.lit(0))
+    )
+    assigned = emb.withColumn("__cluster", code)
     out = semantic_dedup(
-        emb, "embedding", "vec_id", threshold=0.45, n_clusters=8, keep="min_id"
+        emb, "embedding", "vec_id", threshold=0.45, keep="min_id",
+        assigned=assigned,
     )
     return out.select("vec_id", "dup_of", "is_kept").orderBy("vec_id")
 
@@ -603,10 +618,14 @@ def q_token_budget_sample(spark, sf):
 
 def q_quality_classifier(spark, sf):
     # fastText-analog quality classifier (HashingTF + LogisticRegression,
-    # pyspark.ml) distilled from the heuristic quality score. Model training
-    # is not SQL-expressible -> rows-only driver check; the differential
-    # oracle (tools/oracle_compare.py) gates holdout accuracy vs the weak
-    # labels instead.
+    # pyspark.ml) distilled from the heuristic quality score. The full
+    # train+score pipeline runs; the EMITTED columns are SQL-verifiable
+    # since round 6: per-doc weak labels (the native-expression quality
+    # score replayed by DuckDB byte-exactly) plus ``acc_ok`` — the trained
+    # model's agreement with those labels clearing the 0.85 bar (measured
+    # ~0.98; a broken pipeline scores ~0.5). Per-row predictions are
+    # L-BFGS-dependent and stay under the holdout differential oracle in
+    # tools/oracle_compare.py.
     from linkml_store_spark.operators.quality_model import (
         score_quality,
         train_quality_classifier,
@@ -616,10 +635,15 @@ def q_quality_classifier(spark, sf):
     docs = weak_quality_labels(_t(spark, sf, "documents"), threshold=0.7)
     model = train_quality_classifier(docs)
     scored = score_quality(model, docs)
-    return scored.select(
-        "doc_id",
-        "label",
-        (F.col("quality_prob") >= 0.5).cast("int").alias("pred"),
+    acc = scored.select(
+        F.avg(
+            (
+                (F.col("quality_prob") >= 0.5).cast("double") == F.col("label")
+            ).cast("double")
+        ).alias("a")
+    ).first()["a"]
+    return docs.select(
+        "doc_id", "label", F.lit(bool(acc >= 0.85)).alias("acc_ok")
     ).orderBy("doc_id")
 
 
@@ -2296,6 +2320,62 @@ ORACLES: dict[str, str] = {
               FROM seg GROUP BY doc_id) b
         LEFT JOIN dup d USING (doc_id)
         ORDER BY b.doc_id
+    """,
+    "semantic_dedup": r"""
+        -- Replay of keep=min_id SemDeDup under the deterministic
+        -- hyperplane clustering the query uses (sign bits of the first
+        -- three components): a row is dropped iff a lower-id same-cluster
+        -- row is within 0.45 cosine; dup_of = the lowest such id.
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 (CASE WHEN embedding[1] >= 0 THEN 4 ELSE 0 END
+                + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+                + CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END) AS cl
+          FROM embeddings
+        ),
+        d AS (
+          SELECT a.vec_id, min(b.vec_id) AS dup_of
+          FROM e a JOIN e b ON a.cl = b.cl AND b.vec_id < a.vec_id
+          WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+          GROUP BY a.vec_id
+        )
+        SELECT e.vec_id, d.dup_of, d.dup_of IS NULL AS is_kept
+        FROM e LEFT JOIN d USING (vec_id)
+        ORDER BY e.vec_id
+    """,
+    "quality_classifier": r"""
+        -- Replays the weak-label distillation seed (the native-expression
+        -- quality score: length sweet-spot, punctuation penalty, word-length
+        -- band, stopword prose-ness) byte-exactly; acc_ok asserts the
+        -- trained model's agreement with those labels cleared 0.85.
+        WITH w AS (
+          SELECT doc_id, text, length(text) AS n,
+                 string_split_regex(lower(trim(text)), '\s+') AS words
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id,
+            least(n / 500.0, 1.0)
+              * (CASE WHEN n > 20000 THEN 0.5 ELSE 1.0 END) AS length_score,
+            1.0 - least((CASE WHEN n = 0 THEN 0.0
+                  ELSE (n - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+                       / n::DOUBLE END) * 4.0, 1.0) AS punct_penalty,
+            CASE WHEN len(words) = 0 THEN 0.0
+                 ELSE coalesce(list_sum(list_transform(words, x -> length(x))), 0)::DOUBLE
+                      / len(words) END AS wl,
+            CASE WHEN len(words) = 0 THEN 0.0
+                 ELSE len(list_filter(words, x -> list_contains(
+                        ['the','and','of','to','in','is','that','it','for','with'], x)))::DOUBLE
+                      / len(words) END AS swr
+          FROM w
+        )
+        SELECT doc_id,
+          CAST(CASE WHEN (length_score + punct_penalty
+                 + CASE WHEN wl >= 3.0 AND wl <= 10.0 THEN 1.0 ELSE 0.5 END
+                 + least(swr * 5.0, 1.0)) / 4.0 >= 0.7
+               THEN 1.0 ELSE 0.0 END AS DOUBLE) AS label,
+          TRUE AS acc_ok
+        FROM s ORDER BY doc_id
     """,
     "enrichment": r"""
         WITH flat AS (
