@@ -97,6 +97,9 @@ class Collection:
         #: repeated sorted queries (paging) must not re-read it; cleared on
         #: every modification alongside the scan flag
         self._footer_stats_cache: Dict[str, Any] = {}
+        #: vector columns already size-probed/advised on an unindexed knn —
+        #: the advisory (and its one count job) fires once per column
+        self._knn_advised: set = set()
 
     # ------------------------------------------------------------------ #
     # plumbing
@@ -793,6 +796,41 @@ class Collection:
         self._vector_indexes[key] = (assigned, centroids, nprobe, path)
         return assigned, centroids
 
+    #: unindexed-knn guard: above ``auto_index_threshold`` rows the brute
+    #: plan is a silent scale trap (every query re-scores the full corpus);
+    #: the first such knn per column warns, naming ``build_vector_index``,
+    #: or — with ``auto_index_on_knn = True`` (opt-in, instance- or
+    #: class-settable) — builds the durable IVF once and routes.
+    auto_index_on_knn: bool = False
+    auto_index_threshold: int = 50_000
+
+    def _maybe_auto_index(self, vector_col: str):
+        """One-shot per column: size-probe an unindexed knn target and
+        either auto-build (opt-in) or warn. Returns a registered index
+        tuple when a build happened, else None."""
+        if vector_col in self._knn_advised:
+            return None
+        self._knn_advised.add(vector_col)
+        try:
+            n = fast_count(self.df)
+        except Exception:
+            return None
+        if n <= self.auto_index_threshold:
+            return None
+        if self.auto_index_on_knn:
+            self.build_vector_index(vector_col)
+            return self._vector_indexes.get(vector_col)
+        import warnings
+
+        warnings.warn(
+            f"knn on {n} rows without a vector index runs the exact "
+            f"brute-force scan every query; call "
+            f"build_vector_index({vector_col!r}) once to route to the "
+            f"partition-pruned IVF plan (or set auto_index_on_knn=True).",
+            stacklevel=3,
+        )
+        return None
+
     def knn(
         self,
         query_vector: Sequence,
@@ -807,11 +845,15 @@ class Collection:
         ``vector_col`` (and ``exact`` is not forced), the probed
         partition-pruned IVF plan runs — all-JVM scoring, no Python stage;
         otherwise the exact distributed brute-force plan
-        (``index.search.knn``)."""
+        (``index.search.knn``). An unindexed knn above
+        ``auto_index_threshold`` rows warns once per column (or builds the
+        index itself with ``auto_index_on_knn = True``)."""
         from linkml_store_spark.index.search import knn as _knn
         from linkml_store_spark.operators.similarity import ivf_knn
 
         idx = None if exact else self._vector_indexes.get(vector_col)
+        if idx is None and not exact:
+            idx = self._maybe_auto_index(vector_col)
         if idx is not None:
             assigned, centroids, nprobe = idx[:3]
             out = ivf_knn(

@@ -315,3 +315,68 @@ def test_ivf_native_zero_norm_scores_zero(spark, tmp_path):
     coll.build_vector_index("embedding", n_centroids=4, nprobe=4)
     res = {r["vec_id"]: r["score"] for r in coll.knn([1.0] * 8, k=61).collect()}
     assert res[999] == 0.0
+
+
+def test_collection_unindexed_knn_warns_once_above_threshold(spark, tmp_path):
+    """A large collection's first unindexed knn must not be a SILENT slow
+    path: it warns naming build_vector_index, exactly once per column, and
+    still returns the exact brute result."""
+    import warnings
+
+    from linkml_store_spark.client import Client
+
+    client = Client(spark=spark)
+    db = client.attach_database("memory", alias="m_adv")
+    coll = db.create_collection("emb", identifier_attribute="vec_id")
+    coll.insert(spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))
+    coll.auto_index_threshold = 10  # make the 1k-row fixture "large"
+    qv = [float(x) for x in coll.df.first()["embedding"]]
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        top = coll.knn(qv, k=3).collect()
+        advisories = [x for x in w if "build_vector_index" in str(x.message)]
+    assert len(advisories) == 1
+    assert top[0]["vec_id"] == coll.df.first()["vec_id"]
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        coll.knn(qv, k=3).collect()
+        assert not [x for x in w if "build_vector_index" in str(x.message)]
+
+
+def test_collection_auto_index_on_knn_builds_and_routes(spark, tmp_path):
+    """Opt-in auto_index_on_knn: the first large unindexed knn builds the
+    IVF once and the query routes through the probed plan."""
+    from linkml_store_spark.client import Client
+
+    client = Client(spark=spark)
+    db = client.attach_database(f"file:{tmp_path}/wh_auto", alias="wh_auto")
+    coll = db.create_collection("emb", identifier_attribute="vec_id")
+    coll.insert(spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))
+    coll.auto_index_threshold = 10
+    coll.auto_index_on_knn = True
+    qv = [float(x) for x in coll.df.first()["embedding"]]
+    out = coll.knn(qv, k=3)
+    assert "embedding" in coll._vector_indexes  # built by the knn itself
+    s = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "__centroid" in s  # routed through the probed IVF plan
+    assert out.collect()[0]["vec_id"] == coll.df.first()["vec_id"]
+
+
+def test_collection_small_knn_stays_silent(spark):
+    """Below the threshold nothing fires: no warning, no index build."""
+    import warnings
+
+    from linkml_store_spark.client import Client
+
+    client = Client(spark=spark)
+    db = client.attach_database("memory", alias="m_small")
+    coll = db.create_collection("emb", identifier_attribute="vec_id")
+    coll.insert(spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))
+    qv = [float(x) for x in coll.df.first()["embedding"]]
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        coll.knn(qv, k=3).collect()
+        assert not [x for x in w if "build_vector_index" in str(x.message)]
+    assert "embedding" not in coll._vector_indexes
