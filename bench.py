@@ -147,23 +147,41 @@ def build_queries(spark, sf, qv=None):
         emb, qv, vector_col="embedding", k=10, keep_vector=False
     ).select("vec_id", "label", "score")
 
-    # toPandas = Arrow-batched materialization (the fetchall analog in the
-    # DuckDB baseline); row-at-a-time pickle collect() measured 2x slower
-    # for the wide LIMIT-100 result with identical data
-    return {name: df.toPandas for name, df in plans.items()}
+    # collect() = the direct fetchall() analog in the DuckDB companion
+    # (Python row tuples both sides). It is also measurably FASTER than
+    # toPandas here: toPandas executes the plan through doExecute, so a
+    # CollectLimit/TakeOrdered root materializes a single-partition SHUFFLE
+    # stage (one extra job + exchange per run — found round 6 via the
+    # SQLAppStatusStore metrics: the Arrow path's scan read 0 files while
+    # CollectLimit read shuffle blocks), while collect() routes through
+    # executeCollect (driver-side incremental take / top-k merge, no
+    # shuffle). Measured in-process A/B at sf0.1: 0.84 s -> 0.81 s total,
+    # with the limit-bearing b1/b8/b12 the big movers (b1 124 -> 106 ms
+    # same-session). Result sizes are 10-30k rows max — pickle is not the
+    # bottleneck at this fan-in.
+    return {name: df.collect for name, df in plans.items()}
 
 
 def main():
     extra = {"spark.sql.adaptive.enabled": "false"}
-    # Split-size tuning for the benchmark SF: the default 4 MB open-cost
-    # floor makes every sf0.1 table a SINGLE scan task (orders is 2.6 MB),
-    # serializing e.g. the b8 top-k heap on one core. 2 MB splits give the
-    # small files 2-10 tasks — measured b8 68 ms -> 38 ms. At real scale
-    # the 128 MB default is correct; this is the documented per-workload
-    # sizing knob (SURVEY "Optimize for scale"), overridable via env.
-    mpb = os.environ.get("BENCH_MAX_PARTITION_BYTES", str(2 * 1024 * 1024))
+    # Split size: Spark's stock 128 MB. Every benchmark table is ONE parquet
+    # row group (checked round 6), and a row group is Spark's minimum scan
+    # granularity — sub-file splits only add dead tasks that each pay
+    # file-open + footer-read (the round-3 "2 MB splits help b8" result was
+    # a shuffle-output-reuse artifact of the then-unbusted harness; the
+    # interleaved in-process A/B under the honest buster shows 128 MB
+    # equal-or-better on every query, b1 48 -> 35 ms). Env-overridable for
+    # multi-row-group layouts where sub-file splits are real parallelism.
+    mpb = os.environ.get("BENCH_MAX_PARTITION_BYTES", str(128 * 1024 * 1024))
     extra["spark.sql.files.maxPartitionBytes"] = mpb
     extra["spark.sql.files.openCostInBytes"] = mpb
+    # 16k columnar batches quarter the per-batch loop overhead of the
+    # single-task scans that dominate at this SF (single-row-group files
+    # serialize Spark's scan while DuckDB parallelizes inside the row
+    # group); measured b5 82 -> 65 ms, neutral elsewhere.
+    extra["spark.sql.parquet.columnarReaderBatchSize"] = os.environ.get(
+        "BENCH_READER_BATCH", "16384"
+    )
     # get_spark's default hugeMethodLimit=8000 trades a fixed ~15-40 ms of
     # split-codegen setup per execution for JIT-compiled evaluation of wide
     # unrolled expressions — a 3-4x win for b12's 64-d cosine at 400k+ rows

@@ -159,7 +159,14 @@ def windowed_event_counts_batch(events: DataFrame) -> DataFrame:
             "n",
             "sum_value",
         )
-        .orderBy("hour", "event_type")
+        # total order WITHOUT a range exchange: a bare orderBy plans
+        # RangePartitioning, whose per-execution boundary-SAMPLING job
+        # costs more than sorting the whole (bounded: hours x types)
+        # rollup in one task — the parallel work is the map-side partial
+        # aggregation above, which this does not touch. Measured at
+        # sf0.1: 110-162 -> 94-109 ms, byte-identical output.
+        .coalesce(1)
+        .sortWithinPartitions("hour", "event_type")
     )
 
 
