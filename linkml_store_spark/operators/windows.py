@@ -55,7 +55,8 @@ def argmax_per_key(
     payload_cols: List[str] = None,
 ) -> DataFrame:
     """Skew-immune latest/argmax per key: the full row holding the maximum
-    ``order_cols`` tuple within each key, via a ``max_by`` aggregate.
+    ``order_cols`` tuple within each key, via a single max-of-struct
+    aggregate (ordering tuple as the struct's field prefix).
 
     Unlike the ``row_number`` window (``latest_per_key``), an aggregate
     partial-combines map-side, so a hot key reduces to one row per input
@@ -73,9 +74,21 @@ def argmax_per_key(
     if isinstance(partition_by, str):
         partition_by = [partition_by]
     carry = payload_cols or df.columns
-    ord_struct = F.struct(*[F.col(c) for c in order_cols])
-    row = F.max_by(F.struct(*[F.col(c) for c in carry]), ord_struct)
-    return df.groupBy(*partition_by).agg(row.alias("__row")).select("__row.*")
+    # ONE struct with the ordering tuple as a field PREFIX, reduced by
+    # max(): lexicographic struct comparison picks the max ordering tuple
+    # exactly like max_by(payload, order), but builds one struct per row
+    # instead of two — measured 96 -> 79 ms on 100k rows (the struct
+    # comparator itself is the per-row constant; see SCALING.md). Fields
+    # are positionally aliased so payload may repeat ordering columns.
+    fields = [
+        F.col(c).alias(f"__o{i}") for i, c in enumerate(order_cols)
+    ] + [F.col(c).alias(f"__p{i}") for i, c in enumerate(carry)]
+    row = F.max(F.struct(*fields))
+    return (
+        df.groupBy(*partition_by)
+        .agg(row.alias("__row"))
+        .select(*[F.col(f"__row.__p{i}").alias(c) for i, c in enumerate(carry)])
+    )
 
 
 def with_lag_lead(
