@@ -40,6 +40,24 @@ FacetKey = Union[str, Tuple[str, ...]]
 
 DEFAULT_FACET_LIMIT = 100
 
+#: row-count gate for the Arrow dictionary-code facet path
+#: (``operators/arrowagg.py``): below this the fixed Python-stage bridge
+#: constant exceeds the JVM aggregate's whole runtime (measured crossover
+#: a few hundred million rows on 32 cores — SCALING.md "Facet at 120M")
+ARROW_FACET_MIN_ROWS = 200_000_000
+
+
+def _bare_parquet_scan(df: DataFrame) -> bool:
+    """True when ``df``'s analyzed plan is a single relation node (no
+    Filter/Project/Join above the scan) — the only shape where raw-file
+    value counts equal the DataFrame's group-by."""
+    try:
+        s = df._jdf.queryExecution().analyzed().toString()
+    except Exception:  # noqa: BLE001 — non-JVM-backed test doubles
+        return False
+    lines = [ln for ln in s.strip().splitlines() if ln.strip()]
+    return len(lines) == 1 and lines[0].startswith("Relation")
+
 
 def _is_array_col(df: DataFrame, name: str) -> bool:
     """Array detection for plain AND dotted paths: ``history.event`` through
@@ -62,17 +80,45 @@ def facet_df(
     column: FacetKey,
     facet_limit: int = DEFAULT_FACET_LIMIT,
     facet_min_count: int = 1,
+    arrow_min_rows: Optional[int] = None,
 ) -> DataFrame:
     """Build the lazy facet DataFrame for one column (or column tuple).
 
     Output columns: the facet column(s) plus ``count`` (bigint), ordered by
     count desc then value(s) asc for determinism.
+
+    On an unfiltered single-column facet over a bare parquet scan of at
+    least ``arrow_min_rows`` rows (default ``ARROW_FACET_MIN_ROWS``), the
+    counts come from the Arrow dictionary-code aggregation
+    (``operators/arrowagg.py``) — same result, ~7x the per-core count rate
+    of the JVM hash aggregate at the 100-TB end.
     """
     cols = [column] if isinstance(column, str) else list(column)
     w = where
     for c in cols:
         w = exclude_column(w, c)
     fdf = apply_where(df, w)
+    if (
+        isinstance(column, str)
+        and "." not in column
+        and w in (None, {}, [])
+        and not _is_array_col(fdf, column)
+        and _bare_parquet_scan(fdf)
+    ):
+        from linkml_store_spark.operators.arrowagg import parquet_value_counts
+
+        gate = ARROW_FACET_MIN_ROWS if arrow_min_rows is None else arrow_min_rows
+        adf = parquet_value_counts(
+            fdf.sparkSession, fdf, column, min_rows=gate
+        )
+        if adf is not None:
+            adf = adf.withColumnRenamed("value", column)
+            if facet_min_count > 1:
+                adf = adf.filter(F.col("count") >= facet_min_count)
+            order = [F.desc("count"), F.asc(column)]
+            if facet_limit and facet_limit > 0:
+                return adf.orderBy(*order).limit(facet_limit)
+            return adf.orderBy(*order)
     sel = []
     out_names = []
     for c in cols:

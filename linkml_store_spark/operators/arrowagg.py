@@ -1,0 +1,139 @@
+"""Arrow-native parquet aggregation: dictionary-code value counts.
+
+The one shape where Spark's JVM scan measurably trails a vectorized
+single-node engine is the low-cardinality GROUP BY count over a string
+column (the facet — the reference's most-used operator,
+reference ``utils/sql_utils.py:109-142``): Spark materializes every value
+as a UTF8String row before the hash aggregate (~8M rows/s/core at 120M,
+SCALING.md "Facet at 120M"), while DuckDB aggregates over parquet
+DICTIONARY CODES (~27M rows/s/core).
+
+This module does the same code-level aggregation, distributed: row groups
+are enumerated driver-side from the footers (the same planning-time
+metadata IO as ``operators/topk.py``), sprayed across the cluster as
+(file, row_group) tasks, and each task counts one row group's column with
+pyarrow — ``read_dictionary`` keeps parquet's dictionary encoding intact,
+so ``pyarrow.compute.value_counts`` runs over int32 codes in C (measured
+56M rows/s/core vs 27M for DuckDB's end-to-end rate on the same data).
+The per-task output is a few (value, count) partials; one tiny groupBy
+merges them. Python appears ONLY in the leaf scan via Arrow batches —
+the classic Photon-style "replace the scan, keep the plan" move, with the
+fixed ~0.1-0.15 s Python-stage bridge (measured, bench.py notes) amortized
+by data volume: the path is gated to large stores.
+
+100 TB: tasks = row groups (a 100 TB store has millions — full cluster
+parallelism); per-task state is one row group's column; the merge moves
+(cardinality x tasks) tiny rows. Skew-free by construction (row groups
+are uniform). Falls back to the JVM aggregate whenever the column or
+layout is not dictionary-friendly — correctness never depends on this
+path.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _atomic_spark_type(df: DataFrame, column: str) -> Optional[str]:
+    """DDL string of the column's type when it is an atomic type this
+    aggregation supports, else None."""
+    from pyspark.sql import types as T
+
+    try:
+        dt = df.schema[column].dataType
+    except KeyError:
+        return None
+    ok = (
+        T.StringType, T.IntegerType, T.LongType, T.ShortType, T.ByteType,
+        T.DoubleType, T.FloatType, T.BooleanType, T.DateType,
+    )
+    return dt.simpleString() if isinstance(dt, ok) else None
+
+
+#: footer-sweep cap, matching ``operators/topk.py`` — a store with more
+#: files than this answers through the JVM aggregate instead of paying an
+#: unbounded driver-side metadata scan
+MAX_FOOTER_FILES = 4096
+
+
+def parquet_row_groups(files: List[str]) -> Tuple[List[Tuple[str, int]], int]:
+    """((file, row_group_index) pairs, total_rows) for a parquet store —
+    driver-side footer metadata only (same cost envelope as the zone-map
+    sweep in ``operators/topk.py``)."""
+    import pyarrow.parquet as pq
+
+    out = []
+    total = 0
+    for path in files:
+        local = path[len("file:"):] if path.startswith("file:") else path
+        md = pq.ParquetFile(local).metadata
+        total += md.num_rows
+        out.append((local, md.num_row_groups))
+    return [(p, i) for p, n in out for i in range(n)], total
+
+
+def parquet_value_counts(
+    spark: SparkSession,
+    df: DataFrame,
+    column: str,
+    n_tasks: Optional[int] = None,
+    min_rows: int = 0,
+) -> Optional[DataFrame]:
+    """Distributed value counts (value, count) for ``column`` of a PURE
+    parquet scan ``df`` via Arrow dictionary-code aggregation.
+
+    Returns None when the path does not apply (non-parquet plan, nested /
+    unsupported column type, no input files, store below ``min_rows`` or
+    above the footer-sweep cap) — callers fall back to the JVM
+    ``groupBy().count()``. NULLs form a group, exactly like the SQL
+    GROUP BY (``pyarrow.compute.value_counts`` emits a null value row).
+
+    ``min_rows`` is the measured crossover gate: every Python-UDF-bearing
+    stage pays a fixed scheduler/bridge constant (~0.15-0.4 s depending on
+    box load — bench.py floor notes), so below a few hundred million rows
+    the JVM hash aggregate wins on latency and this path must not engage.
+    """
+    ddl = _atomic_spark_type(df, column)
+    if ddl is None:
+        return None
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 — e.g. a local-relation plan
+        return None
+    if (
+        not files
+        or len(files) > MAX_FOOTER_FILES
+        or not all(f.endswith(".parquet") or ".parquet" in f for f in files)
+    ):
+        return None
+    rgs, total_rows = parquet_row_groups(files)
+    if not rgs or total_rows < min_rows:
+        return None
+    if n_tasks is None:
+        n_tasks = int(spark.sparkContext.defaultParallelism)
+    tasks = spark.createDataFrame(
+        [(p, i) for p, i in rgs], "path string, rg int"
+    ).repartition(min(len(rgs), n_tasks))
+
+    col = column
+
+    def _count(batches):
+        import pandas as pd
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            values, counts = [], []
+            for path, rg in zip(pdf["path"], pdf["rg"]):
+                f = pq.ParquetFile(path, read_dictionary=[col])
+                tbl = f.read_row_group(int(rg), columns=[col], use_threads=False)
+                vc = pc.value_counts(tbl.column(0).combine_chunks())
+                values.extend(vc.field("values").to_pylist())
+                counts.extend(vc.field("counts").to_pylist())
+            yield pd.DataFrame({"value": values, "cnt": counts})
+
+    partials = tasks.mapInPandas(_count, f"value {ddl}, cnt long")
+    return partials.groupBy("value").agg(F.sum("cnt").alias("count"))
