@@ -42,9 +42,11 @@ DEFAULT_FACET_LIMIT = 100
 
 #: row-count gate for the Arrow dictionary-code facet path
 #: (``operators/arrowagg.py``): below this the fixed Python-stage bridge
-#: constant exceeds the JVM aggregate's whole runtime (measured crossover
-#: a few hundred million rows on 32 cores — SCALING.md "Facet at 120M")
-ARROW_FACET_MIN_ROWS = 200_000_000
+#: constant exceeds the JVM aggregate's whole runtime. Measured on 32
+#: cores (SCALING.md "Facet"): 120M rows JVM 0.375 s vs arrow 0.547 s;
+#: 600M rows JVM 1.32 s vs arrow 0.89 s -> fitted crossover ~260M rows,
+#: gate set above it so the arrow path only engages where it clearly wins
+ARROW_FACET_MIN_ROWS = 300_000_000
 
 
 def _bare_parquet_scan(df: DataFrame) -> bool:

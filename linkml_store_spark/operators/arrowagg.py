@@ -125,10 +125,16 @@ def parquet_value_counts(
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
+        # one open per FILE, not per row group: ParquetFile re-parses the
+        # whole footer (hundreds of row-group entries on big files), which
+        # measurably dominates the per-row-group read when repeated
+        handles = {}
         for pdf in batches:
             values, counts = [], []
             for path, rg in zip(pdf["path"], pdf["rg"]):
-                f = pq.ParquetFile(path, read_dictionary=[col])
+                f = handles.get(path)
+                if f is None:
+                    f = handles[path] = pq.ParquetFile(path, read_dictionary=[col])
                 tbl = f.read_row_group(int(rg), columns=[col], use_threads=False)
                 vc = pc.value_counts(tbl.column(0).combine_chunks())
                 values.extend(vc.field("values").to_pylist())
