@@ -175,12 +175,16 @@ def main():
     mpb = os.environ.get("BENCH_MAX_PARTITION_BYTES", str(128 * 1024 * 1024))
     extra["spark.sql.files.maxPartitionBytes"] = mpb
     extra["spark.sql.files.openCostInBytes"] = mpb
-    # 16k columnar batches quarter the per-batch loop overhead of the
-    # single-task scans that dominate at this SF (single-row-group files
-    # serialize Spark's scan while DuckDB parallelizes inside the row
-    # group); measured b5 82 -> 65 ms, neutral elsewhere.
+    # Reader batch: Spark's stock 4096. The earlier 16384 setting (measured
+    # b5 82 -> 65 ms on the round-5 box) re-measured WORSE on the round-6
+    # box: full-bench A/B 16384 = 1.11-1.49 s vs 4096 = 0.97 s, with even
+    # the 0-ROW floor dropping 0.59 -> 0.45 s — every task allocates
+    # batch-size on-heap vectors for every projected column at reader init,
+    # so a 16k x 11-column batch costs ~10 ms/task before any data is read,
+    # and limit-100 shapes decode 16k rows/column for 100 output rows.
+    # 2048 measured neutral-to-worse (0.99 s). Env-overridable.
     extra["spark.sql.parquet.columnarReaderBatchSize"] = os.environ.get(
-        "BENCH_READER_BATCH", "16384"
+        "BENCH_READER_BATCH", "4096"
     )
     # get_spark's default hugeMethodLimit=8000 trades a fixed ~15-40 ms of
     # split-codegen setup per execution for JIT-compiled evaluation of wide
@@ -241,6 +245,22 @@ def main():
         q: round(max(0.0, timings[q] - floors.get(q, 0.0)), 4) for q in timings
     }
 
+    # PER-JOB JVM CONSTANT: min wall of a JVM-side count() over a 1-row,
+    # 1-partition Dataset — no parquet, no Python result transfer, codegen
+    # cached after warm-up. This is the irreducible cost of ONE Spark job
+    # on this box (DAGScheduler submit -> task launch -> run -> result;
+    # py4j round-trip itself measures <1 ms). Each benchmark query runs
+    # 1-3 jobs, so queries_floor ~= jobs x job_floor; the box the driver
+    # runs on sets this constant (measured 5-15 ms on a fast box, ~35 ms
+    # on a slow one) and no user-level code path avoids it.
+    one = spark.range(1, numPartitions=1)._jdf
+    one.count()
+    job_floor = float("inf")
+    for _ in range(15):
+        t0 = time.perf_counter()
+        one.count()
+        job_floor = min(job_floor, time.perf_counter() - t0)
+
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
     out = {
@@ -253,6 +273,7 @@ def main():
         "compute": compute,
         "floor_total": round(sum(floors.values()), 4),
         "compute_total": round(sum(compute.values()), 4),
+        "job_floor": round(job_floor, 4),
     }
     # Same-run DuckDB companion (BASELINE.md's B1-B12 SQL, same warm+best-of
     # methodology): BASELINE.md's numbers were measured on one calendar day;
