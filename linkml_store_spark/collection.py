@@ -100,6 +100,11 @@ class Collection:
         #: vector columns already size-probed/advised on an unindexed knn —
         #: the advisory (and its one count job) fires once per column
         self._knn_advised: set = set()
+        #: crossover gate for the Arrow dictionary-code count path
+        #: (operators/arrowagg.py) — instance-level so tests can lower it
+        from linkml_store_spark.operators.arrowagg import ARROW_AGG_MIN_ROWS
+
+        self._arrow_count_min_rows: int = ARROW_AGG_MIN_ROWS
 
     # ------------------------------------------------------------------ #
     # plumbing
@@ -511,6 +516,32 @@ class Collection:
                             self._footer_stats_cache[ck] = num_rows
                     except Exception:  # noqa: BLE001 — optimization only
                         num_rows = None
+            if num_rows is None:
+                # equality/$in counts zone maps can never decide (interior
+                # values appear in every row group): above the measured
+                # ~300M-row crossover the Arrow dictionary-code count
+                # (operators/arrowagg.py) answers at ~7x the JVM scan's
+                # per-core rate; below it (and on any refusal) the normal
+                # plan runs. Same paging memoization as the zone count.
+                vc = _simple_value_clause(query.where_clause, self.df)
+                if vc is not None:
+                    ck = ("vcount", vc[0], tuple(vc[1]))
+                    if ck in self._footer_stats_cache:
+                        num_rows = self._footer_stats_cache[ck]
+                    else:
+                        try:
+                            from linkml_store_spark.operators.arrowagg import (
+                                parquet_predicate_count,
+                            )
+
+                            num_rows = parquet_predicate_count(
+                                self.spark, self.df, vc[0], vc[1],
+                                min_rows=self._arrow_count_min_rows,
+                            )
+                            if num_rows is not None:
+                                self._footer_stats_cache[ck] = num_rows
+                        except Exception:  # noqa: BLE001 — optimization only
+                            num_rows = None
         if num_rows is None:
             num_rows = fast_count(df)
         page = df
@@ -1440,3 +1471,38 @@ def _simple_range_clause(where, df):
     if _num(spec):
         return col, spec, spec, True, True
     return None
+
+
+def _simple_value_clause(where, df):
+    """(col, values) when ``where`` is a single-column equality / ``$eq`` /
+    ``$in`` dict over a string/integer/boolean column with literals of the
+    column's own type — the clauses whose count
+    ``operators/arrowagg.parquet_predicate_count`` can answer from Arrow
+    dictionary-code aggregation. Everything else (None = IS NULL, dotted
+    paths, floats, cross-type literals Spark would cast, other operators)
+    returns None and the caller takes the normal plan.
+    """
+    if not isinstance(where, dict) or len(where) != 1:
+        return None
+    col, spec = next(iter(where.items()))
+    if not isinstance(col, str) or col.startswith("$") or "." in col:
+        return None
+    try:
+        dt = df.schema[col].dataType
+    except Exception:  # noqa: BLE001
+        return None
+    if not isinstance(dt, (T.StringType, T.IntegerType, T.LongType,
+                           T.ShortType, T.ByteType, T.BooleanType)):
+        return None
+    if isinstance(spec, dict):
+        if len(spec) != 1:
+            return None
+        op, v = next(iter(spec.items()))
+        if op == "$eq" and v is not None:
+            return col, [v]
+        if op == "$in" and isinstance(v, (list, tuple)) and v:
+            return col, list(v)
+        return None
+    if spec is None or isinstance(spec, (dict, list)):
+        return None
+    return col, [spec]

@@ -143,3 +143,102 @@ def parquet_value_counts(
 
     partials = tasks.mapInPandas(_count, f"value {ddl}, cnt long")
     return partials.groupBy("value").agg(F.sum("cnt").alias("count"))
+
+
+#: the measured JVM/Arrow crossover for single-column aggregation over a
+#: parquet scan (SCALING.md "Facet round 6"): below ~300M rows the fixed
+#: Python-stage bridge dominates and the JVM plan wins on latency
+ARROW_AGG_MIN_ROWS = 300_000_000
+
+
+def parquet_predicate_count(
+    spark: SparkSession,
+    df: DataFrame,
+    column: str,
+    values: list,
+    n_tasks: Optional[int] = None,
+    min_rows: int = ARROW_AGG_MIN_ROWS,
+) -> Optional[int]:
+    """COUNT of rows where ``column`` equals any of ``values``, computed by
+    Arrow dictionary-code aggregation over the parquet row groups — the
+    equality/IN companion to :func:`parquet_value_counts` for counts the
+    zone maps cannot decide (an interior value like ``flag = 'R'`` appears
+    in every row group, so footer min/max never prune it; the per-CODE
+    count still runs ~7x Spark's UTF8String decode+compare rate).
+
+    Each task emits ONE partial count (``pc.value_counts`` over the row
+    group — 170M rows/s/core measured on dictionary columns — then a tiny
+    mask over the distinct values), so the merge moves one long per task
+    regardless of column cardinality. Returns None whenever the path does
+    not apply and the caller must run the JVM plan: non-parquet scan,
+    store under ``min_rows`` / over the footer cap, unsupported or
+    float column (float equality also risks NaN, which Spark orders but
+    IEEE comparisons drop), or literal types that do not match the column
+    (Spark would cast — mirroring cast domains is the zone path's job).
+    NULLs never match an equality/IN predicate on either engine.
+    """
+    from pyspark.sql import types as T
+
+    try:
+        dt = df.schema[column].dataType
+    except KeyError:
+        return None
+    int_types = (T.IntegerType, T.LongType, T.ShortType, T.ByteType)
+    if isinstance(dt, T.StringType):
+        ok = lambda v: isinstance(v, str)  # noqa: E731
+    elif isinstance(dt, int_types):
+        ok = lambda v: isinstance(v, int) and not isinstance(v, bool)  # noqa: E731
+    elif isinstance(dt, T.BooleanType):
+        ok = lambda v: isinstance(v, bool)  # noqa: E731
+    else:
+        return None
+    if not values or not all(ok(v) for v in values):
+        return None
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001
+        return None
+    if (
+        not files
+        or len(files) > MAX_FOOTER_FILES
+        or not all(f.endswith(".parquet") or ".parquet" in f for f in files)
+    ):
+        return None
+    rgs, total_rows = parquet_row_groups(files)
+    if not rgs or total_rows < min_rows:
+        return None
+    if n_tasks is None:
+        n_tasks = int(spark.sparkContext.defaultParallelism)
+    tasks = spark.createDataFrame(
+        [(p, i) for p, i in rgs], "path string, rg int"
+    ).repartition(min(len(rgs), n_tasks))
+
+    col = column
+    vals = list(values)
+
+    def _count(batches):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        value_set = pa.array(vals)
+        handles = {}
+        for pdf in batches:
+            n = 0
+            for path, rg in zip(pdf["path"], pdf["rg"]):
+                f = handles.get(path)
+                if f is None:
+                    f = handles[path] = pq.ParquetFile(path, read_dictionary=[col])
+                tbl = f.read_row_group(int(rg), columns=[col], use_threads=False)
+                vc = pc.value_counts(tbl.column(0).combine_chunks())
+                # the mask runs over the DISTINCT values (dictionary-sized,
+                # not row-group-sized); is_in yields False for the null row
+                m = pc.is_in(vc.field("values"), value_set=value_set)
+                sel = pc.sum(pc.if_else(m, vc.field("counts"), pa.scalar(0, pa.int64())))
+                n += sel.as_py() or 0
+            yield pd.DataFrame({"cnt": [n]})
+
+    partials = tasks.mapInPandas(_count, "cnt long")
+    total = partials.agg(F.sum("cnt").alias("n")).collect()[0]["n"]
+    return int(total or 0)

@@ -127,3 +127,85 @@ def test_facet_df_exclusion_rewrite_still_routes(spark):
         arrow_min_rows=10**12,
     )
     assert [tuple(r) for r in routed.collect()] == [tuple(r) for r in plain.collect()]
+
+
+# --------------------------------------------------------------------- #
+# parquet_predicate_count: the equality/$in count companion
+# --------------------------------------------------------------------- #
+
+def test_predicate_count_string_equality(spark):
+    from linkml_store_spark.operators.arrowagg import parquet_predicate_count
+
+    df = spark.read.parquet(f"{SF}/lineitem.parquet")
+    got = parquet_predicate_count(spark, df, "l_returnflag", ["R"], min_rows=0)
+    assert got == df.filter(F.col("l_returnflag") == "R").count()
+
+
+def test_predicate_count_string_in(spark):
+    from linkml_store_spark.operators.arrowagg import parquet_predicate_count
+
+    df = spark.read.parquet(f"{SF}/orders.parquet")
+    vals = ["1-URGENT", "2-HIGH"]
+    got = parquet_predicate_count(spark, df, "o_orderpriority", vals, min_rows=0)
+    assert got == df.filter(F.col("o_orderpriority").isin(vals)).count()
+
+
+def test_predicate_count_int_and_null_handling(spark, tmp_path):
+    from linkml_store_spark.operators.arrowagg import parquet_predicate_count
+
+    p = str(tmp_path / "ints.parquet")
+    spark.createDataFrame(
+        [(1,), (2,), (None,), (2,), (3,)], "v int"
+    ).repartition(1).write.parquet(p)
+    df = spark.read.parquet(p)
+    assert parquet_predicate_count(spark, df, "v", [2], min_rows=0) == 2
+    # NULL never matches an equality predicate
+    assert parquet_predicate_count(spark, df, "v", [1, 3], min_rows=0) == 2
+    assert parquet_predicate_count(spark, df, "v", [99], min_rows=0) == 0
+
+
+def test_predicate_count_refusals(spark):
+    from linkml_store_spark.operators.arrowagg import parquet_predicate_count
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    # float column: Spark NaN ordering diverges from IEEE masks — refuse
+    assert parquet_predicate_count(spark, li, "l_quantity", [5.0], min_rows=0) is None
+    # cross-type literal on a string column (Spark would cast)
+    assert parquet_predicate_count(spark, li, "l_returnflag", [1], min_rows=0) is None
+    # below the size gate
+    assert parquet_predicate_count(
+        spark, li, "l_returnflag", ["R"], min_rows=10**12) is None
+    # local relation: no parquet scan
+    local = spark.createDataFrame([("x",)], "v string")
+    assert parquet_predicate_count(spark, local, "v", ["x"], min_rows=0) is None
+    # missing column / empty value list
+    assert parquet_predicate_count(spark, li, "nope", ["R"], min_rows=0) is None
+    assert parquet_predicate_count(spark, li, "l_returnflag", [], min_rows=0) is None
+
+
+def test_collection_count_routes_equality_through_arrow(spark, tmp_path):
+    """Collection.query's pre-pagination total for a simple equality/$in
+    where-clause routes through the Arrow dictionary-code count when the
+    store clears the (instance-lowered) crossover gate, and the cached
+    total is reused for paging."""
+    from linkml_store_spark.client import Client
+    from linkml_store_spark.query import Query
+
+    client = Client(spark)
+    db = client.attach_database(f"spark://{tmp_path}/db")
+    coll = db.create_collection("orders", identifier_attribute="o_orderkey")
+    coll.insert(spark.read.parquet(f"{SF}/orders.parquet"))
+    want = coll.df.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).count()
+
+    coll._arrow_count_min_rows = 0
+    res = coll.query(Query(where_clause={"o_orderpriority": {"$in": ["1-URGENT", "2-HIGH"]}}, limit=5))
+    assert res.num_rows == want
+    ck = ("vcount", "o_orderpriority", ("1-URGENT", "2-HIGH"))
+    assert coll._footer_stats_cache.get(ck) == want
+
+    # above the gate: the normal plan answers, same number, no cache entry
+    coll._footer_stats_cache.clear()
+    coll._arrow_count_min_rows = 10**12
+    res2 = coll.query(Query(where_clause={"o_orderpriority": {"$in": ["1-URGENT", "2-HIGH"]}}, limit=5))
+    assert res2.num_rows == want
+    assert ck not in coll._footer_stats_cache
