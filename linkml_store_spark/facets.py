@@ -40,13 +40,16 @@ FacetKey = Union[str, Tuple[str, ...]]
 
 DEFAULT_FACET_LIMIT = 100
 
-#: row-count gate for the Arrow dictionary-code facet path
-#: (``operators/arrowagg.py``): below this the fixed Python-stage bridge
-#: constant exceeds the JVM aggregate's whole runtime. Measured on 32
-#: cores (SCALING.md "Facet"): 120M rows JVM 0.375 s vs arrow 0.547 s;
-#: 600M rows JVM 1.32 s vs arrow 0.89 s -> fitted crossover ~260M rows,
-#: gate set above it so the arrow path only engages where it clearly wins
-ARROW_FACET_MIN_ROWS = 300_000_000
+#: row-count gate for the Arrow dictionary-code facet path: below this the
+#: fixed Python-stage bridge constant exceeds the JVM aggregate's whole
+#: runtime. Measured on 32 cores (SCALING.md "Facet"): 120M rows JVM
+#: 0.375 s vs arrow 0.547 s; 600M rows JVM 1.32 s vs arrow 0.89 s ->
+#: fitted crossover ~260M rows, gate set above it so the arrow path only
+#: engages where it clearly wins. The constant lives in
+#: ``operators/arrowagg.py`` (shared with the predicate-count route).
+from linkml_store_spark.operators.arrowagg import (  # noqa: E402
+    ARROW_AGG_MIN_ROWS as ARROW_FACET_MIN_ROWS,
+)
 
 
 def _bare_parquet_scan(df: DataFrame) -> bool:
