@@ -34,6 +34,10 @@ def generate(n: int) -> str:
         return out
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
+    # stream the COPY: with insertion order preserved DuckDB materializes
+    # the whole cross join in memory first (measured 75 GB RSS at x1000
+    # before writing a single byte); row order is irrelevant here
+    con.execute("SET preserve_insertion_order=false")
     con.execute(f"""
         COPY (
           SELECT l_orderkey + i.i * {ORDER_STEP} AS l_orderkey,
