@@ -519,10 +519,11 @@ class Collection:
             if num_rows is None:
                 # equality/$in counts zone maps can never decide (interior
                 # values appear in every row group): above the measured
-                # ~300M-row crossover the Arrow dictionary-code count
-                # (operators/arrowagg.py) answers at ~7x the JVM scan's
-                # per-core rate; below it (and on any refusal) the normal
-                # plan runs. Same paging memoization as the zone count.
+                # box-dependent crossover gate (operators/arrowagg.py,
+                # ARROW_AGG_MIN_ROWS) the Arrow dictionary-code count
+                # answers at a higher per-core rate than the JVM scan;
+                # below it (and on any refusal) the normal plan runs.
+                # Same paging memoization as the zone count.
                 vc = _simple_value_clause(query.where_clause, self.df)
                 if vc is not None:
                     ck = ("vcount", vc[0], tuple(vc[1]))

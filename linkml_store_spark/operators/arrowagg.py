@@ -146,9 +146,16 @@ def parquet_value_counts(
 
 
 #: the measured JVM/Arrow crossover for single-column aggregation over a
-#: parquet scan (SCALING.md "Facet round 6"): below ~300M rows the fixed
-#: Python-stage bridge dominates and the JVM plan wins on latency
-ARROW_AGG_MIN_ROWS = 300_000_000
+#: parquet scan. The crossover is BOX-DEPENDENT (SCALING.md "Facet round
+#: 6"): the Python-stage bridge cost and the JVM's string decode rate
+#: both vary with the host — measured crossovers span ~260M rows (fast
+#: Python workers: arrow 0.89 s vs JVM 1.32 s at 600M) to ~600M rows
+#: (slow workers, round-6b re-measurement: arrow 1.6-3.4 s vs JVM 1.8 s
+#: at 600M — a wash). The default sits at the SLOWEST measured crossover
+#: so the path only engages where every measured box wins; callers on
+#: known-fast clusters can lower it per call (``min_rows=`` /
+#: ``arrow_min_rows=``). At 100 TB scale the gate is always satisfied.
+ARROW_AGG_MIN_ROWS = 600_000_000
 
 
 def parquet_predicate_count(
