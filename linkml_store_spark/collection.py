@@ -479,6 +479,49 @@ class Collection:
             raise ValueError(f"collection {self.alias!r} has no identifier attribute")
         return self.identifier_attribute
 
+    def _value_predicate_count(self, col: str, values: list) -> Optional[int]:
+        """The composed equality/$in count over the persisted store:
+        footer-decided files from the value zone map, the undecided
+        remainder through the Arrow dictionary-code count above the
+        crossover gate, else the pushed-In JVM scan of just those files.
+        None when the store path is unavailable (caller runs the plan)."""
+        import os as _os
+
+        from linkml_store_spark.operators.topk import (
+            _file_value_zone_decision,
+        )
+
+        path = self.database._collection_path(self.alias)
+        if not _os.path.exists(path):
+            return None
+        decision = None
+        try:
+            decision = _file_value_zone_decision(path, col, values)
+        except Exception:  # noqa: BLE001 — stats are an optimization only
+            decision = None
+        if decision is None:
+            meta, rest = 0, self.df
+        else:
+            meta, undecided = decision
+            if not undecided:
+                return meta  # pure driver metadata — zero jobs
+            rest = self.spark.read.parquet(*undecided)
+        n = None
+        try:
+            from linkml_store_spark.operators.arrowagg import (
+                parquet_predicate_count,
+            )
+
+            n = parquet_predicate_count(
+                self.spark, rest, col, values,
+                min_rows=self._arrow_count_min_rows,
+            )
+        except Exception:  # noqa: BLE001
+            n = None
+        if n is None:
+            n = rest.filter(F.col(col).isin(list(values))).count()
+        return meta + n
+
     def query(self, query: Query) -> QueryResult:
         """Execute the declarative Query IR (reference collection.py:375-398)."""
         if not self.exists():
@@ -517,13 +560,16 @@ class Collection:
                     except Exception:  # noqa: BLE001 — optimization only
                         num_rows = None
             if num_rows is None:
-                # equality/$in counts zone maps can never decide (interior
-                # values appear in every row group): above the measured
-                # box-dependent crossover gate (operators/arrowagg.py,
-                # ARROW_AGG_MIN_ROWS) the Arrow dictionary-code count
-                # answers at a higher per-core rate than the JVM scan;
-                # below it (and on any refusal) the normal plan runs.
-                # Same paging memoization as the zone count.
+                # equality/$in totals compose three routes: (1) the value
+                # zone map — on clustered/partitioned-by-category layouts
+                # most files collapse to stored_min == stored_max == v and
+                # the count is driver footer IO (truncation-sound; see
+                # operators/topk._file_value_zone_decision); (2) whatever
+                # files the footers leave undecided go to the Arrow
+                # dictionary-code count when they clear the box-calibrated
+                # crossover gate (operators/arrowagg.ARROW_AGG_MIN_ROWS);
+                # (3) otherwise the plain pushed-In JVM scan of just those
+                # files. Same paging memoization as the range zone count.
                 vc = _simple_value_clause(query.where_clause, self.df)
                 if vc is not None:
                     ck = ("vcount", vc[0], tuple(vc[1]))
@@ -531,14 +577,7 @@ class Collection:
                         num_rows = self._footer_stats_cache[ck]
                     else:
                         try:
-                            from linkml_store_spark.operators.arrowagg import (
-                                parquet_predicate_count,
-                            )
-
-                            num_rows = parquet_predicate_count(
-                                self.spark, self.df, vc[0], vc[1],
-                                min_rows=self._arrow_count_min_rows,
-                            )
+                            num_rows = self._value_predicate_count(*vc)
                             if num_rows is not None:
                                 self._footer_stats_cache[ck] = num_rows
                         except Exception:  # noqa: BLE001 — optimization only

@@ -403,3 +403,124 @@ def stats_filtered_count(
     if not undecided:
         return meta_count
     return meta_count + spark.read.parquet(*undecided).filter(pred).count()
+
+
+# ------------------------------------------------------------------ #
+# zone-map equality/IN count — strings and ints, truncation-sound
+# ------------------------------------------------------------------ #
+def _file_value_zone_decision(path: str, col: str, values):
+    """Per-file zone-map triage for ``col IN values`` over a string or
+    integral column: (metadata_count, undecided_files), or None on any
+    structural refusal.
+
+    Soundness under parquet stat TRUNCATION (the reason the range
+    machinery above excludes strings): writers may truncate string
+    min/max, but only ever OUTWARD — stored_min <= true_min (prefix) and
+    stored_max >= true_max (prefix with last byte incremented). Two
+    decisions survive that widening:
+
+      * **excluded**: every v in values is < stored_min or > stored_max
+        -> v is outside the (wider) stored interval, so outside the true
+        one — the group contributes 0;
+      * **collapsed**: stored_min == stored_max == v for some v ->
+        true_min >= stored_min = v and true_max <= stored_max = v force
+        EVERY non-null value to equal v — the group contributes its
+        non-null rows (on a category-clustered layout, the realistic
+        100 TB shape for `status = 'X'` counts, this is most groups).
+
+    Anything else leaves the file undecided (scanned with the pushed
+    ``In`` filter, where disjoint row groups still skip).
+
+    Ordering guard: parquet string stats are UNSIGNED-byte-lexicographic,
+    which equals Python's code-point comparison for valid UTF-8 — but
+    LEGACY writers ordered signed bytes, which diverges only when a byte
+    >= 0x80 is involved. Stats and probe values are therefore required
+    to be pure ASCII: if any true value had a high byte, a signed-order
+    writer would have surfaced it as the (non-ASCII) min — so ASCII
+    stored bounds prove the orderings agree on this group's data. Ints
+    have exact stats and no ordering ambiguity. Same per-file
+    degradation, whole-store refusals (missing column, unsupported
+    physical type, >_MAX_SWEEP_FILES) as ``_file_zone_decision``.
+    """
+    import pyarrow.parquet as pq
+
+    files = _parquet_files(path)
+    if files is None:
+        return None
+    if any(isinstance(v, bool) or v is None for v in values):
+        return None
+    str_values = all(isinstance(v, str) for v in values)
+    int_values = all(
+        isinstance(v, int) and not isinstance(v, bool) for v in values
+    )
+    if not (str_values or int_values):
+        return None
+    if str_values and not all(v.isascii() for v in values):
+        return None
+    vals = set(values)
+    meta_count = 0
+    undecided = []
+    for fp in files:
+        md = pq.ParquetFile(fp).metadata
+        file_meta = 0
+        file_decided = True
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            c = None
+            for j in range(rg.num_columns):
+                if rg.column(j).path_in_schema == col:
+                    c = rg.column(j)
+                    break
+            if c is None:
+                return None  # schema evolution: whole-store concern
+            if str_values and c.physical_type != "BYTE_ARRAY":
+                return None
+            if int_values and c.physical_type not in ("INT32", "INT64"):
+                return None
+            st = c.statistics
+            if st is None or not st.has_min_max or not st.has_null_count:
+                file_decided = False
+                break
+            smin, smax = st.min, st.max
+            if str_values:
+                if not (isinstance(smin, str) and isinstance(smax, str)):
+                    file_decided = False
+                    break
+                if not (smin.isascii() and smax.isascii()):
+                    file_decided = False
+                    break
+            if smin == smax and smin in vals:
+                file_meta += rg.num_rows - st.null_count
+            elif all(v < smin or v > smax for v in vals):
+                pass  # contributes 0
+            else:
+                file_decided = False
+                break
+        if file_decided:
+            meta_count += file_meta
+        else:
+            undecided.append(fp)
+    return meta_count, undecided
+
+
+def zone_value_count(spark: SparkSession, path: str, col: str, values) -> int:
+    """COUNT of rows with ``col IN values`` over a parquet table, answered
+    from footers wherever ``_file_value_zone_decision`` decides whole
+    files — the equality/IN analog of :func:`stats_filtered_count`, and
+    the first zone path that safely covers STRING columns. On clustered
+    layouts (write_clustered / hive-partition-by-category) the most
+    common categorical count becomes driver metadata IO plus a scan of
+    only the boundary files; elsewhere it degrades to the plain pushed-In
+    count."""
+    decision = None
+    try:
+        decision = _file_value_zone_decision(path, col, values)
+    except Exception:  # noqa: BLE001 — stats are an optimization only
+        decision = None
+    pred = F.col(col).isin(list(values))
+    if decision is None:
+        return spark.read.parquet(path).filter(pred).count()
+    meta_count, undecided = decision
+    if not undecided:
+        return meta_count
+    return meta_count + spark.read.parquet(*undecided).filter(pred).count()

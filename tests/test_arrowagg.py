@@ -203,9 +203,11 @@ def test_collection_count_routes_equality_through_arrow(spark, tmp_path):
     ck = ("vcount", "o_orderpriority", ("1-URGENT", "2-HIGH"))
     assert coll._footer_stats_cache.get(ck) == want
 
-    # above the gate: the normal plan answers, same number, no cache entry
+    # above the arrow gate the composed route still answers — the value
+    # zone map triages the files and the undecided remainder takes the
+    # pushed-In JVM scan — same number, same paging memoization
     coll._footer_stats_cache.clear()
     coll._arrow_count_min_rows = 10**12
     res2 = coll.query(Query(where_clause={"o_orderpriority": {"$in": ["1-URGENT", "2-HIGH"]}}, limit=5))
     assert res2.num_rows == want
-    assert ck not in coll._footer_stats_cache
+    assert coll._footer_stats_cache.get(ck) == want

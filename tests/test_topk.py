@@ -452,3 +452,104 @@ def test_zone_count_missing_column_file_refuses_globally(spark, tmp_path):
         .count()
     )
     assert merged == 40
+
+
+# --------------------------------------------------------------------- #
+# value zone map: equality/$in counts over strings and ints
+# --------------------------------------------------------------------- #
+
+def test_value_zone_clustered_string_is_metadata_only(spark, tmp_path):
+    from linkml_store_spark.operators.topk import (
+        _file_value_zone_decision,
+        zone_value_count,
+    )
+
+    path = str(tmp_path / "status_clustered")
+    rows = [(i, ["OPEN", "CLOSED", "HELD"][i % 3]) for i in range(9000)]
+    df = spark.createDataFrame(rows, ["id", "status"])
+    # one file per status (hash repartition may collide categories into
+    # one partition): every file collapses to stored_min == stored_max
+    for s in ["OPEN", "CLOSED", "HELD"]:
+        df.filter(df.status == s).coalesce(1).write.mode("append").parquet(path)
+    decision = _file_value_zone_decision(path, "status", ["OPEN"])
+    assert decision is not None
+    meta, undecided = decision
+    assert undecided == []          # pure driver metadata, zero scan tasks
+    assert meta == 3000
+    assert zone_value_count(spark, path, "status", ["OPEN"]) == 3000
+    # $in across two categories
+    assert zone_value_count(spark, path, "status", ["OPEN", "HELD"]) == 6000
+    # absent value: exclusion decides every file
+    meta0, und0 = _file_value_zone_decision(path, "status", ["GONE"])
+    assert (meta0, und0) == (0, [])
+
+
+def test_value_zone_unclustered_matches_plain(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from linkml_store_spark.operators.topk import zone_value_count
+
+    path = str(tmp_path / "status_uniform")
+    rows = [(i, ["OPEN", "CLOSED", None][i % 3]) for i in range(900)]
+    spark.createDataFrame(rows, "id long, status string").repartition(
+        4
+    ).write.parquet(path)
+    got = zone_value_count(spark, path, "status", ["OPEN"])
+    want = (
+        spark.read.parquet(path).filter(F.col("status") == "OPEN").count()
+    )
+    assert got == want == 300  # NULLs never match
+
+
+def test_value_zone_int_column(spark, tmp_path):
+    from linkml_store_spark.operators.topk import (
+        _file_value_zone_decision,
+        zone_value_count,
+    )
+
+    path = str(tmp_path / "intvals")
+    rows = [(i, i % 4) for i in range(8000)]
+    df = spark.createDataFrame(rows, ["id", "bucket"])
+    df.repartition(4, "bucket").sortWithinPartitions("bucket").write.parquet(path)
+    meta, undecided = _file_value_zone_decision(path, "bucket", [2])
+    assert undecided == [] and meta == 2000
+    assert zone_value_count(spark, path, "bucket", [1, 3]) == 4000
+
+
+def test_value_zone_refusals(spark, tmp_path):
+    from linkml_store_spark.operators.topk import _file_value_zone_decision
+
+    path = str(tmp_path / "refuse")
+    spark.createDataFrame(
+        [(1, "café"), (2, "abc")], ["id", "s"]
+    ).coalesce(1).write.parquet(path)
+    # non-ASCII probe value: legacy signed-byte orderings could diverge
+    assert _file_value_zone_decision(path, "s", ["café"]) is None
+    # non-ASCII stats leave the file undecided even for an ASCII probe
+    meta, undecided = _file_value_zone_decision(path, "s", ["abc"])
+    assert len(undecided) == 1 and meta == 0
+    # bool / None / mixed-type values refuse
+    assert _file_value_zone_decision(path, "s", [True]) is None
+    assert _file_value_zone_decision(path, "s", [None]) is None
+    assert _file_value_zone_decision(path, "s", ["a", 1]) is None
+
+
+def test_collection_value_count_routes_through_zone(spark, tmp_path):
+    """A status-clustered Collection store answers equality/$in totals
+    from footers alone; the cached total is reused for paging."""
+    from linkml_store_spark.client import Client
+    from linkml_store_spark.query import Query
+
+    client = Client(spark)
+    db = client.attach_database(f"spark://{tmp_path}/zvdb")
+    coll = db.create_collection("tickets", identifier_attribute="id")
+    rows = [(i, ["OPEN", "CLOSED", "HELD"][i % 3]) for i in range(3000)]
+    coll.insert(spark.createDataFrame(rows, ["id", "status"]))
+    res = coll.query(Query(where_clause={"status": "OPEN"}, limit=5))
+    want = coll.df.filter(coll.df.status == "OPEN").count()
+    assert res.num_rows == want == 1000
+    assert coll._footer_stats_cache.get(("vcount", "status", ("OPEN",))) == want
+    res2 = coll.query(
+        Query(where_clause={"status": {"$in": ["OPEN", "HELD"]}}, limit=5)
+    )
+    assert res2.num_rows == 2000
