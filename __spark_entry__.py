@@ -1745,7 +1745,38 @@ def q_cohort_retention(spark, sf):
     return cohort_retention(ev, period="week").orderBy("cohort", "offset")
 
 
+def q_count_zone_values(spark, sf):
+    """Value zone map (round 6, operators/topk.zone_value_count): the
+    lineitem table re-written clustered by l_returnflag (write_clustered,
+    one file per category), then four equality/$in counts answered by the
+    footer-decided route — collapsed-interval proof for the clustered
+    string column, exclusion proof for an absent value, and the pushed-In
+    scan fallback for an int column the layout does not cluster. The
+    DuckDB oracle recomputes every count from the ORIGINAL table (the
+    rewrite is a layout change, never a data change)."""
+    import hashlib
+    import os
+
+    from linkml_store_spark.operators.scale import write_clustered
+    from linkml_store_spark.operators.topk import zone_value_count
+
+    li = _t(spark, sf, "lineitem")
+    path = "/tmp/spark_graft_entry_zonestore_" + hashlib.md5(
+        sf.encode()
+    ).hexdigest()[:8]
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_clustered(li, path, ["l_returnflag"], 3)
+    rows = [
+        ("eq_R", zone_value_count(spark, path, "l_returnflag", ["R"])),
+        ("in_RA", zone_value_count(spark, path, "l_returnflag", ["R", "A"])),
+        ("in_absent", zone_value_count(spark, path, "l_returnflag", ["Z"])),
+        ("int_in", zone_value_count(spark, path, "l_linenumber", [1, 3])),
+    ]
+    return spark.createDataFrame(rows, "pred string, n long").orderBy("pred")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "count_zone_values": q_count_zone_values,
     "find_eq": q_find_eq,
     "find_range": q_find_range,
     "find_in": q_find_in,
@@ -1851,6 +1882,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 ORACLES: dict[str, str] = {
+    "count_zone_values": """
+        SELECT 'eq_R' AS pred, COUNT(*) AS n FROM lineitem WHERE l_returnflag = 'R'
+        UNION ALL
+        SELECT 'in_RA', COUNT(*) FROM lineitem WHERE l_returnflag IN ('R', 'A')
+        UNION ALL
+        SELECT 'in_absent', COUNT(*) FROM lineitem WHERE l_returnflag = 'Z'
+        UNION ALL
+        SELECT 'int_in', COUNT(*) FROM lineitem WHERE l_linenumber IN (1, 3)
+        ORDER BY pred
+    """,
     "find_eq": """
         SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         FROM lineitem
