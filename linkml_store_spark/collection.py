@@ -612,6 +612,7 @@ class Collection:
 
                 from linkml_store_spark.operators.topk import (
                     _row_group_stats,
+                    _row_group_stats_string,
                     topk_threshold,
                 )
 
@@ -622,11 +623,17 @@ class Collection:
                     base, descending = _sort_parse(query.sort_by[0])
                     k_eff = (query.offset or 0) + limit
                     if base not in self._footer_stats_cache:
-                        self._footer_stats_cache[base] = _row_group_stats(
-                            path, base
-                        )
+                        st = _row_group_stats(path, base)
+                        kind = "num"
+                        if st is None:
+                            # string sort key: truncation-safe min-mass
+                            # bound only (operators/topk.py round 6)
+                            st = _row_group_stats_string(path, base)
+                            kind = "str"
+                        self._footer_stats_cache[base] = (kind, st)
+                    kind, st = self._footer_stats_cache[base]
                     tau = topk_threshold(
-                        self._footer_stats_cache[base], k_eff, descending
+                        st, k_eff, descending, min_mass_only=(kind == "str")
                     )
                     if tau is not None:
                         page = page.filter(

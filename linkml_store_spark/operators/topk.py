@@ -23,8 +23,9 @@ plain TakeOrdered plan whenever statistics are missing.
 
 The footer read is planning-time work on the DRIVER: one metadata fetch
 per file (no data IO) — the same footer listing Spark itself performs.
-String columns are NOT pruned (parquet may truncate string min/max, so
-the bound would be unsafe); numeric, date, and timestamp columns are.
+Numeric, date, and timestamp columns use both bounds; STRING columns
+(round 6) use only the min-mass bound, which parquet stat truncation can
+only loosen (see ``_row_group_stats_string``), guarded to ASCII stats.
 
 Reference parity: the reference's find+sort surface
 (src/linkml_store/api/collection.py sort/limit) has no statistics
@@ -131,14 +132,66 @@ def _row_group_stats(path: str, col: str):
     return out
 
 
-def topk_threshold(stats, k: int, descending: bool = True):
+def _row_group_stats_string(path: str, col: str):
+    """[(min, max, non_null_rows)] for a STRING (BYTE_ARRAY) column;
+    None unless every row group carries str, pure-ASCII min/max stats.
+
+    Parquet string statistics may be TRUNCATED — but only outward
+    (stored_min is a prefix <= true_min, stored_max a bumped prefix >=
+    true_max), so they are safe exactly for the MIN-MASS top-k bound
+    (``topk_threshold(min_mass_only=True)``): the threshold derives from
+    stored mins (DESC) / stored maxes (ASC), which only ever loosen it.
+    The one-per-group bound would TIGHTEN under truncation and must not
+    be used. ASCII guard: legacy writers ordered string stats by SIGNED
+    bytes; pure-ASCII stored bounds prove the group holds no high-byte
+    values, where signed and unsigned (= Python/UTF8String code-point)
+    orderings agree — same argument as ``_file_value_zone_decision``."""
+    import pyarrow.parquet as pq
+
+    files = _parquet_files(path)
+    if files is None:
+        return None
+    out = []
+    for fp in files:
+        md = pq.ParquetFile(fp).metadata
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            c = None
+            for j in range(rg.num_columns):
+                if rg.column(j).path_in_schema == col:
+                    c = rg.column(j)
+                    break
+            if c is None or c.physical_type != "BYTE_ARRAY":
+                return None
+            st = c.statistics
+            if st is None or not st.has_min_max or not st.has_null_count:
+                return None
+            smin, smax = st.min, st.max
+            if not (isinstance(smin, str) and isinstance(smax, str)):
+                return None
+            if not (smin.isascii() and smax.isascii()):
+                return None
+            out.append((smin, smax, rg.num_rows - st.null_count))
+    return out
+
+
+def topk_threshold(stats, k: int, descending: bool = True,
+                   min_mass_only: bool = False):
     """The provably-safe τ from row-group stats, or None when no bound
-    beats scanning (e.g. k exceeds the total row count)."""
+    beats scanning (e.g. k exceeds the total row count).
+
+    ``min_mass_only`` restricts to the min-mass bound — required for
+    string stats, whose truncation only widens [min, max]: the min-mass
+    τ derives from stored mins (DESC) / maxes (ASC) and can only LOOSEN,
+    while the one-per-group bound derives from the opposite side and
+    could tighten past the true k-th value."""
     if not stats or sum(r for _, _, r in stats) <= k:
         return None
     if descending:
         maxes = sorted((mx for _mn, mx, _r in stats), reverse=True)
-        bound1 = maxes[k - 1] if len(maxes) >= k else None
+        bound1 = (
+            maxes[k - 1] if len(maxes) >= k and not min_mass_only else None
+        )
         best = None
         acc = 0
         for mn, _mx, r in sorted(stats, key=lambda t: t[0], reverse=True):
@@ -150,7 +203,7 @@ def topk_threshold(stats, k: int, descending: bool = True):
         cands = [b for b in (bound1, bound2) if b is not None]
         return max(cands) if cands else None
     mins = sorted(mn for mn, _mx, _r in stats)
-    bound1 = mins[k - 1] if len(mins) >= k else None
+    bound1 = mins[k - 1] if len(mins) >= k and not min_mass_only else None
     best = None
     acc = 0
     for _mn, mx, r in sorted(stats, key=lambda t: t[1]):
@@ -198,6 +251,13 @@ def topk_stats_pruned(
     tau = None
     try:
         tau = topk_threshold(_row_group_stats(path, value_col), k, descending)
+        if tau is None:
+            # string sort key: the ASCII-guarded min-mass bound is the
+            # truncation-safe subset (see _row_group_stats_string)
+            tau = topk_threshold(
+                _row_group_stats_string(path, value_col), k, descending,
+                min_mass_only=True,
+            )
     except Exception:  # noqa: BLE001 — stats are an optimization, never a risk
         tau = None
     if tau is not None:

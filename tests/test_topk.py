@@ -143,8 +143,9 @@ def test_null_mass_guard_keeps_null_tail(spark, tmp_path):
 
 
 def test_missing_stats_falls_back(spark, tmp_path):
-    # string value column: physical type BYTE_ARRAY is excluded (parquet
-    # may truncate string stats) -> no filter, plain plan, same answer
+    # string value column in ONE row group: the round-6 min-mass bound
+    # yields the group's own min (filter keeps everything) — plan parity
+    # regardless of whether the threshold engages
     path = str(tmp_path / "strs")
     df = spark.createDataFrame(
         [(i, f"name{i:05d}") for i in range(100)], ["id", "name"]
@@ -553,3 +554,79 @@ def test_collection_value_count_routes_through_zone(spark, tmp_path):
         Query(where_clause={"status": {"$in": ["OPEN", "HELD"]}}, limit=5)
     )
     assert res2.num_rows == 2000
+
+
+# --------------------------------------------------------------------- #
+# string sort keys: truncation-safe min-mass pruning
+# --------------------------------------------------------------------- #
+
+def test_topk_threshold_min_mass_only_suppresses_bound1():
+    from linkml_store_spark.operators.topk import topk_threshold
+
+    # three groups of 2 rows; DESC k=2: one-per-group bound would be the
+    # 2nd-largest max ("m"), min-mass bound accumulates by min desc ("k")
+    stats = [("a", "f", 2), ("g", "m", 2), ("k", "z", 2)]
+    assert topk_threshold(stats, 2, descending=True) == "m"
+    assert topk_threshold(stats, 2, descending=True, min_mass_only=True) == "k"
+    # ASC k=2: min-mass accumulates by max asc -> "f"
+    assert topk_threshold(stats, 2, descending=False, min_mass_only=True) == "f"
+
+
+def test_string_stats_ascii_guard(spark, tmp_path):
+    from linkml_store_spark.operators.topk import _row_group_stats_string
+
+    p1 = str(tmp_path / "ascii")
+    spark.createDataFrame(
+        [("alpha",), ("omega",), (None,)], "s string"
+    ).coalesce(1).write.parquet(p1)
+    st = _row_group_stats_string(p1, "s")
+    assert st == [("alpha", "omega", 2)]  # nulls excluded from mass
+    p2 = str(tmp_path / "nonascii")
+    spark.createDataFrame([("café",), ("abc",)], "s string").coalesce(
+        1
+    ).write.parquet(p2)
+    assert _row_group_stats_string(p2, "s") is None
+    # numeric column refuses through the string path
+    p3 = str(tmp_path / "nums")
+    spark.createDataFrame([(1,), (2,)], "v long").coalesce(1).write.parquet(p3)
+    assert _row_group_stats_string(p3, "v") is None
+
+
+def test_topk_stats_pruned_string_column(spark, tmp_path):
+    from linkml_store_spark.operators.topk import topk_stats_pruned
+
+    path = str(tmp_path / "str_topk")
+    rows = [(i, f"user_{i:06d}") for i in range(20000)]
+    df = spark.createDataFrame(rows, ["id", "uid"])
+    df.repartitionByRange(8, "uid").sortWithinPartitions("uid").write.parquet(path)
+    got = topk_stats_pruned(spark, path, "uid", k=7).collect()
+    want = (
+        spark.read.parquet(path)
+        .orderBy(F.desc_nulls_last("uid"))
+        .limit(7)
+        .collect()
+    )
+    assert [r["uid"] for r in got] == [r["uid"] for r in want]
+    asc = topk_stats_pruned(spark, path, "uid", k=7, descending=False).collect()
+    want_a = (
+        spark.read.parquet(path).orderBy(F.asc_nulls_last("uid")).limit(7).collect()
+    )
+    assert [r["uid"] for r in asc] == [r["uid"] for r in want_a]
+
+
+def test_collection_string_sort_prunes_and_matches(spark, tmp_path):
+    """The Collection default sort+limit plan now prunes on STRING primary
+    sort keys too — page parity with the plain plan, threshold pushed."""
+    from linkml_store_spark.client import Client
+
+    client = Client(spark)
+    db = client.attach_database(f"spark://{tmp_path}/strsort")
+    coll = db.create_collection("users", identifier_attribute="id")
+    rows = [(i, f"u{i % 97:03d}_{i}") for i in range(5000)]
+    coll.insert(spark.createDataFrame(rows, ["id", "handle"]))
+    res = coll.find(sort_by=["-handle"], limit=9)
+    plain = coll.df.orderBy(F.desc_nulls_last("handle")).limit(9).collect()
+    assert [r["handle"] for r in res.rows] == [r["handle"] for r in plain]
+    # the stats cache now holds the string-kind entry
+    kind, st = coll._footer_stats_cache["handle"]
+    assert kind == "str" and st is not None
