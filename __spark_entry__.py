@@ -1775,8 +1775,36 @@ def q_count_zone_values(spark, sf):
     return spark.createDataFrame(rows, "pred string, n long").orderBy("pred")
 
 
+def q_topk_string_pruned(spark, sf):
+    """String-key statistics-pruned top-k (round 6): a unique ASCII sort
+    key derived from lineitem, written clustered so the footer min-mass
+    bound actually prunes, then ``topk_stats_pruned`` — truncation-safe
+    for strings because the bound derives from stored mins, which
+    truncation only lowers (operators/topk._row_group_stats_string)."""
+    import hashlib
+    import os
+
+    from linkml_store_spark.operators.scale import write_clustered
+    from linkml_store_spark.operators.topk import topk_stats_pruned
+
+    li = _t(spark, sf, "lineitem")
+    derived = li.select(
+        F.lpad(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("string"),
+            10, "0",
+        ).alias("sk")
+    )
+    path = "/tmp/spark_graft_entry_strtopk_" + hashlib.md5(
+        sf.encode()
+    ).hexdigest()[:8]
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_clustered(derived, path, ["sk"], 4)
+    return topk_stats_pruned(spark, path, "sk", k=20)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "count_zone_values": q_count_zone_values,
+    "topk_string_pruned": q_topk_string_pruned,
     "find_eq": q_find_eq,
     "find_range": q_find_range,
     "find_in": q_find_in,
@@ -1882,6 +1910,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 ORACLES: dict[str, str] = {
+    "topk_string_pruned": """
+        SELECT lpad(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR), 10, '0') AS sk
+        FROM lineitem ORDER BY sk DESC LIMIT 20
+    """,
     "count_zone_values": """
         SELECT 'eq_R' AS pred, COUNT(*) AS n FROM lineitem WHERE l_returnflag = 'R'
         UNION ALL
