@@ -229,7 +229,36 @@ def main():
             out[name] = round(best, 4)
         return out
 
-    timings = time_all(queries)
+    # INTERLEAVED same-run companion: the round-6 box drifts ±25-40%
+    # within minutes ON BOTH ENGINES (SCALING.md "round-6 box
+    # calibration"), so timing all twelve Spark queries and only then the
+    # DuckDB set lets minutes of drift land entirely on one side of the
+    # ratio. Each query now times Spark (best-of-RUNS, shuffle-busted)
+    # and immediately its DuckDB twin (same best-of methodology) while
+    # the box is in the same state; per-query engine order is fixed
+    # (Spark first) so neither engine systematically inherits the
+    # other's cache warmth.
+    duck_fns = None
+    try:
+        duck_fns = _duckdb_companion_fns()
+        for fn in duck_fns.values():  # warm-up sweep, mirrors Spark's
+            fn()
+    except Exception:  # noqa: BLE001 — companion is informative only
+        duck_fns = None
+
+    timings = {}
+    duck_timings = {}
+    for name, fn in queries.items():
+        timings.update(time_all({name: fn}))
+        if duck_fns is not None and name in duck_fns:
+            dfn = duck_fns[name]
+            dfn()
+            best = float("inf")
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                dfn()
+                best = min(best, time.perf_counter() - t0)
+            duck_timings[name] = round(best, 4)
 
     # FLOOR DECOMPOSITION: the same twelve plans executed over 0-ROW tables
     # with identical schemas. What remains is Spark's fixed per-query cost —
@@ -276,16 +305,15 @@ def main():
         "job_floor": round(job_floor, 4),
     }
     # Same-run DuckDB companion (BASELINE.md's B1-B12 SQL, same warm+best-of
-    # methodology): BASELINE.md's numbers were measured on one calendar day;
-    # this box's absolute speed drifts ±30-40% run-to-run (measured: the
-    # identical DuckDB workload spans 182-250 ms across sessions). The
-    # same-process companion pins both engines to the SAME machine state so
-    # the ratio stays meaningful regardless of when the driver runs.
-    try:
-        out["duckdb_same_run"] = _duckdb_companion()
-        out["duckdb_same_run_total"] = round(sum(out["duckdb_same_run"].values()), 4)
-    except Exception:  # noqa: BLE001 — the companion is informative only
-        pass
+    # methodology, timed INTERLEAVED per query above): BASELINE.md's numbers
+    # were measured on one calendar day; this box's absolute speed drifts
+    # ±30-40% within minutes (measured: the identical DuckDB workload spans
+    # 182-250 ms across sessions). Interleaving pins each query pair to the
+    # same seconds of machine state so the ratio stays meaningful
+    # regardless of when the driver runs.
+    if duck_timings:
+        out["duckdb_same_run"] = duck_timings
+        out["duckdb_same_run_total"] = round(sum(duck_timings.values()), 4)
     print(json.dumps(out))
 
 
@@ -334,7 +362,10 @@ def _shuffle_buster(spark):
         return lambda: None
 
 
-def _duckdb_companion() -> dict:
+def _duckdb_companion_fns() -> dict:
+    """name -> zero-arg callable running that query's DuckDB twin — the
+    caller interleaves these with the Spark timings so each per-query
+    ratio is measured within the same seconds of box state."""
     import duckdb
 
     con = duckdb.connect()
@@ -361,16 +392,9 @@ def _duckdb_companion() -> dict:
         "b11": "SELECT date_trunc('hour', ts) h, event_type, COUNT(*), SUM(value) FROM events GROUP BY 1,2",
         "b12": f"SELECT vec_id, label, list_cosine_similarity(CAST(embedding AS DOUBLE[]), {qv}) s FROM embeddings ORDER BY s DESC LIMIT 10",
     }
-    timings = {}
-    for name, q in qs.items():
-        con.execute(q).fetchall()
-        best = float("inf")
-        for _ in range(RUNS):
-            t0 = time.perf_counter()
-            con.execute(q).fetchall()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
-    return timings
+    return {
+        name: (lambda q=q: con.execute(q).fetchall()) for name, q in qs.items()
+    }
 
 
 if __name__ == "__main__":
