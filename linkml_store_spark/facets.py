@@ -52,6 +52,33 @@ from linkml_store_spark.operators.arrowagg import (  # noqa: E402
 )
 
 
+def _zone_facet(fdf: DataFrame, column: str):
+    """[(value, count)] from footers for a string/int column of a bare
+    parquet scan, or None (operators/topk.zone_facet_counts — decided
+    only when EVERY row group collapses to min == max or all-null)."""
+    from pyspark.sql import types as T
+
+    from linkml_store_spark.operators.topk import zone_facet_counts
+
+    try:
+        dt = fdf.schema[column].dataType
+        if isinstance(dt, T.StringType):
+            is_string = True
+        elif isinstance(dt, (T.IntegerType, T.LongType, T.ShortType, T.ByteType)):
+            is_string = False
+        else:
+            return None
+        files = [
+            f[len("file:"):] if f.startswith("file:") else f
+            for f in fdf.inputFiles()
+        ]
+        if not files or len(files) > 4096:
+            return None
+        return zone_facet_counts(files, column, is_string)
+    except Exception:  # noqa: BLE001 — stats are an optimization only
+        return None
+
+
 def _bare_parquet_scan(df: DataFrame) -> bool:
     """True when ``df``'s analyzed plan is a single relation node (no
     Filter/Project/Join above the scan) — the only shape where raw-file
@@ -112,18 +139,33 @@ def facet_df(
     ):
         from linkml_store_spark.operators.arrowagg import parquet_value_counts
 
-        gate = ARROW_FACET_MIN_ROWS if arrow_min_rows is None else arrow_min_rows
-        adf = parquet_value_counts(
-            fdf.sparkSession, fdf, column, min_rows=gate
-        )
-        if adf is not None:
-            adf = adf.withColumnRenamed("value", column)
+        def _finish_single(adf: DataFrame) -> DataFrame:
             if facet_min_count > 1:
                 adf = adf.filter(F.col("count") >= facet_min_count)
             order = [F.desc("count"), F.asc(column)]
             if facet_limit and facet_limit > 0:
                 return adf.orderBy(*order).limit(facet_limit)
             return adf.orderBy(*order)
+
+        # route 0 (round 6): whole-table footer facet — on a clustered
+        # store every row group collapses to min == max and the counts
+        # are pure driver metadata (operators/topk.zone_facet_counts);
+        # any undecided group falls through to the scan routes below
+        zc = _zone_facet(fdf, column)
+        if zc is not None:
+            spark = fdf.sparkSession
+            vt = fdf.schema[column].dataType.simpleString()
+            adf = spark.createDataFrame(
+                zc, schema=f"`{column}` {vt}, count long"
+            )
+            return _finish_single(adf)
+
+        gate = ARROW_FACET_MIN_ROWS if arrow_min_rows is None else arrow_min_rows
+        adf = parquet_value_counts(
+            fdf.sparkSession, fdf, column, min_rows=gate
+        )
+        if adf is not None:
+            return _finish_single(adf.withColumnRenamed("value", column))
     sel = []
     out_names = []
     for c in cols:

@@ -563,6 +563,61 @@ def _file_value_zone_decision(path: str, col: str, values):
     return meta_count, undecided
 
 
+def zone_facet_counts(files, col: str, physical_string: bool):
+    """Whole-table facet counts [(value, count)] from footers alone, or
+    None unless EVERY row group is decided: a group decides when its
+    stored min == max (truncation can only widen the interval, so a
+    collapsed one proves every non-null value equal — the same proof as
+    ``_file_value_zone_decision``) or when it is all-null (null_count ==
+    num_rows; min/max may legitimately be absent then). NULLs form their
+    own group with an EXACT count (parquet null_count per row group),
+    mirroring SQL GROUP BY. String stats keep the ASCII guard; ints are
+    exact. On a category-clustered store (write_clustered / per-category
+    ingest) this turns the reference's most-used operator — the facet —
+    into driver metadata IO."""
+    import pyarrow.parquet as pq
+
+    counts: dict = {}
+    nulls = 0
+    for fp in files:
+        md = pq.ParquetFile(fp).metadata
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            c = None
+            for j in range(rg.num_columns):
+                if rg.column(j).path_in_schema == col:
+                    c = rg.column(j)
+                    break
+            if c is None:
+                return None
+            if physical_string and c.physical_type != "BYTE_ARRAY":
+                return None
+            if not physical_string and c.physical_type not in ("INT32", "INT64"):
+                return None
+            st = c.statistics
+            if st is None or not st.has_null_count:
+                return None
+            if st.null_count == rg.num_rows:
+                nulls += rg.num_rows
+                continue
+            if not st.has_min_max:
+                return None
+            smin, smax = st.min, st.max
+            if physical_string:
+                if not (isinstance(smin, str) and isinstance(smax, str)):
+                    return None
+                if not (smin.isascii() and smax.isascii()):
+                    return None
+            if smin != smax:
+                return None  # mixed group: the whole-table shortcut is off
+            counts[smin] = counts.get(smin, 0) + rg.num_rows - st.null_count
+            nulls += st.null_count
+    out = list(counts.items())
+    if nulls:
+        out.append((None, nulls))
+    return out
+
+
 def zone_value_count(spark: SparkSession, path: str, col: str, values) -> int:
     """COUNT of rows with ``col IN values`` over a parquet table, answered
     from footers wherever ``_file_value_zone_decision`` decides whole

@@ -2,6 +2,7 @@
 compound tuples, min-count, top-k)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from linkml_store_spark.client import Client
 
@@ -171,3 +172,55 @@ def test_describe_single_column(spark):
     r = describe(df).collect()[0]
     assert r["count"] == 3 and r["top"] == "2.0" and r["freq"] == 2
     assert r["mean"] == pytest.approx(5 / 3)
+
+
+# --------------------------------------------------------------------- #
+# zone facet: whole-table footer counts on clustered stores (round 6)
+# --------------------------------------------------------------------- #
+
+def test_zone_facet_clustered_store_no_scan(spark, tmp_path):
+    from linkml_store_spark.facets import facet_df
+
+    path = str(tmp_path / "zf_clustered")
+    rows = [(i, ["OPEN", "CLOSED", "HELD"][i % 3] if i % 10 else None)
+            for i in range(9000)]
+    df = spark.createDataFrame(rows, "id long, status string")
+    for s in ["OPEN", "CLOSED", "HELD"]:
+        df.filter(df.status == s).coalesce(1).write.mode("append").parquet(path)
+    df.filter(df.status.isNull()).coalesce(1).write.mode("append").parquet(path)
+    scan = spark.read.parquet(path)
+    routed = facet_df(scan, None, "status")
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan  # footer-decided: zero data scan
+    plain = (
+        scan.groupBy("status").count()
+        .orderBy(F.desc("count"), F.asc("status")).limit(100)
+    )
+    assert [tuple(r) for r in routed.collect()] == [tuple(r) for r in plain.collect()]
+
+
+def test_zone_facet_int_column_and_min_count(spark, tmp_path):
+    from linkml_store_spark.facets import facet_df
+
+    path = str(tmp_path / "zf_ints")
+    df = spark.createDataFrame([(i, i % 3) for i in range(600)], ["id", "b"])
+    for v in range(3):
+        df.filter(df.b == v).coalesce(1).write.mode("append").parquet(path)
+    scan = spark.read.parquet(path)
+    routed = facet_df(scan, None, "b", facet_limit=2, facet_min_count=2)
+    plain = (
+        scan.groupBy("b").count().filter(F.col("count") >= 2)
+        .orderBy(F.desc("count"), F.asc("b")).limit(2)
+    )
+    assert "FileScan" not in routed._jdf.queryExecution().executedPlan().toString()
+    assert [tuple(r) for r in routed.collect()] == [tuple(r) for r in plain.collect()]
+
+
+def test_zone_facet_unclustered_falls_through(spark):
+    # sf lineitem is a single mixed row group: min != max -> the zone
+    # route must NOT fire and the scan routes answer as before
+    from linkml_store_spark.facets import facet_df
+
+    df = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    routed = facet_df(df, None, "l_returnflag")
+    assert "FileScan" in routed._jdf.queryExecution().executedPlan().toString()
