@@ -152,11 +152,29 @@ def facet_df(
         # are pure driver metadata (operators/topk.zone_facet_counts);
         # any undecided group falls through to the scan routes below
         zc = _zone_facet(fdf, column)
-        if zc is not None:
+        if zc:
+            # inline VALUES -> a pure-JVM LocalRelation. NOT createDataFrame:
+            # that parallelizes even 3 rows across defaultParallelism PYTHON
+            # partitions, and any downstream single-task stage then pays one
+            # sequential python-runner round-trip PER parent partition
+            # (measured 5 s for a 3-row facet on 32 cores). The values are
+            # footer stats already validated ASCII/int — safe to inline with
+            # quote-doubling.
             spark = fdf.sparkSession
             vt = fdf.schema[column].dataType.simpleString()
-            adf = spark.createDataFrame(
-                zc, schema=f"`{column}` {vt}, count long"
+
+            def _lit(v):
+                if v is None:
+                    return f"CAST(NULL AS {vt})"
+                if isinstance(v, str):
+                    return "'" + v.replace("'", "''") + "'"
+                return str(v)
+
+            vals = ",".join(f"({_lit(v)}, {int(c)})" for v, c in zc)
+            adf = spark.sql(
+                f"SELECT CAST(col AS {vt}) AS `{column}`, "
+                f"CAST(cnt AS BIGINT) AS count "
+                f"FROM (VALUES {vals}) AS t(col, cnt)"
             )
             return _finish_single(adf)
 
