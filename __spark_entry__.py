@@ -1802,8 +1802,31 @@ def q_topk_string_pruned(spark, sf):
     return topk_stats_pruned(spark, path, "sk", k=20)
 
 
+def q_facet_zone_clustered(spark, sf):
+    """Zone facet (round 6, facets.py route 0): the facet of a
+    category-clustered rewrite of lineitem is answered from parquet
+    footers alone (every row group collapses to min == max; NULL group
+    from exact null_counts) as an inline-VALUES local relation — the
+    DuckDB oracle recomputes the same GROUP BY from the ORIGINAL table
+    (clustering is a layout change, never a data change)."""
+    import hashlib
+    import os
+
+    from linkml_store_spark.facets import facet_df
+    from linkml_store_spark.operators.scale import write_clustered
+
+    li = _t(spark, sf, "lineitem")
+    path = "/tmp/spark_graft_entry_zonestore_" + hashlib.md5(
+        sf.encode()
+    ).hexdigest()[:8]
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_clustered(li, path, ["l_returnflag"], 3)
+    return facet_df(spark.read.parquet(path), None, "l_returnflag")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "count_zone_values": q_count_zone_values,
+    "facet_zone_clustered": q_facet_zone_clustered,
     "topk_string_pruned": q_topk_string_pruned,
     "find_eq": q_find_eq,
     "find_range": q_find_range,
@@ -1910,6 +1933,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 ORACLES: dict[str, str] = {
+    "facet_zone_clustered": """
+        SELECT l_returnflag, COUNT(*) AS count FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY count DESC, l_returnflag ASC
+        LIMIT 100
+    """,
     "topk_string_pruned": """
         SELECT lpad(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR), 10, '0') AS sk
         FROM lineitem ORDER BY sk DESC LIMIT 20
