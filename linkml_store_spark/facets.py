@@ -306,14 +306,54 @@ def query_facets(
     """
     if facet_columns is None:
         facet_columns = list(df.columns)
-    if one_pass is None:
-        one_pass = _one_pass_eligible(df, where, facet_columns)
-    if one_pass:
-        return query_facets_one_pass(
-            df, where, list(facet_columns), facet_limit, facet_min_count
-        )
     results: Dict[FacetKey, List[Tuple]] = {}
-    for column in facet_columns:
+    remaining = list(facet_columns)
+    # Route 0 (round 6): unfiltered facets over a bare parquet scan try the
+    # footer zone facet per column FIRST — on a clustered store the cluster
+    # column needs no scan at all (driver metadata, see facets.facet_df /
+    # operators/topk.zone_facet_counts), and only the undecided columns
+    # proceed to the one-pass GROUPING SETS scan. Tie order matches the
+    # scan paths exactly: count desc, then value asc with NULL first.
+    if where in (None, {}, []) and _bare_parquet_scan(df):
+        still = []
+        for column in remaining:
+            zc = None
+            if (
+                isinstance(column, str)
+                and "." not in column
+                and not _is_array_col(df, column)
+            ):
+                zc = _zone_facet(df, column)
+            if zc:
+                # NULL sorts first among count ties (Spark asc default);
+                # the third key is only ever compared within one column's
+                # same-type non-null values (the None row's differs on key 2)
+                zc.sort(
+                    key=lambda t: (
+                        -t[1], t[0] is not None,
+                        t[0] if t[0] is not None else 0,
+                    )
+                )
+                if facet_min_count > 1:
+                    zc = [t for t in zc if t[1] >= facet_min_count]
+                if facet_limit and facet_limit > 0:
+                    zc = zc[:facet_limit]
+                results[column] = [(v, int(c)) for v, c in zc]
+            else:
+                still.append(column)
+        remaining = still
+        if not remaining:
+            return results
+    if one_pass is None:
+        one_pass = _one_pass_eligible(df, where, remaining)
+    if one_pass:
+        results.update(
+            query_facets_one_pass(
+                df, where, list(remaining), facet_limit, facet_min_count
+            )
+        )
+        return results
+    for column in remaining:
         gdf = facet_df(df, where, column, facet_limit, facet_min_count)
         rows = gdf.collect()
         if isinstance(column, str):

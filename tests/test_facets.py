@@ -224,3 +224,27 @@ def test_zone_facet_unclustered_falls_through(spark):
     df = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
     routed = facet_df(df, None, "l_returnflag")
     assert "FileScan" in routed._jdf.queryExecution().executedPlan().toString()
+
+
+def test_query_facets_zone_route_mixed_columns(spark, tmp_path):
+    """query_facets on a clustered store: the cluster column is answered
+    from footers (zone route), the mixed column still scans — and both
+    match the pure one-pass answer exactly, null groups and ties included."""
+    from linkml_store_spark.facets import query_facets, query_facets_one_pass
+
+    path = str(tmp_path / "qf_zone")
+    rows = [(i, ["OPEN", "CLOSED", "HELD"][i % 3] if i % 10 else None,
+             ["x", "y"][i % 2]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "id long, status string, tag string")
+    for s in ["OPEN", "CLOSED", "HELD"]:
+        df.filter(df.status == s).coalesce(1).write.mode("append").parquet(path)
+    df.filter(df.status.isNull()).coalesce(1).write.mode("append").parquet(path)
+    scan = spark.read.parquet(path)
+    got = query_facets(scan, None, ["status", "tag"])
+    want = query_facets_one_pass(scan, None, ["status", "tag"])
+    assert got == want
+    # min_count + limit through the zone route
+    got2 = query_facets(scan, None, ["status"], facet_limit=2, facet_min_count=2)
+    want2 = query_facets_one_pass(scan, None, ["status"], facet_limit=2,
+                                  facet_min_count=2)
+    assert got2 == want2
