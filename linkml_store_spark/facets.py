@@ -53,9 +53,12 @@ from linkml_store_spark.operators.arrowagg import (  # noqa: E402
 
 
 def _zone_facet(fdf: DataFrame, column: str):
-    """[(value, count)] from footers for a string/int column of a bare
-    parquet scan, or None (operators/topk.zone_facet_counts — decided
-    only when EVERY row group collapses to min == max or all-null)."""
+    """``([(value, count)], undecided_files)`` from footers for a
+    string/int column of a bare parquet scan, or None
+    (operators/topk.zone_facet_counts — per-file degradation: decided
+    files answer from metadata, undecided ones are returned for the
+    caller to scan). None also when nothing was decided (the shortcut
+    buys nothing over the plain scan routes)."""
     from pyspark.sql import types as T
 
     from linkml_store_spark.operators.topk import zone_facet_counts
@@ -74,7 +77,10 @@ def _zone_facet(fdf: DataFrame, column: str):
         ]
         if not files or len(files) > 4096:
             return None
-        return zone_facet_counts(files, column, is_string)
+        zc = zone_facet_counts(files, column, is_string)
+        if zc is None or len(zc[1]) == len(files):
+            return None
+        return zc
     except Exception:  # noqa: BLE001 — stats are an optimization only
         return None
 
@@ -152,30 +158,45 @@ def facet_df(
         # are pure driver metadata (operators/topk.zone_facet_counts);
         # any undecided group falls through to the scan routes below
         zc = _zone_facet(fdf, column)
-        if zc:
-            # inline VALUES -> a pure-JVM LocalRelation. NOT createDataFrame:
-            # that parallelizes even 3 rows across defaultParallelism PYTHON
-            # partitions, and any downstream single-task stage then pays one
-            # sequential python-runner round-trip PER parent partition
-            # (measured 5 s for a 3-row facet on 32 cores). The values are
-            # footer stats already validated ASCII/int — safe to inline with
-            # quote-doubling.
+        if zc is not None:
+            rows, undecided = zc
             spark = fdf.sparkSession
             vt = fdf.schema[column].dataType.simpleString()
+            parts = []
+            if rows:
+                # inline VALUES -> a pure-JVM LocalRelation. NOT
+                # createDataFrame: that parallelizes even 3 rows across
+                # defaultParallelism PYTHON partitions, and any downstream
+                # single-task stage then pays one sequential python-runner
+                # round-trip PER parent partition (measured 5 s for a 3-row
+                # facet on 32 cores). The values are footer stats already
+                # validated ASCII/int — safe to inline with quote-doubling.
+                def _lit(v):
+                    if v is None:
+                        return f"CAST(NULL AS {vt})"
+                    if isinstance(v, str):
+                        return "'" + v.replace("'", "''") + "'"
+                    return str(v)
 
-            def _lit(v):
-                if v is None:
-                    return f"CAST(NULL AS {vt})"
-                if isinstance(v, str):
-                    return "'" + v.replace("'", "''") + "'"
-                return str(v)
-
-            vals = ",".join(f"({_lit(v)}, {int(c)})" for v, c in zc)
-            adf = spark.sql(
-                f"SELECT CAST(col AS {vt}) AS `{column}`, "
-                f"CAST(cnt AS BIGINT) AS count "
-                f"FROM (VALUES {vals}) AS t(col, cnt)"
-            )
+                vals = ",".join(f"({_lit(v)}, {int(c)})" for v, c in rows)
+                parts.append(spark.sql(
+                    f"SELECT CAST(col AS {vt}) AS `{column}`, "
+                    f"CAST(cnt AS BIGINT) AS count "
+                    f"FROM (VALUES {vals}) AS t(col, cnt)"
+                ))
+            if undecided:
+                # range-clustering leaves BOUNDARY files mixed — scan just
+                # those and merge with the metadata counts
+                parts.append(
+                    spark.read.parquet(*undecided)
+                    .groupBy(column)
+                    .agg(F.count(F.lit(1)).alias("count"))
+                )
+            adf = parts[0]
+            for p in parts[1:]:
+                adf = adf.unionByName(p)
+            if len(parts) > 1:
+                adf = adf.groupBy(column).agg(F.sum("count").alias("count"))
             return _finish_single(adf)
 
         gate = ARROW_FACET_MIN_ROWS if arrow_min_rows is None else arrow_min_rows
@@ -324,21 +345,28 @@ def query_facets(
                 and not _is_array_col(df, column)
             ):
                 zc = _zone_facet(df, column)
-            if zc:
+            if zc is not None and not zc[1] and zc[0]:
+                # fully footer-decided: answer in the driver, no job at all.
                 # NULL sorts first among count ties (Spark asc default);
                 # the third key is only ever compared within one column's
-                # same-type non-null values (the None row's differs on key 2)
-                zc.sort(
+                # same-type non-null values (the None row differs on key 2)
+                rows = sorted(
+                    zc[0],
                     key=lambda t: (
                         -t[1], t[0] is not None,
                         t[0] if t[0] is not None else 0,
-                    )
+                    ),
                 )
                 if facet_min_count > 1:
-                    zc = [t for t in zc if t[1] >= facet_min_count]
+                    rows = [t for t in rows if t[1] >= facet_min_count]
                 if facet_limit and facet_limit > 0:
-                    zc = zc[:facet_limit]
-                results[column] = [(v, int(c)) for v, c in zc]
+                    rows = rows[:facet_limit]
+                results[column] = [(v, int(c)) for v, c in rows]
+            elif zc is not None:
+                # partially decided (range-boundary files): facet_df merges
+                # the metadata counts with a scan of just those files
+                gdf = facet_df(df, where, column, facet_limit, facet_min_count)
+                results[column] = [(r[0], r[-1]) for r in gdf.collect()]
             else:
                 still.append(column)
         remaining = still

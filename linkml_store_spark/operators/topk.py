@@ -564,23 +564,33 @@ def _file_value_zone_decision(path: str, col: str, values):
 
 
 def zone_facet_counts(files, col: str, physical_string: bool):
-    """Whole-table facet counts [(value, count)] from footers alone, or
-    None unless EVERY row group is decided: a group decides when its
-    stored min == max (truncation can only widen the interval, so a
-    collapsed one proves every non-null value equal — the same proof as
-    ``_file_value_zone_decision``) or when it is all-null (null_count ==
-    num_rows; min/max may legitimately be absent then). NULLs form their
-    own group with an EXACT count (parquet null_count per row group),
-    mirroring SQL GROUP BY. String stats keep the ASCII guard; ints are
-    exact. On a category-clustered store (write_clustered / per-category
-    ingest) this turns the reference's most-used operator — the facet —
-    into driver metadata IO."""
+    """Facet counts from footers with PER-FILE degradation: returns
+    ``([(value, count), ...], undecided_files)`` — decided files
+    contribute their counts from metadata alone, undecided files (any
+    mixed row group) are listed for the caller to scan — or None on a
+    structural refusal (column missing anywhere, wrong physical type).
+
+    A row group decides when its stored min == max (truncation can only
+    widen the interval, so a collapsed one proves every non-null value
+    equal — the same proof as ``_file_value_zone_decision``) or when it
+    is all-null (null_count == num_rows; min/max may legitimately be
+    absent then). NULLs form their own group with an EXACT count
+    (parquet null_count), mirroring SQL GROUP BY. String stats keep the
+    ASCII guard; ints are exact. On a category-clustered store
+    (write_clustered / compact(sort_cols=...)) everything but the range
+    BOUNDARY files is decided, turning the reference's most-used
+    operator — the facet — into driver metadata IO plus a scan of the
+    stragglers."""
     import pyarrow.parquet as pq
 
     counts: dict = {}
     nulls = 0
+    undecided = []
     for fp in files:
         md = pq.ParquetFile(fp).metadata
+        file_counts: dict = {}
+        file_nulls = 0
+        file_decided = True
         for g in range(md.num_row_groups):
             rg = md.row_group(g)
             c = None
@@ -589,33 +599,46 @@ def zone_facet_counts(files, col: str, physical_string: bool):
                     c = rg.column(j)
                     break
             if c is None:
-                return None
+                return None  # schema evolution: whole-store concern
             if physical_string and c.physical_type != "BYTE_ARRAY":
                 return None
             if not physical_string and c.physical_type not in ("INT32", "INT64"):
                 return None
             st = c.statistics
             if st is None or not st.has_null_count:
-                return None
+                file_decided = False
+                break
             if st.null_count == rg.num_rows:
-                nulls += rg.num_rows
+                file_nulls += rg.num_rows
                 continue
             if not st.has_min_max:
-                return None
+                file_decided = False
+                break
             smin, smax = st.min, st.max
             if physical_string:
                 if not (isinstance(smin, str) and isinstance(smax, str)):
-                    return None
+                    file_decided = False
+                    break
                 if not (smin.isascii() and smax.isascii()):
-                    return None
+                    file_decided = False
+                    break
             if smin != smax:
-                return None  # mixed group: the whole-table shortcut is off
-            counts[smin] = counts.get(smin, 0) + rg.num_rows - st.null_count
-            nulls += st.null_count
+                file_decided = False  # mixed group: scan this file
+                break
+            file_counts[smin] = (
+                file_counts.get(smin, 0) + rg.num_rows - st.null_count
+            )
+            file_nulls += st.null_count
+        if file_decided:
+            for v, n in file_counts.items():
+                counts[v] = counts.get(v, 0) + n
+            nulls += file_nulls
+        else:
+            undecided.append(fp)
     out = list(counts.items())
     if nulls:
         out.append((None, nulls))
-    return out
+    return out, undecided
 
 
 def zone_value_count(spark: SparkSession, path: str, col: str, values) -> int:

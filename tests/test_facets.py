@@ -248,3 +248,38 @@ def test_query_facets_zone_route_mixed_columns(spark, tmp_path):
     want2 = query_facets_one_pass(scan, None, ["status"], facet_limit=2,
                                   facet_min_count=2)
     assert got2 == want2
+
+
+def test_cluster_once_then_footer_answers_everything(spark, tmp_path):
+    """The 100 TB maintenance loop end-to-end: one compact(sort_cols=[c])
+    pass re-clusters the collection store, after which the categorical
+    count (value zone map), the facet (zone facet), and paging totals all
+    answer through Collection APIs with footer-decided plans."""
+    from linkml_store_spark.client import Client
+    from linkml_store_spark.operators.topk import _file_value_zone_decision
+    from linkml_store_spark.query import Query
+
+    client = Client(spark)
+    db = client.attach_database(f"spark://{tmp_path}/loopdb")
+    coll = db.create_collection("tickets", identifier_attribute="id")
+    rows = [(i, ["OPEN", "CLOSED", "HELD"][(i * 7) % 3]) for i in range(6000)]
+    coll.insert(spark.createDataFrame(rows, ["id", "status"]))
+
+    coll.compact(target_file_bytes=64 * 1024, sort_cols=["status"])
+
+    # the rewritten store is zone-decided except for range BOUNDARY files
+    # (a 3-value range partitioning may split a category across a file
+    # boundary) — the composed routes scan only those stragglers
+    path = db._collection_path("tickets")
+    meta, undecided = _file_value_zone_decision(path, "status", ["OPEN"])
+    assert len(undecided) <= 2, undecided
+    assert meta <= 2000
+
+    # count through Collection.query (value zone route + paging memo)
+    res = coll.query(Query(where_clause={"status": "OPEN"}, limit=3))
+    assert res.num_rows == 2000
+    assert coll._footer_stats_cache[("vcount", "status", ("OPEN",))] == 2000
+
+    # facet through Collection.query_facets (zone facet route)
+    facets = coll.query_facets(facet_columns=["status"])
+    assert facets["status"] == [("CLOSED", 2000), ("HELD", 2000), ("OPEN", 2000)]
