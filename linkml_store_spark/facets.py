@@ -78,7 +78,9 @@ def _zone_facet(fdf: DataFrame, column: str):
         if not files or len(files) > 4096:
             return None
         zc = zone_facet_counts(files, column, is_string)
-        if zc is None or len(zc[1]) == len(files):
+        # nothing decided-positive (all files undecided, or an EMPTY store
+        # with zero row groups): the shortcut buys nothing — fall through
+        if zc is None or not zc[0] or len(zc[1]) == len(files):
             return None
         return zc
     except Exception:  # noqa: BLE001 — stats are an optimization only

@@ -283,3 +283,14 @@ def test_cluster_once_then_footer_answers_everything(spark, tmp_path):
     # facet through Collection.query_facets (zone facet route)
     facets = coll.query_facets(facet_columns=["status"])
     assert facets["status"] == [("CLOSED", 2000), ("HELD", 2000), ("OPEN", 2000)]
+
+
+def test_zone_facet_empty_store_falls_through(spark, tmp_path):
+    # an empty parquet store has zero row groups: ([], []) from the footer
+    # triage must NOT build an empty VALUES plan (bench floor-pass found it)
+    from linkml_store_spark.facets import facet_df
+
+    path = str(tmp_path / "zf_empty")
+    spark.createDataFrame([], "v string, x long").coalesce(1).write.parquet(path)
+    out = facet_df(spark.read.parquet(path), None, "v")
+    assert out.collect() == []
