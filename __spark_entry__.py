@@ -1824,79 +1824,17 @@ def q_facet_zone_clustered(spark, sf):
     return facet_df(spark.read.parquet(path), None, "l_returnflag")
 
 
+#: REGISTRATION ORDER IS A SAMPLING POLICY: the driver's correctness gate
+#: hashes the FIRST 50 entries vs their DuckDB oracles each round.  Round 7
+#: rotates the window to the 45 queries with no (or stale) driver-side row —
+#: all 32 never-sampled (multimodal, corpus pipeline, rollups, funnel,
+#: splits/caps/mix, contamination, ...) plus 13 displaced in round 6 (asof
+#: x3, sessionize, enrichment, find_matches, plot-data, set_ops, ...) —
+#: keeping 5 cross-round canaries (find_eq, groupby_tpch_q1, dedup_minhash,
+#: knn_cosine, count_zone_values).  Queries below position 50 stay verified
+#: by tools/oracle_compare.py (full 104-query sweep) and rotate back in
+#: next round.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "count_zone_values": q_count_zone_values,
-    "facet_zone_clustered": q_facet_zone_clustered,
-    "topk_string_pruned": q_topk_string_pruned,
-    "find_eq": q_find_eq,
-    "find_range": q_find_range,
-    "find_in": q_find_in,
-    "find_nin": q_find_nin,
-    "find_like": q_find_like,
-    "find_regex": q_find_regex,
-    "find_or": q_find_or,
-    "find_notnull": q_find_notnull,
-    "find_exists": q_find_exists,
-    "find_size": q_find_size,
-    "find_mod": q_find_mod,
-    "sort_topk": q_sort_topk,
-    "topk_pruned": q_topk_pruned,
-    "distinct_status": q_distinct_status,
-    "facet_priority": q_facet_priority,
-    "facet_multiselect": q_facet_multiselect,
-    "facet_compound": q_facet_compound,
-    "groupby_tpch_q1": q_groupby_tpch_q1,
-    "pivot_status_priority": q_pivot_status_priority,
-    "describe_totalprice": q_describe_totalprice,
-    "join_revenue_by_segment": q_join_revenue_by_segment,
-    "join_supplier_geo": q_join_supplier_geo,
-    "referential_integrity": q_referential_integrity,
-    "window_latest_event": q_window_latest_event,
-    "window_hourly_rollup": q_window_hourly_rollup,
-    "knn_cosine": q_knn_cosine,
-    "dedup_exact": q_dedup_exact,
-    "dedup_minhash": q_dedup_minhash,
-    "dedup_jaccard": q_dedup_jaccard,
-    "embedding_dup_exact": q_embedding_dup_exact,
-    "dedup_groups": q_dedup_groups,
-    "dedup_simhash": q_dedup_simhash,
-    "ann_knn_join": q_ann_knn_join,
-    "span_stats": q_span_stats,
-    "paragraph_dedup": q_paragraph_dedup,
-    "semantic_dedup": q_semantic_dedup,
-    "quality_classifier": q_quality_classifier,
-    "deterministic_shuffle": q_deterministic_shuffle,
-    "bpe_tokenize": q_bpe_tokenize,
-    "span_dedup_incremental": q_span_dedup_incremental,
-    "token_budget_sample": q_token_budget_sample,
-    "text_stats": q_text_stats,
-    "text_lang_facet": q_text_lang_facet,
-    "derived_projection": q_derived_projection,
-    "rule_inference": q_rule_inference,
-    "embedding_stats": q_embedding_stats,
-    "lag_lead": q_lag_lead,
-    "sessionize": q_sessionize,
-    "asof_join": q_asof_view_before_purchase,
-    "asof_tolerance": q_asof_tolerance,
-    "asof_forward": q_asof_forward,
-    "correlation_by_type": q_correlation_by_type,
-    "topn_per_group": q_topn_per_group,
-    "resample_hourly": q_resample_hourly,
-    "resample_ffill": q_resample_ffill,
-    "rolling_1h": q_rolling_1h,
-    "join_topk_revenue": q_join_topk_revenue,
-    "enrichment": q_enrichment,
-    "find_matches": q_find_matches,
-    "groupby_objects": q_groupby_objects,
-    "text_search": q_text_search,
-    "graph_traverse": q_graph_traverse,
-    "json_extract": q_json_extract,
-    "histogram": q_histogram,
-    "heatmap": q_heatmap,
-    "boxplot_stats": q_boxplot_stats,
-    "collection_api": q_collection_api,
-    "facet_multivalued": q_facet_multivalued,
-    "set_ops": q_set_ops,
     "multimodal_features": q_multimodal_features,
     "multimodal_real_decode": q_multimodal_real_decode,
     "multimodal_jpeg": q_multimodal_jpeg,
@@ -1929,6 +1867,78 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_join_names": q_fuzzy_join_names,
     "funnel_view_click_purchase": q_funnel_view_click_purchase,
     "cohort_retention": q_cohort_retention,
+    "sessionize": q_sessionize,
+    "asof_join": q_asof_view_before_purchase,
+    "asof_tolerance": q_asof_tolerance,
+    "asof_forward": q_asof_forward,
+    "enrichment": q_enrichment,
+    "find_matches": q_find_matches,
+    "text_search": q_text_search,
+    "graph_traverse": q_graph_traverse,
+    "json_extract": q_json_extract,
+    "histogram": q_histogram,
+    "heatmap": q_heatmap,
+    "boxplot_stats": q_boxplot_stats,
+    "set_ops": q_set_ops,
+    "find_eq": q_find_eq,
+    "groupby_tpch_q1": q_groupby_tpch_q1,
+    "dedup_minhash": q_dedup_minhash,
+    "knn_cosine": q_knn_cosine,
+    "count_zone_values": q_count_zone_values,
+    "facet_zone_clustered": q_facet_zone_clustered,
+    "topk_string_pruned": q_topk_string_pruned,
+    "find_range": q_find_range,
+    "find_in": q_find_in,
+    "find_nin": q_find_nin,
+    "find_like": q_find_like,
+    "find_regex": q_find_regex,
+    "find_or": q_find_or,
+    "find_notnull": q_find_notnull,
+    "find_exists": q_find_exists,
+    "find_size": q_find_size,
+    "find_mod": q_find_mod,
+    "sort_topk": q_sort_topk,
+    "topk_pruned": q_topk_pruned,
+    "distinct_status": q_distinct_status,
+    "facet_priority": q_facet_priority,
+    "facet_multiselect": q_facet_multiselect,
+    "facet_compound": q_facet_compound,
+    "pivot_status_priority": q_pivot_status_priority,
+    "describe_totalprice": q_describe_totalprice,
+    "join_revenue_by_segment": q_join_revenue_by_segment,
+    "join_supplier_geo": q_join_supplier_geo,
+    "referential_integrity": q_referential_integrity,
+    "window_latest_event": q_window_latest_event,
+    "window_hourly_rollup": q_window_hourly_rollup,
+    "dedup_exact": q_dedup_exact,
+    "dedup_jaccard": q_dedup_jaccard,
+    "embedding_dup_exact": q_embedding_dup_exact,
+    "dedup_groups": q_dedup_groups,
+    "dedup_simhash": q_dedup_simhash,
+    "ann_knn_join": q_ann_knn_join,
+    "span_stats": q_span_stats,
+    "paragraph_dedup": q_paragraph_dedup,
+    "semantic_dedup": q_semantic_dedup,
+    "quality_classifier": q_quality_classifier,
+    "deterministic_shuffle": q_deterministic_shuffle,
+    "bpe_tokenize": q_bpe_tokenize,
+    "span_dedup_incremental": q_span_dedup_incremental,
+    "token_budget_sample": q_token_budget_sample,
+    "text_stats": q_text_stats,
+    "text_lang_facet": q_text_lang_facet,
+    "derived_projection": q_derived_projection,
+    "rule_inference": q_rule_inference,
+    "embedding_stats": q_embedding_stats,
+    "lag_lead": q_lag_lead,
+    "correlation_by_type": q_correlation_by_type,
+    "topn_per_group": q_topn_per_group,
+    "resample_hourly": q_resample_hourly,
+    "resample_ffill": q_resample_ffill,
+    "rolling_1h": q_rolling_1h,
+    "join_topk_revenue": q_join_topk_revenue,
+    "groupby_objects": q_groupby_objects,
+    "collection_api": q_collection_api,
+    "facet_multivalued": q_facet_multivalued,
 }
 
 

@@ -69,23 +69,14 @@ def build_queries(spark, sf, qv=None):
         t["lineitem"], t["orders"], t["customer"], t["events"],
     )
 
-    def count_df(df):
-        return df.agg(F.count(F.lit(1)).alias("n"))
-
     # every query is a fully-constructed Dataset; the timed fn re-executes it
     plans = {
         # b1: find equality + LIMIT 100
         "b1": apply_where(lineitem, {"l_returnflag": "R"}).limit(100),
-        # b2: count with filter
-        "b2": count_df(apply_where(lineitem, {"l_returnflag": "R"})),
-        # b3: range predicate count
-        "b3": count_df(
-            apply_where(lineitem, {"l_quantity": {"$gte": 5.0, "$lt": 30.0}})
-        ),
-        # b4: $in predicate count
-        "b4": count_df(
-            apply_where(orders, {"o_orderpriority": {"$in": ["1-URGENT", "2-HIGH"]}})
-        ),
+        # b2/b3/b4/b8 route through Collection.query below — the engine
+        # DEFAULTS (zone counts, Arrow gate, stats-pruned top-k, plan
+        # cache) are what the bench measures, with per-query route
+        # markers documenting what engaged/refused on this layout
         # b5: single-column facet
         "b5": facet_df(lineitem, None, "l_returnflag"),
         # b6: compound facet
@@ -104,12 +95,6 @@ def build_queries(spark, sf, qv=None):
                 F.avg("l_discount").alias("avg_disc"),
                 F.count(F.lit(1)).alias("count_order"),
             )
-        ),
-        # b8: sort + top-10 (TakeOrderedAndProject)
-        "b8": (
-            orders.select("o_orderkey", "o_totalprice")
-            .orderBy(F.desc("o_totalprice"))
-            .limit(10)
         ),
         # b9: join + agg; customer is the small dim side — broadcast it so
         # the fact table never shuffles (BroadcastHashJoin at any scale
@@ -148,7 +133,7 @@ def build_queries(spark, sf, qv=None):
     ).select("vec_id", "label", "score")
 
     # collect() = the direct fetchall() analog in the DuckDB companion
-    # (Python row tuples both sides). It is also measurably FASTER than
+    # (Python row tuples both sides). It is measurably FASTER than
     # toPandas here: toPandas executes the plan through doExecute, so a
     # CollectLimit/TakeOrdered root materializes a single-partition SHUFFLE
     # stage (one extra job + exchange per run — found round 6 via the
@@ -159,7 +144,129 @@ def build_queries(spark, sf, qv=None):
     # with the limit-bearing b1/b8/b12 the big movers (b1 124 -> 106 ms
     # same-session). Result sizes are 10-30k rows max — pickle is not the
     # bottleneck at this fan-in.
-    return {name: df.collect for name, df in plans.items()}
+    fns = {name: df.collect for name, df in plans.items()}
+    routed, routes, busters = _collection_routes(spark, sf)
+    fns.update(routed)
+    return (
+        {f"b{i}": fns[f"b{i}"] for i in range(1, 13)},  # stable b1..b12 order
+        routes,
+        busters,
+    )
+
+
+def _collection_routes(spark, sf):
+    """b2/b3/b4/b8 through ``Collection.query`` — the round-5/6 verdict
+    letter: the bench must measure the ENGINE DEFAULTS (zone-map counts,
+    the Arrow crossover gate, stats-pruned top-k, the prepared-plan
+    cache), not hand-built DataFrames, and document which route engaged
+    or refused on this layout (the driver's sf0.1 tables are one mixed
+    row group per table, so every zone route refuses by design — the
+    marker records that instead of hiding it).
+
+    Returns ``(fns, routes, busters)``. ``busters`` clear RESULT memos
+    (count totals) between timed runs — a timed run must recompute its
+    answer like DuckDB's fetchall — while prepared PLANS and row-group
+    stats persist, exactly the Dataset-reuse the raw queries get."""
+    from linkml_store_spark.database import Database
+    from linkml_store_spark.operators.topk import (
+        _file_value_zone_decision,
+        _file_zone_decision,
+        _row_group_stats,
+        topk_threshold,
+    )
+    from linkml_store_spark.query import Query
+
+    db = Database(spark, handle=f"spark://{sf}", location=sf)
+    li = db.get_collection("lineitem")
+    od = db.get_collection("orders")
+    li.df, od.df  # resolve store scans once, outside the timed region
+
+    q2 = Query(where_clause={"l_returnflag": "R"}, limit=0)
+    q3 = Query(where_clause={"l_quantity": {"$gte": 5.0, "$lt": 30.0}}, limit=0)
+    q4 = Query(
+        where_clause={"o_orderpriority": {"$in": ["1-URGENT", "2-HIGH"]}},
+        limit=0,
+    )
+    q8 = Query(
+        sort_by=["-o_totalprice"],
+        select_cols=["o_orderkey", "o_totalprice"],
+        limit=10,
+    )
+    fns = {
+        "b2": lambda: li.query(q2).num_rows,
+        "b3": lambda: li.query(q3).num_rows,
+        "b4": lambda: od.query(q4).num_rows,
+        "b8": lambda: od.query(q8).rows,
+    }
+
+    def value_marker(alias, col, values):
+        try:
+            d = _file_value_zone_decision(db._collection_path(alias), col, values)
+        except Exception:  # noqa: BLE001
+            d = None
+        if d is None:
+            return "zone_refused(structural) -> pushed-In scan"
+        meta, und = d
+        if not und:
+            return f"zone_decided_full(meta_count={meta}, zero jobs)"
+        if meta:
+            return f"zone_partial(meta={meta}, scan {len(und)} boundary files)"
+        return (
+            f"zone_undecided_all({len(und)} mixed files -> pushed-In scan; "
+            "uniform layout, no collapsed row groups)"
+        )
+
+    def range_marker(alias, col, lo, hi):
+        try:
+            d = _file_zone_decision(db._collection_path(alias), col, lo, hi, True, False)
+        except Exception:  # noqa: BLE001
+            d = None
+        if d is None:
+            return "zone_refused(structural) -> pushed range scan"
+        meta, und = d
+        if not und:
+            return f"zone_decided_full(meta_count={meta}, zero jobs)"
+        return (
+            f"zone_partial(meta={meta}, scan {len(und)})" if meta else
+            f"zone_undecided_all({len(und)} mixed files -> pushed range scan)"
+        )
+
+    def topk_marker(alias, col, k):
+        try:
+            st = _row_group_stats(db._collection_path(alias), col)
+            tau = topk_threshold(st, k, True) if st else None
+        except Exception:  # noqa: BLE001
+            st, tau = None, None
+        if tau is None:
+            return "topk_prune_refused -> plain TakeOrdered"
+        skipped = sum(1 for _mn, mx, _r in st if mx < tau)
+        if skipped == 0:
+            return (
+                f"topk_tau_pushed(tau={tau:.4g}, 0/{len(st)} groups skippable"
+                " -> single-row-group layout, filter is a no-op)"
+            )
+        return f"topk_tau_pushed(tau={tau:.4g}, {skipped}/{len(st)} groups skipped)"
+
+    routes = {
+        "b2": "Collection.query: " + value_marker("lineitem", "l_returnflag", ["R"]),
+        "b3": "Collection.query: " + range_marker("lineitem", "l_quantity", 5.0, 30.0),
+        "b4": "Collection.query: " + value_marker(
+            "orders", "o_orderpriority", ["1-URGENT", "2-HIGH"]
+        ),
+        "b8": "Collection.query: " + topk_marker("orders", "o_totalprice", 10),
+    }
+
+    result_keys = {"count", "vcount", "total_rows"}
+
+    def bust_result_memos():
+        for c in (li, od):
+            for k in [
+                k for k in c._footer_stats_cache
+                if isinstance(k, tuple) and k and k[0] in result_keys
+            ]:
+                del c._footer_stats_cache[k]
+
+    return fns, routes, [bust_result_memos]
 
 
 def main():
@@ -206,7 +313,7 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     emb = load_table(spark, SF_DIR, "embeddings")
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    queries = build_queries(spark, SF_DIR, qv)
+    queries, routes, memo_busters = build_queries(spark, SF_DIR, qv)
 
     # global warm-up pass: JVM JIT compilation of the scan/agg/codegen paths
     # is shared across queries — one full sweep first, then per-query timing
@@ -216,18 +323,24 @@ def main():
 
     bust = _shuffle_buster(spark)
 
-    def time_all(qs):
-        out = {}
+    def time_all(qs, busters=()):
+        # best-of-RUNS plus the per-query [min, max] SPREAD: the round-6
+        # box drifted ±25-40% same-config, so the JSON must carry the
+        # drift, not just the winner (round-6 verdict letter).
+        out, spreads = {}, {}
         for name, fn in qs.items():
             fn()  # per-query warm-up
-            best = float("inf")
+            samples = []
             for _ in range(RUNS):
                 bust()
+                for b in busters:
+                    b()  # result memos recompute per run, plans persist
                 t0 = time.perf_counter()
                 fn()
-                best = min(best, time.perf_counter() - t0)
-            out[name] = round(best, 4)
-        return out
+                samples.append(time.perf_counter() - t0)
+            out[name] = round(min(samples), 4)
+            spreads[name] = [round(min(samples), 4), round(max(samples), 4)]
+        return out, spreads
 
     # INTERLEAVED same-run companion: the round-6 box drifts ±25-40%
     # within minutes ON BOTH ENGINES (SCALING.md "round-6 box
@@ -247,18 +360,25 @@ def main():
         duck_fns = None
 
     timings = {}
+    spreads = {}
     duck_timings = {}
+    duck_spreads = {}
     for name, fn in queries.items():
-        timings.update(time_all({name: fn}))
+        t, s = time_all({name: fn}, busters=memo_busters)
+        timings.update(t)
+        spreads.update(s)
         if duck_fns is not None and name in duck_fns:
             dfn = duck_fns[name]
             dfn()
-            best = float("inf")
+            samples = []
             for _ in range(RUNS):
                 t0 = time.perf_counter()
                 dfn()
-                best = min(best, time.perf_counter() - t0)
-            duck_timings[name] = round(best, 4)
+                samples.append(time.perf_counter() - t0)
+            duck_timings[name] = round(min(samples), 4)
+            duck_spreads[name] = [
+                round(min(samples), 4), round(max(samples), 4)
+            ]
 
     # FLOOR DECOMPOSITION: the same twelve plans executed over 0-ROW tables
     # with identical schemas. What remains is Spark's fixed per-query cost —
@@ -268,8 +388,10 @@ def main():
     # work, the number that actually multiplies with scale (the replicated
     # 120M-row experiment in SCALING.md is the direct measurement of the
     # same plans where the floor has amortized away).
-    floor_queries = build_queries(spark, _empty_mirror(spark, SF_DIR), qv)
-    floors = time_all(floor_queries)
+    floor_queries, _floor_routes, floor_busters = build_queries(
+        spark, _empty_mirror(spark, SF_DIR), qv
+    )
+    floors, _ = time_all(floor_queries, busters=floor_busters)
     compute = {
         q: round(max(0.0, timings[q] - floors.get(q, 0.0)), 4) for q in timings
     }
@@ -298,6 +420,9 @@ def main():
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "runs": RUNS,
+        "spread": spreads,
+        "routes": routes,
         "floor": floors,
         "compute": compute,
         "floor_total": round(sum(floors.values()), 4),
@@ -314,6 +439,7 @@ def main():
     if duck_timings:
         out["duckdb_same_run"] = duck_timings
         out["duckdb_same_run_total"] = round(sum(duck_timings.values()), 4)
+        out["duckdb_spread"] = duck_spreads
     print(json.dumps(out))
 
 

@@ -34,6 +34,7 @@ from linkml_store_spark.where import (
     apply_where,
     exclude_column,
     path_col,
+    quote_ident,
 )
 
 FacetKey = Union[str, Tuple[str, ...]]
@@ -52,13 +53,35 @@ from linkml_store_spark.operators.arrowagg import (  # noqa: E402
 )
 
 
-def _zone_facet(fdf: DataFrame, column: str):
+def _footer_metas(df: DataFrame):
+    """``[(file, pyarrow FileMetaData)]`` for a bare parquet scan's input
+    files, or None (empty store / beyond the sweep cap / any read error).
+    Read ONCE per query and passed to every per-column zone sweep so a
+    multi-facet call does one footer pass, not one per column."""
+    try:
+        import pyarrow.parquet as pq
+
+        from linkml_store_spark.operators.topk import _MAX_SWEEP_FILES
+
+        files = [
+            f[len("file:"):] if f.startswith("file:") else f
+            for f in df.inputFiles()
+        ]
+        if not files or len(files) > _MAX_SWEEP_FILES:
+            return None
+        return [(fp, pq.ParquetFile(fp).metadata) for fp in files]
+    except Exception:  # noqa: BLE001 — stats are an optimization only
+        return None
+
+
+def _zone_facet(fdf: DataFrame, column: str, metas=None):
     """``([(value, count)], undecided_files)`` from footers for a
     string/int column of a bare parquet scan, or None
     (operators/topk.zone_facet_counts — per-file degradation: decided
     files answer from metadata, undecided ones are returned for the
     caller to scan). None also when nothing was decided (the shortcut
-    buys nothing over the plain scan routes)."""
+    buys nothing over the plain scan routes). ``metas`` — preloaded
+    footers from :func:`_footer_metas` shared across columns."""
     from pyspark.sql import types as T
 
     from linkml_store_spark.operators.topk import zone_facet_counts
@@ -71,13 +94,16 @@ def _zone_facet(fdf: DataFrame, column: str):
             is_string = False
         else:
             return None
-        files = [
-            f[len("file:"):] if f.startswith("file:") else f
-            for f in fdf.inputFiles()
-        ]
+        if metas is not None:
+            files = [fp for fp, _md in metas]
+        else:
+            files = [
+                f[len("file:"):] if f.startswith("file:") else f
+                for f in fdf.inputFiles()
+            ]
         if not files or len(files) > 4096:
             return None
-        zc = zone_facet_counts(files, column, is_string)
+        zc = zone_facet_counts(files, column, is_string, metas=metas)
         # nothing decided-positive (all files undecided, or an EMPTY store
         # with zero row groups): the shortcut buys nothing — fall through
         if zc is None or not zc[0] or len(zc[1]) == len(files):
@@ -85,6 +111,79 @@ def _zone_facet(fdf: DataFrame, column: str):
         return zc
     except Exception:  # noqa: BLE001 — stats are an optimization only
         return None
+
+
+def _zone_facet_frame(fdf: DataFrame, column: str, zc) -> Optional[DataFrame]:
+    """Materialize a ``_zone_facet``/``zone_facet_counts`` decision as a
+    ``(column, count)`` DataFrame, or None when the SQL inlining refuses
+    (caller falls through to the plain scan routes).
+
+    Decided values are inlined as a VALUES list -> a pure-JVM
+    LocalRelation. NOT createDataFrame: that parallelizes even 3 rows
+    across defaultParallelism PYTHON partitions, and any downstream
+    single-task stage then pays one sequential python-runner round-trip
+    PER parent partition (measured 5 s for a 3-row facet on 32 cores).
+
+    Escaping: Spark SQL string literals treat backslash as an escape
+    (ANTLR ``('\\\\' .)`` alternative), so backslashes are doubled BEFORE
+    quote-doubling — without it ``C:\\Users`` silently facets as
+    ``C:Users`` and a trailing backslash swallows the closing quote
+    (ParseException). Backticks in the column identifier are doubled the
+    same way. Any residual parse/analysis failure degrades to None
+    instead of raising — the zone route is an optimization, never a new
+    failure mode the scan path didn't have.
+    """
+    rows, undecided = zc
+    spark = fdf.sparkSession
+    vt = fdf.schema[column].dataType.simpleString()
+    try:
+        parts = []
+        if rows:
+            def _lit(v):
+                if v is None:
+                    return f"CAST(NULL AS {vt})"
+                if isinstance(v, str):
+                    return "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
+                return str(v)
+
+            ident = column.replace("`", "``")
+            vals = ",".join(f"({_lit(v)}, {int(c)})" for v, c in rows)
+            parts.append(spark.sql(
+                f"SELECT CAST(col AS {vt}) AS `{ident}`, "
+                f"CAST(cnt AS BIGINT) AS count "
+                f"FROM (VALUES {vals}) AS t(col, cnt)"
+            ))
+        if undecided:
+            # range-clustering leaves BOUNDARY files mixed — scan just
+            # those and merge with the metadata counts
+            parts.append(
+                spark.read.parquet(*undecided)
+                .groupBy(quote_ident(column))
+                .agg(F.count(F.lit(1)).alias("count"))
+            )
+        adf = parts[0]
+        for p in parts[1:]:
+            adf = adf.unionByName(p)
+        if len(parts) > 1:
+            adf = adf.groupBy(quote_ident(column)).agg(
+                F.sum("count").alias("count")
+            )
+        return adf
+    except Exception:  # noqa: BLE001 — zone route is an optimization only
+        return None
+
+
+def _finish_facet_single(
+    adf: DataFrame, column: str, facet_limit: int, facet_min_count: int
+) -> DataFrame:
+    """Shared ordering/limit tail for single-column facet frames: count
+    desc, value asc (NULL first among ties — Spark asc default)."""
+    if facet_min_count > 1:
+        adf = adf.filter(F.col("count") >= facet_min_count)
+    order = [F.desc("count"), F.asc(quote_ident(column))]
+    if facet_limit and facet_limit > 0:
+        return adf.orderBy(*order).limit(facet_limit)
+    return adf.orderBy(*order)
 
 
 def _bare_parquet_scan(df: DataFrame) -> bool:
@@ -121,6 +220,7 @@ def facet_df(
     facet_limit: int = DEFAULT_FACET_LIMIT,
     facet_min_count: int = 1,
     arrow_min_rows: Optional[int] = None,
+    footer_metas=None,
 ) -> DataFrame:
     """Build the lazy facet DataFrame for one column (or column tuple).
 
@@ -148,62 +248,22 @@ def facet_df(
         from linkml_store_spark.operators.arrowagg import parquet_value_counts
 
         def _finish_single(adf: DataFrame) -> DataFrame:
-            if facet_min_count > 1:
-                adf = adf.filter(F.col("count") >= facet_min_count)
-            order = [F.desc("count"), F.asc(column)]
-            if facet_limit and facet_limit > 0:
-                return adf.orderBy(*order).limit(facet_limit)
-            return adf.orderBy(*order)
+            return _finish_facet_single(adf, column, facet_limit, facet_min_count)
 
         # route 0 (round 6): whole-table footer facet — on a clustered
         # store every row group collapses to min == max and the counts
         # are pure driver metadata (operators/topk.zone_facet_counts);
         # any undecided group falls through to the scan routes below
-        zc = _zone_facet(fdf, column)
+        zc = _zone_facet(fdf, column, metas=footer_metas)
         if zc is not None:
-            rows, undecided = zc
-            spark = fdf.sparkSession
-            vt = fdf.schema[column].dataType.simpleString()
-            parts = []
-            if rows:
-                # inline VALUES -> a pure-JVM LocalRelation. NOT
-                # createDataFrame: that parallelizes even 3 rows across
-                # defaultParallelism PYTHON partitions, and any downstream
-                # single-task stage then pays one sequential python-runner
-                # round-trip PER parent partition (measured 5 s for a 3-row
-                # facet on 32 cores). The values are footer stats already
-                # validated ASCII/int — safe to inline with quote-doubling.
-                def _lit(v):
-                    if v is None:
-                        return f"CAST(NULL AS {vt})"
-                    if isinstance(v, str):
-                        return "'" + v.replace("'", "''") + "'"
-                    return str(v)
-
-                vals = ",".join(f"({_lit(v)}, {int(c)})" for v, c in rows)
-                parts.append(spark.sql(
-                    f"SELECT CAST(col AS {vt}) AS `{column}`, "
-                    f"CAST(cnt AS BIGINT) AS count "
-                    f"FROM (VALUES {vals}) AS t(col, cnt)"
-                ))
-            if undecided:
-                # range-clustering leaves BOUNDARY files mixed — scan just
-                # those and merge with the metadata counts
-                parts.append(
-                    spark.read.parquet(*undecided)
-                    .groupBy(column)
-                    .agg(F.count(F.lit(1)).alias("count"))
-                )
-            adf = parts[0]
-            for p in parts[1:]:
-                adf = adf.unionByName(p)
-            if len(parts) > 1:
-                adf = adf.groupBy(column).agg(F.sum("count").alias("count"))
-            return _finish_single(adf)
+            adf = _zone_facet_frame(fdf, column, zc)
+            if adf is not None:
+                return _finish_single(adf)
 
         gate = ARROW_FACET_MIN_ROWS if arrow_min_rows is None else arrow_min_rows
         adf = parquet_value_counts(
-            fdf.sparkSession, fdf, column, min_rows=gate
+            fdf.sparkSession, fdf, column, min_rows=gate,
+            footer_metas=footer_metas,
         )
         if adf is not None:
             return _finish_single(adf.withColumnRenamed("value", column))
@@ -216,10 +276,14 @@ def facet_df(
             sel.append(F.explode_outer(path_col(c)).alias(out))
         else:
             sel.append(path_col(c).alias(out))
-    gdf = fdf.select(*sel).groupBy(*out_names).agg(F.count(F.lit(1)).alias("count"))
+    gdf = (
+        fdf.select(*sel)
+        .groupBy(*[quote_ident(n) for n in out_names])
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
     if facet_min_count > 1:
         gdf = gdf.filter(F.col("count") >= facet_min_count)
-    order = [F.desc("count")] + [F.asc(n) for n in out_names]
+    order = [F.desc("count")] + [F.asc(quote_ident(n)) for n in out_names]
     if facet_limit and facet_limit > 0:
         gdf = gdf.orderBy(*order).limit(facet_limit)
     else:
@@ -316,6 +380,7 @@ def query_facets(
     facet_limit: int = DEFAULT_FACET_LIMIT,
     facet_min_count: int = 1,
     one_pass: Optional[bool] = None,
+    route_info: Optional[dict] = None,
 ) -> Dict[FacetKey, List[Tuple]]:
     """Compute facet counts for each requested column.
 
@@ -326,11 +391,20 @@ def query_facets(
 
     ``one_pass=None`` auto-selects the grouping-sets single-scan path when
     the semantics allow (scalar columns, no exclusion interplay).
+
+    ``route_info`` — pass a dict to receive ``{"zone_decided": set}``: the
+    columns route 0 answered (fully or partially) from parquet footers.
+    Callers (Collection's clustering advisor) use its complement to spot
+    hot facet columns that a ``compact(sort_cols=...)`` rewrite would turn
+    into metadata-only answers.
     """
+    if route_info is not None:
+        route_info.setdefault("zone_decided", set())
     if facet_columns is None:
         facet_columns = list(df.columns)
     results: Dict[FacetKey, List[Tuple]] = {}
     remaining = list(facet_columns)
+    metas = None  # preloaded footers, shared with every facet_df below
     # Route 0 (round 6): unfiltered facets over a bare parquet scan try the
     # footer zone facet per column FIRST — on a clustered store the cluster
     # column needs no scan at all (driver metadata, see facets.facet_df /
@@ -338,15 +412,23 @@ def query_facets(
     # proceed to the one-pass GROUPING SETS scan. Tie order matches the
     # scan paths exactly: count desc, then value asc with NULL first.
     if where in (None, {}, []) and _bare_parquet_scan(df):
+        # one footer pass for the whole call, shared across columns
+        # (ADVICE r6: per-column re-reads were O(columns x files) serial
+        # driver IO; the partial branch below also reuses the decision
+        # instead of re-sweeping inside facet_df)
+        metas = _footer_metas(df)
         still = []
         for column in remaining:
             zc = None
             if (
-                isinstance(column, str)
+                metas is not None
+                and isinstance(column, str)
                 and "." not in column
                 and not _is_array_col(df, column)
             ):
-                zc = _zone_facet(df, column)
+                zc = _zone_facet(df, column, metas=metas)
+            if zc is not None and route_info is not None:
+                route_info["zone_decided"].add(column)
             if zc is not None and not zc[1] and zc[0]:
                 # fully footer-decided: answer in the driver, no job at all.
                 # NULL sorts first among count ties (Spark asc default);
@@ -365,9 +447,19 @@ def query_facets(
                     rows = rows[:facet_limit]
                 results[column] = [(v, int(c)) for v, c in rows]
             elif zc is not None:
-                # partially decided (range-boundary files): facet_df merges
-                # the metadata counts with a scan of just those files
-                gdf = facet_df(df, where, column, facet_limit, facet_min_count)
+                # partially decided (range-boundary files): merge the
+                # ALREADY-COMPUTED metadata counts with a scan of just the
+                # undecided files — no second footer sweep
+                adf = _zone_facet_frame(df, column, zc)
+                if adf is None:  # SQL inlining refused: plain scan facet
+                    gdf = facet_df(
+                        df, where, column, facet_limit, facet_min_count,
+                        footer_metas=metas,
+                    )
+                else:
+                    gdf = _finish_facet_single(
+                        adf, column, facet_limit, facet_min_count
+                    )
                 results[column] = [(r[0], r[-1]) for r in gdf.collect()]
             else:
                 still.append(column)
@@ -384,7 +476,10 @@ def query_facets(
         )
         return results
     for column in remaining:
-        gdf = facet_df(df, where, column, facet_limit, facet_min_count)
+        gdf = facet_df(
+            df, where, column, facet_limit, facet_min_count,
+            footer_metas=metas,
+        )
         rows = gdf.collect()
         if isinstance(column, str):
             results[column] = [(r[0], r[-1]) for r in rows]

@@ -59,17 +59,24 @@ def _atomic_spark_type(df: DataFrame, column: str) -> Optional[str]:
 MAX_FOOTER_FILES = 4096
 
 
-def parquet_row_groups(files: List[str]) -> Tuple[List[Tuple[str, int]], int]:
+def parquet_row_groups(
+    files: List[str], metas=None
+) -> Tuple[List[Tuple[str, int]], int]:
     """((file, row_group_index) pairs, total_rows) for a parquet store —
     driver-side footer metadata only (same cost envelope as the zone-map
-    sweep in ``operators/topk.py``)."""
+    sweep in ``operators/topk.py``). ``metas`` — optional preloaded
+    ``[(file, FileMetaData)]`` (facets._footer_metas) so one query's
+    routes share a single footer pass."""
     import pyarrow.parquet as pq
 
+    preloaded = dict(metas) if metas else {}
     out = []
     total = 0
     for path in files:
         local = path[len("file:"):] if path.startswith("file:") else path
-        md = pq.ParquetFile(local).metadata
+        md = preloaded.get(local)
+        if md is None:
+            md = pq.ParquetFile(local).metadata
         total += md.num_rows
         out.append((local, md.num_row_groups))
     return [(p, i) for p, n in out for i in range(n)], total
@@ -81,6 +88,7 @@ def parquet_value_counts(
     column: str,
     n_tasks: Optional[int] = None,
     min_rows: int = 0,
+    footer_metas=None,
 ) -> Optional[DataFrame]:
     """Distributed value counts (value, count) for ``column`` of a PURE
     parquet scan ``df`` via Arrow dictionary-code aggregation.
@@ -109,7 +117,7 @@ def parquet_value_counts(
         or not all(f.endswith(".parquet") or ".parquet" in f for f in files)
     ):
         return None
-    rgs, total_rows = parquet_row_groups(files)
+    rgs, total_rows = parquet_row_groups(files, metas=footer_metas)
     if not rgs or total_rows < min_rows:
         return None
     if n_tasks is None:

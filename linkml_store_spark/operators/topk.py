@@ -402,6 +402,7 @@ def stats_filtered_count(
     hi=None,
     lo_inclusive: bool = True,
     hi_inclusive: bool = True,
+    plan_cache: Optional[dict] = None,
 ) -> int:
     """COUNT of rows with ``col`` in the given range over a parquet table,
     answered from parquet footers wherever the zone maps decide the whole
@@ -451,18 +452,37 @@ def stats_filtered_count(
         decision = _file_zone_decision(path, col, lo, hi, lo_inclusive, hi_inclusive)
     except Exception:  # noqa: BLE001 — stats are an optimization only
         decision = None
-    c = F.col(col)
-    pred = F.lit(True)
-    if lo is not None:
-        pred = pred & (c >= lo if lo_inclusive else c > lo)
-    if hi is not None:
-        pred = pred & (c <= hi if hi_inclusive else c < hi)
+
+    def _scan_count(files_key, paths):
+        # ``plan_cache`` (caller-owned, invalidated on mutation) holds the
+        # constructed count Dataset: repeated identical range counts
+        # (paging, dashboards) re-execute the SAME JVM plan instead of
+        # paying Python build + Catalyst analysis per call.
+        key = ("range_scan", col, lo, hi, lo_inclusive, hi_inclusive,
+               files_key)
+        d = plan_cache.get(key) if plan_cache is not None else None
+        if d is None:
+            c = F.col(col)
+            pred = F.lit(True)
+            if lo is not None:
+                pred = pred & (c >= lo if lo_inclusive else c > lo)
+            if hi is not None:
+                pred = pred & (c <= hi if hi_inclusive else c < hi)
+            d = (
+                spark.read.parquet(*paths)
+                .filter(pred)
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            if plan_cache is not None:
+                plan_cache[key] = d
+        return d.collect()[0][0]
+
     if decision is None:
-        return spark.read.parquet(path).filter(pred).count()
+        return _scan_count(path, [path])
     meta_count, undecided = decision
     if not undecided:
         return meta_count
-    return meta_count + spark.read.parquet(*undecided).filter(pred).count()
+    return meta_count + _scan_count(tuple(undecided), undecided)
 
 
 # ------------------------------------------------------------------ #
@@ -563,7 +583,7 @@ def _file_value_zone_decision(path: str, col: str, values):
     return meta_count, undecided
 
 
-def zone_facet_counts(files, col: str, physical_string: bool):
+def zone_facet_counts(files, col: str, physical_string: bool, metas=None):
     """Facet counts from footers with PER-FILE degradation: returns
     ``([(value, count), ...], undecided_files)`` — decided files
     contribute their counts from metadata alone, undecided files (any
@@ -580,14 +600,20 @@ def zone_facet_counts(files, col: str, physical_string: bool):
     (write_clustered / compact(sort_cols=...)) everything but the range
     BOUNDARY files is decided, turning the reference's most-used
     operator — the facet — into driver metadata IO plus a scan of the
-    stragglers."""
+    stragglers.
+
+    ``metas`` — optional preloaded ``[(file, FileMetaData)]`` so a caller
+    faceting MANY columns of the same store reads each footer once, not
+    once per column (ADVICE r6: thousands of serial driver reads at the
+    4096-file cap)."""
     import pyarrow.parquet as pq
 
+    if metas is None:
+        metas = [(fp, pq.ParquetFile(fp).metadata) for fp in files]
     counts: dict = {}
     nulls = 0
     undecided = []
-    for fp in files:
-        md = pq.ParquetFile(fp).metadata
+    for fp, md in metas:
         file_counts: dict = {}
         file_nulls = 0
         file_decided = True

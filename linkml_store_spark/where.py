@@ -47,6 +47,17 @@ WhereClause = Union[None, str, list, dict]
 _PATH_SEG = re.compile(r"([^\[\]]+)|\[(\d+)\]")
 
 
+def quote_ident(name: str) -> str:
+    """Backtick-quote a column name for the string forms Spark PARSES as
+    identifiers (``F.col``/``groupBy``/``orderBy``) when it contains a
+    backtick — an unquoted ``a`b`` raises INVALID_ATTRIBUTE_NAME_SYNTAX.
+    Plain names pass through unchanged (quoting a dotted name would also
+    change its meaning from nested access to a literal column)."""
+    if "`" in name:
+        return "`" + name.replace("`", "``") + "`"
+    return name
+
+
 def path_col(path: str) -> Column:
     """Resolve a dotted/bracketed path (``a.b[0].c``) to a Column.
 
@@ -55,6 +66,8 @@ def path_col(path: str) -> Column:
     ``utils/object_utils.py:64-100``.
     """
     if "[" not in path:
+        if "`" in path and "." not in path:
+            return F.col(quote_ident(path))
         return F.col(path)
     col: Optional[Column] = None
     for part in path.split("."):

@@ -406,3 +406,143 @@ def test_tuple_sort_gets_pruned_plan(spark, tmp_path):
     assert _sort_parse(("v", "desc")) == ("v", True)
     assert _sort_parse("-v desc") == ("v", True)
     assert _sort_parse("v") == ("v", False)
+
+
+def test_unfiltered_query_total_from_footers(spark, tmp_path):
+    """An unfiltered Query's pre-pagination total over a persisted store
+    comes from parquet footer num_rows (exact metadata) — memoized, zero
+    jobs — and size() takes the same route. Mutations invalidate it."""
+    client = Client(spark)
+    dbp = client.attach_database(f"spark://{tmp_path}/totdb")
+    coll = dbp.create_collection("t", identifier_attribute="id")
+    coll.insert(spark.createDataFrame([(i, i % 3) for i in range(500)], ["id", "v"]))
+
+    res = coll.query(Query(limit=5))
+    assert res.num_rows == 500
+    assert coll._footer_stats_cache[("total_rows",)] == 500
+    assert coll.size() == 500
+    # mutation invalidates: the memo must not survive an insert
+    coll.insert(spark.createDataFrame([(1000, 1)], ["id", "v"]))
+    assert ("total_rows",) not in coll._footer_stats_cache
+    assert coll.query(Query(limit=5)).num_rows == 501
+
+
+def test_query_plan_cache_reuse_and_invalidation(spark, tmp_path):
+    """Repeated identical Queries re-execute the SAME cached JVM Dataset
+    (prepared-statement analog); a mutation clears the cache and the next
+    query rebuilds against the new store."""
+    client = Client(spark)
+    dbp = client.attach_database(f"spark://{tmp_path}/plandb")
+    coll = dbp.create_collection("t", identifier_attribute="id")
+    coll.insert(spark.createDataFrame([(i, i % 3) for i in range(300)], ["id", "v"]))
+
+    q = Query(where_clause={"v": 1}, sort_by=["-id"], limit=3)
+    r1 = coll.query(q)
+    n_plans = len(coll._plan_cache)
+    assert n_plans >= 1
+    r2 = coll.query(q)
+    assert len(coll._plan_cache) == n_plans  # cache HIT: no new plan built
+    assert r1.rows == r2.rows and r1.num_rows == r2.num_rows == 100
+    assert [r["id"] for r in r1.rows] == [298, 295, 292]
+
+    coll.insert(spark.createDataFrame([(9001, 1)], ["id", "v"]))
+    assert coll._plan_cache == {}
+    r3 = coll.query(q)
+    assert r3.num_rows == 101
+    assert [r["id"] for r in r3.rows] == [9001, 298, 295]
+
+
+def test_plan_cache_capped(spark, tmp_path):
+    """The plan cache evicts oldest-first at its 256-entry cap — distinct
+    query shapes must not grow driver memory unboundedly."""
+    client = Client(spark)
+    dbp = client.attach_database(f"spark://{tmp_path}/capdb")
+    coll = dbp.create_collection("t", identifier_attribute="id")
+    coll.insert(spark.createDataFrame([(1, 1)], ["id", "v"]))
+    for i in range(300):
+        coll._plan_cache_put(("k", i), object())
+    assert len(coll._plan_cache) <= 256
+    assert ("k", 299) in coll._plan_cache and ("k", 0) not in coll._plan_cache
+
+
+def test_cluster_advisor_warns_once(spark, tmp_path):
+    """Round-7 advisor: repeated unfiltered facets on one low-cardinality
+    column of an UNCLUSTERED store warn exactly once, naming
+    compact(sort_cols=[col]); further queries stay silent."""
+    import warnings
+
+    client = Client(spark)
+    dbp = client.attach_database(f"spark://{tmp_path}/advdb")
+    coll = dbp.create_collection("t", identifier_attribute="id")
+    rows = [(i, ["OPEN", "CLOSED", "HELD"][(i * 7) % 3]) for i in range(5000)]
+    coll.insert(spark.createDataFrame(rows, ["id", "status"]))
+    coll.cluster_advice_min_rows = 1000  # test-sized store
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        for _ in range(3):
+            coll.query_facets(facet_columns=["status"])
+    msgs = [str(x.message) for x in w if "compact" in str(x.message)]
+    assert len(msgs) == 1, msgs
+    assert "sort_cols=['status']" in msgs[0]
+
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        coll.query_facets(facet_columns=["status"])
+    assert not [x for x in w2 if "compact" in str(x.message)]
+
+
+def test_cluster_advisor_auto_then_footer_answers(spark, tmp_path):
+    """Opt-in auto path closes the 100 TB maintenance loop hands-free:
+    hot-column facets trigger the compact(sort_cols=...) rewrite, after
+    which the SAME facet (and the equality count) answer from footers."""
+    import warnings
+
+    from linkml_store_spark.query import Query
+
+    client = Client(spark)
+    dbp = client.attach_database(f"spark://{tmp_path}/advauto")
+    coll = dbp.create_collection("t", identifier_attribute="id")
+    rows = [(i, ["OPEN", "CLOSED", "HELD"][(i * 7) % 3]) for i in range(6000)]
+    coll.insert(spark.createDataFrame(rows, ["id", "status"]))
+    coll.cluster_advice_min_rows = 1000
+    coll.auto_cluster_on_hot_column = True
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        for _ in range(3):
+            facets = coll.query_facets(facet_columns=["status"])
+    assert not [x for x in w if "compact" in str(x.message)]  # acted, not warned
+    assert facets["status"] == [("CLOSED", 2000), ("HELD", 2000), ("OPEN", 2000)]
+
+    # the rewrite happened: the zone facet now answers and the count memo
+    # fills from footer metadata through Collection.query
+    facets2 = coll.query_facets(facet_columns=["status"])
+    assert facets2["status"] == facets["status"]
+    res = coll.query(Query(where_clause={"status": "OPEN"}, limit=1))
+    assert res.num_rows == 2000
+    assert coll._footer_stats_cache[("vcount", "status", ("OPEN",))] == 2000
+
+
+def test_cluster_advisor_count_path_hits(spark, tmp_path):
+    """Equality/$in counts through Collection.query on an unclustered
+    store also feed the advisor (zone decided nothing -> hit per query)."""
+    import warnings
+
+    from linkml_store_spark.query import Query
+
+    client = Client(spark)
+    dbp = client.attach_database(f"spark://{tmp_path}/advcnt")
+    coll = dbp.create_collection("t", identifier_attribute="id")
+    rows = [(i, ["A", "B"][i % 2]) for i in range(4000)]
+    coll.insert(spark.createDataFrame(rows, ["id", "v"]))
+    coll.cluster_advice_min_rows = 1000
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        for _ in range(3):
+            # distinct literals defeat the result memo: each query recounts
+            coll._footer_stats_cache.pop(("vcount", "v", ("A",)), None)
+            assert coll.query(Query(where_clause={"v": "A"}, limit=0)).num_rows == 2000
+    msgs = [str(x.message) for x in w if "compact" in str(x.message)]
+    assert len(msgs) == 1 and "sort_cols=['v']" in msgs[0]

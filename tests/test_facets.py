@@ -294,3 +294,98 @@ def test_zone_facet_empty_store_falls_through(spark, tmp_path):
     spark.createDataFrame([], "v string, x long").coalesce(1).write.parquet(path)
     out = facet_df(spark.read.parquet(path), None, "v")
     assert out.collect() == []
+
+
+def test_zone_facet_backslash_and_quote_values(spark, tmp_path):
+    """ADVICE r6 (high): Spark SQL string literals treat backslash as an
+    escape — the inline-VALUES zone facet must escape it, or 'C:\\Users'
+    silently facets as 'C:Users' and a trailing backslash swallows the
+    closing quote (ParseException). Pin: values with backslashes, a
+    TRAILING backslash, and single quotes all round-trip byte-exact and
+    still answer without a FileScan."""
+    from linkml_store_spark.facets import facet_df
+
+    path = str(tmp_path / "zf_backslash")
+    vals = ["C:\\Users", "abc\\", "O'Brien"]
+    rows = [(i, vals[i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, v string")
+    for s in vals:
+        df.filter(df.v == s).coalesce(1).write.mode("append").parquet(path)
+    scan = spark.read.parquet(path)
+    routed = facet_df(scan, None, "v")
+    assert "FileScan" not in routed._jdf.queryExecution().executedPlan().toString()
+    plain = (
+        scan.groupBy("v").count()
+        .orderBy(F.desc("count"), F.asc("v")).limit(100)
+    )
+    assert [tuple(r) for r in routed.collect()] == [tuple(r) for r in plain.collect()]
+
+
+def test_zone_facet_backtick_column_name(spark, tmp_path):
+    """ADVICE r6 (low): a backtick in the facet column name must not turn
+    into a ParseException on the zone route — the identifier is escaped
+    (or the route degrades); result matches the plain scan either way."""
+    from pyspark.sql import types as T
+
+    from linkml_store_spark.facets import facet_df
+
+    path = str(tmp_path / "zf_backtick")
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("a`b", T.StringType()),
+    ])
+    rows = [(i, ["x", "y"][i % 2]) for i in range(200)]
+    df = spark.createDataFrame(rows, schema)
+    for s in ["x", "y"]:
+        df.filter(F.col("`a``b`") == s).coalesce(1).write.mode("append").parquet(path)
+    scan = spark.read.parquet(path)
+    routed = facet_df(scan, None, "a`b")
+    got = [tuple(r) for r in routed.collect()]
+    assert got == [("x", 100), ("y", 100)]
+
+
+def test_query_facets_reads_each_footer_once(spark, tmp_path, monkeypatch):
+    """ADVICE r6 (low): query_facets over N columns must read each parquet
+    footer ONCE per call, not once per column — and the partially-decided
+    branch must reuse the decision instead of re-sweeping in facet_df."""
+    import pyarrow.parquet as pq
+
+    from linkml_store_spark import facets as facets_mod
+
+    path = str(tmp_path / "qf_onepass")
+    rows = [(i, ["OPEN", "CLOSED"][i % 2], ["a", "b"][i % 2]) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, s string, t string")
+    for v in ["OPEN", "CLOSED"]:
+        df.filter(df.s == v).coalesce(1).write.mode("append").parquet(path)
+    scan = spark.read.parquet(path)
+
+    calls = []
+    real = pq.ParquetFile
+
+    def counting(fp, *a, **kw):
+        calls.append(str(fp))
+        return real(fp, *a, **kw)
+
+    monkeypatch.setattr(pq, "ParquetFile", counting)
+    got = facets_mod.query_facets(scan, None, ["s", "t", "id"])
+    n_files = len(scan.inputFiles())
+    assert len(calls) == n_files, (len(calls), n_files)
+    assert got["s"] == [("CLOSED", 200), ("OPEN", 200)]
+    assert got["t"] == [("a", 200), ("b", 200)]
+
+
+def test_simple_value_clause_rejects_cross_type_literals(spark):
+    """The docstring's contract, now implemented: a literal whose Python
+    type doesn't match the column type returns None (the plain plan's
+    cast semantics apply, not the shortcut routes)."""
+    from linkml_store_spark.collection import _simple_value_clause
+
+    df = spark.createDataFrame([(1, "a", True)], "n long, s string, b boolean")
+    assert _simple_value_clause({"n": "5"}, df) is None
+    assert _simple_value_clause({"s": 5}, df) is None
+    assert _simple_value_clause({"n": True}, df) is None
+    assert _simple_value_clause({"b": 1}, df) is None
+    assert _simple_value_clause({"n": {"$in": [1, "2"]}}, df) is None
+    assert _simple_value_clause({"n": 5}, df) == ("n", [5])
+    assert _simple_value_clause({"s": {"$in": ["a", "b"]}}, df) == ("s", ["a", "b"])
+    assert _simple_value_clause({"b": {"$eq": False}}, df) == ("b", [False])
