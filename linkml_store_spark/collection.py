@@ -113,10 +113,9 @@ class Collection:
         self._cluster_hits: Dict[str, int] = {}
         self._cluster_advised: set = set()
         #: crossover gate for the Arrow dictionary-code count path
-        #: (operators/arrowagg.py) — instance-level so tests can lower it
-        from linkml_store_spark.operators.arrowagg import ARROW_AGG_MIN_ROWS
-
-        self._arrow_count_min_rows: int = ARROW_AGG_MIN_ROWS
+        #: (operators/arrowagg.py) — "auto" = per-session calibrated;
+        #: instance-level so tests can pin a number
+        self._arrow_count_min_rows = "auto"
 
     # ------------------------------------------------------------------ #
     # plumbing
@@ -587,10 +586,15 @@ class Collection:
                 parquet_predicate_count,
             )
 
-            n = parquet_predicate_count(
-                self.spark, rest, col, values,
-                min_rows=self._arrow_count_min_rows,
-            )
+            if self._arrow_count_min_rows in (None, "auto"):
+                # first touch of a big store+column: measure both engines
+                # once (A/B memo routes all later counts on this column)
+                n = self._ab_predicate_count(rest, col, values)
+            if n is None:
+                n = parquet_predicate_count(
+                    self.spark, rest, col, values,
+                    min_rows=self._arrow_count_min_rows,
+                )
         except Exception:  # noqa: BLE001
             n = None
         if n is None:
@@ -633,6 +637,51 @@ class Collection:
             self._footer_stats_cache[ck] = n
             return n
         except Exception:  # noqa: BLE001 — stats are an optimization only
+            return None
+
+    def _ab_predicate_count(self, rest: DataFrame, col: str, values: list):
+        """First eligible equality/$in count on a (store, column): run the
+        pushed-In JVM count and the Arrow dictionary-code count ONCE each,
+        record the measured winner (arrowagg A/B memo — shared with the
+        facet routes), return the winner's count. None when not
+        A/B-eligible (small store, arrow refuses, winner already known)
+        — the caller's normal gate applies."""
+        import time
+
+        from linkml_store_spark.operators.arrowagg import (
+            ARROW_AB_MAX_ROWS,
+            ARROW_AGG_FLOOR_ROWS,
+            ab_winner,
+            parquet_predicate_count,
+            parquet_row_groups,
+            record_ab_winner,
+        )
+
+        try:
+            files = rest.inputFiles()
+            if not files:
+                return None
+            _rgs, total_rows = parquet_row_groups(files)
+            if not (ARROW_AGG_FLOOR_ROWS <= total_rows <= ARROW_AB_MAX_ROWS):
+                return None
+            if ab_winner(self.spark, files, col) is not None:
+                return None
+            jvm_d = rest.filter(F.col(col).isin(list(values))).agg(
+                F.count(F.lit(1)).alias("n")
+            )
+            t0 = time.perf_counter()
+            n_jvm = jvm_d.collect()[0][0]
+            t_jvm = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            n_arrow = parquet_predicate_count(
+                self.spark, rest, col, values, min_rows=0
+            )
+            t_arrow = time.perf_counter() - t0
+            if n_arrow is None:
+                return int(n_jvm)
+            record_ab_winner(self.spark, files, col, t_jvm, t_arrow)
+            return int(n_arrow if t_arrow < t_jvm else n_jvm)
+        except Exception:  # noqa: BLE001 — A/B is an optimization only
             return None
 
     def query(self, query: Query) -> QueryResult:

@@ -87,7 +87,7 @@ def parquet_value_counts(
     df: DataFrame,
     column: str,
     n_tasks: Optional[int] = None,
-    min_rows: int = 0,
+    min_rows=0,
     footer_metas=None,
 ) -> Optional[DataFrame]:
     """Distributed value counts (value, count) for ``column`` of a PURE
@@ -99,10 +99,12 @@ def parquet_value_counts(
     ``groupBy().count()``. NULLs form a group, exactly like the SQL
     GROUP BY (``pyarrow.compute.value_counts`` emits a null value row).
 
-    ``min_rows`` is the measured crossover gate: every Python-UDF-bearing
-    stage pays a fixed scheduler/bridge constant (~0.15-0.4 s depending on
-    box load — bench.py floor notes), so below a few hundred million rows
-    the JVM hash aggregate wins on latency and this path must not engage.
+    ``min_rows`` is the crossover gate: every Python-UDF-bearing stage
+    pays a fixed scheduler/bridge constant (~0.15-0.4 s depending on box
+    load — bench.py floor notes), so below a few hundred million rows
+    the JVM hash aggregate wins on latency and this path must not
+    engage. A number is used as-is; ``None``/``"auto"`` resolves the
+    per-session calibrated gate (:func:`calibrated_arrow_min_rows`).
     """
     ddl = _atomic_spark_type(df, column)
     if ddl is None:
@@ -118,7 +120,8 @@ def parquet_value_counts(
     ):
         return None
     rgs, total_rows = parquet_row_groups(files, metas=footer_metas)
-    if not rgs or total_rows < min_rows:
+    gate = _resolve_min_rows(spark, min_rows, total_rows, files, column)
+    if not rgs or total_rows < gate:
         return None
     if n_tasks is None:
         n_tasks = int(spark.sparkContext.defaultParallelism)
@@ -159,11 +162,92 @@ def parquet_value_counts(
 #: both vary with the host — measured crossovers span ~260M rows (fast
 #: Python workers: arrow 0.89 s vs JVM 1.32 s at 600M) to ~600M rows
 #: (slow workers, round-6b re-measurement: arrow 1.6-3.4 s vs JVM 1.8 s
-#: at 600M — a wash). The default sits at the SLOWEST measured crossover
-#: so the path only engages where every measured box wins; callers on
-#: known-fast clusters can lower it per call (``min_rows=`` /
-#: ``arrow_min_rows=``). At 100 TB scale the gate is always satisfied.
+#: at 600M — a wash). This constant is the FALLBACK when per-session
+#: calibration (below) is unavailable: the slowest measured crossover, so
+#: the path only engages where every measured box wins. At 100 TB scale
+#: any gate is satisfied.
 ARROW_AGG_MIN_ROWS = 600_000_000
+
+#: no measured box has ever won below this — stores under it skip even
+#: the (cheap, cached) calibration probe
+ARROW_AGG_FLOOR_ROWS = 30_000_000
+
+# --------------------------------------------------------------------- #
+# adaptive routing: per-store A/B winner memo
+#
+# MODEL-BASED CALIBRATION IS A MEASURED DEAD END (round 7, SCALING.md):
+# a bare mapInPandas micro-probe measures the python bridge at ~0.02 s
+# while the real arrow leaf stage pays ~0.5 s (pyarrow import + parquet
+# open + serde per worker) — 25x off; a synthetic 64M-row probe store
+# then measured the JVM agg at 3285M rows/s where the same shape on the
+# real 120M store runs 110-190M rows/s (page cache + 1-column schema vs
+# real IO + 11-column footers) — 20x off the other way. No transferable
+# constant survives both errors. What IS reliable: running both paths
+# once on the USER'S OWN store — both produce the answer (no wasted
+# work), the measured winner routes every later query on that
+# (store, column). Eager callers (query_facets, Collection counts)
+# perform the A/B via record_ab_winner; lazy callers (facet_df's
+# returned DataFrame) consult the memo via 'auto' and keep the
+# conservative static gate until a winner is known.
+# --------------------------------------------------------------------- #
+
+#: (applicationId, store_key, column) -> ("arrow" | "jvm", t_jvm, t_arrow)
+_AB_WINNERS: dict = {}
+
+#: above this, never run the losing path just to measure it — at true
+#: cluster scale the arrow path's per-row-group fan-out is the designed
+#: plan and the static gate has long since engaged it
+ARROW_AB_MAX_ROWS = 4_000_000_000
+
+
+def _store_key(files) -> tuple:
+    fs = sorted(files)
+    return (len(fs), fs[0], fs[-1])
+
+
+def _ab_key(spark: SparkSession, files, column: str):
+    try:
+        return (spark.sparkContext.applicationId, _store_key(files), column)
+    except Exception:  # noqa: BLE001 — non-JVM test doubles
+        return None
+
+
+def ab_winner(spark: SparkSession, files, column: str) -> Optional[str]:
+    """The remembered winner ("arrow"/"jvm") for this store+column in this
+    session, or None when no A/B has run yet."""
+    k = _ab_key(spark, files, column)
+    entry = _AB_WINNERS.get(k) if k is not None else None
+    return entry[0] if entry else None
+
+
+def record_ab_winner(
+    spark: SparkSession, files, column: str, t_jvm: float, t_arrow: float
+) -> None:
+    k = _ab_key(spark, files, column)
+    if k is not None:
+        _AB_WINNERS[k] = ("arrow" if t_arrow < t_jvm else "jvm",
+                          t_jvm, t_arrow)
+
+
+def _resolve_min_rows(
+    spark: SparkSession, min_rows, total_rows: int,
+    files=(), column: Optional[str] = None,
+):
+    """Resolve a caller's gate: a number passes through; None/'auto'
+    consults the per-store A/B winner memo, falling back to the
+    conservative static crossover for stores nobody has measured yet.
+    Stores under the floor always refuse — no box has ever won there."""
+    if isinstance(min_rows, (int, float)):
+        return min_rows
+    if total_rows < ARROW_AGG_FLOOR_ROWS:
+        return ARROW_AGG_FLOOR_ROWS  # refuses
+    if files and column is not None:
+        w = ab_winner(spark, files, column)
+        if w == "arrow":
+            return ARROW_AGG_FLOOR_ROWS  # engages
+        if w == "jvm":
+            return 2**62  # refuses
+    return ARROW_AGG_MIN_ROWS
 
 
 def parquet_predicate_count(
@@ -172,7 +256,7 @@ def parquet_predicate_count(
     column: str,
     values: list,
     n_tasks: Optional[int] = None,
-    min_rows: int = ARROW_AGG_MIN_ROWS,
+    min_rows="auto",
 ) -> Optional[int]:
     """COUNT of rows where ``column`` equals any of ``values``, computed by
     Arrow dictionary-code aggregation over the parquet row groups — the
@@ -220,7 +304,8 @@ def parquet_predicate_count(
     ):
         return None
     rgs, total_rows = parquet_row_groups(files)
-    if not rgs or total_rows < min_rows:
+    gate = _resolve_min_rows(spark, min_rows, total_rows, files, column)
+    if not rgs or total_rows < gate:
         return None
     if n_tasks is None:
         n_tasks = int(spark.sparkContext.defaultParallelism)
