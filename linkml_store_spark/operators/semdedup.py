@@ -70,14 +70,49 @@ def assign_clusters(
     n_clusters: int = 16,
     sample_size: int = 10_000,
     seed: int = 42,
+    probes: int = 1,
 ) -> Tuple[DataFrame, np.ndarray]:
     """Cluster assignment + centroid distance: adds ``__cluster`` and
     ``__cdist`` (priority key: larger = farther from centroid = kept first).
-    """
+
+    ``probes`` (round 7): assign each vector to its ``probes`` nearest
+    centroids (exploded — one row per assignment). SemDeDup's recall
+    misses exactly the pairs SPLIT across cluster boundaries; with p=2 a
+    boundary pair meets in a shared near-centroid group whenever their
+    top-2 sets intersect. Cost is bounded and explicit: each cluster
+    grows ~p x and the within-cluster sweep is O(m²), so total work
+    scales ~p² (4x at p=2) — still Σ|c|² compute, never a shuffle blowup.
+    Pure JVM expression (array_sort over (distance, index) structs +
+    slice + explode): no Python in the assignment plan."""
     assigned, centroids = build_ivf(
         df, vector_col, n_centroids=n_clusters, sample_size=sample_size, seed=seed
     )
     assigned = assigned.withColumnRenamed("__centroid", "__cluster")
+    if probes > 1:
+        p = min(int(probes), len(centroids))
+        v = F.col(vector_col)
+        dist_structs = F.array(*[
+            F.struct(
+                (F.lit(float(c @ c)) - 2.0 * dot(v, vec_lit(c))).alias("d"),
+                F.lit(i).alias("i"),
+            )
+            for i, c in enumerate(centroids)
+        ])
+        top = F.slice(F.array_sort(dist_structs), 1, p)
+        # priority (__cdist) is measured against the PRIMARY centroid for
+        # ALL of a row's probe copies: the keep/drop greedy is only sound
+        # with one GLOBAL priority order — per-group distances gave two
+        # groups opposite orderings of the same pair, and a mutually-
+        # similar set could eliminate itself completely (caught by
+        # test_two_probe_dedup_merges_verdicts)
+        assigned = (
+            assigned.withColumn("__top", top)
+            .withColumn("__cdist", F.element_at(F.col("__top"), 1)["d"])
+            .withColumn("__probe", F.explode(F.col("__top")))
+            .withColumn("__cluster", F.col("__probe.i"))
+            .drop("__probe", "__top")
+        )
+        return assigned, centroids
     assigned = assigned.withColumn(
         "__cdist", _centroid_dist_expr(F.col(vector_col), F.col("__cluster"), centroids)
     )
@@ -93,13 +128,19 @@ def semantic_dup_pairs(
     sample_size: int = 10_000,
     seed: int = 42,
     assigned: Optional[DataFrame] = None,
+    probes: int = 1,
 ) -> DataFrame:
     """Within-cluster pairs with cosine >= threshold: (left_id, right_id,
     cosine), left_id < right_id. Exact-precision candidates for semantic
     dedup; pass a pre-built ``assigned`` (from ``assign_clusters``) to reuse
-    one clustering across calls."""
+    one clustering across calls. ``probes > 1`` assigns each vector to its
+    p nearest centroids (recall recovers boundary-split pairs at ~p² the
+    sweep compute — see ``assign_clusters``); a pair found in two shared
+    groups is emitted once."""
     if assigned is None:
-        assigned, _ = assign_clusters(df, vector_col, n_clusters, sample_size, seed)
+        assigned, _ = assign_clusters(
+            df, vector_col, n_clusters, sample_size, seed, probes=probes
+        )
     id_field = assigned.schema[id_col]
     out_schema = T.StructType(
         [
@@ -131,7 +172,12 @@ def semantic_dup_pairs(
                 cs.extend(S[hit, c])
         return pd.DataFrame({"left_id": ls, "right_id": rs, "cosine": cs})
 
-    return assigned.groupBy("__cluster").applyInPandas(_pairs, out_schema)
+    out = assigned.groupBy("__cluster").applyInPandas(_pairs, out_schema)
+    if probes > 1:
+        # both members of a boundary pair may share TWO near centroids —
+        # identical (ids, cosine) rows from each group; emit once
+        out = out.dropDuplicates(["left_id", "right_id"])
+    return out
 
 
 def semantic_dedup(
@@ -144,6 +190,7 @@ def semantic_dedup(
     seed: int = 42,
     keep: str = "far_from_centroid",
     assigned: Optional[DataFrame] = None,
+    probes: int = 1,
 ) -> DataFrame:
     """Rows surviving semantic dedup, with ``is_kept``/``dup_of`` columns
     added for the dropped rows' audit trail (call ``.filter("is_kept")`` for
@@ -163,11 +210,19 @@ def semantic_dedup(
     pair. (The join formulation shipped both vectors with every candidate
     pair: ~1 KB x 80M pairs of exchange at the 100k-vector measurement —
     the measured bottleneck, not the cosine arithmetic.)
+
+    ``probes > 1`` evaluates each row in its p nearest centroids' groups
+    (recall recovers boundary-split duplicates, ~p² the sweep compute —
+    ``assign_clusters``); the verdicts merge as: dropped iff ANY group
+    found a higher-priority partner, ``dup_of`` = the smallest recorded
+    partner id (deterministic).
     """
     if keep not in ("far_from_centroid", "min_id"):
         raise ValueError(f"unknown keep strategy: {keep}")
     if assigned is None:
-        assigned, _ = assign_clusters(df, vector_col, n_clusters, sample_size, seed)
+        assigned, _ = assign_clusters(
+            df, vector_col, n_clusters, sample_size, seed, probes=probes
+        )
     id_field = df.schema[id_col]
     out_schema = T.StructType(
         list(df.schema.fields)
@@ -210,4 +265,24 @@ def semantic_dedup(
         out["is_kept"] = pd.Series([d is None for d in dup_of], dtype=bool)
         return out
 
-    return assigned.groupBy("__cluster").applyInPandas(_dedup, out_schema)
+    out = assigned.groupBy("__cluster").applyInPandas(_dedup, out_schema)
+    if probes > 1:
+        # each row carries up to p per-group verdicts: merge them — dropped
+        # iff ANY group found a higher-priority partner (precision stays
+        # exact: every recorded partner is a verified >= tau cosine), with
+        # the smallest partner id kept for determinism. One extra tiny
+        # shuffle over (id, verdict) pairs.
+        verdicts = out.groupBy(id_col).agg(
+            F.min(F.when(~F.col("is_kept"), F.col("dup_of"))).alias("__dup_of"),
+            F.min("is_kept").alias("__is_kept"),  # bool AND
+        )
+        out = (
+            out.drop("dup_of", "is_kept")
+            .dropDuplicates([id_col])
+            .join(verdicts, id_col)
+            .withColumn("dup_of", F.col("__dup_of"))
+            .withColumn("is_kept", F.col("__is_kept"))
+            .drop("__dup_of", "__is_kept")
+            .select(*[f.name for f in out_schema.fields])
+        )
+    return out

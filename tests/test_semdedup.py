@@ -136,3 +136,59 @@ def test_cosine_pairwise_matches_native(spark):
     for i, (p, n) in got.items():
         assert abs(p - n) < 1e-12, (i, p, n)
     assert got[2][0] == 0.0
+
+
+# --------------------------------------------------------------------- #
+# round 7: two-probe assignment recovers boundary-split pairs
+# --------------------------------------------------------------------- #
+
+def test_two_probe_recall_on_embeddings(spark):
+    """probes=2 recall >= probes=1 recall against the exact all-pairs
+    baseline, precision stays exact (every emitted pair is in the exact
+    set), and the pair set is monotone in probes."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = {
+        (r[0], r[1])
+        for r in embedding_near_dup_pairs_exact(
+            emb, "embedding", threshold=0.9
+        ).collect()
+    }
+    norm = lambda s: {(min(a, b), max(a, b)) for a, b in s}
+    exact = norm(exact)
+    p1 = norm({
+        (r["left_id"], r["right_id"])
+        for r in semdedup.semantic_dup_pairs(emb, threshold=0.9, n_clusters=8).collect()
+    })
+    p2 = norm({
+        (r["left_id"], r["right_id"])
+        for r in semdedup.semantic_dup_pairs(
+            emb, threshold=0.9, n_clusters=8, probes=2
+        ).collect()
+    })
+    assert p1 <= exact and p2 <= exact  # exact precision on both routes
+    assert p1 <= p2  # probes only ADD candidate groups
+    if exact:
+        r1, r2 = len(p1) / len(exact), len(p2) / len(exact)
+        assert r2 >= r1
+        print(f"recall probes=1 {r1:.2f} probes=2 {r2:.2f} of {len(exact)} pairs")
+
+
+def test_two_probe_dedup_merges_verdicts(vecs):
+    """probes=2 on a deliberately boundary-split pair: the verdict merge
+    drops a row when ANY of its probe groups finds a partner, keeps
+    exactly one representative per duplicate group, and emits each row
+    once."""
+    out = semdedup.semantic_dedup(
+        vecs, threshold=0.999, n_clusters=2, probes=2
+    ).collect()
+    assert len(out) == vecs.count()  # one verdict row per input row
+    by_id = {r["vec_id"]: r for r in out}
+    # group A {0,1,2}: exactly one kept; droppees point at a group member
+    a_kept = [i for i in (0, 1, 2) if by_id[i]["is_kept"]]
+    assert len(a_kept) == 1
+    for i in (0, 1, 2):
+        if not by_id[i]["is_kept"]:
+            assert by_id[i]["dup_of"] in (0, 1, 2)
+    b_kept = [i for i in (3, 4) if by_id[i]["is_kept"]]
+    assert len(b_kept) == 1
+    assert by_id[5]["is_kept"] and by_id[6]["is_kept"]
