@@ -564,13 +564,16 @@ class Collection:
         path = self.database._collection_path(self.alias)
         if not _os.path.exists(path):
             return None
+        metas = self._store_metas()  # one footer pass, memoized
         decision = None
         try:
-            decision = _file_value_zone_decision(path, col, values)
+            decision = _file_value_zone_decision(
+                path, col, values, metas=metas
+            )
         except Exception:  # noqa: BLE001 — stats are an optimization only
             decision = None
         if decision is None:
-            meta, rest = 0, self.df
+            meta, undecided = 0, None  # None = scan the whole store
         else:
             meta, undecided = decision
             if not undecided:
@@ -579,7 +582,19 @@ class Collection:
                 # footers decided nothing: an unclustered layout — the
                 # clustering advisor counts repeats of this shape
                 self._note_unclustered_hit(col)
-            rest = self.spark.read.parquet(*undecided)
+        key = (
+            "in_scan", col, tuple(values),
+            "all" if undecided is None else tuple(undecided),
+        )
+        d = self._plan_cache.get(key)
+        if d is not None:
+            # prepared JVM count (the memoized winner on every store the
+            # A/B has routed to JVM): no re-build, no footer re-read
+            return meta + d.collect()[0][0]
+        rest = (
+            self.df if undecided is None
+            else self.spark.read.parquet(*undecided)
+        )
         n = None
         try:
             from linkml_store_spark.operators.arrowagg import (
@@ -589,37 +604,35 @@ class Collection:
             if self._arrow_count_min_rows in (None, "auto"):
                 # first touch of a big store+column: measure both engines
                 # once (A/B memo routes all later counts on this column)
-                n = self._ab_predicate_count(rest, col, values)
+                n = self._ab_predicate_count(rest, col, values, metas=metas)
             if n is None:
                 n = parquet_predicate_count(
                     self.spark, rest, col, values,
                     min_rows=self._arrow_count_min_rows,
+                    footer_metas=metas,
                 )
         except Exception:  # noqa: BLE001
             n = None
         if n is None:
-            key = (
-                "in_scan", col, tuple(values),
-                "all" if decision is None else tuple(decision[1]),
+            d = rest.filter(F.col(col).isin(list(values))).agg(
+                F.count(F.lit(1)).alias("n")
             )
-            d = self._plan_cache.get(key)
-            if d is None:
-                d = rest.filter(F.col(col).isin(list(values))).agg(
-                    F.count(F.lit(1)).alias("n")
-                )
-                self._plan_cache_put(key, d)
+            self._plan_cache_put(key, d)
             n = d.collect()[0][0]
         return meta + n
 
-    def _store_total_rows(self) -> Optional[int]:
-        """Exact whole-store row count from parquet footers (num_rows is
-        exact metadata, not an estimate) — the pre-pagination total of an
-        UNFILTERED Query costs zero jobs. Memoized in the footer-stats
-        cache (cleared on every mutation); None when the store path is
-        missing or beyond the sweep cap (caller runs the plain count)."""
-        ck = ("total_rows",)
-        if ck in self._footer_stats_cache:
-            return self._footer_stats_cache[ck]
+    def _store_metas(self):
+        """``[(file, pyarrow FileMetaData)]`` of the persisted store, read
+        ONCE and memoized until the next mutation. Footer metadata is
+        planning-time state (like row-group stats): the zone decisions,
+        the Arrow gate, the A/B probe, and the unfiltered total all
+        consult the same footers — without this memo one routed count was
+        paying THREE redundant driver sweeps per execution (bench round
+        7). None when the store is missing or beyond the sweep cap."""
+        ck = ("metas",)
+        hit = self._footer_stats_cache.get(ck)
+        if hit is not None:
+            return hit
         try:
             import os as _os
 
@@ -633,13 +646,31 @@ class Collection:
             files = _parquet_files(path)
             if files is None:
                 return None
-            n = sum(pq.ParquetFile(fp).metadata.num_rows for fp in files)
-            self._footer_stats_cache[ck] = n
-            return n
+            metas = [(fp, pq.ParquetFile(fp).metadata) for fp in files]
+            self._footer_stats_cache[ck] = metas
+            return metas
         except Exception:  # noqa: BLE001 — stats are an optimization only
             return None
 
-    def _ab_predicate_count(self, rest: DataFrame, col: str, values: list):
+    def _store_total_rows(self) -> Optional[int]:
+        """Exact whole-store row count from parquet footers (num_rows is
+        exact metadata, not an estimate) — the pre-pagination total of an
+        UNFILTERED Query costs zero jobs. Memoized in the footer-stats
+        cache (cleared on every mutation); None when the store path is
+        missing or beyond the sweep cap (caller runs the plain count)."""
+        ck = ("total_rows",)
+        if ck in self._footer_stats_cache:
+            return self._footer_stats_cache[ck]
+        metas = self._store_metas()
+        if metas is None:
+            return None
+        n = sum(md.num_rows for _fp, md in metas)
+        self._footer_stats_cache[ck] = n
+        return n
+
+    def _ab_predicate_count(
+        self, rest: DataFrame, col: str, values: list, metas=None
+    ):
         """First eligible equality/$in count on a (store, column): run the
         pushed-In JVM count and the Arrow dictionary-code count ONCE each,
         record the measured winner (arrowagg A/B memo — shared with the
@@ -661,7 +692,7 @@ class Collection:
             files = rest.inputFiles()
             if not files:
                 return None
-            _rgs, total_rows = parquet_row_groups(files)
+            _rgs, total_rows = parquet_row_groups(files, metas=metas)
             if not (ARROW_AGG_FLOOR_ROWS <= total_rows <= ARROW_AB_MAX_ROWS):
                 return None
             if ab_winner(self.spark, files, col) is not None:
@@ -674,7 +705,7 @@ class Collection:
             t_jvm = time.perf_counter() - t0
             t0 = time.perf_counter()
             n_arrow = parquet_predicate_count(
-                self.spark, rest, col, values, min_rows=0
+                self.spark, rest, col, values, min_rows=0, footer_metas=metas
             )
             t_arrow = time.perf_counter() - t0
             if n_arrow is None:
@@ -722,6 +753,7 @@ class Collection:
                             num_rows = stats_filtered_count(
                                 self.spark, path, *rng,
                                 plan_cache=self._plan_cache,
+                                metas=self._store_metas(),
                             )
                             self._footer_stats_cache[ck] = num_rows
                     except Exception:  # noqa: BLE001 — optimization only

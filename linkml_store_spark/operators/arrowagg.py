@@ -257,6 +257,7 @@ def parquet_predicate_count(
     values: list,
     n_tasks: Optional[int] = None,
     min_rows="auto",
+    footer_metas=None,
 ) -> Optional[int]:
     """COUNT of rows where ``column`` equals any of ``values``, computed by
     Arrow dictionary-code aggregation over the parquet row groups — the
@@ -303,7 +304,7 @@ def parquet_predicate_count(
         or not all(f.endswith(".parquet") or ".parquet" in f for f in files)
     ):
         return None
-    rgs, total_rows = parquet_row_groups(files)
+    rgs, total_rows = parquet_row_groups(files, metas=footer_metas)
     gate = _resolve_min_rows(spark, min_rows, total_rows, files, column)
     if not rgs or total_rows < gate:
         return None

@@ -277,7 +277,8 @@ def topk_stats_pruned(
 # zone-map filtered count — the COUNT analog of the pruned top-k
 # ------------------------------------------------------------------ #
 def _file_zone_decision(path: str, col: str, lo, hi,
-                        lo_inclusive: bool = True, hi_inclusive: bool = True):
+                        lo_inclusive: bool = True, hi_inclusive: bool = True,
+                        metas=None):
     """Per-file zone-map triage for ``lo <= col <= hi`` (either bound may
     be None = unbounded): returns (metadata_count, undecided_files) or
     None when any footer lacks exact stats.
@@ -316,14 +317,15 @@ def _file_zone_decision(path: str, col: str, lo, hi,
     """
     import pyarrow.parquet as pq
 
-    files = _parquet_files(path)
-    if files is None:
-        return None
+    if metas is None:
+        files = _parquet_files(path)
+        if files is None:
+            return None
+        metas = [(fp, pq.ParquetFile(fp).metadata) for fp in files]
     float_bound = isinstance(lo, float) or isinstance(hi, float)
     meta_count = 0
     undecided = []
-    for fp in files:
-        md = pq.ParquetFile(fp).metadata
+    for fp, md in metas:
         file_meta = 0
         file_decided = True
         for g in range(md.num_row_groups):
@@ -403,6 +405,7 @@ def stats_filtered_count(
     lo_inclusive: bool = True,
     hi_inclusive: bool = True,
     plan_cache: Optional[dict] = None,
+    metas=None,
 ) -> int:
     """COUNT of rows with ``col`` in the given range over a parquet table,
     answered from parquet footers wherever the zone maps decide the whole
@@ -441,6 +444,8 @@ def stats_filtered_count(
         import pyarrow.parquet as pq
 
         try:
+            if metas is not None:
+                return sum(md.num_rows for _fp, md in metas)
             files = _parquet_files(path)
             if files is None:
                 return spark.read.parquet(path).count()
@@ -449,7 +454,9 @@ def stats_filtered_count(
             return spark.read.parquet(path).count()
     decision = None
     try:
-        decision = _file_zone_decision(path, col, lo, hi, lo_inclusive, hi_inclusive)
+        decision = _file_zone_decision(
+            path, col, lo, hi, lo_inclusive, hi_inclusive, metas=metas
+        )
     except Exception:  # noqa: BLE001 — stats are an optimization only
         decision = None
 
@@ -488,7 +495,7 @@ def stats_filtered_count(
 # ------------------------------------------------------------------ #
 # zone-map equality/IN count — strings and ints, truncation-sound
 # ------------------------------------------------------------------ #
-def _file_value_zone_decision(path: str, col: str, values):
+def _file_value_zone_decision(path: str, col: str, values, metas=None):
     """Per-file zone-map triage for ``col IN values`` over a string or
     integral column: (metadata_count, undecided_files), or None on any
     structural refusal.
@@ -524,9 +531,11 @@ def _file_value_zone_decision(path: str, col: str, values):
     """
     import pyarrow.parquet as pq
 
-    files = _parquet_files(path)
-    if files is None:
-        return None
+    if metas is None:
+        files = _parquet_files(path)
+        if files is None:
+            return None
+        metas = [(fp, pq.ParquetFile(fp).metadata) for fp in files]
     if any(isinstance(v, bool) or v is None for v in values):
         return None
     str_values = all(isinstance(v, str) for v in values)
@@ -540,8 +549,7 @@ def _file_value_zone_decision(path: str, col: str, values):
     vals = set(values)
     meta_count = 0
     undecided = []
-    for fp in files:
-        md = pq.ParquetFile(fp).metadata
+    for fp, md in metas:
         file_meta = 0
         file_decided = True
         for g in range(md.num_row_groups):
