@@ -329,8 +329,12 @@ def query_facets_one_pass(
     from pyspark.sql.window import Window
 
     fdf = apply_where(df, where)
-    sets = [[c] for c in facet_columns]
-    agg = fdf.groupingSets(sets, *facet_columns).agg(
+    # quote_ident: these string forms are PARSED as identifiers — a column
+    # named a`b raises unquoted (same fix as facet_df, round 7)
+    sets = [[quote_ident(c)] for c in facet_columns]
+    agg = fdf.groupingSets(
+        sets, *[quote_ident(c) for c in facet_columns]
+    ).agg(
         F.count(F.lit(1)).alias("count"), F.grouping_id().alias("__gid")
     )
     if facet_min_count > 1:
@@ -344,7 +348,8 @@ def query_facets_one_pass(
     # column) — matches the per-column path and keeps facet_limit=1
     # (mode/top) deterministic
     w = Window.partitionBy("__gid").orderBy(
-        F.desc("count"), *[F.asc_nulls_first(c) for c in facet_columns]
+        F.desc("count"),
+        *[F.asc_nulls_first(quote_ident(c)) for c in facet_columns],
     )
     if facet_limit and facet_limit > 0:
         agg = agg.withColumn("__rn", F.row_number().over(w)).filter(

@@ -389,3 +389,22 @@ def test_simple_value_clause_rejects_cross_type_literals(spark):
     assert _simple_value_clause({"n": 5}, df) == ("n", [5])
     assert _simple_value_clause({"s": {"$in": ["a", "b"]}}, df) == ("s", ["a", "b"])
     assert _simple_value_clause({"b": {"$eq": False}}, df) == ("b", [False])
+
+
+def test_one_pass_backtick_columns(spark):
+    """GROUPING SETS path parses identifiers too — backtick column names
+    must work (round-7 quote_ident, same fix as facet_df)."""
+    from pyspark.sql import types as T
+
+    from linkml_store_spark.facets import query_facets_one_pass
+
+    schema = T.StructType([
+        T.StructField("a`b", T.StringType()),
+        T.StructField("c`d", T.StringType()),
+    ])
+    df = spark.createDataFrame(
+        [(["x", "y"][i % 2], ["p", "q"][i % 2]) for i in range(100)], schema
+    )
+    got = query_facets_one_pass(df, None, ["a`b", "c`d"])
+    assert got["a`b"] == [("x", 50), ("y", 50)]
+    assert got["c`d"] == [("p", 50), ("q", 50)]
