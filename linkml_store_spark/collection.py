@@ -719,7 +719,14 @@ class Collection:
         """Execute the declarative Query IR (reference collection.py:375-398)."""
         if not self.exists():
             return QueryResult(num_rows=0, rows=[], query=query)
-        df = apply_where(self.df, query.where_clause)
+        # the filtered plan is built LAZILY: a zone/footer-answered count
+        # with a cached page plan (or limit=0) never needs it at all
+        _df_cache = [None]
+
+        def _filtered():
+            if _df_cache[0] is None:
+                _df_cache[0] = apply_where(self.df, query.where_clause)
+            return _df_cache[0]
         # Pre-pagination total (queries.py:41-44). Simple single-column
         # numeric range/equality predicates over the parquet store go
         # through the zone-map count first: files whose row groups are all
@@ -785,7 +792,7 @@ class Collection:
             fk = ("fcount", repr(query.where_clause))
             d = self._plan_cache.get(fk)
             if d is None:
-                d = df.agg(F.count(F.lit(1)).alias("n"))
+                d = _filtered().agg(F.count(F.lit(1)).alias("n"))
                 self._plan_cache_put(fk, d)
             num_rows = d.collect()[0][0]
         limit = DEFAULT_LIMIT if query.limit is None else query.limit
@@ -802,7 +809,12 @@ class Collection:
             tuple(query.select_cols or []),
         )
         cached = self._plan_cache.get(pk)
-        page = cached if cached is not None else df
+        if limit == 0:
+            # a count-only query (limit=0): the page is empty by
+            # definition — skip plan build/execution entirely
+            page = None
+        else:
+            page = cached if cached is not None else _filtered()
         # Statistics-pruned top-k as the DEFAULT sort+limit plan: an
         # unfiltered sort over the parquet-backed store gets the provably-
         # safe footer threshold for the PRIMARY sort key pushed into the
@@ -817,11 +829,12 @@ class Collection:
         # topk_threshold refuses to prune when the non-null mass <= k
         # (the only case nulls can reach the page).
         if (
-            cached is None
+            page is not None
+            and cached is None
             and query.sort_by
             and query.where_clause is None
             and limit is not None
-            and 0 <= limit <= 100_000
+            and 0 < limit <= 100_000
             and self._df_is_store_scan
             and self.database.location
         ):
@@ -869,7 +882,7 @@ class Collection:
         # columns out of every heap sift (same fix as index/search.knn's
         # keep_vector). Catalyst cannot do this itself when the projection
         # renames dotted paths.
-        if cached is None:
+        if page is not None and cached is None:
             projected_early = False
             if query.select_cols and query.sort_by:
                 sort_bases = {_sort_base(s) for s in query.sort_by}
@@ -886,7 +899,7 @@ class Collection:
             if query.select_cols and not projected_early:
                 page = _project(page)
             self._plan_cache_put(pk, page)
-        rows = _rows_to_dicts(page.collect())
+        rows = [] if page is None else _rows_to_dicts(page.collect())
         facet_counts = None
         if query.include_facet_counts:
             facet_counts = query_facets(
