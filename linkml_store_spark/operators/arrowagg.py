@@ -225,6 +225,8 @@ def record_ab_winner(
 ) -> None:
     k = _ab_key(spark, files, column)
     if k is not None:
+        if len(_AB_WINNERS) >= 1024:  # bounded driver memory, oldest out
+            _AB_WINNERS.pop(next(iter(_AB_WINNERS)))
         _AB_WINNERS[k] = ("arrow" if t_arrow < t_jvm else "jvm",
                           t_jvm, t_arrow)
 
