@@ -408,3 +408,39 @@ def test_one_pass_backtick_columns(spark):
     got = query_facets_one_pass(df, None, ["a`b", "c`d"])
     assert got["a`b"] == [("x", 50), ("y", 50)]
     assert got["c`d"] == [("p", 50), ("q", 50)]
+
+
+def test_zone_values_inline_escaping_property(spark):
+    """Property pin for the VALUES-inlining escaping (ADVICE r6 high):
+    ANY ascii string — quotes, backslashes, trailing backslash, control
+    chars — must round-trip byte-exact through the same literal builder
+    the zone facet uses (backslash doubled BEFORE quote-doubling)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=25,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        vals=st.lists(
+            st.text(
+                alphabet=st.characters(min_codepoint=1, max_codepoint=127),
+                min_size=0, max_size=12,
+            ),
+            min_size=1, max_size=4, unique=True,
+        )
+    )
+    def check(vals):
+        def _lit(v):  # the exact escaping _zone_facet_frame applies
+            return "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
+
+        rows = [(v, i + 1) for i, v in enumerate(vals)]
+        sql = ",".join(f"({_lit(v)}, {c})" for v, c in rows)
+        got = spark.sql(
+            f"SELECT col, cnt FROM (VALUES {sql}) AS t(col, cnt)"
+        ).collect()
+        assert sorted((r[0], r[1]) for r in got) == sorted(rows)
+
+    check()
