@@ -41,14 +41,14 @@ FacetKey = Union[str, Tuple[str, ...]]
 
 DEFAULT_FACET_LIMIT = 100
 
-#: row-count gate for the Arrow dictionary-code facet path: below it the
-#: fixed Python-stage bridge constant exceeds the JVM aggregate's whole
-#: runtime. Round 7: the gate is CALIBRATED PER SESSION (one cached
-#: mapInPandas probe measures this box's bridge constant; the JVM/arrow
-#: rate ratio is stable across boxes — operators/arrowagg.py
-#: ``calibrated_arrow_min_rows``), falling back to the slowest measured
-#: crossover (600M) when the probe fails. ``arrow_min_rows=`` still
-#: overrides per call.
+#: Routing between the JVM hash aggregate and the Arrow dictionary-code
+#: facet path: below ~30M rows the fixed Python-stage bridge constant
+#: always exceeds the JVM aggregate's whole runtime. Round 7: above it
+#: the route is ADAPTIVE — query_facets runs both engines ONCE per
+#: (store, column) and the measured winner routes every later query,
+#: including lazy facet_df plans (operators/arrowagg A/B winner memo;
+#: unknown stores keep the conservative 600M static gate).
+#: ``arrow_min_rows=`` still overrides per call.
 
 
 def _footer_metas(df: DataFrame):
@@ -225,12 +225,12 @@ def facet_df(
     Output columns: the facet column(s) plus ``count`` (bigint), ordered by
     count desc then value(s) asc for determinism.
 
-    On an unfiltered single-column facet over a bare parquet scan of at
-    least ``arrow_min_rows`` rows (default: the per-session calibrated
-    crossover, ``arrowagg.calibrated_arrow_min_rows``), the counts come
-    from the Arrow dictionary-code aggregation (``operators/arrowagg.py``)
-    — same result, ~7x the per-core count rate of the JVM hash aggregate
-    at the 100-TB end.
+    On an unfiltered single-column facet over a bare parquet scan past
+    the ``arrow_min_rows`` gate (default ``"auto"``: the per-store A/B
+    winner memo, conservative static crossover until a winner is
+    measured), the counts come from the Arrow dictionary-code
+    aggregation (``operators/arrowagg.py``) — same result, ~7x the
+    per-core count rate of the JVM hash aggregate at the 100-TB end.
     """
     cols = [column] if isinstance(column, str) else list(column)
     w = where

@@ -103,8 +103,9 @@ def parquet_value_counts(
     pays a fixed scheduler/bridge constant (~0.15-0.4 s depending on box
     load — bench.py floor notes), so below a few hundred million rows
     the JVM hash aggregate wins on latency and this path must not
-    engage. A number is used as-is; ``None``/``"auto"`` resolves the
-    per-session calibrated gate (:func:`calibrated_arrow_min_rows`).
+    engage. A number is used as-is; ``None``/``"auto"`` consults the
+    per-store A/B winner memo (:func:`_resolve_min_rows`), falling back
+    to the conservative static crossover for unmeasured stores.
     """
     ddl = _atomic_spark_type(df, column)
     if ddl is None:
