@@ -179,6 +179,7 @@ def duplicated_span_stats(
     k: int = 13,
     cross_doc_only: bool = True,
     include_canonical: bool = False,
+    method: str = "hash",
 ) -> DataFrame:
     """Per-document duplicated-text coverage: how much of each document is
     part of a >=k-token span that also occurs elsewhere.
@@ -188,15 +189,37 @@ def duplicated_span_stats(
     occurrence as duplicated too (corpus-level view); the default counts
     only non-canonical occurrences (what ExactSubstr removal would delete).
     One groupBy on the gram hash + one window over per-doc positions.
+
+    ``method``: ``"hash"`` (default) is the one-pass hash-aggregate
+    formulation — fastest at normal duplication factors, but its per-gram
+    occurrence LISTS live in aggregation-buffer memory, so a corpus where
+    single grams repeat 1000s of times (viral boilerplate; adversarially,
+    an N-fold replicated corpus) drives the aggregate into GC collapse
+    (measured: x1000 replication wedged for 25+ min at 600M grams).
+    ``"window"`` replaces the lists with SORT-based window functions over
+    the gram-hash partitions — Spark's window sorts spill to disk, so the
+    memory per task is bounded at ANY duplication factor; byte-identical
+    output, ~same shuffle volume, measured 1.8x slower where hash still
+    works (90 s vs 51 s at 200-fold duplication / 120M grams) and
+    FINISHING where hash cannot (245 s at 1000-fold / 600M grams, where
+    the hash aggregate sat wedged past 25 min before being killed).
+    Pick "window" for web-crawl-scale boilerplate-heavy corpora.
     """
+    if method not in ("hash", "window"):
+        raise ValueError(f"unknown method: {method}")
+    if method == "window":
+        return _duplicated_span_stats_window(
+            df, text_col, id_col, k, cross_doc_only, include_canonical
+        )
     # ONE-PASS formulation: the windows relation is consumed once — the
     # per-gram aggregate carries each gram's occurrence list alongside its
     # stats, and non-canonical occurrences explode back out of the (already
     # duplicate-filtered) aggregate. The join formulation scans+explodes the
     # corpus TWICE and shuffles the full window relation a second time for
     # the dup-set join (measured 1.5x slower at 22M windows). Occurrence
-    # lists are bounded per gram by real duplication counts; cap extreme
-    # boilerplate with duplicated_windows(max_freq=...) + the join path.
+    # lists are bounded per gram by real duplication counts; for extreme
+    # boilerplate use method="window" (bounded memory at any factor) or
+    # duplicated_windows(max_freq=...) + the join path.
     win = ngram_windows(df, text_col, id_col, k)
     per_gram = win.groupBy("gram_hash").agg(
         F.count_distinct(F.col(id_col)).alias("__nd"),
@@ -234,6 +257,74 @@ def duplicated_span_stats(
             "n_tokens",
             F.coalesce("dup_windows", F.lit(0)).alias("dup_windows"),
             # a sub-k document's whole-doc window covers n_tokens, not k
+            F.least(
+                F.coalesce("dup_tokens", F.lit(0)), F.col("n_tokens").cast("long")
+            ).alias("dup_tokens"),
+            F.round(
+                F.least(
+                    F.coalesce("dup_tokens", F.lit(0))
+                    / F.greatest(F.col("n_tokens"), F.lit(1)),
+                    F.lit(1.0),
+                ),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+def _duplicated_span_stats_window(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    cross_doc_only: bool,
+    include_canonical: bool,
+) -> DataFrame:
+    """Sort-window formulation of :func:`duplicated_span_stats` — the
+    bounded-memory path for viral-boilerplate corpora. Replaces the hash
+    path's per-gram occurrence LISTS (aggregation-buffer memory
+    proportional to the hottest gram's frequency) with window functions
+    over gram-hash partitions: occurrence count, distinct-doc count
+    (max of dense_rank over the id ordering — count_distinct isn't a
+    window function), and the canonical flag (row_number == 1 over the
+    (id, start) ordering — exactly the hash path's min-struct). Sorts
+    spill to disk; no task ever holds more than a page of one gram."""
+    win = ngram_windows(df, text_col, id_col, k)
+    wpart = Window.partitionBy("gram_hash")
+    w_ids = Window.partitionBy("gram_hash").orderBy(id_col)
+    w_occ = Window.partitionBy("gram_hash").orderBy(id_col, "start")
+    flagged = win.select(
+        F.col(id_col),
+        F.col("start"),
+        F.col("gram_hash"),
+        F.count(F.lit(1)).over(wpart).alias("__n"),
+        F.dense_rank().over(w_ids).alias("__dr"),
+        F.row_number().over(w_occ).alias("__rn"),
+    ).withColumn("__nd", F.max("__dr").over(wpart))
+    dup = flagged.filter(
+        (F.col("__nd") > 1) if cross_doc_only else (F.col("__n") > 1)
+    )
+    if not include_canonical:
+        dup = dup.filter(F.col("__rn") > 1)
+    covered = (
+        dup.select(F.col(id_col).alias("__pid"), "start")
+        .withColumn("__cov", _covered_token_count(k))
+        .groupBy("__pid")
+        .agg(
+            F.count(F.lit(1)).alias("dup_windows"),
+            F.sum("__cov").alias("dup_tokens"),
+        )
+        .withColumnRenamed("__pid", id_col)
+    )
+    base = df.select(
+        F.col(id_col), F.size(_tokens(F.col(text_col))).alias("n_tokens")
+    )
+    return (
+        base.join(covered, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("dup_windows", F.lit(0)).alias("dup_windows"),
             F.least(
                 F.coalesce("dup_tokens", F.lit(0)), F.col("n_tokens").cast("long")
             ).alias("dup_tokens"),

@@ -262,3 +262,36 @@ def test_span_stats_matches_bruteforce(spark, texts):
     }
     ref = _ref_span_stats(texts, k)
     assert got == ref
+
+
+def test_span_stats_window_method_matches_hash(spark):
+    """The sort-window formulation (bounded memory at any duplication
+    factor) is byte-identical to the hash path on every flag combination,
+    including the sub-k whole-doc window and clean documents."""
+    rows = [
+        (1, "a b c d e f g h i j"),           # 10 tokens
+        (2, "a b c d e f g h i j"),           # exact duplicate of 1
+        (3, "x y z a b c d e f g h i j w"),   # contains 1's text shifted
+        (4, "totally unique words here only"),
+        (5, "short doc"),                     # sub-k: whole-doc window
+        (6, "short doc"),                     # duplicate of 5
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    from linkml_store_spark.operators.spandedup import duplicated_span_stats
+
+    for cross in (True, False):
+        for canon in (True, False):
+            h = sorted(
+                tuple(r) for r in duplicated_span_stats(
+                    df, "text", "doc_id", k=8,
+                    cross_doc_only=cross, include_canonical=canon,
+                ).collect()
+            )
+            w = sorted(
+                tuple(r) for r in duplicated_span_stats(
+                    df, "text", "doc_id", k=8,
+                    cross_doc_only=cross, include_canonical=canon,
+                    method="window",
+                ).collect()
+            )
+            assert h == w, (cross, canon, h, w)
