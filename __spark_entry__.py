@@ -485,6 +485,19 @@ def q_span_stats(spark, sf):
     return duplicated_span_stats(docs, "text", "doc_id", k=8).orderBy("doc_id")
 
 
+def q_span_stats_window(spark, sf):
+    # the bounded-memory sort-window formulation of the same operator
+    # (round 7: the hash path's per-gram occurrence lists GC-collapse at
+    # 1000-fold duplication; window sorts spill — SCALING.md). Same SQL
+    # oracle as span_stats: the two methods are byte-identical.
+    from linkml_store_spark.operators.spandedup import duplicated_span_stats
+
+    docs = _t(spark, sf, "documents")
+    return duplicated_span_stats(
+        docs, "text", "doc_id", k=8, method="window"
+    ).orderBy("doc_id")
+
+
 def q_paragraph_dedup(spark, sf):
     # CCNet-style segment dedup profile; the synthetic corpus has no
     # paragraph separators, so segments are fixed 10-token windows
@@ -1939,6 +1952,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "groupby_objects": q_groupby_objects,
     "collection_api": q_collection_api,
     "facet_multivalued": q_facet_multivalued,
+    "span_stats_window": q_span_stats_window,
 }
 
 
@@ -2255,6 +2269,52 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, source FROM c WHERE cum <= 2000 ORDER BY doc_id
     """,
     "span_stats": r"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+          FROM documents
+        ),
+        win AS (
+          SELECT doc_id, len(t) AS n_tokens, s.s AS start,
+                 array_to_string(t[s.s+1 : s.s+8], ' ') AS gram
+          FROM toks, LATERAL (
+            SELECT unnest(CASE WHEN len(t) >= 8
+                               THEN range(0, len(t)-8+1) ELSE [0] END) AS s
+          ) s
+        ),
+        pg AS (
+          SELECT gram FROM win GROUP BY gram
+          HAVING count(DISTINCT doc_id) > 1
+        ),
+        dup AS (
+          SELECT w.doc_id, w.start,
+                 row_number() OVER (PARTITION BY w.gram
+                                    ORDER BY w.doc_id, w.start) AS rn
+          FROM win w JOIN pg USING (gram)
+        ),
+        covw AS (
+          SELECT doc_id, start,
+                 least(8, coalesce(
+                   lead(start) OVER (PARTITION BY doc_id ORDER BY start)
+                     - start, 8)) AS cov
+          FROM dup WHERE rn > 1
+        ),
+        cov AS (
+          SELECT doc_id, count(*) AS dup_windows,
+                 CAST(sum(cov) AS BIGINT) AS dup_tokens
+          FROM covw GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               len(string_split_regex(lower(trim(d.text)), '\s+')) AS n_tokens,
+               coalesce(c.dup_windows, 0) AS dup_windows,
+               least(coalesce(c.dup_tokens, 0),
+                     len(string_split_regex(lower(trim(d.text)), '\s+'))) AS dup_tokens,
+               round(least(coalesce(c.dup_tokens, 0)::DOUBLE
+                     / greatest(len(string_split_regex(lower(trim(d.text)), '\s+')), 1),
+                     1.0), 6) AS dup_fraction
+        FROM documents d LEFT JOIN cov c USING (doc_id)
+        ORDER BY d.doc_id
+    """,
+    "span_stats_window": r"""
         WITH toks AS (
           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
           FROM documents
