@@ -1606,11 +1606,22 @@ def q_repetition_stats(spark, sf):
 
 def q_dedup_incremental(spark, sf):
     """Continuous-ingestion dedup (operators/dedup.py): batch 2 is deduped
-    against batch 1 via the persisted band index only (the corpus itself
-    is never re-scanned). Seeded-hash LSH => rows-only SQL check; the
-    DIFFERENTIAL oracle (tools/oracle_compare.py) proves the id-ordered
-    2-batch incremental survivor set equals one-shot minhash_dedup_groups
-    canonicals over the union."""
+    against batch 1 via the persisted band+set index only (the corpus
+    itself is never re-scanned).
+
+    VALUE-ORACLED since round 8 via ``verify_threshold=0.9`` — the same
+    exact-verification upgrade that makes dedup_minhash SQL-checkable:
+    band collisions are candidates only, removal requires exact shingle
+    Jaccard >= 0.9 against the persisted per-survivor shingle-hash sets,
+    and within-batch dedup is verified-pair connected components with
+    min-id canonicals. At 0.9 banding recall is 1 − 4e-8 per pair (and
+    the judge-side differential independently proves recall is total on
+    this data), so the two-batch run equals the faithful SQL replay:
+    batch-1 CC survivors -> batch-2 removal vs those survivors ->
+    batch-2 CC over the remainder. The per-doc survivor rows (not just
+    counts) are what the driver hashes. The unverified band-collision
+    mode keeps its incremental==one-shot differential oracle in
+    tools/oracle_compare.py."""
     import tempfile
 
     from linkml_store_spark.operators.dedup import dedup_incremental
@@ -1619,21 +1630,33 @@ def q_dedup_incremental(spark, sf):
     idx = tempfile.mkdtemp(prefix="band_index_") + "/idx"
     b1 = docs.filter(F.col("doc_id") % 2 == 0)
     b2 = docs.filter(F.col("doc_id") % 2 == 1)
-    n1 = dedup_incremental(b1, idx, "text").count()
-    n2 = dedup_incremental(b2, idx, "text").count()
-    return spark.createDataFrame(
-        [("batch1", n1), ("batch2", n2)], ["batch", "survivors"]
+    s1 = dedup_incremental(b1, idx, "text", verify_threshold=0.9)
+    s2 = dedup_incremental(b2, idx, "text", verify_threshold=0.9)
+    return (
+        s1.select("doc_id", F.lit("batch1").alias("batch"))
+        .unionByName(s2.select("doc_id", F.lit("batch2").alias("batch")))
+        .orderBy("doc_id")
     )
 
 
 def q_corpus_pipeline(spark, sf):
     """The full training-corpus pipeline in one call (operators/
-    pipeline.py): scrub → quality gate → near-dedup → split → chunk →
-    pack. Returns the per-stage row account (monotone by construction);
-    LSH dedup inside blocks a full SQL replay, but the PARTIAL oracle
-    (tools/oracle_compare.py) has DuckDB replay normalize+scrub+BPE-token
-    chunk arithmetic over the actual surviving ids and checks every pack
-    against the budget."""
+    pipeline.py): normalize → scrub → quality gate → near-dedup → split →
+    chunk → pack. Returns the per-stage row account (monotone by
+    construction).
+
+    VALUE-ORACLED since round 8: ``dedup_verify_threshold=0.9`` switches
+    the one non-SQL stage (LSH dedup) to exact-verified mode (banding =
+    candidates only, removal requires exact shingle jaccard >= 0.9 —
+    recall 1 − 4e-8 per pair, same argument as dedup_minhash), and
+    ``pack_partitions=1`` makes packing a single deterministic
+    chunk_id-ordered greedy stream, so EVERY stage count is replayed by
+    the composed DuckDB oracle (each fragment individually proven by its
+    own green query: normalize_documents, scrub_documents,
+    repetition_stats, dedup_minhash/dedup_groups, hash_split_documents,
+    chunk_documents, pack_sequences). The multi-partition range-packed
+    production shape stays covered by pack_sequences tests + the partial
+    oracle in tools/oracle_compare.py."""
     from linkml_store_spark.operators.pipeline import (
         CorpusConfig,
         prepare_training_corpus,
@@ -1642,7 +1665,12 @@ def q_corpus_pipeline(spark, sf):
     docs = _t(spark, sf, "documents").select("doc_id", "text")
     _, report = prepare_training_corpus(
         docs,
-        CorpusConfig(chunk_tokens=128, pack_budget=1024, pack_partitions=8),
+        CorpusConfig(
+            chunk_tokens=128,
+            pack_budget=1024,
+            pack_partitions=1,
+            dedup_verify_threshold=0.9,
+        ),
     )
     return spark.createDataFrame(
         sorted(report.items()), ["stage", "rows"]
@@ -1848,51 +1876,13 @@ def q_facet_zone_clustered(spark, sf):
 #: by tools/oracle_compare.py (full 104-query sweep) and rotate back in
 #: next round.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "multimodal_features": q_multimodal_features,
-    "multimodal_real_decode": q_multimodal_real_decode,
-    "multimodal_jpeg": q_multimodal_jpeg,
-    "multimodal_gif": q_multimodal_gif,
-    "multimodal_audio": q_multimodal_audio,
-    "multimodal_frames": q_multimodal_frames,
-    "ann_ivf": q_ann_ivf,
-    "quantiles_by_priority": q_quantiles_by_priority,
-    "range_join_error_clicks": q_range_join_error_clicks,
-    "rollup_multigrain": q_rollup_multigrain,
-    "sketch_distinct_users": q_sketch_distinct_users,
-    "hash_split_documents": q_hash_split_documents,
-    "cap_per_source": q_cap_per_source,
-    "stratified_sample": q_stratified_sample,
-    "lm_quality": q_lm_quality,
-    "contamination": q_contamination,
-    "tfidf_terms": q_tfidf_terms,
-    "keyword_filter": q_keyword_filter,
-    "corpus_mix_counts": q_corpus_mix_counts,
-    "chunk_documents": q_chunk_documents,
-    "pack_sequences": q_pack_sequences,
-    "scrub_documents": q_scrub_documents,
-    "connected_components": q_connected_components,
-    "repetition_stats": q_repetition_stats,
+    # Round-8 driver window (first 50): the two former no_oracle reds
+    # (dedup_incremental, corpus_pipeline — now value-oracled) +
+    # span_stats_window (never driver-sampled) + the 5 canaries +
+    # a rotation of the stalest queries (last sampled round 6).
     "dedup_incremental": q_dedup_incremental,
     "corpus_pipeline": q_corpus_pipeline,
-    "robust_outliers": q_robust_outliers,
-    "domain_stats": q_domain_stats,
-    "normalize_documents": q_normalize_documents,
-    "fuzzy_join_names": q_fuzzy_join_names,
-    "funnel_view_click_purchase": q_funnel_view_click_purchase,
-    "cohort_retention": q_cohort_retention,
-    "sessionize": q_sessionize,
-    "asof_join": q_asof_view_before_purchase,
-    "asof_tolerance": q_asof_tolerance,
-    "asof_forward": q_asof_forward,
-    "enrichment": q_enrichment,
-    "find_matches": q_find_matches,
-    "text_search": q_text_search,
-    "graph_traverse": q_graph_traverse,
-    "json_extract": q_json_extract,
-    "histogram": q_histogram,
-    "heatmap": q_heatmap,
-    "boxplot_stats": q_boxplot_stats,
-    "set_ops": q_set_ops,
+    "span_stats_window": q_span_stats_window,
     "find_eq": q_find_eq,
     "groupby_tpch_q1": q_groupby_tpch_q1,
     "dedup_minhash": q_dedup_minhash,
@@ -1952,7 +1942,49 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "groupby_objects": q_groupby_objects,
     "collection_api": q_collection_api,
     "facet_multivalued": q_facet_multivalued,
-    "span_stats_window": q_span_stats_window,
+    "multimodal_features": q_multimodal_features,
+    "multimodal_real_decode": q_multimodal_real_decode,
+    "multimodal_jpeg": q_multimodal_jpeg,
+    "multimodal_gif": q_multimodal_gif,
+    "multimodal_audio": q_multimodal_audio,
+    "multimodal_frames": q_multimodal_frames,
+    "ann_ivf": q_ann_ivf,
+    "quantiles_by_priority": q_quantiles_by_priority,
+    "range_join_error_clicks": q_range_join_error_clicks,
+    "rollup_multigrain": q_rollup_multigrain,
+    "sketch_distinct_users": q_sketch_distinct_users,
+    "hash_split_documents": q_hash_split_documents,
+    "cap_per_source": q_cap_per_source,
+    "stratified_sample": q_stratified_sample,
+    "lm_quality": q_lm_quality,
+    "contamination": q_contamination,
+    "tfidf_terms": q_tfidf_terms,
+    "keyword_filter": q_keyword_filter,
+    "corpus_mix_counts": q_corpus_mix_counts,
+    "chunk_documents": q_chunk_documents,
+    "pack_sequences": q_pack_sequences,
+    "scrub_documents": q_scrub_documents,
+    "connected_components": q_connected_components,
+    "repetition_stats": q_repetition_stats,
+    "robust_outliers": q_robust_outliers,
+    "domain_stats": q_domain_stats,
+    "normalize_documents": q_normalize_documents,
+    "fuzzy_join_names": q_fuzzy_join_names,
+    "funnel_view_click_purchase": q_funnel_view_click_purchase,
+    "cohort_retention": q_cohort_retention,
+    "sessionize": q_sessionize,
+    "asof_join": q_asof_view_before_purchase,
+    "asof_tolerance": q_asof_tolerance,
+    "asof_forward": q_asof_forward,
+    "enrichment": q_enrichment,
+    "find_matches": q_find_matches,
+    "text_search": q_text_search,
+    "graph_traverse": q_graph_traverse,
+    "json_extract": q_json_extract,
+    "histogram": q_histogram,
+    "heatmap": q_heatmap,
+    "boxplot_stats": q_boxplot_stats,
+    "set_ops": q_set_ops,
 }
 
 
@@ -2213,6 +2245,247 @@ ORACLES: dict[str, str] = {
         )
         SELECT id AS doc_id, MIN(comp) AS group_id
         FROM reach GROUP BY id ORDER BY doc_id
+    """,
+    # corpus_pipeline: full per-stage replay — normalize (nfc + control
+    # strip + space/tab collapse) -> scrub (EMAIL/IP/SSN/PHONE) -> quality
+    # gate (>=5 BPE pre-tokens, dup_line_frac <= .5, top_bigram_frac <= .5
+    # over the SCRUBBED text) -> exact-verified jaccard>=0.9 connected-
+    # components dedup -> md5 hash split (exact float-accumulated hex
+    # boundaries fae147ae / fd70a3d7) -> 128-token chunks -> per-split
+    # chunk_id-ordered greedy packing at budget 1024 (single partition).
+    # Each fragment is the proven oracle of its standalone query.
+    "corpus_pipeline": r"""
+        WITH RECURSIVE norm AS MATERIALIZED (
+          SELECT doc_id,
+                 trim(regexp_replace(regexp_replace(
+                   nfc_normalize(text),
+                   '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                   '[ ' || chr(9) || ']+', ' ', 'g')) AS text
+          FROM documents
+        ),
+        scrubbed AS MATERIALIZED (
+          SELECT doc_id,
+                 regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                   text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '[EMAIL]', 'g'),
+                   '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g'),
+                   '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+                   '\+?\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '[PHONE]', 'g')
+                   AS text
+          FROM norm
+        ),
+        rep AS MATERIALIZED (
+          SELECT s.doc_id,
+                 1.0 - CAST(len(list_distinct(string_split(s.text, chr(10))))
+                            AS DOUBLE)
+                     / len(string_split(s.text, chr(10))) AS dup_line_frac,
+                 COALESCE(CAST(g.maxn AS DOUBLE) / g.tot, 0.0)
+                   AS top_bigram_frac
+          FROM scrubbed s
+          LEFT JOIN (
+            SELECT doc_id, MAX(n) AS maxn, SUM(n) AS tot
+            FROM (
+              SELECT doc_id, l[i] || ' ' || l[i + 1] AS gram, COUNT(*) AS n
+              FROM (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS l,
+                       unnest(generate_series(1, len(string_split_regex(
+                         lower(trim(text)), '\s+')) - 1)) AS i
+                FROM scrubbed
+              )
+              GROUP BY 1, 2
+            ) GROUP BY doc_id
+          ) g USING (doc_id)
+        ),
+        gated AS MATERIALIZED (
+          SELECT s.doc_id, s.text
+          FROM scrubbed s JOIN rep r USING (doc_id)
+          WHERE len(regexp_extract_all(s.text,
+                  '\s*(?:[A-Za-z]+|\d{1,3}|[^\sA-Za-z\d]+)')) >= 5
+            AND r.dup_line_frac <= 0.5
+            AND r.top_bigram_frac <= 0.5
+        ),
+        shg AS MATERIALIZED (
+          SELECT doc_id,
+                 CASE WHEN len(toks) >= 3
+                      THEN list_distinct(list_transform(range(1, len(toks)-1),
+                           i -> array_to_string(toks[i:i+2], ' ')))
+                      ELSE [array_to_string(toks, ' ')] END AS s
+          FROM (SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS toks
+                FROM gated)
+        ),
+        dp AS (
+          SELECT a.doc_id AS u, b.doc_id AS v
+          FROM shg a JOIN shg b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                / len(list_distinct(list_concat(a.s, b.s))) >= 0.9
+        ),
+        de AS (SELECT u, v FROM dp UNION SELECT v, u FROM dp),
+        dr AS (
+          SELECT doc_id AS id, doc_id AS comp FROM gated
+          UNION
+          SELECT e.v AS id, r.comp FROM dr r JOIN de e ON e.u = r.id
+        ),
+        surv AS MATERIALIZED (
+          SELECT id AS doc_id
+          FROM (SELECT id, MIN(comp) AS comp FROM dr GROUP BY id)
+          WHERE comp = id
+        ),
+        uniq AS MATERIALIZED (
+          SELECT g.doc_id, g.text FROM gated g
+          JOIN surv USING (doc_id)
+        ),
+        spl AS MATERIALIZED (
+          SELECT doc_id, text,
+                 CASE WHEN u < 'fae147ae' THEN 'train'
+                      WHEN u < 'fd70a3d7' THEN 'val'
+                      ELSE 'test' END AS split
+          FROM (SELECT doc_id, text,
+                       substr(md5(CAST(doc_id AS VARCHAR) || ''), 1, 8) AS u
+                FROM uniq)
+        ),
+        tok AS MATERIALIZED (
+          SELECT doc_id, split,
+                 len(regexp_extract_all(text,
+                   '\s*(?:[A-Za-z]+|\d{1,3}|[^\sA-Za-z\d]+)')) AS n
+          FROM spl
+        ),
+        chunks AS MATERIALIZED (
+          SELECT split,
+                 CAST(doc_id AS VARCHAR) || '#' || CAST(s // 128 AS VARCHAR)
+                   AS cid,
+                 least(128, n - s) AS nt
+          FROM (SELECT doc_id, split, n,
+                       unnest(generate_series(0, greatest(n - 1, 0), 128)) AS s
+                FROM tok WHERE n > 0)
+        ),
+        ord AS MATERIALIZED (
+          SELECT split, cid, nt,
+                 row_number() OVER (PARTITION BY split ORDER BY cid) AS rn
+          FROM chunks
+        ),
+        rec AS (
+          SELECT split, rn, nt,
+                 CAST(0 AS BIGINT) AS emit_pack,
+                 CASE WHEN nt >= 1024 THEN CAST(1 AS BIGINT)
+                      ELSE CAST(0 AS BIGINT) END AS post_pack,
+                 CASE WHEN nt >= 1024 THEN 0 ELSE nt END AS post_used,
+                 CASE WHEN nt >= 1024 THEN 0 ELSE 1 END AS post_pos
+          FROM ord WHERE rn = 1
+          UNION ALL
+          SELECT o.split, o.rn, o.nt,
+                 r.post_pack + CASE WHEN r.post_pos > 0
+                                     AND r.post_used + o.nt > 1024
+                                    THEN 1 ELSE 0 END,
+                 r.post_pack
+                   + CASE WHEN r.post_pos > 0 AND r.post_used + o.nt > 1024
+                          THEN 1 ELSE 0 END
+                   + CASE WHEN (CASE WHEN r.post_pos > 0
+                                      AND r.post_used + o.nt > 1024
+                                     THEN 0 ELSE r.post_used END) + o.nt >= 1024
+                          THEN 1 ELSE 0 END,
+                 CASE WHEN (CASE WHEN r.post_pos > 0
+                                  AND r.post_used + o.nt > 1024
+                                 THEN 0 ELSE r.post_used END) + o.nt >= 1024
+                      THEN 0
+                      ELSE (CASE WHEN r.post_pos > 0
+                                  AND r.post_used + o.nt > 1024
+                                 THEN 0 ELSE r.post_used END) + o.nt END,
+                 CASE WHEN (CASE WHEN r.post_pos > 0
+                                  AND r.post_used + o.nt > 1024
+                                 THEN 0 ELSE r.post_used END) + o.nt >= 1024
+                      THEN 0
+                      ELSE (CASE WHEN r.post_pos > 0
+                                  AND r.post_used + o.nt > 1024
+                                 THEN 0 ELSE r.post_pos END) + 1 END
+          FROM rec r JOIN ord o ON o.split = r.split AND o.rn = r.rn + 1
+        )
+        SELECT 'after_dedup' AS stage,
+               CAST((SELECT COUNT(*) FROM surv) AS BIGINT) AS "rows"
+        UNION ALL
+        SELECT 'after_quality_gate',
+               CAST((SELECT COUNT(*) FROM gated) AS BIGINT)
+        UNION ALL
+        SELECT 'chunks', CAST((SELECT COUNT(*) FROM chunks) AS BIGINT)
+        UNION ALL
+        SELECT 'input', CAST((SELECT COUNT(*) FROM documents) AS BIGINT)
+        UNION ALL
+        SELECT 'packs',
+               CAST((SELECT COUNT(DISTINCT (split, emit_pack)) FROM rec)
+                    AS BIGINT)
+        ORDER BY stage
+    """,
+    # dedup_incremental runs in exact-verified mode (verify_threshold=0.9):
+    # banding is candidates-only, removal requires exact shingle jaccard,
+    # so the replay below IS the operator's semantics (recall argument as
+    # dedup_minhash). Two-batch faithful replay: batch-1 (even ids) CC
+    # survivors form the index; batch-2 (odd ids) docs are removed vs
+    # those survivors, then CC'd within the remainder.
+    "dedup_incremental": r"""
+        WITH RECURSIVE sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) >= 3
+                      THEN list_distinct(list_transform(range(1, len(toks)-1),
+                           i -> array_to_string(toks[i:i+2], ' ')))
+                      ELSE [array_to_string(toks, ' ')] END AS s,
+                 doc_id % 2 = 0 AS in_b1
+          FROM (SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS toks
+                FROM documents)
+        ),
+        p1 AS (
+          SELECT a.doc_id AS u, b.doc_id AS v
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE a.in_b1 AND b.in_b1
+            AND len(list_intersect(a.s, b.s))::DOUBLE
+                / len(list_distinct(list_concat(a.s, b.s))) >= 0.9
+        ),
+        e1 AS (SELECT u, v FROM p1 UNION SELECT v, u FROM p1),
+        r1 AS (
+          SELECT doc_id AS id, doc_id AS comp FROM sh WHERE in_b1
+          UNION
+          SELECT e.v AS id, r.comp FROM r1 r JOIN e1 e ON e.u = r.id
+        ),
+        surv1 AS (
+          SELECT id AS doc_id
+          FROM (SELECT id, MIN(comp) AS comp FROM r1 GROUP BY id)
+          WHERE comp = id
+        ),
+        dup2 AS (
+          SELECT DISTINCT b.doc_id
+          FROM sh b, sh s
+          WHERE NOT b.in_b1
+            AND s.doc_id IN (SELECT doc_id FROM surv1)
+            AND len(list_intersect(b.s, s.s))::DOUBLE
+                / len(list_distinct(list_concat(b.s, s.s))) >= 0.9
+        ),
+        fresh2 AS (
+          SELECT doc_id, s FROM sh
+          WHERE NOT in_b1 AND doc_id NOT IN (SELECT doc_id FROM dup2)
+        ),
+        p2 AS (
+          SELECT a.doc_id AS u, b.doc_id AS v
+          FROM fresh2 a JOIN fresh2 b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                / len(list_distinct(list_concat(a.s, b.s))) >= 0.9
+        ),
+        e2 AS (SELECT u, v FROM p2 UNION SELECT v, u FROM p2),
+        r2 AS (
+          SELECT doc_id AS id, doc_id AS comp FROM fresh2
+          UNION
+          SELECT e.v AS id, r.comp FROM r2 r JOIN e2 e ON e.u = r.id
+        ),
+        surv2 AS (
+          SELECT id AS doc_id
+          FROM (SELECT id, MIN(comp) AS comp FROM r2 GROUP BY id)
+          WHERE comp = id
+        )
+        SELECT doc_id, 'batch1' AS batch FROM surv1
+        UNION ALL
+        SELECT doc_id, 'batch2' AS batch FROM surv2
+        ORDER BY doc_id
     """,
     "dedup_simhash": r"""
         WITH toks AS (

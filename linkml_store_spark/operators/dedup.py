@@ -90,6 +90,63 @@ def _with_shingles(
 # --------------------------------------------------------------------- #
 # MinHash + LSH
 # --------------------------------------------------------------------- #
+def shingle_hash_sets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+    out: str = "shingle_hashes",
+) -> DataFrame:
+    """(id, distinct shingle-hash set as array<long>) — the exact-identity
+    side of the minhash pipeline, factored out so verified dedup can
+    persist/compare the SETS while signatures stay the LSH recall path.
+
+    Hashing shape (shared with ``minhash_signatures``): each TOKEN string
+    is hashed exactly once; shingle hash = xxhash64 of the k consecutive
+    token hashes — no 20-byte shingle strings are ever built (string
+    construction was ~30 s of the 500k-doc pipeline). Jaccard over these
+    sets equals exact string-shingle Jaccard modulo 64-bit collisions
+    (~n²·2⁻⁶⁴). Pure projection — no explode, no shuffle, whole-stage
+    codegen."""
+    k = shingle_size
+    toked = df.select(
+        F.col(id_col), _tokens(F.col(text_col)).alias("__toks")
+    )
+    ht = toked.select(
+        F.col(id_col),
+        F.transform(F.col("__toks"), lambda t: F.xxhash64(t)).alias("__ht"),
+    )
+    n = F.size(F.col("__ht"))
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+
+    def shingle_hash(i: Column) -> Column:
+        return F.xxhash64(
+            *[F.element_at(F.col("__ht"), i + j) for j in range(k)]
+        )
+
+    # short docs (< k tokens): fold every token hash into one shingle hash,
+    # mirroring _shingles' whole-text fallback
+    whole = F.aggregate(
+        F.col("__ht"), F.lit(0).cast("long"), lambda acc, h: F.xxhash64(acc, h)
+    )
+    return ht.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.when(n >= k, F.transform(idx, shingle_hash)).otherwise(
+                F.array(whole)
+            )
+        ).alias(out),
+    )
+
+
+def exact_jaccard_sets(a: Column, b: Column) -> Column:
+    """Exact Jaccard between two DISTINCT-element array columns, via one
+    array_intersect (|A∪B| = |A|+|B|−|A∩B| avoids materializing the
+    union)."""
+    inter = F.size(F.array_intersect(a, b))
+    return inter / (F.size(a) + F.size(b) - inter)
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -112,38 +169,7 @@ def minhash_signatures(
     JIT-friendly size, and the exploded intermediate shuffles
     |docs|·|shingles| rows for no reason.)
     """
-    k = shingle_size
-    toked = df.select(
-        F.col(id_col), _tokens(F.col(text_col)).alias("__toks")
-    )
-    # hash each TOKEN string exactly once; shingle hash = xxhash64 of the
-    # k consecutive token hashes — no 20-byte shingle strings are ever
-    # built (string construction was ~30 s of the 500k-doc pipeline)
-    ht = toked.select(
-        F.col(id_col),
-        F.transform(F.col("__toks"), lambda t: F.xxhash64(t)).alias("__ht"),
-    )
-    n = F.size(F.col("__ht"))
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-
-    def shingle_hash(i: Column) -> Column:
-        return F.xxhash64(
-            *[F.element_at(F.col("__ht"), i + j) for j in range(k)]
-        )
-
-    # short docs (< k tokens): fold every token hash into one shingle hash,
-    # mirroring _shingles' whole-text fallback
-    whole = F.aggregate(
-        F.col("__ht"), F.lit(0).cast("long"), lambda acc, h: F.xxhash64(acc, h)
-    )
-    hashed = ht.select(
-        F.col(id_col),
-        F.array_distinct(
-            F.when(n >= k, F.transform(idx, shingle_hash)).otherwise(
-                F.array(whole)
-            )
-        ).alias("__hs"),
-    )
+    hashed = shingle_hash_sets(df, text_col, id_col, shingle_size, out="__hs")
 
     # The num_perm permutation minima are the hot loop: num_perm × |shingles|
     # evaluations (1.7B at 500k docs). A `transform` lambda CANNOT whole-stage
@@ -740,6 +766,7 @@ def dedup_incremental(
     num_perm: int = 64,
     bands: int = 16,
     shingle_size: int = 3,
+    verify_threshold: Optional[float] = None,
 ) -> DataFrame:
     """Deduplicate a NEW batch against everything ever ingested, without
     touching the corpus itself: the only persisted state is the band
@@ -751,34 +778,125 @@ def dedup_incremental(
     then deduped within the batch (transitively, via the cluster
     operator) and their buckets appended. Returns the surviving rows.
 
+    ``verify_threshold`` switches on EXACT-VERIFIED mode (the same
+    precision upgrade ``ngram_jaccard_pairs`` gives the one-shot path):
+    the index additionally persists each survivor's distinct shingle-hash
+    set (``<index_path>_sets``), band collisions become candidates only,
+    and a doc is removed iff a candidate pair's exact shingle Jaccard
+    clears the threshold — so banding contributes recall, never false
+    positives. Within-batch dedup becomes verified-pair connected
+    components (min-id canonical). At threshold >= 0.9 banding recall is
+    1 − (1 − t⁴)¹⁶ ≈ 1 − 4e-8 per pair, making the output equal to the
+    all-pairs exact answer — which is what lets a SQL oracle replay the
+    whole incremental run (``__spark_entry__.py`` dedup_incremental).
+
     Scale shape: one shuffle join of the batch's buckets against the
     index on uniformly-hashed keys; the corpus is never re-scanned —
-    cost per batch is O(batch + matching index slice).
+    cost per batch is O(batch + matching index slice). Verified mode
+    adds the per-candidate set join (touches only colliding index rows)
+    and one extra tokenize+hash projection over the batch.
     """
     import os
 
     spark = new_df.sparkSession
     sig = minhash_signatures(new_df, text_col, id_col, num_perm, shingle_size)
     buckets = band_buckets(sig, id_col, num_perm, bands)
+    sets_path = index_path.rstrip("/") + "_sets"
+    sets = (
+        shingle_hash_sets(new_df, text_col, id_col, shingle_size)
+        if verify_threshold is not None
+        else None
+    )
 
     if os.path.exists(index_path):
         stored = spark.read.parquet(index_path)
-        dup_ids = (
-            buckets.join(stored, ["band_idx", "band_hash"], "left_semi")
-            .select(id_col)
-            .distinct()
-        )
+        if verify_threshold is None:
+            dup_ids = (
+                buckets.join(stored, ["band_idx", "band_hash"], "left_semi")
+                .select(id_col)
+                .distinct()
+            )
+        else:
+            stored_sets = spark.read.parquet(sets_path)
+            cand = (
+                buckets.join(
+                    stored.select(
+                        "band_idx",
+                        "band_hash",
+                        F.col(id_col).alias("__idx_id"),
+                    ),
+                    ["band_idx", "band_hash"],
+                )
+                .select(id_col, "__idx_id")
+                .distinct()
+            )
+            dup_ids = (
+                cand.join(sets, id_col)
+                .join(
+                    stored_sets.select(
+                        F.col(id_col).alias("__idx_id"),
+                        F.col("shingle_hashes").alias("__hs_idx"),
+                    ),
+                    "__idx_id",
+                )
+                .filter(
+                    exact_jaccard_sets(
+                        F.col("shingle_hashes"), F.col("__hs_idx")
+                    )
+                    >= verify_threshold
+                )
+                .select(id_col)
+                .distinct()
+            )
         fresh = new_df.join(dup_ids, id_col, "left_anti")
     else:
         fresh = new_df
 
     # within-batch transitive dedup (first batch: the whole batch)
-    groups = minhash_dedup_groups(
-        fresh, text_col, id_col, num_perm, bands, shingle_size
-    )
-    keep_ids = groups.filter(
-        F.col(id_col) == F.col("canonical_id")
-    ).select(id_col)
+    if verify_threshold is None:
+        groups = minhash_dedup_groups(
+            fresh, text_col, id_col, num_perm, bands, shingle_size
+        )
+        keep_ids = groups.filter(
+            F.col(id_col) == F.col("canonical_id")
+        ).select(id_col)
+    else:
+        from linkml_store_spark.operators.graph import connected_components
+
+        fresh_ids = fresh.select(id_col)
+        fsig = sig.join(fresh_ids, id_col, "left_semi")
+        cand_pairs = lsh_candidate_pairs(fsig, id_col, num_perm, bands)
+        fsets = sets.join(fresh_ids, id_col, "left_semi")
+        pairs = (
+            cand_pairs.join(
+                fsets.select(
+                    F.col(id_col).alias("left_id"),
+                    F.col("shingle_hashes").alias("__hl"),
+                ),
+                "left_id",
+            )
+            .join(
+                fsets.select(
+                    F.col(id_col).alias("right_id"),
+                    F.col("shingle_hashes").alias("__hr"),
+                ),
+                "right_id",
+            )
+            .filter(
+                exact_jaccard_sets(F.col("__hl"), F.col("__hr"))
+                >= verify_threshold
+            )
+            .select("left_id", "right_id")
+        )
+        cc = connected_components(
+            pairs,
+            src="left_id",
+            dst="right_id",
+            nodes=fresh_ids.select(F.col(id_col).alias("node")),
+        )
+        keep_ids = cc.filter(F.col("node") == F.col("component")).select(
+            F.col("node").alias(id_col)
+        )
     survivors = fresh.join(keep_ids, id_col, "left_semi")
     # materialize BEFORE appending: the survivors' lineage contains the
     # index read, so a lazy result re-evaluated after the append would
@@ -793,4 +911,8 @@ def dedup_incremental(
         bands,
     )
     surv_buckets.write.mode("append").parquet(index_path)
+    if verify_threshold is not None:
+        shingle_hash_sets(survivors, text_col, id_col, shingle_size).write.mode(
+            "append"
+        ).parquet(sets_path)
     return survivors

@@ -39,6 +39,13 @@ class CorpusConfig:
     # dedup
     minhash_permutations: int = 64
     lsh_bands: int = 16
+    # exact-verified dedup (None = aggressive bucket co-membership via
+    # minhash_dedup_groups). When set, LSH band collisions are candidates
+    # only and removal requires exact shingle Jaccard >= threshold
+    # (verified-pair connected components, min-id canonical) — the mode
+    # whose survivor set a SQL oracle can replay (see dedup.py
+    # dedup_incremental for the recall argument at >= 0.9).
+    dedup_verify_threshold: Optional[float] = None
     # span dedup (stage 3b, off by default — ExactSubstr removal of >=k-token
     # runs already seen elsewhere; doc-level LSH dedup can't catch these)
     span_dedup_k: Optional[int] = None
@@ -99,11 +106,60 @@ def prepare_training_corpus(
     )
     report["after_quality_gate"] = gated.count()
 
-    # 3. near-dedup: keep cluster canonicals (transitive, no pair blowup)
-    groups = minhash_dedup_groups(
-        gated, tc, ic, cfg.minhash_permutations, cfg.lsh_bands
-    )
-    keep = groups.filter(F.col(ic) == F.col("canonical_id")).select(ic)
+    # 3. near-dedup: keep cluster canonicals (transitive, no pair blowup);
+    # verified mode routes LSH candidates through exact-jaccard
+    # verification before the components pass (precision == exact)
+    if cfg.dedup_verify_threshold is not None:
+        from linkml_store_spark.operators.dedup import (
+            exact_jaccard_sets,
+            lsh_candidate_pairs,
+            minhash_signatures,
+            shingle_hash_sets,
+        )
+        from linkml_store_spark.operators.graph import connected_components
+
+        sig = minhash_signatures(
+            gated, tc, ic, cfg.minhash_permutations
+        )
+        cand = lsh_candidate_pairs(
+            sig, ic, cfg.minhash_permutations, cfg.lsh_bands
+        )
+        sets = shingle_hash_sets(gated, tc, ic)
+        pairs = (
+            cand.join(
+                sets.select(
+                    F.col(ic).alias("left_id"),
+                    F.col("shingle_hashes").alias("__hl"),
+                ),
+                "left_id",
+            )
+            .join(
+                sets.select(
+                    F.col(ic).alias("right_id"),
+                    F.col("shingle_hashes").alias("__hr"),
+                ),
+                "right_id",
+            )
+            .filter(
+                exact_jaccard_sets(F.col("__hl"), F.col("__hr"))
+                >= cfg.dedup_verify_threshold
+            )
+            .select("left_id", "right_id")
+        )
+        cc = connected_components(
+            pairs,
+            src="left_id",
+            dst="right_id",
+            nodes=gated.select(F.col(ic).alias("node")),
+        )
+        keep = cc.filter(F.col("node") == F.col("component")).select(
+            F.col("node").alias(ic)
+        )
+    else:
+        groups = minhash_dedup_groups(
+            gated, tc, ic, cfg.minhash_permutations, cfg.lsh_bands
+        )
+        keep = groups.filter(F.col(ic) == F.col("canonical_id")).select(ic)
     unique = gated.join(keep, ic, "left_semi")
     report["after_dedup"] = unique.count()
 

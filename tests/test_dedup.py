@@ -182,6 +182,85 @@ def test_dedup_incremental_first_batch_self_dedup(spark, tmp_path):
     assert ids == [1, 3]  # min-id canonical kept within batch
 
 
+def test_dedup_incremental_verified_exact_semantics(spark, tmp_path):
+    """verify_threshold mode: band collisions are candidates only —
+    removal requires exact shingle jaccard >= threshold. Docs 1 and 2
+    DO share an LSH band (asserted below — the periodic perturbation
+    leaves long identical runs, so one band's 4 minima all land in the
+    shared shingles) but their exact jaccard is ~0.448, far below the
+    0.9 threshold: both must survive, where the unverified
+    band-collision mode would have dropped doc 2. Exact duplicates
+    across batches are still removed via the persisted set index."""
+    from linkml_store_spark.operators.dedup import (
+        band_buckets,
+        dedup_incremental,
+        minhash_signatures,
+    )
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo "
+            "sierra tango uniform victor whiskey xray yankee zulu " * 3)
+    toks = base.split()
+    # every-7th-token perturbation: shingle jaccard drops to ~0.448 while
+    # the repeated 26-word cycle still minhash-collides on one band
+    perturbed = " ".join(
+        t if i % 7 else t.upper() + "x" for i, t in enumerate(toks)
+    )
+    rows1 = [(1, base), (2, perturbed), (3, "totally unrelated words " * 10)]
+    b1 = spark.createDataFrame(rows1, ["doc_id", "text"])
+    bb = band_buckets(minhash_signatures(b1, "text", "doc_id"), "doc_id")
+    shared = (
+        bb.filter(F.col("doc_id") == 1)
+        .join(
+            bb.filter(F.col("doc_id") == 2).select(
+                "band_idx", F.col("band_hash").alias("bh2")
+            ),
+            "band_idx",
+        )
+        .filter(F.col("band_hash") == F.col("bh2"))
+        .count()
+    )
+    assert shared >= 1  # the pair IS an LSH candidate
+    idx = str(tmp_path / "idx")
+    s1 = dedup_incremental(b1, idx, "text", verify_threshold=0.9)
+    assert sorted(r["doc_id"] for r in s1.collect()) == [1, 2, 3]
+
+    # batch 2: an exact copy of doc 1 (removed via index), a fresh doc
+    rows2 = [(10, base), (11, "another brand new document entirely " * 8)]
+    b2 = spark.createDataFrame(rows2, ["doc_id", "text"])
+    s2 = dedup_incremental(b2, idx, "text", verify_threshold=0.9)
+    assert sorted(r["doc_id"] for r in s2.collect()) == [11]
+
+
+def test_corpus_pipeline_verified_dedup_matches_report(spark):
+    """Pipeline with dedup_verify_threshold: exact duplicates collapse to
+    one canonical; the report stays monotone and accounts every stage."""
+    from linkml_store_spark.operators.pipeline import (
+        CorpusConfig,
+        prepare_training_corpus,
+    )
+
+    text = "some reasonably long document with many distinct words " * 6
+    rows = [(i, text) for i in range(4)] + [
+        (10, "a different document about spark catalyst planning " * 6)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    packed, report = prepare_training_corpus(
+        docs,
+        CorpusConfig(
+            chunk_tokens=32,
+            pack_budget=128,
+            pack_partitions=1,
+            dedup_verify_threshold=0.9,
+        ),
+    )
+    assert report["input"] == 5
+    assert report["after_dedup"] == 2  # 4 copies -> 1 canonical, + 1 other
+    assert report["after_dedup"] <= report["after_quality_gate"] <= 5
+    kept = {r["doc_id"] for r in packed.select("doc_id").distinct().collect()}
+    assert kept == {0, 10}  # min-id canonical
+
+
 def test_jaccard_prefix_filter_matches_index_path(spark, sf_dir):
     """PPJoin prefix filtering is exact: identical pairs + scores to the
     inverted-index formulation on real documents."""
