@@ -112,6 +112,11 @@ class Collection:
         #: further warnings (mirror of the kNN advisory)
         self._cluster_hits: Dict[str, int] = {}
         self._cluster_advised: set = set()
+        #: auto-compactions queued by the advisor DURING a query — run in
+        #: the query epilogue, never mid-flight (a compact between the
+        #: zone decision and the undecided-file scan would delete the very
+        #: files the in-flight plan names — round-8 advisor finding)
+        self._pending_compact_cols: list = []
         #: crossover gate for the Arrow dictionary-code count path
         #: (operators/arrowagg.py) — "auto" = per-session calibrated;
         #: instance-level so tests can pin a number
@@ -525,7 +530,11 @@ class Collection:
             if n is None or n < self.cluster_advice_min_rows:
                 return  # compaction overhead isn't worth it below this
             if self.auto_cluster_on_hot_column:
-                self.compact(sort_cols=[col])
+                # queue, don't compact inline: the caller may hold a zone
+                # decision naming files the rewrite would delete — the
+                # epilogue (_drain_pending_compactions) runs it after the
+                # in-flight query completes
+                self._pending_compact_cols.append(col)
                 return
             import warnings
 
@@ -539,6 +548,16 @@ class Collection:
             )
         except Exception:  # noqa: BLE001 — advisory only
             pass
+
+    def _drain_pending_compactions(self) -> None:
+        """Run advisor-queued auto-compactions once no query is mid-flight.
+        Called from the query()/query_facets() epilogues; never raises."""
+        while self._pending_compact_cols:
+            col = self._pending_compact_cols.pop(0)
+            try:
+                self.compact(sort_cols=[col])
+            except Exception:  # noqa: BLE001 — advisory only
+                pass
 
     def _plan_cache_put(self, key, plan) -> None:
         """Insert into the prepared-plan cache with a hard size cap: a
@@ -905,6 +924,9 @@ class Collection:
             facet_counts = query_facets(
                 self.df, query.where_clause, query.facet_slots
             )
+        # epilogue: advisor-queued auto-compactions run only now, after
+        # every plan this query built has executed
+        self._drain_pending_compactions()
         return QueryResult(num_rows=num_rows, rows=rows, facet_counts=facet_counts, query=query)
 
     def find(
@@ -1014,6 +1036,7 @@ class Collection:
                     and 2 <= len(vals) <= 50
                 ):
                     self._note_unclustered_hit(col)
+        self._drain_pending_compactions()
         return res
 
     def group_by(

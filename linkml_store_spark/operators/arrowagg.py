@@ -202,7 +202,14 @@ ARROW_AB_MAX_ROWS = 4_000_000_000
 
 
 def _store_key(files) -> tuple:
-    fs = sorted(files)
+    # normalize the 'file:' scheme away (as facets._footer_metas does):
+    # recorders pass scheme-stripped footer paths while the count/facet
+    # 'auto' consumers pass raw df.inputFiles() URIs — without this the
+    # memo never matches across routes and 'auto' silently falls back to
+    # the static gate (round-8 advisor finding)
+    fs = sorted(
+        f[len("file:"):] if f.startswith("file:") else f for f in files
+    )
     return (len(fs), fs[0], fs[-1])
 
 

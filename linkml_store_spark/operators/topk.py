@@ -481,6 +481,12 @@ def stats_filtered_count(
                 .agg(F.count(F.lit(1)).alias("n"))
             )
             if plan_cache is not None:
+                # same 256-entry oldest-out cap Collection._plan_cache_put
+                # enforces — inserting uncapped here let a session issuing
+                # many distinct range predicates grow driver memory
+                # unboundedly (round-8 advisor finding)
+                if len(plan_cache) >= 256:
+                    plan_cache.pop(next(iter(plan_cache)))
                 plan_cache[key] = d
         return d.collect()[0][0]
 

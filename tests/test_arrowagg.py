@@ -278,6 +278,41 @@ def test_facet_ab_runs_once_then_memo_routes(spark, tmp_path, monkeypatch):
         A._AB_WINNERS.clear()
 
 
+def test_ab_memo_key_normalizes_file_scheme(spark, tmp_path, monkeypatch):
+    """Winners are recorded under scheme-stripped footer paths
+    (facets._footer_metas) but consumed by routes passing raw
+    df.inputFiles() URIs (file:/...). The memo key must normalize both to
+    the same store key — the round-8 advisor finding: without it the
+    'auto' gate never saw facet-recorded winners, silently kept the
+    static gate, and post-A/B facet/count routing no-opped."""
+    from linkml_store_spark.operators import arrowagg as A
+
+    A._AB_WINNERS.clear()
+    monkeypatch.setattr(A, "ARROW_AGG_FLOOR_ROWS", 100)
+    try:
+        path = str(tmp_path / "scheme_store")
+        spark.createDataFrame(
+            [(i, ["x", "y"][i % 2]) for i in range(2000)], "id long, v string"
+        ).coalesce(2).write.parquet(path)
+        scan = spark.read.parquet(path)
+        raw = scan.inputFiles()
+        assert any(f.startswith("file:") for f in raw)  # the URI shape
+        stripped = [
+            f[len("file:"):] if f.startswith("file:") else f for f in raw
+        ]
+        # recorded under stripped paths (as _facet_ab does)...
+        A.record_ab_winner(spark, stripped, "v", t_jvm=1.0, t_arrow=0.5)
+        # ...must be visible to a consumer holding raw URIs
+        assert A.ab_winner(spark, raw, "v") == "arrow"
+        # and the 'auto' gate must actually ENGAGE the arrow leaf
+        adf = A.parquet_value_counts(spark, scan, "v", min_rows="auto")
+        assert adf is not None, "auto gate fell back to the static gate"
+        got = sorted((r[0], r[-1]) for r in adf.collect())
+        assert got == [("x", 1000), ("y", 1000)]
+    finally:
+        A._AB_WINNERS.clear()
+
+
 def test_count_ab_memo_through_collection(spark, tmp_path, monkeypatch):
     """Equality counts through Collection.query A/B-test once per
     store+column and stay value-correct on both routes."""

@@ -524,6 +524,61 @@ def test_cluster_advisor_auto_then_footer_answers(spark, tmp_path):
     assert coll._footer_stats_cache[("vcount", "status", ("OPEN",))] == 2000
 
 
+def test_cluster_advisor_count_path_defers_compact_to_epilogue(
+    spark, tmp_path
+):
+    """auto_cluster_on_hot_column through the COUNT path: the advisor can
+    fire MID-query (between the zone decision and the undecided-file
+    scan), where an inline compact() would delete the files the in-flight
+    plan names. The rewrite must run in the query EPILOGUE: the
+    triggering query completes on the old layout (correct count, no
+    degraded recount), and compact() is observed strictly AFTER the
+    count finished (round-8 advisor finding)."""
+    from linkml_store_spark.query import Query
+
+    client = Client(spark)
+    dbp = client.attach_database(f"spark://{tmp_path}/advdefer")
+    coll = dbp.create_collection("t", identifier_attribute="id")
+    rows = [(i, ["A", "B"][i % 2]) for i in range(4000)]
+    coll.insert(spark.createDataFrame(rows, ["id", "v"]))
+    coll.cluster_advice_min_rows = 1000
+    coll.auto_cluster_on_hot_column = True
+
+    events = []
+    orig_compact = coll.compact
+    orig_vpc = coll._value_predicate_count
+
+    def spy_compact(**kw):
+        events.append(("compact", kw.get("sort_cols")))
+        return orig_compact(**kw)
+
+    def spy_vpc(*a, **k):
+        r = orig_vpc(*a, **k)
+        events.append(("count_done", r))
+        return r
+
+    coll.compact = spy_compact
+    coll._value_predicate_count = spy_vpc
+    try:
+        for _ in range(3):
+            coll._footer_stats_cache.pop(("vcount", "v", ("A",)), None)
+            res = coll.query(Query(where_clause={"v": "A"}, limit=0))
+            assert res.num_rows == 2000
+    finally:
+        coll.compact = orig_compact
+        coll._value_predicate_count = orig_vpc
+    compact_idx = [i for i, e in enumerate(events) if e[0] == "compact"]
+    count_idx = [i for i, e in enumerate(events) if e[0] == "count_done"]
+    assert compact_idx == [max(count_idx) + 1], events  # strictly after
+    assert events[compact_idx[0]][1] == ["v"]
+    assert coll._pending_compact_cols == []  # drained
+    # every observed count came from the pre-compaction layout, intact
+    assert all(e[1] == 2000 for e in events if e[0] == "count_done")
+    # and the rewrite took effect for later queries
+    coll._footer_stats_cache.pop(("vcount", "v", ("A",)), None)
+    assert coll.query(Query(where_clause={"v": "A"}, limit=0)).num_rows == 2000
+
+
 def test_cluster_advisor_count_path_hits(spark, tmp_path):
     """Equality/$in counts through Collection.query on an unclustered
     store also feed the advisor (zone decided nothing -> hit per query)."""
