@@ -145,12 +145,13 @@ def build_queries(spark, sf, qv=None):
     # same-session). Result sizes are 10-30k rows max — pickle is not the
     # bottleneck at this fan-in.
     fns = {name: df.collect for name, df in plans.items()}
-    routed, routes, busters = _collection_routes(spark, sf)
+    routed, routes, busters, raw_twins = _collection_routes(spark, sf)
     fns.update(routed)
     return (
         {f"b{i}": fns[f"b{i}"] for i in range(1, 13)},  # stable b1..b12 order
         routes,
         busters,
+        raw_twins,
     )
 
 
@@ -198,6 +199,30 @@ def _collection_routes(spark, sf):
         "b4": lambda: od.query(q4).num_rows,
         "b8": lambda: od.query(q8).rows,
     }
+
+    # RAW TWINS (round-8 verdict letter): the same four shapes as
+    # hand-built Datasets, timed interleaved with the routed calls so the
+    # per-query API tax (where-compile, zone decision, plan-cache key,
+    # QueryResult assembly) is a measured number in the JSON
+    # (routed_tax = routed - raw), not an inference from round-over-round
+    # drift. Round-8 measurement: tax = -0.3 to +4 ms per call at sf0.1
+    # (the round-7 b2/b3/b4 regressions were box drift).
+    li_df, od_df = li.df, od.df
+    raw_plans = {
+        "b2": apply_where(li_df, {"l_returnflag": "R"}).agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+        "b3": apply_where(
+            li_df, {"l_quantity": {"$gte": 5.0, "$lt": 30.0}}
+        ).agg(F.count(F.lit(1)).alias("n")),
+        "b4": apply_where(
+            od_df, {"o_orderpriority": {"$in": ["1-URGENT", "2-HIGH"]}}
+        ).agg(F.count(F.lit(1)).alias("n")),
+        "b8": od_df.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc())
+        .limit(10),
+    }
+    raw_twins = {name: d.collect for name, d in raw_plans.items()}
 
     def value_marker(alias, col, values):
         try:
@@ -266,7 +291,7 @@ def _collection_routes(spark, sf):
             ]:
                 del c._footer_stats_cache[k]
 
-    return fns, routes, [bust_result_memos]
+    return fns, routes, [bust_result_memos], raw_twins
 
 
 def main():
@@ -313,7 +338,7 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     emb = load_table(spark, SF_DIR, "embeddings")
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    queries, routes, memo_busters = build_queries(spark, SF_DIR, qv)
+    queries, routes, memo_busters, raw_twins = build_queries(spark, SF_DIR, qv)
 
     # global warm-up pass: JVM JIT compilation of the scan/agg/codegen paths
     # is shared across queries — one full sweep first, then per-query timing
@@ -363,10 +388,16 @@ def main():
     spreads = {}
     duck_timings = {}
     duck_spreads = {}
+    raw_timings = {}
     for name, fn in queries.items():
         t, s = time_all({name: fn}, busters=memo_busters)
         timings.update(t)
         spreads.update(s)
+        if name in raw_twins:
+            # raw twin timed IMMEDIATELY after its routed call (same
+            # seconds of box state) — the difference is the API tax
+            rt, _rs = time_all({name: raw_twins[name]}, busters=memo_busters)
+            raw_timings[name] = rt[name]
         if duck_fns is not None and name in duck_fns:
             dfn = duck_fns[name]
             dfn()
@@ -388,7 +419,7 @@ def main():
     # work, the number that actually multiplies with scale (the replicated
     # 120M-row experiment in SCALING.md is the direct measurement of the
     # same plans where the floor has amortized away).
-    floor_queries, _floor_routes, floor_busters = build_queries(
+    floor_queries, _floor_routes, floor_busters, _floor_raw = build_queries(
         spark, _empty_mirror(spark, SF_DIR), qv
     )
     floors, _ = time_all(floor_queries, busters=floor_busters)
@@ -429,6 +460,14 @@ def main():
         "compute_total": round(sum(compute.values()), 4),
         "job_floor": round(job_floor, 4),
     }
+    if raw_timings:
+        # routed-vs-raw (round-8 letter): the Collection.query API tax as
+        # a per-query measurement — raw twin of the same shape timed
+        # interleaved under the same busting
+        out["routed_raw"] = raw_timings
+        out["routed_tax"] = {
+            q: round(timings[q] - raw_timings[q], 4) for q in raw_timings
+        }
     # Same-run DuckDB companion (BASELINE.md's B1-B12 SQL, same warm+best-of
     # methodology, timed INTERLEAVED per query above): BASELINE.md's numbers
     # were measured on one calendar day; this box's absolute speed drifts
