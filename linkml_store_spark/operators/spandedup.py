@@ -172,6 +172,73 @@ def _covered_token_count(k: int) -> Column:
     return F.when(gap.isNull() | (gap > k), F.lit(k)).otherwise(gap)
 
 
+#: mean-occurrences-per-gram above which "auto" routes to the window
+#: formulation. Measured bracketing (SCALING.md round 7/8): the hash
+#: aggregate is fine at 200-fold duplication (51 s at 120M grams) and
+#: GC-wedges at 1000-fold (30 GB RSS, killed at 25 min, 600M grams);
+#: 256 sits just above the measured-good point, and the cost of a false
+#: positive is bounded (window is ~1.8x slower where hash works) while a
+#: false negative is a wedged cluster job.
+SPAN_STATS_AUTO_DUP_THRESHOLD = 256
+
+#: application-ids that already warned about an auto route (warn once per
+#: session, same style as the kNN / clustering advisors)
+_SPAN_AUTO_WARNED: set = set()
+
+
+def _estimate_gram_duplication(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    rate: float = 1.0 / 32,
+    min_sample_grams: int = 64,
+):
+    """Estimated GLOBAL mean occurrences-per-gram, from a deterministic
+    Bernoulli DOC sample.
+
+    Tokenizing the sample costs ``rate`` of a full map pass — the whole
+    point (a gram-value-mod probe was measured at one FULL tokenize+
+    explode pass, ~6x the operator's own post-shuffle cost at sf0.1). The
+    estimate extrapolates the sampled mean back to the corpus:
+    cross-doc-spread duplication dilutes linearly with the doc rate
+    (a gram at global frequency f shows ~f*rate in-sample), so
+    ``est = 1 + (mean_sample - 1)/rate``; duplication concentrated
+    WITHIN documents shows at full strength in every sampled doc and the
+    same formula then over-estimates — the safe direction (window always
+    completes; a false positive costs 1.8x, a false negative wedges the
+    job).
+
+    The degenerate corpus the sample cannot judge — so few docs or such
+    short texts that the sample holds under ``min_sample_grams`` distinct
+    grams — falls back to the EXACT full probe, which is cheap exactly
+    then (post-map-side-combine aggregate volume is the distinct-gram
+    count). Returns ``(estimated_mean, max_occurrences_seen)``."""
+
+    def agg_over(win: DataFrame):
+        return (
+            win.groupBy("gram_hash")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.count(F.lit(1)).alias("g"),
+                F.sum("n").alias("occ"),
+                F.max("n").alias("mx"),
+            )
+            .first()
+        )
+
+    row = agg_over(
+        ngram_windows(df.sample(rate, seed=20240815), text_col, id_col, k)
+    )
+    if row and row["g"] and row["g"] >= min_sample_grams:
+        mean = row["occ"] / row["g"]
+        return 1.0 + (mean - 1.0) / rate, row["mx"]
+    row = agg_over(ngram_windows(df, text_col, id_col, k))
+    if not row or not row["g"]:
+        return 0.0, 0
+    return row["occ"] / row["g"], row["mx"]
+
+
 def duplicated_span_stats(
     df: DataFrame,
     text_col: str,
@@ -179,7 +246,7 @@ def duplicated_span_stats(
     k: int = 13,
     cross_doc_only: bool = True,
     include_canonical: bool = False,
-    method: str = "hash",
+    method: str = "auto",
 ) -> DataFrame:
     """Per-document duplicated-text coverage: how much of each document is
     part of a >=k-token span that also occurs elsewhere.
@@ -204,9 +271,42 @@ def duplicated_span_stats(
     FINISHING where hash cannot (245 s at 1000-fold / 600M grams, where
     the hash aggregate sat wedged past 25 min before being killed).
     Pick "window" for web-crawl-scale boilerplate-heavy corpora.
+
+    ``"auto"`` (the default since round 8 — the guard the measured cliff
+    demands) probes the duplication factor first on a 1/32 doc sample
+    (~3% of one tokenize pass; see ``_estimate_gram_duplication`` for the
+    extrapolation and its exact-full-probe fallback on sparse samples),
+    then routes to "window" when the estimated mean occurrences per gram
+    clear ``SPAN_STATS_AUTO_DUP_THRESHOLD`` (warning once per session,
+    kNN-advisor style) and to "hash" otherwise. A web crawl with viral
+    boilerplate WILL cross the cliff; the default must degrade to 1.8x
+    slower, not to a wedged job.
     """
-    if method not in ("hash", "window"):
+    if method not in ("auto", "hash", "window"):
         raise ValueError(f"unknown method: {method}")
+    if method == "auto":
+        mean_dup, max_dup = _estimate_gram_duplication(df, text_col, id_col, k)
+        if mean_dup >= SPAN_STATS_AUTO_DUP_THRESHOLD:
+            method = "window"
+            try:
+                app = df.sparkSession.sparkContext.applicationId
+            except Exception:  # noqa: BLE001
+                app = None
+            if app not in _SPAN_AUTO_WARNED:
+                _SPAN_AUTO_WARNED.add(app)
+                import warnings
+
+                warnings.warn(
+                    f"duplicated_span_stats: probed mean gram duplication "
+                    f"{mean_dup:.0f}x (max {max_dup}) >= "
+                    f"{SPAN_STATS_AUTO_DUP_THRESHOLD} — routing to the "
+                    f"spill-safe method='window' (the hash aggregate's "
+                    f"occurrence lists GC-collapse at this duplication; "
+                    f"pass method='hash' to override).",
+                    stacklevel=3,
+                )
+        else:
+            method = "hash"
     if method == "window":
         return _duplicated_span_stats_window(
             df, text_col, id_col, k, cross_doc_only, include_canonical

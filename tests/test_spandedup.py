@@ -285,6 +285,7 @@ def test_span_stats_window_method_matches_hash(spark):
                 tuple(r) for r in duplicated_span_stats(
                     df, "text", "doc_id", k=8,
                     cross_doc_only=cross, include_canonical=canon,
+                    method="hash",
                 ).collect()
             )
             w = sorted(
@@ -295,3 +296,59 @@ def test_span_stats_window_method_matches_hash(spark):
                 ).collect()
             )
             assert h == w, (cross, canon, h, w)
+
+
+def test_span_stats_auto_routes_on_duplication_factor(spark, monkeypatch):
+    """The 'auto' default guards the measured memory cliff: a corpus whose
+    mean gram duplication clears SPAN_STATS_AUTO_DUP_THRESHOLD routes to
+    the spill-safe window formulation (warning once), a normal corpus
+    keeps the faster hash path — and both routes return the same rows
+    the explicit methods do."""
+    import warnings
+
+    from linkml_store_spark.operators import spandedup as S
+
+    calls = []
+    orig_window = S._duplicated_span_stats_window
+
+    def spy_window(*a, **k):
+        calls.append("window")
+        return orig_window(*a, **k)
+
+    monkeypatch.setattr(S, "_duplicated_span_stats_window", spy_window)
+    monkeypatch.setattr(S, "SPAN_STATS_AUTO_DUP_THRESHOLD", 50)
+
+    # viral boilerplate: one 12-token sentence repeated across 600 docs —
+    # every gram occurs ~600x, far over the (test-lowered) threshold
+    viral = [(i, "the quick brown fox jumps over the lazy dog again and again")
+             for i in range(600)]
+    vdf = spark.createDataFrame(viral, ["doc_id", "text"])
+    S._SPAN_AUTO_WARNED.clear()
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        auto_rows = sorted(
+            tuple(r) for r in S.duplicated_span_stats(
+                vdf, "text", "doc_id", k=8
+            ).collect()
+        )
+    assert calls == ["window"], "high duplication must route to window"
+    msgs = [str(x.message) for x in w if "spill-safe" in str(x.message)]
+    assert len(msgs) == 1 and "method='window'" in msgs[0]
+    explicit = sorted(
+        tuple(r) for r in S.duplicated_span_stats(
+            vdf, "text", "doc_id", k=8, method="window"
+        ).collect()
+    )
+    # spy counted the explicit call too; compare values
+    assert auto_rows == explicit
+
+    # a normal corpus stays on hash (no new window call, no warning)
+    calls.clear()
+    normal = [(i, f"completely distinct sentence number {i} with words w{i} x{i} y{i} z{i} a{i} b{i} c{i}")
+              for i in range(40)]
+    ndf = spark.createDataFrame(normal, ["doc_id", "text"])
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        S.duplicated_span_stats(ndf, "text", "doc_id", k=8).collect()
+    assert calls == [], "low duplication must keep the hash path"
+    assert not [x for x in w2 if "spill-safe" in str(x.message)]
