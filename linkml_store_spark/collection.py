@@ -220,6 +220,21 @@ class Collection:
         # footer statistics no longer describe the store after any change
         self._footer_stats_cache.clear()
         self._plan_cache.clear()  # cached page plans point at the old store
+        # persisted A/B winners measured the OLD layout; the fingerprint
+        # (file count + rows) catches most mutations but a compact can
+        # preserve both — delete the sidecar outright, like the plan cache
+        try:
+            import os as _os
+
+            from linkml_store_spark.operators.arrowagg import AB_SIDECAR
+
+            p = _os.path.join(
+                self.database._collection_path(self.alias), AB_SIDECAR
+            )
+            if _os.path.exists(p):
+                _os.remove(p)
+        except Exception:  # noqa: BLE001 — cache hygiene must not block writes
+            pass
         # Vector indexes: a pure APPEND into a DURABLE IVF index is
         # maintained incrementally (ivf_append — new vectors join their
         # nearest existing centroid's partition; one pass over the batch).
@@ -714,7 +729,7 @@ class Collection:
             _rgs, total_rows = parquet_row_groups(files, metas=metas)
             if not (ARROW_AGG_FLOOR_ROWS <= total_rows <= ARROW_AB_MAX_ROWS):
                 return None
-            if ab_winner(self.spark, files, col) is not None:
+            if ab_winner(self.spark, files, col, total_rows=total_rows) is not None:
                 return None
             jvm_d = rest.filter(F.col(col).isin(list(values))).agg(
                 F.count(F.lit(1)).alias("n")
@@ -729,7 +744,9 @@ class Collection:
             t_arrow = time.perf_counter() - t0
             if n_arrow is None:
                 return int(n_jvm)
-            record_ab_winner(self.spark, files, col, t_jvm, t_arrow)
+            record_ab_winner(
+                self.spark, files, col, t_jvm, t_arrow, total_rows=total_rows
+            )
             return int(n_arrow if t_arrow < t_jvm else n_jvm)
         except Exception:  # noqa: BLE001 — A/B is an optimization only
             return None

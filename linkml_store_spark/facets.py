@@ -404,7 +404,7 @@ def _facet_ab(df, column, facet_limit, facet_min_count, metas):
         if not (ARROW_AGG_FLOOR_ROWS <= total_rows <= ARROW_AB_MAX_ROWS):
             return None
         files = [f for f, _md in metas]
-        if ab_winner(spark, files, column) is not None:
+        if ab_winner(spark, files, column, total_rows=total_rows) is not None:
             return None
         arrow_adf = parquet_value_counts(
             spark, df, column, min_rows=0, footer_metas=metas
@@ -425,7 +425,9 @@ def _facet_ab(df, column, facet_limit, facet_min_count, metas):
         t0 = time.perf_counter()
         arrow_rows = arrow_gdf.collect()
         t_arrow = time.perf_counter() - t0
-        record_ab_winner(spark, files, column, t_jvm, t_arrow)
+        record_ab_winner(
+            spark, files, column, t_jvm, t_arrow, total_rows=total_rows
+        )
         rows = arrow_rows if t_arrow < t_jvm else jvm_rows
         return [(r[0], r[-1]) for r in rows]
     except Exception:  # noqa: BLE001 — A/B is an optimization only

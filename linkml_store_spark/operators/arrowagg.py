@@ -220,16 +220,76 @@ def _ab_key(spark: SparkSession, files, column: str):
         return None
 
 
-def ab_winner(spark: SparkSession, files, column: str) -> Optional[str]:
-    """The remembered winner ("arrow"/"jvm") for this store+column in this
-    session, or None when no A/B has run yet."""
+#: sidecar file holding persisted winners, INSIDE the store directory —
+#: the leading underscore makes it invisible to Spark/parquet directory
+#: scans (same convention as _SUCCESS). Survives sessions: the first
+#: touch of a 600M store pays the double-run once per STORE, not once
+#: per session (round-8 verdict letter).
+AB_SIDECAR = "_ab_winners.json"
+
+
+def _store_dir(files) -> Optional[str]:
+    """The single parent directory of a store's files, or None when the
+    scan spans directories (no canonical home for the sidecar)."""
+    import os
+
+    ds = {
+        os.path.dirname(f[len("file:"):] if f.startswith("file:") else f)
+        for f in files
+    }
+    return ds.pop() if len(ds) == 1 else None
+
+
+def _sidecar_load(files) -> dict:
+    import json
+    import os
+
+    d = _store_dir(files)
+    if not d:
+        return {}
+    p = os.path.join(d, AB_SIDECAR)
+    try:
+        with open(p) as fh:
+            return json.load(fh)
+    except Exception:  # noqa: BLE001 — absent/corrupt sidecar = no memo
+        return {}
+
+
+def ab_winner(
+    spark: SparkSession, files, column: str, total_rows: Optional[int] = None
+) -> Optional[str]:
+    """The remembered winner ("arrow"/"jvm") for this store+column — the
+    session memo first, then the persisted sidecar next to the store
+    (validated against the layout fingerprint: file count + total rows,
+    so any mutation/compaction re-measures). None when no A/B has run."""
     k = _ab_key(spark, files, column)
     entry = _AB_WINNERS.get(k) if k is not None else None
-    return entry[0] if entry else None
+    if entry:
+        return entry[0]
+    if total_rows is None:
+        return None
+    e = _sidecar_load(files).get(column)
+    if (
+        isinstance(e, dict)
+        and e.get("n_files") == len(files)
+        and e.get("total_rows") == int(total_rows)
+        and e.get("winner") in ("arrow", "jvm")
+    ):
+        if k is not None:  # warm the session memo for cheap re-lookups
+            if len(_AB_WINNERS) >= 1024:
+                _AB_WINNERS.pop(next(iter(_AB_WINNERS)))
+            _AB_WINNERS[k] = (e["winner"], e.get("t_jvm"), e.get("t_arrow"))
+        return e["winner"]
+    return None
 
 
 def record_ab_winner(
-    spark: SparkSession, files, column: str, t_jvm: float, t_arrow: float
+    spark: SparkSession,
+    files,
+    column: str,
+    t_jvm: float,
+    t_arrow: float,
+    total_rows: Optional[int] = None,
 ) -> None:
     k = _ab_key(spark, files, column)
     if k is not None:
@@ -237,6 +297,49 @@ def record_ab_winner(
             _AB_WINNERS.pop(next(iter(_AB_WINNERS)))
         _AB_WINNERS[k] = ("arrow" if t_arrow < t_jvm else "jvm",
                           t_jvm, t_arrow)
+    if total_rows is None:
+        return
+    # persist next to the store (atomic tmp+rename; best-effort — a
+    # read-only store simply keeps per-session measurement). ONLY for a
+    # directory the scan fully owns (every parquet file in the dir is in
+    # the scan — the Collection store layout): in a file-per-table dir
+    # (several tables as single .parquet files side by side) a shared
+    # sidecar keyed by column name would collide across tables, and a
+    # data directory we merely READ from is not ours to write into.
+    import json
+    import os
+
+    d = _store_dir(files)
+    if not d:
+        return
+    try:
+        scan_set = {
+            f[len("file:"):] if f.startswith("file:") else f for f in files
+        }
+        dir_set = {
+            os.path.join(d, n)
+            for n in os.listdir(d)
+            if not n.startswith((".", "_")) and ".parquet" in n
+        }
+        if dir_set != scan_set:
+            return
+    except Exception:  # noqa: BLE001
+        return
+    try:
+        data = _sidecar_load(files)
+        data[column] = {
+            "winner": "arrow" if t_arrow < t_jvm else "jvm",
+            "t_jvm": round(float(t_jvm), 6),
+            "t_arrow": round(float(t_arrow), 6),
+            "n_files": len(files),
+            "total_rows": int(total_rows),
+        }
+        tmp = os.path.join(d, AB_SIDECAR + ".tmp")
+        with open(tmp, "w") as fh:
+            json.dump(data, fh)
+        os.replace(tmp, os.path.join(d, AB_SIDECAR))
+    except Exception:  # noqa: BLE001 — persistence is an optimization
+        pass
 
 
 def _resolve_min_rows(
@@ -252,7 +355,7 @@ def _resolve_min_rows(
     if total_rows < ARROW_AGG_FLOOR_ROWS:
         return ARROW_AGG_FLOOR_ROWS  # refuses
     if files and column is not None:
-        w = ab_winner(spark, files, column)
+        w = ab_winner(spark, files, column, total_rows=total_rows)
         if w == "arrow":
             return ARROW_AGG_FLOOR_ROWS  # engages
         if w == "jvm":

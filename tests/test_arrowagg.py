@@ -313,6 +313,91 @@ def test_ab_memo_key_normalizes_file_scheme(spark, tmp_path, monkeypatch):
         A._AB_WINNERS.clear()
 
 
+def test_ab_winner_persists_across_sessions(spark, tmp_path, monkeypatch):
+    """The winner memo is persisted NEXT TO THE STORE (_ab_winners.json,
+    underscore-hidden from parquet scans): a second session routes from
+    the sidecar without re-paying the double-run first touch; a changed
+    layout fingerprint (file count / total rows) re-measures; any
+    mutation deletes the sidecar outright (round-8 verdict letter)."""
+    import json
+    import os
+
+    from linkml_store_spark import facets as facets_mod
+    from linkml_store_spark.operators import arrowagg as A
+
+    A._AB_WINNERS.clear()
+    monkeypatch.setattr(A, "ARROW_AGG_FLOOR_ROWS", 100)
+    try:
+        path = str(tmp_path / "persist_store")
+        rows = [(i, ["x", "y", "z"][i % 3]) for i in range(3000)]
+        spark.createDataFrame(rows, "id long, v string").coalesce(
+            2
+        ).write.parquet(path)
+        scan = spark.read.parquet(path)
+        facets_mod.query_facets(scan, None, ["v"])  # runs the A/B once
+        sidecar = os.path.join(path, A.AB_SIDECAR)
+        assert os.path.exists(sidecar)
+        data = json.load(open(sidecar))
+        assert data["v"]["winner"] in ("arrow", "jvm")
+        recorded = data["v"]
+
+        # "second session": empty in-memory memo — the sidecar answers,
+        # with the ORIGINAL measurements (no re-run)
+        A._AB_WINNERS.clear()
+        files = scan.inputFiles()
+        total = data["v"]["total_rows"]
+        assert A.ab_winner(spark, files, "v", total_rows=total) == recorded[
+            "winner"
+        ]
+        # and query_facets does NOT start a fresh A/B (the sidecar entry
+        # was warmed into the memo unchanged)
+        got = facets_mod.query_facets(scan, None, ["v"])
+        assert got["v"] == [("x", 1000), ("y", 1000), ("z", 1000)]
+        data2 = json.load(open(sidecar))
+        assert data2["v"] == recorded  # no overwrite = no re-measure
+
+        # stale fingerprint: a different row total refuses the sidecar
+        A._AB_WINNERS.clear()
+        assert A.ab_winner(spark, files, "v", total_rows=total + 1) is None
+
+        # a hidden underscore file must not break the plain scan
+        assert spark.read.parquet(path).count() == 3000
+    finally:
+        A._AB_WINNERS.clear()
+
+
+def test_ab_sidecar_deleted_on_mutation(spark, tmp_path, monkeypatch):
+    """Collection mutations remove the persisted winner sidecar (a compact
+    can preserve both file count and rows, so the fingerprint alone
+    cannot be trusted across rewrites)."""
+    import os
+
+    from linkml_store_spark.client import Client
+    from linkml_store_spark.operators import arrowagg as A
+    from linkml_store_spark.query import Query
+
+    A._AB_WINNERS.clear()
+    monkeypatch.setattr(A, "ARROW_AGG_FLOOR_ROWS", 100)
+    try:
+        client = Client(spark)
+        dbp = client.attach_database(f"spark://{tmp_path}/abpersist")
+        coll = dbp.create_collection("t", identifier_attribute="id")
+        coll.insert(spark.createDataFrame(
+            [(i, ["A", "B"][i % 2]) for i in range(2000)], ["id", "v"]
+        ))
+        assert coll.query(Query(where_clause={"v": "A"}, limit=0)).num_rows == 1000
+        sidecar = os.path.join(
+            dbp._collection_path("t"), A.AB_SIDECAR
+        )
+        assert os.path.exists(sidecar)
+        coll.insert(spark.createDataFrame([(9999, "A")], ["id", "v"]))
+        assert not os.path.exists(sidecar)  # mutation invalidates
+        # and the store still answers correctly post-mutation
+        assert coll.query(Query(where_clause={"v": "A"}, limit=0)).num_rows == 1001
+    finally:
+        A._AB_WINNERS.clear()
+
+
 def test_count_ab_memo_through_collection(spark, tmp_path, monkeypatch):
     """Equality counts through Collection.query A/B-test once per
     store+column and stay value-correct on both routes."""
