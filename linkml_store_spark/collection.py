@@ -525,18 +525,26 @@ class Collection:
     cluster_advice_threshold: int = 3
     cluster_advice_min_rows: int = 1_000_000
 
-    def _note_unclustered_hit(self, col: str) -> None:
-        """Record one zone-refused facet/count on ``col``; advise at the
-        threshold. Never raises (advice must not break a query)."""
+    def _note_unclustered_hit(self, col: str, allow_float: bool = False) -> None:
+        """Record one zone-refused facet/count/range/top-k query on
+        ``col``; advise at the threshold. ``allow_float``: the range-count
+        and top-k shapes prune on numeric footer stats including
+        float/double/date/timestamp sort keys, so those callers widen the
+        dtype gate (the value zone map stays string/int). Never raises
+        (advice must not break a query)."""
         try:
             if col in self._cluster_advised:
                 return
             if not (self._df_is_store_scan and self.database.location):
                 return
             dt = self.df.schema[col].dataType
-            if not isinstance(dt, (T.StringType, T.IntegerType, T.LongType,
-                                   T.ShortType, T.ByteType)):
-                return  # the zone routes cover string/int only
+            ok_types = (T.StringType, T.IntegerType, T.LongType,
+                        T.ShortType, T.ByteType)
+            if allow_float:
+                ok_types = ok_types + (T.FloatType, T.DoubleType,
+                                       T.DateType, T.TimestampType)
+            if not isinstance(dt, ok_types):
+                return
             self._cluster_hits[col] = self._cluster_hits.get(col, 0) + 1
             if self._cluster_hits[col] < self.cluster_advice_threshold:
                 return
@@ -554,11 +562,11 @@ class Collection:
             import warnings
 
             warnings.warn(
-                f"{self._cluster_hits[col]} facet/count queries on "
-                f"{col!r} scanned this {n}-row unclustered store; one "
-                f"compact(sort_cols=[{col!r}]) rewrite makes them "
-                f"footer-metadata answers (or set "
-                f"auto_cluster_on_hot_column=True).",
+                f"{self._cluster_hits[col]} facet/count/range/top-k "
+                f"queries on {col!r} scanned this {n}-row unclustered "
+                f"store; one compact(sort_cols=[{col!r}]) rewrite makes "
+                f"them footer-metadata / row-group-skipping answers (or "
+                f"set auto_cluster_on_hot_column=True).",
                 stacklevel=4,
             )
         except Exception:  # noqa: BLE001 — advisory only
@@ -793,12 +801,21 @@ class Collection:
 
                         path = self.database._collection_path(self.alias)
                         if _os.path.exists(path):
+                            rinfo: Dict[str, Any] = {}
                             num_rows = stats_filtered_count(
                                 self.spark, path, *rng,
                                 plan_cache=self._plan_cache,
                                 metas=self._store_metas(),
+                                route_info=rinfo,
                             )
                             self._footer_stats_cache[ck] = num_rows
+                            if rinfo.get("zone") == "undecided_all":
+                                # footers exist but decided nothing: the
+                                # unclustered-layout signature the
+                                # clustering advisor counts (range shape)
+                                self._note_unclustered_hit(
+                                    rng[0], allow_float=True
+                                )
                     except Exception:  # noqa: BLE001 — optimization only
                         num_rows = None
             if num_rows is None:
@@ -906,6 +923,21 @@ class Collection:
                         page = page.filter(
                             F.col(base) >= tau if descending else F.col(base) <= tau
                         )
+                        if kind == "num" and st and len(st) > 1:
+                            skipped = sum(
+                                1 for mn, mx, _r in st
+                                if ((mx < tau) if descending else (mn > tau))
+                            )
+                            if skipped == 0:
+                                # tau pushed but NO row group is skippable:
+                                # every group's range straddles the top-k
+                                # threshold — the unclustered-layout
+                                # signature (top-k shape); one
+                                # compact(sort_cols=[base]) makes the
+                                # prune skip all but the boundary groups
+                                self._note_unclustered_hit(
+                                    base, allow_float=True
+                                )
             except Exception:  # noqa: BLE001 — stats are an optimization only
                 pass
 

@@ -406,6 +406,7 @@ def stats_filtered_count(
     hi_inclusive: bool = True,
     plan_cache: Optional[dict] = None,
     metas=None,
+    route_info: Optional[dict] = None,
 ) -> int:
     """COUNT of rows with ``col`` in the given range over a parquet table,
     answered from parquet footers wherever the zone maps decide the whole
@@ -491,8 +492,19 @@ def stats_filtered_count(
         return d.collect()[0][0]
 
     if decision is None:
+        if route_info is not None:
+            route_info["zone"] = "refused"
         return _scan_count(path, [path])
     meta_count, undecided = decision
+    if route_info is not None:
+        # "undecided_all" = the zone maps decided NOTHING — the layout
+        # signature the clustering advisor counts (footers exist but every
+        # file's range straddles the predicate: an unclustered store)
+        route_info["zone"] = (
+            "decided_full" if not undecided
+            else ("partial" if meta_count else "undecided_all")
+        )
+        route_info["undecided_files"] = len(undecided or ())
     if not undecided:
         return meta_count
     return meta_count + _scan_count(tuple(undecided), undecided)

@@ -524,6 +524,58 @@ def test_cluster_advisor_auto_then_footer_answers(spark, tmp_path):
     assert coll._footer_stats_cache[("vcount", "status", ("OPEN",))] == 2000
 
 
+def test_cluster_advisor_range_and_topk_shapes(spark, tmp_path):
+    """Round-8 letter: the stats-pruned top-k and range zone counts refuse
+    on exactly the same unclustered layouts as facets/equality counts —
+    repeated refused queries of BOTH shapes now feed the advisor (float
+    sort keys included, which the value-zone shapes exclude)."""
+    import warnings
+
+    from linkml_store_spark.query import Query
+
+    client = Client(spark)
+    dbp = client.attach_database(f"spark://{tmp_path}/advshapes")
+    coll = dbp.create_collection("t", identifier_attribute="id")
+    # interleaved values across 4 files: every file's [min,max] straddles
+    # any interior range/top-k threshold -> zone decides nothing
+    rows = [(i, float(i % 1000), i % 500) for i in range(8000)]
+    df = spark.createDataFrame(rows, ["id", "price", "qty"]).repartition(4)
+    coll.insert(df)
+    coll.cluster_advice_min_rows = 1000
+
+    # range shape: three DIFFERENT straddling ranges on one column
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        for lo in (100, 101, 102):
+            r = coll.query(
+                Query(where_clause={"qty": {"$gte": lo, "$lt": 400}}, limit=0)
+            )
+            assert r.num_rows > 0
+    msgs = [str(x.message) for x in w if "compact" in str(x.message)]
+    assert len(msgs) == 1 and "sort_cols=['qty']" in msgs[0], msgs
+
+    # top-k shape: repeated sorts on a FLOAT key, unskippable layout
+    # (vary the limit so the page-plan cache doesn't absorb the calls)
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        for k in (10, 11, 12):
+            r = coll.query(Query(sort_by=["-price"], limit=k))
+            assert len(r.rows) == k
+    msgs2 = [str(x.message) for x in w2 if "compact" in str(x.message)]
+    assert len(msgs2) == 1 and "sort_cols=['price']" in msgs2[0], msgs2
+
+    # after clustering on the range column, the same count answers from
+    # footers (decided or partial) and the advisor stays quiet
+    coll.compact(sort_cols=["qty"])
+    with warnings.catch_warnings(record=True) as w3:
+        warnings.simplefilter("always")
+        r = coll.query(
+            Query(where_clause={"qty": {"$gte": 100, "$lt": 400}}, limit=0)
+        )
+        assert r.num_rows == sum(1 for _i, _p, q in rows if 100 <= q < 400)
+    assert not [x for x in w3 if "compact(" in str(x.message)]
+
+
 def test_cluster_advisor_count_path_defers_compact_to_epilogue(
     spark, tmp_path
 ):
