@@ -1677,6 +1677,40 @@ def q_corpus_pipeline(spark, sf):
     )
 
 
+def q_dsir_select(spark, sf):
+    """DSIR data selection (operators/dsir.py — Xie et al. 2023): rank the
+    raw pool (sources src2..src19) by hashed-n-gram importance weight
+    under a target model fit on src0+src1, and flag the top-50.
+
+    FULL value oracle: the bucket hash is md5-low64 pmod B (bit-identical
+    in DuckDB — the same replay the simhash oracle uses), the Laplace-
+    smoothed log-ratios and per-doc sums are plain arithmetic, weights
+    round to 4dp (the established cross-engine float tolerance), and the
+    selection flag is tie-inclusive at the 50th-largest ROUNDED weight so
+    boundary floats cannot flip membership between engines. The top-k
+    join variant (dsir_select) is pinned by tests/test_dsir.py against a
+    pure-Python reference."""
+    from linkml_store_spark.operators.dsir import dsir_weights
+
+    docs = _t(spark, sf, "documents")
+    target = docs.filter(F.col("source").isin("src0", "src1"))
+    raw = docs.filter(~F.col("source").isin("src0", "src1"))
+    w = dsir_weights(raw, target, n_buckets=1009)
+    w4 = F.round(F.col("log_weight"), 4)
+    thresh = (
+        w.select(w4.alias("w"))
+        .orderBy(F.desc("w"))
+        .limit(50)
+        .agg(F.min("w"))
+        .first()[0]
+    )
+    return w.select(
+        "doc_id",
+        w4.alias("log_w"),
+        (w4 >= F.lit(float(thresh))).alias("selected"),
+    ).orderBy("doc_id")
+
+
 def q_robust_outliers(spark, sf):
     """Median/MAD robust outlier detection (operators/outliers.py): flag
     events whose value deviates > 3.5 robust sigmas within its event
@@ -1888,6 +1922,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash": q_dedup_minhash,
     "knn_cosine": q_knn_cosine,
     "count_zone_values": q_count_zone_values,
+    # round-8 addition, registered INSIDE the sampled window the round it
+    # lands (ADVICE r7 #4)
+    "dsir_select": q_dsir_select,
     "facet_zone_clustered": q_facet_zone_clustered,
     "topk_string_pruned": q_topk_string_pruned,
     "find_range": q_find_range,
@@ -2245,6 +2282,70 @@ ORACLES: dict[str, str] = {
         )
         SELECT id AS doc_id, MIN(comp) AS group_id
         FROM reach GROUP BY id ORDER BY doc_id
+    """,
+    # dsir_select: full replay — md5-low64 bucket hash (the simhash
+    # oracle's bit-identical conversion), Laplace-smoothed bucket models
+    # over target (src0+src1) vs raw (the rest), per-doc weighted sums
+    # rounded to 4dp, tie-inclusive top-50 flag on the ROUNDED weight.
+    "dsir_select": r"""
+        WITH docs2 AS MATERIALIZED (
+          SELECT doc_id,
+                 string_split_regex(lower(trim(text)), '\s+') AS l,
+                 source IN ('src0', 'src1') AS is_tgt
+          FROM documents
+        ),
+        feats AS (
+          SELECT doc_id, is_tgt,
+                 unnest(list_concat(
+                   l,
+                   CASE WHEN len(l) >= 2
+                        THEN list_transform(range(1, len(l)),
+                             i -> l[i] || ' ' || l[i + 1])
+                        ELSE CAST([] AS VARCHAR[]) END)) AS f
+          FROM docs2
+        ),
+        fb AS MATERIALIZED (
+          SELECT doc_id, is_tgt,
+                 CAST((((v - CASE WHEN v >= 9223372036854775808::HUGEINT
+                                  THEN 18446744073709551616::HUGEINT
+                                  ELSE 0 END) % 1009) + 1009) % 1009
+                      AS BIGINT) AS bucket
+          FROM (SELECT doc_id, is_tgt,
+                       ('0x' || substr(md5(f), 17, 16))::UBIGINT::HUGEINT
+                         AS v
+                FROM feats)
+        ),
+        docfeat AS MATERIALIZED (
+          SELECT doc_id, bucket, COUNT(*) AS c
+          FROM fb WHERE NOT is_tgt GROUP BY 1, 2
+        ),
+        rawb AS (SELECT bucket, SUM(c) AS n FROM docfeat GROUP BY 1),
+        tgtb AS (
+          SELECT bucket, COUNT(*) AS n FROM fb WHERE is_tgt GROUP BY 1
+        ),
+        tot AS (
+          SELECT (SELECT COALESCE(SUM(n), 0) FROM rawb) AS R,
+                 (SELECT COALESCE(SUM(n), 0) FROM tgtb) AS T
+        ),
+        ratio AS (
+          SELECT bucket,
+                 ln((COALESCE(t.n, 0) + 1.0)
+                    / ((SELECT T FROM tot) + 1009.0))
+               - ln((COALESCE(r.n, 0) + 1.0)
+                    / ((SELECT R FROM tot) + 1009.0)) AS lr
+          FROM rawb r FULL OUTER JOIN tgtb t USING (bucket)
+        ),
+        w AS MATERIALIZED (
+          SELECT d.doc_id, ROUND(SUM(d.c * ratio.lr), 4) AS log_w
+          FROM docfeat d JOIN ratio USING (bucket)
+          GROUP BY 1
+        ),
+        th AS (
+          SELECT MIN(log_w) AS t
+          FROM (SELECT log_w FROM w ORDER BY log_w DESC LIMIT 50)
+        )
+        SELECT doc_id, log_w, log_w >= (SELECT t FROM th) AS selected
+        FROM w ORDER BY doc_id
     """,
     # corpus_pipeline: full per-stage replay — normalize (nfc + control
     # strip + space/tab collapse) -> scrub (EMAIL/IP/SSN/PHONE) -> quality
