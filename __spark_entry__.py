@@ -1711,6 +1711,31 @@ def q_dsir_select(spark, sf):
     ).orderBy("doc_id")
 
 
+def q_ngram_lm_score(spark, sf):
+    """Stupid-backoff n-gram LM scoring (operators/ngram_lm.py — Brants
+    et al. 2007; the CCNet-style target-LM quality signal): train a
+    trigram model on src0+src1, score every other document's per-token
+    log10 likelihood. FULL value oracle: counts, backoff CASE chain and
+    log arithmetic replay verbatim in DuckDB (scores rounded 4dp, the
+    established cross-engine float tolerance); exact per-token parity
+    with a pure-Python reference is pinned in tests/test_ngram_lm.py."""
+    from linkml_store_spark.operators.ngram_lm import (
+        score_with_lm,
+        train_ngram_lm,
+    )
+
+    docs = _t(spark, sf, "documents")
+    target = docs.filter(F.col("source").isin("src0", "src1"))
+    raw = docs.filter(~F.col("source").isin("src0", "src1"))
+    model = train_ngram_lm(target, order=3)
+    out = score_with_lm(raw, model)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("logprob_per_token", 4).alias("logprob_per_token"),
+    ).orderBy("doc_id")
+
+
 def q_robust_outliers(spark, sf):
     """Median/MAD robust outlier detection (operators/outliers.py): flag
     events whose value deviates > 3.5 robust sigmas within its event
@@ -1922,9 +1947,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash": q_dedup_minhash,
     "knn_cosine": q_knn_cosine,
     "count_zone_values": q_count_zone_values,
-    # round-8 addition, registered INSIDE the sampled window the round it
-    # lands (ADVICE r7 #4)
+    # round-8 additions, registered INSIDE the sampled window the round
+    # they land (ADVICE r7 #4)
     "dsir_select": q_dsir_select,
+    "ngram_lm_score": q_ngram_lm_score,
     "facet_zone_clustered": q_facet_zone_clustered,
     "topk_string_pruned": q_topk_string_pruned,
     "find_range": q_find_range,
@@ -2282,6 +2308,75 @@ ORACLES: dict[str, str] = {
         )
         SELECT id AS doc_id, MIN(comp) AS group_id
         FROM reach GROUP BY id ORDER BY doc_id
+    """,
+    # ngram_lm_score: full replay of the trigram stupid-backoff scorer —
+    # count tables from the target split, per-position highest-match CASE
+    # chain with alpha=0.4 per unmatched REACHABLE order, unigram floor
+    # 1/N for OOV, mean log10 rounded 4dp.
+    "ngram_lm_score": r"""
+        WITH tgt AS MATERIALIZED (
+          SELECT string_split_regex(lower(trim(text)), '\s+') AS l
+          FROM documents WHERE source IN ('src0', 'src1')
+        ),
+        c1 AS MATERIALIZED (
+          SELECT g, COUNT(*) AS n
+          FROM (SELECT unnest(l) AS g FROM tgt) GROUP BY 1
+        ),
+        c2 AS MATERIALIZED (
+          SELECT g, COUNT(*) AS n
+          FROM (SELECT array_to_string(l[i : i + 1], ' ') AS g
+                FROM tgt, LATERAL (
+                  SELECT unnest(range(1, len(l))) AS i) t)
+          GROUP BY 1
+        ),
+        c3 AS MATERIALIZED (
+          SELECT g, COUNT(*) AS n
+          FROM (SELECT array_to_string(l[i : i + 2], ' ') AS g
+                FROM tgt, LATERAL (
+                  SELECT unnest(range(1, len(l) - 1)) AS i) t)
+          GROUP BY 1
+        ),
+        nt AS (SELECT SUM(n)::DOUBLE AS N FROM c1),
+        rawd AS MATERIALIZED (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
+          FROM documents WHERE source NOT IN ('src0', 'src1')
+        ),
+        posx AS MATERIALIZED (
+          SELECT doc_id, len(l) AS n_tokens, p.p AS p,
+                 l[p] AS g1,
+                 CASE WHEN p >= 2
+                      THEN array_to_string(l[p-1 : p], ' ') END AS g2,
+                 CASE WHEN p >= 2 THEN l[p-1] END AS c2g,
+                 CASE WHEN p >= 3
+                      THEN array_to_string(l[p-2 : p], ' ') END AS g3,
+                 CASE WHEN p >= 3
+                      THEN array_to_string(l[p-2 : p-1], ' ') END AS c3g
+          FROM rawd, LATERAL (SELECT unnest(range(1, len(l) + 1)) AS p) p
+        ),
+        sc AS (
+          SELECT doc_id, n_tokens,
+            CASE WHEN p >= 3 AND g3n.n IS NOT NULL AND c3n.n IS NOT NULL
+                 THEN g3n.n::DOUBLE / c3n.n
+                 ELSE (CASE WHEN p >= 3 THEN 0.4 ELSE 1.0 END) *
+                   CASE WHEN p >= 2 AND g2n.n IS NOT NULL
+                             AND c2n.n IS NOT NULL
+                        THEN g2n.n::DOUBLE / c2n.n
+                        ELSE (CASE WHEN p >= 2 THEN 0.4 ELSE 1.0 END) *
+                          (CASE WHEN COALESCE(g1n.n, 0) > 0
+                                THEN g1n.n::DOUBLE / (SELECT N FROM nt)
+                                ELSE 1.0 / (SELECT N FROM nt) END)
+                   END
+            END AS s
+          FROM posx
+          LEFT JOIN c1 g1n ON g1n.g = posx.g1
+          LEFT JOIN c2 g2n ON g2n.g = posx.g2
+          LEFT JOIN c1 c2n ON c2n.g = posx.c2g
+          LEFT JOIN c3 g3n ON g3n.g = posx.g3
+          LEFT JOIN c2 c3n ON c3n.g = posx.c3g
+        )
+        SELECT doc_id, n_tokens,
+               ROUND(AVG(log10(s)), 4) AS logprob_per_token
+        FROM sc GROUP BY 1, 2 ORDER BY doc_id
     """,
     # dsir_select: full replay — md5-low64 bucket hash (the simhash
     # oracle's bit-identical conversion), Laplace-smoothed bucket models
