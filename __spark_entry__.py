@@ -1736,6 +1736,23 @@ def q_ngram_lm_score(spark, sf):
     ).orderBy("doc_id")
 
 
+def q_fingerprint_overlap(spark, sf):
+    """Winnowing fingerprint overlap (operators/fingerprint.py —
+    Schleimer et al. 2003, the MOSS algorithm): k=5-gram md5-low64
+    hashes, window w=4 rightmost-min selection (any shared run of
+    w+k-1 = 8 tokens is guaranteed a shared fingerprint), pairwise
+    shared-fingerprint counts at min_shared=2. FULL value oracle: the
+    selection rule and the signed md5-low64 hash replay verbatim in
+    DuckDB; exact parity with a pure-Python reference is pinned in
+    tests/test_fingerprint.py."""
+    from linkml_store_spark.operators.fingerprint import fingerprint_overlap
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    return fingerprint_overlap(docs, k=5, w=4, min_shared=2).orderBy(
+        "left_id", "right_id"
+    )
+
+
 def q_robust_outliers(spark, sf):
     """Median/MAD robust outlier detection (operators/outliers.py): flag
     events whose value deviates > 3.5 robust sigmas within its event
@@ -1951,6 +1968,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # they land (ADVICE r7 #4)
     "dsir_select": q_dsir_select,
     "ngram_lm_score": q_ngram_lm_score,
+    "fingerprint_overlap": q_fingerprint_overlap,
     "facet_zone_clustered": q_facet_zone_clustered,
     "topk_string_pruned": q_topk_string_pruned,
     "find_range": q_find_range,
@@ -2308,6 +2326,56 @@ ORACLES: dict[str, str] = {
         )
         SELECT id AS doc_id, MIN(comp) AS group_id
         FROM reach GROUP BY id ORDER BY doc_id
+    """,
+    # fingerprint_overlap: full replay of the winnowing selection rule —
+    # signed md5-low64 k-gram hashes, rightmost-min per w-window, distinct
+    # (doc, fp) self-join counted at min_shared=2.
+    "fingerprint_overlap": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 string_split_regex(lower(trim(text)), '\s+') AS l
+          FROM documents
+        ),
+        gh AS MATERIALIZED (
+          SELECT doc_id,
+            CASE WHEN len(l) >= 5
+                 THEN list_transform(range(1, len(l) - 3), i ->
+                   (('0x' || substr(md5(array_to_string(l[i : i + 4], ' ')),
+                       17, 16))::UBIGINT::HUGEINT
+                    - CASE WHEN ('0x' || substr(
+                          md5(array_to_string(l[i : i + 4], ' ')),
+                          17, 16))::UBIGINT
+                           >= 9223372036854775808::UBIGINT
+                           THEN 18446744073709551616::HUGEINT
+                           ELSE 0::HUGEINT END)::BIGINT)
+                 ELSE [
+                   (('0x' || substr(md5(array_to_string(l, ' ')),
+                       17, 16))::UBIGINT::HUGEINT
+                    - CASE WHEN ('0x' || substr(md5(array_to_string(l, ' ')),
+                          17, 16))::UBIGINT
+                           >= 9223372036854775808::UBIGINT
+                           THEN 18446744073709551616::HUGEINT
+                           ELSE 0::HUGEINT END)::BIGINT] END AS g
+          FROM toks
+        ),
+        wins AS (
+          SELECT doc_id, i.i AS i,
+                 CASE WHEN len(g) >= 4 THEN g[i.i : i.i + 3]
+                      ELSE g END AS sl
+          FROM gh, LATERAL (
+            SELECT unnest(CASE WHEN len(g) >= 4
+                               THEN range(1, len(g) - 2)
+                               ELSE [1] END) AS i) i
+        ),
+        fps AS (
+          SELECT DISTINCT doc_id, list_min(sl) AS fp
+          FROM wins
+        )
+        SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+               COUNT(*) AS shared_fps
+        FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        ORDER BY left_id, right_id
     """,
     # ngram_lm_score: full replay of the trigram stupid-backoff scorer —
     # count tables from the target split, per-position highest-match CASE

@@ -1,0 +1,85 @@
+"""Winnowing fingerprints (operators/fingerprint.py)."""
+
+import hashlib
+
+from linkml_store_spark.operators.fingerprint import (
+    fingerprint_overlap,
+    winnow_fingerprints,
+)
+
+
+def _h(s: str) -> int:
+    v = int(hashlib.md5(s.encode()).hexdigest()[16:32], 16)
+    return v - 2**64 if v >= 2**63 else v
+
+
+def _py_winnow(text: str, k: int, w: int):
+    toks = text.strip().lower().split()
+    if len(toks) >= k:
+        grams = [
+            _h(" ".join(toks[i:i + k])) for i in range(len(toks) - k + 1)
+        ]
+    else:
+        grams = [_h(" ".join(toks))]
+    out = set()
+    m = len(grams)
+    if m >= w:
+        windows = [(i, grams[i:i + w]) for i in range(m - w + 1)]
+    else:
+        windows = [(0, grams)]
+    for start, sl in windows:
+        mn = min(sl)
+        # rightmost occurrence of the minimum
+        pos = start + max(j for j, v in enumerate(sl) if v == mn)
+        out.add((pos, mn))
+    return out
+
+
+TEXTS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "a completely different sentence with the quick brown fox jumps over the lazy dog inside it"),
+    (3, "nothing in common with either of the others at all whatsoever today"),
+    (4, "tiny doc"),
+]
+
+
+def test_fingerprints_match_python_reference(spark):
+    df = spark.createDataFrame(TEXTS, ["doc_id", "text"])
+    got = {
+        (r["doc_id"], r["pos"], r["fp"])
+        for r in winnow_fingerprints(df, k=5, w=4).collect()
+    }
+    want = set()
+    for i, t in TEXTS:
+        for pos, fp in _py_winnow(t, 5, 4):
+            want.add((i, pos, fp))
+    assert got == want
+
+
+def test_shared_run_guarantee(spark):
+    """Docs 1 and 2 share a 9-token run (> w + k - 1 = 8), so the paper's
+    guarantee demands at least one shared fingerprint; doc 3 shares
+    nothing that long with either."""
+    df = spark.createDataFrame(TEXTS, ["doc_id", "text"])
+    pairs = {
+        (r["left_id"], r["right_id"]): r["shared_fps"]
+        for r in fingerprint_overlap(df, k=5, w=4).collect()
+    }
+    assert pairs.get((1, 2), 0) >= 1
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_max_freq_drops_boilerplate(spark):
+    rows = [(i, "shared boilerplate header text appears in every doc " +
+             f"unique tail {i} a{i} b{i} c{i} d{i} e{i}") for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    allp = fingerprint_overlap(df, k=5, w=4).count()
+    capped = fingerprint_overlap(df, k=5, w=4, max_freq=3).count()
+    assert allp == 15  # every pair shares the header
+    assert capped == 0  # the >3-doc fingerprints are pruned
+
+
+def test_plan_stays_native(spark):
+    df = spark.createDataFrame(TEXTS, ["doc_id", "text"])
+    plan = winnow_fingerprints(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
