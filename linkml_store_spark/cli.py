@@ -700,6 +700,101 @@ def dedup_segments_cmd(obj: Context, text_col, sep_regex, tokens_per_segment,
     _render([r.asDict(recursive=True) for r in df.collect()], output_type, output)
 
 
+@cli.command(name="dsir-select")
+@click.option("--target-where", required=True,
+              help="JSON where-clause selecting the TARGET split of this "
+                   "collection (e.g. '{\"source\": \"wiki\"}'); the rest "
+                   "is the raw pool")
+@click.option("-k", "--top-k", "k", default=100, show_default=True)
+@click.option("--buckets", "n_buckets", default=10000, show_default=True)
+@click.option("--text-col", default="text", show_default=True)
+@click.option("--id-col", default="doc_id", show_default=True)
+@OUTPUT_OPT
+@OUTPUT_FILE_OPT
+@click.pass_obj
+def dsir_select_cmd(obj: Context, target_where, k, n_buckets, text_col,
+                    id_col, output_type, output):
+    """DSIR data selection (Xie et al. 2023): keep the raw documents whose
+    hashed-n-gram distribution best matches the target split."""
+    import json as _json
+
+    from linkml_store_spark.operators.dsir import dsir_select
+    from linkml_store_spark.where import apply_where
+
+    where = _json.loads(target_where)
+    df = obj.collection.df
+    target = apply_where(df, where)
+    raw = df.join(target.select(id_col), id_col, "left_anti")
+    out = dsir_select(raw, target, k=k, text_col=text_col, id_col=id_col,
+                      n_buckets=n_buckets)
+    _render([r.asDict(recursive=True) for r in out.collect()],
+            output_type, output)
+
+
+@cli.command(name="lm-score")
+@click.option("--target-where", required=True,
+              help="JSON where-clause selecting the LM training split")
+@click.option("--order", default=3, show_default=True)
+@click.option("--alpha", default=0.4, show_default=True)
+@click.option("--min-logprob", type=float, default=None,
+              help="filter mode: emit only docs clearing this per-token "
+                   "log10 score (CCNet-style LM gate)")
+@click.option("--text-col", default="text", show_default=True)
+@click.option("--id-col", default="doc_id", show_default=True)
+@OUTPUT_OPT
+@OUTPUT_FILE_OPT
+@click.pass_obj
+def lm_score_cmd(obj: Context, target_where, order, alpha, min_logprob,
+                 text_col, id_col, output_type, output):
+    """Stupid-backoff n-gram LM scoring (Brants et al. 2007): per-token
+    log10 likelihood of every document under a target-trained LM."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from linkml_store_spark.operators.ngram_lm import (
+        score_with_lm,
+        train_ngram_lm,
+    )
+    from linkml_store_spark.where import apply_where
+
+    where = _json.loads(target_where)
+    df = obj.collection.df
+    target = apply_where(df, where)
+    raw = df.join(target.select(id_col), id_col, "left_anti")
+    model = train_ngram_lm(target, text_col=text_col, order=order)
+    scores = score_with_lm(raw, model, text_col=text_col, id_col=id_col,
+                           alpha=alpha)
+    if min_logprob is not None:
+        scores = scores.filter(F.col("logprob_per_token") >= min_logprob)
+    _render([r.asDict() for r in scores.orderBy(id_col).collect()],
+            output_type, output)
+
+
+@cli.command(name="fingerprint-overlap")
+@click.option("-k", "--gram", "k", default=5, show_default=True)
+@click.option("-w", "--window", "w", default=4, show_default=True)
+@click.option("--min-shared", default=1, show_default=True)
+@click.option("--max-freq", type=int, default=None,
+              help="drop fingerprints appearing in more docs than this")
+@click.option("--text-col", default="text", show_default=True)
+@click.option("--id-col", default="doc_id", show_default=True)
+@OUTPUT_OPT
+@OUTPUT_FILE_OPT
+@click.pass_obj
+def fingerprint_overlap_cmd(obj: Context, k, w, min_shared, max_freq,
+                            text_col, id_col, output_type, output):
+    """Winnowing/MOSS fingerprint overlap (Schleimer et al. 2003):
+    document pairs sharing >= min-shared winnowed fingerprints."""
+    from linkml_store_spark.operators.fingerprint import fingerprint_overlap
+
+    out = fingerprint_overlap(
+        obj.collection.df, text_col=text_col, id_col=id_col, k=k, w=w,
+        min_shared=min_shared, max_freq=max_freq,
+    ).orderBy("left_id", "right_id")
+    _render([r.asDict() for r in out.collect()], output_type, output)
+
+
 @cli.command(name="train-tokenizer")
 @click.option("--text-col", default="text", show_default=True)
 @click.option("--merges", "num_merges", default=1000, show_default=True)

@@ -339,3 +339,35 @@ def test_cli_find_matches_exact_and_ivf(wh, spark, tmp_path):
               "--method", "ivf", "--nprobe", "16"])
     ivf = {x["left_id"]: x["right_id"] for x in json.loads(r.output)}
     assert ivf == exact  # all-probe (nprobe >= centroids) is exact
+
+
+def test_cli_selection_and_fingerprint_verbs(wh, tmp_path, spark):
+    """Round-8 extension verbs: dsir-select, lm-score, fingerprint-overlap."""
+    docs = tmp_path / "sel_docs.jsonl"
+    rows = [
+        {"doc_id": 1, "text": "the cat sat on the mat", "split": "tgt"},
+        {"doc_id": 2, "text": "the dog sat on the log", "split": "tgt"},
+        {"doc_id": 3, "text": "the cat sat on the mat today", "split": "raw"},
+        {"doc_id": 4, "text": "stock market prices rose sharply", "split": "raw"},
+        {"doc_id": 5, "text": "zzz qqq vvv www uuu ttt", "split": "raw"},
+    ]
+    with open(docs, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    _run(["-d", wh, "-c", "sel", "--identifier", "doc_id", "insert", str(docs)])
+
+    r = _run(["-d", wh, "-c", "sel", "--identifier", "doc_id", "dsir-select",
+              "--target-where", '{"split": "tgt"}', "-k", "1",
+              "--buckets", "997"])
+    picked = json.loads(r.output)
+    assert len(picked) == 1 and picked[0]["doc_id"] == 3  # the target-like doc
+
+    r = _run(["-d", wh, "-c", "sel", "--identifier", "doc_id", "lm-score",
+              "--target-where", '{"split": "tgt"}'])
+    scores = {x["doc_id"]: x["logprob_per_token"] for x in json.loads(r.output)}
+    assert scores[3] > scores[4] and scores[3] > scores[5]
+
+    r = _run(["-d", wh, "-c", "sel", "--identifier", "doc_id",
+              "fingerprint-overlap", "-k", "3", "-w", "2"])
+    pairs = {(x["left_id"], x["right_id"]) for x in json.loads(r.output)}
+    assert (1, 3) in pairs  # the 6-token shared run surfaces
