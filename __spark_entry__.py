@@ -1753,6 +1753,31 @@ def q_fingerprint_overlap(spark, sf):
     )
 
 
+def q_adaptive_quality(spark, sf):
+    """FineWeb-style per-source adaptive quality gate
+    (operators/quality_model.adaptive_quality_filter): drop each source's
+    bottom 20% by its OWN native-heuristic quality-score distribution.
+    FULL value oracle: the quality score replays byte-exactly (the
+    quality_classifier fragment) and the per-group exact interpolated
+    percentile is DuckDB's quantile_cont; at 25-doc groups the 0.2 rank
+    interpolates strictly between two scores, so membership cannot sit
+    on a float boundary. Emitted scores/thresholds rounded 6dp."""
+    from linkml_store_spark.operators.quality_model import (
+        adaptive_quality_filter,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text", "source")
+    kept = adaptive_quality_filter(
+        docs, by="source", quantile=0.2, keep_score=True
+    )
+    return kept.select(
+        "doc_id",
+        "source",
+        F.round("quality", 6).alias("quality"),
+        F.round("group_threshold", 6).alias("group_threshold"),
+    ).orderBy("doc_id")
+
+
 def q_robust_outliers(spark, sf):
     """Median/MAD robust outlier detection (operators/outliers.py): flag
     events whose value deviates > 3.5 robust sigmas within its event
@@ -1969,6 +1994,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_select": q_dsir_select,
     "ngram_lm_score": q_ngram_lm_score,
     "fingerprint_overlap": q_fingerprint_overlap,
+    "adaptive_quality": q_adaptive_quality,
     "facet_zone_clustered": q_facet_zone_clustered,
     "topk_string_pruned": q_topk_string_pruned,
     "find_range": q_find_range,
@@ -2326,6 +2352,48 @@ ORACLES: dict[str, str] = {
         )
         SELECT id AS doc_id, MIN(comp) AS group_id
         FROM reach GROUP BY id ORDER BY doc_id
+    """,
+    # adaptive_quality: byte-exact quality-score replay (the
+    # quality_classifier fragment) + per-source quantile_cont(0.2)
+    # threshold + >= filter; scores rounded 6dp in the OUTPUT only.
+    "adaptive_quality": r"""
+        WITH w AS (
+          SELECT doc_id, source, text, length(text) AS n,
+                 string_split_regex(lower(trim(text)), '\s+') AS words
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id, source,
+            (least(n / 500.0, 1.0)
+               * (CASE WHEN n > 20000 THEN 0.5 ELSE 1.0 END)
+             + 1.0 - least((CASE WHEN n = 0 THEN 0.0
+                  ELSE (n - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+                       / n::DOUBLE END) * 4.0, 1.0)
+             + CASE WHEN (CASE WHEN len(words) = 0 THEN 0.0
+                 ELSE coalesce(list_sum(list_transform(words,
+                        x -> length(x))), 0)::DOUBLE / len(words) END)
+                 >= 3.0
+                AND (CASE WHEN len(words) = 0 THEN 0.0
+                 ELSE coalesce(list_sum(list_transform(words,
+                        x -> length(x))), 0)::DOUBLE / len(words) END)
+                 <= 10.0
+               THEN 1.0 ELSE 0.5 END
+             + least((CASE WHEN len(words) = 0 THEN 0.0
+                 ELSE len(list_filter(words, x -> list_contains(
+                   ['the','and','of','to','in','is','that','it','for','with'],
+                   x)))::DOUBLE / len(words) END) * 5.0, 1.0)
+            ) / 4.0 AS q
+          FROM w
+        ),
+        thr AS (
+          SELECT source, quantile_cont(q, 0.2) AS t FROM s GROUP BY source
+        )
+        SELECT s.doc_id, s.source,
+               ROUND(s.q, 6) AS quality,
+               ROUND(thr.t, 6) AS group_threshold
+        FROM s JOIN thr USING (source)
+        WHERE s.q >= thr.t
+        ORDER BY s.doc_id
     """,
     # fingerprint_overlap: full replay of the winnowing selection rule —
     # signed md5-low64 k-gram hashes, rightmost-min per w-window, distinct

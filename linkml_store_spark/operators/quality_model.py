@@ -146,6 +146,46 @@ def quality_filter(
     return score_quality(model, df, out_col).filter(F.col(out_col) >= keep_threshold)
 
 
+def adaptive_quality_filter(
+    df: DataFrame,
+    by: str = "source",
+    quantile: float = 0.2,
+    text_col: str = "text",
+    score_col: str = None,
+    keep_score: bool = False,
+) -> DataFrame:
+    """FineWeb-style per-group adaptive quality gate: drop each group's
+    bottom ``quantile`` of its OWN score distribution instead of applying
+    one global threshold (a global bar over-prunes clean sources and
+    under-prunes dirty ones — the reason FineWeb filters per dump).
+
+    ``score_col`` names a precomputed score; by default the native
+    heuristic ``textanalysis.quality_score`` is computed inline. One
+    exact interpolated percentile aggregate per group (at most |groups|
+    rows — broadcast), one broadcast join, one filter: shuffle-free over
+    the corpus beyond the percentile aggregate itself. Keeps rows with
+    ``score >= group threshold`` (ties at an exact data point included
+    identically in any engine — the interpolated threshold equals a real
+    score exactly when the rank is integral, with no arithmetic)."""
+    from linkml_store_spark.operators.textanalysis import quality_score
+
+    if score_col is None:
+        scored = df.withColumn("__q", quality_score(F.col(text_col)))
+    else:
+        scored = df.withColumn("__q", F.col(score_col))
+    thr = scored.groupBy(by).agg(
+        F.percentile("__q", float(quantile)).alias("__thr")
+    )
+    out = scored.join(F.broadcast(thr), by).filter(
+        F.col("__q") >= F.col("__thr")
+    )
+    if keep_score:
+        return out.withColumnRenamed("__q", "quality").withColumnRenamed(
+            "__thr", "group_threshold"
+        )
+    return out.drop("__q", "__thr")
+
+
 def train_test_quality_eval(
     df: DataFrame,
     text_col: str = "text",

@@ -71,3 +71,44 @@ def test_unigram_only_pipeline(corpus):
         F.avg(((F.col("quality_prob") >= 0.5).cast("double") == F.col("label")).cast("double"))
     ).first()[0]
     assert acc >= 0.95
+
+
+def test_adaptive_quality_filter_per_group_thresholds(spark):
+    """The per-group gate drops each source's bottom-quantile by its OWN
+    distribution: a doc that survives in a low-quality source would have
+    been cut under the clean source's threshold — the FineWeb rationale."""
+    from pyspark.sql import functions as F
+
+    from linkml_store_spark.operators.quality_model import (
+        adaptive_quality_filter,
+    )
+    from linkml_store_spark.operators.textanalysis import quality_score
+
+    prose = ("the quick brown fox jumps over the lazy dog and it is "
+             "a fine day for walking in the park with friends ")
+    noise = "@@@ ### !!! %% ^^ && ** (( )) {{ }} [[ ]] ~~ ``"
+    rows = (
+        [(i, prose * 3, "clean") for i in range(8)]
+        + [(100, prose + noise, "clean")]          # clean source's worst
+        + [(200 + i, noise * (i + 1), "dirty") for i in range(8)]
+        + [(300, prose * 2 + noise, "dirty")]      # dirty source's best
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    kept = adaptive_quality_filter(df, by="source", quantile=0.25,
+                                   keep_score=True)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert 300 in ids          # dirty source's best survives its OWN gate
+    assert 100 not in ids      # clean source's worst falls below its gate
+    # per-group retention ~ (1 - quantile) of each group
+    per = {r["source"]: r["n"] for r in kept.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per["clean"] >= 6 and per["dirty"] >= 6
+    # the emitted threshold is each group's own percentile
+    thr = {r["source"]: r["group_threshold"] for r in
+           kept.select("source", "group_threshold").distinct().collect()}
+    assert thr["clean"] > thr["dirty"]
+    # score column matches the inline heuristic
+    q = {r["doc_id"]: r["quality"] for r in kept.collect()}
+    ref = {r["doc_id"]: r["s"] for r in df.select(
+        "doc_id", quality_score(F.col("text")).alias("s")).collect()}
+    assert all(abs(q[i] - ref[i]) < 1e-12 for i in q)
