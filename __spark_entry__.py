@@ -1979,8 +1979,11 @@ def q_facet_zone_clustered(spark, sf):
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Round-8 driver window (first 50): the two former no_oracle reds
     # (dedup_incremental, corpus_pipeline — now value-oracled) +
-    # span_stats_window (never driver-sampled) + the 5 canaries +
-    # a rotation of the stalest queries (last sampled round 6).
+    # span_stats_window (never driver-sampled) + the 5 canaries + the
+    # four NEW round-8 operators (dsir_select, ngram_lm_score,
+    # fingerprint_overlap, adaptive_quality — registered inside the
+    # window the round they land, ADVICE r7 #4) + a rotation of the
+    # stalest queries (last sampled round 6).
     "dedup_incremental": q_dedup_incremental,
     "corpus_pipeline": q_corpus_pipeline,
     "span_stats_window": q_span_stats_window,

@@ -394,10 +394,30 @@ def main():
         timings.update(t)
         spreads.update(s)
         if name in raw_twins:
-            # raw twin timed IMMEDIATELY after its routed call (same
-            # seconds of box state) — the difference is the API tax
-            rt, _rs = time_all({name: raw_twins[name]}, busters=memo_busters)
-            raw_timings[name] = rt[name]
+            # raw twin interleaved RUN-BY-RUN with a re-timed routed call
+            # (not block-after-block: the box drifts within seconds, and a
+            # block gap showed up as a phantom 27 ms "tax" on b4) — the
+            # pairwise min difference is the API tax
+            rfn = raw_twins[name]
+            rfn()
+            raw_s, routed_s = [], []
+            for _ in range(RUNS):
+                bust()
+                for b in memo_busters:
+                    b()
+                t0 = time.perf_counter()
+                rfn()
+                raw_s.append(time.perf_counter() - t0)
+                bust()
+                for b in memo_busters:
+                    b()
+                t0 = time.perf_counter()
+                fn()
+                routed_s.append(time.perf_counter() - t0)
+            raw_timings[name] = round(min(raw_s), 4)
+            # the paired routed min replaces the block-timed one for the
+            # tax computation only (timings[name] stays the headline)
+            raw_timings[name + "__routed_paired"] = round(min(routed_s), 4)
         if duck_fns is not None and name in duck_fns:
             dfn = duck_fns[name]
             dfn()
@@ -462,11 +482,16 @@ def main():
     }
     if raw_timings:
         # routed-vs-raw (round-8 letter): the Collection.query API tax as
-        # a per-query measurement — raw twin of the same shape timed
-        # interleaved under the same busting
-        out["routed_raw"] = raw_timings
+        # a per-query measurement — raw twin and routed call interleaved
+        # run-by-run under the same busting; tax = paired mins' difference
+        base = {k: v for k, v in raw_timings.items() if "__" not in k}
+        out["routed_raw"] = base
         out["routed_tax"] = {
-            q: round(timings[q] - raw_timings[q], 4) for q in raw_timings
+            q: round(
+                raw_timings.get(q + "__routed_paired", timings[q]) - base[q],
+                4,
+            )
+            for q in base
         }
     # Same-run DuckDB companion (BASELINE.md's B1-B12 SQL, same warm+best-of
     # methodology, timed INTERLEAVED per query above): BASELINE.md's numbers
