@@ -83,3 +83,34 @@ def test_plan_stays_native(spark):
     df = spark.createDataFrame(TEXTS, ["doc_id", "text"])
     plan = winnow_fingerprints(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_winnowing_guarantee_property(spark):
+    """Schleimer et al.'s theorem, property-tested: ANY shared token run
+    of length >= w + k - 1 between two documents yields at least one
+    shared fingerprint — regardless of where the run sits or what
+    surrounds it. One batched Spark job over all generated cases."""
+    import random
+
+    rng = random.Random(20240815)
+    vocab = [f"w{j}" for j in range(50)]
+    k, w = 4, 3
+    run_len = w + k - 1  # 6 tokens guaranteed
+    rows, expected_pairs = [], []
+    for case in range(12):
+        shared = [rng.choice(vocab) for _ in range(run_len)]
+        a_pre = [rng.choice(vocab) for _ in range(rng.randint(0, 8))]
+        a_post = [rng.choice(vocab) for _ in range(rng.randint(0, 8))]
+        b_pre = [rng.choice(vocab) for _ in range(rng.randint(0, 8))]
+        b_post = [rng.choice(vocab) for _ in range(rng.randint(0, 8))]
+        ida, idb = case * 2, case * 2 + 1
+        rows.append((ida, " ".join(a_pre + shared + a_post)))
+        rows.append((idb, " ".join(b_pre + shared + b_post)))
+        expected_pairs.append((ida, idb))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["left_id"], r["right_id"])
+        for r in fingerprint_overlap(df, k=k, w=w).collect()
+    }
+    for pair in expected_pairs:
+        assert pair in got, f"guaranteed shared run missed for {pair}"
