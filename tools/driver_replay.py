@@ -64,7 +64,13 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
 
-    names = list(qs) if "--all" in sys.argv else driver_order()
+    if "--all" in sys.argv:
+        names = list(qs)
+    elif "--window" in sys.argv:
+        # the NEXT round's driver sample: the first 50 registered queries
+        names = list(qs)[:50]
+    else:
+        names = driver_order()
     fails = []
     for name in names:
         if name not in qs:
