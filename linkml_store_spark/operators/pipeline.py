@@ -49,6 +49,23 @@ class CorpusConfig:
     # span dedup (stage 3b, off by default — ExactSubstr removal of >=k-token
     # runs already seen elsewhere; doc-level LSH dedup can't catch these)
     span_dedup_k: Optional[int] = None
+    # per-source adaptive quality gate (stage 2b, off by default —
+    # FineWeb-style: drop each source's bottom quantile by its OWN score
+    # distribution; needs ``adaptive_quality_by`` to name the source col)
+    adaptive_quality_quantile: Optional[float] = None
+    adaptive_quality_by: str = "source"
+    # target-LM filtering (stage 3c, off by default — CCNet-style: keep
+    # docs whose stupid-backoff per-token log10 score under an LM trained
+    # on ``lm_target_where`` clears ``lm_min_logprob``)
+    lm_min_logprob: Optional[float] = None
+    lm_target_where: Optional[dict] = None
+    lm_order: int = 3
+    # DSIR selection (stage 3d, off by default — keep the ``dsir_top_k``
+    # raw docs whose hashed-n-gram distribution best matches the
+    # ``dsir_target_where`` split; Xie et al. 2023)
+    dsir_top_k: Optional[int] = None
+    dsir_target_where: Optional[dict] = None
+    dsir_buckets: int = 10_000
     # split
     split_fractions: Dict[str, float] = field(
         default_factory=lambda: {"train": 0.98, "val": 0.01, "test": 0.01}
@@ -105,6 +122,21 @@ def prepare_training_corpus(
         .drop("dup_line_frac", "top_bigram_frac")
     )
     report["after_quality_gate"] = gated.count()
+
+    # 2b. optional per-source adaptive gate (FineWeb rationale: one global
+    # bar over-prunes clean sources and under-prunes dirty ones)
+    if cfg.adaptive_quality_quantile is not None:
+        from linkml_store_spark.operators.quality_model import (
+            adaptive_quality_filter,
+        )
+
+        gated = adaptive_quality_filter(
+            gated,
+            by=cfg.adaptive_quality_by,
+            quantile=cfg.adaptive_quality_quantile,
+            text_col=tc,
+        )
+        report["after_adaptive_quality"] = gated.count()
 
     # 3. near-dedup: keep cluster canonicals (transitive, no pair blowup);
     # verified mode routes LSH candidates through exact-jaccard
@@ -172,6 +204,31 @@ def prepare_training_corpus(
         unique = dedup_spans_keep_first(unique, tc, ic, k=cfg.span_dedup_k)
         unique = unique.filter(bpe_token_count(F.col(tc)) >= cfg.min_tokens)
         report["after_span_dedup"] = unique.count()
+
+    # 3c. optional CCNet-style target-LM gate (stupid backoff — one count
+    # fit on the target split, one scoring pass, one threshold filter)
+    if cfg.lm_min_logprob is not None and cfg.lm_target_where:
+        from linkml_store_spark.operators.ngram_lm import lm_quality_filter
+        from linkml_store_spark.where import apply_where
+
+        lm_target = apply_where(unique, cfg.lm_target_where)
+        unique = lm_quality_filter(
+            unique, lm_target, cfg.lm_min_logprob, tc, ic, cfg.lm_order
+        )
+        report["after_lm_filter"] = unique.count()
+
+    # 3d. optional DSIR selection (importance resampling toward the
+    # target split's hashed-n-gram distribution)
+    if cfg.dsir_top_k is not None and cfg.dsir_target_where:
+        from linkml_store_spark.operators.dsir import dsir_select
+        from linkml_store_spark.where import apply_where
+
+        d_target = apply_where(unique, cfg.dsir_target_where)
+        d_raw = unique.join(d_target.select(ic), ic, "left_anti")
+        unique = dsir_select(
+            d_raw, d_target, cfg.dsir_top_k, tc, ic, cfg.dsir_buckets
+        ).drop("log_weight").unionByName(d_target)
+        report["after_dsir"] = unique.count()
 
     # 4. deterministic split (append-stable — docs keep their split forever)
     split = hash_split(unique, ic, cfg.split_fractions, salt=cfg.split_salt)

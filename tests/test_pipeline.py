@@ -62,3 +62,56 @@ def test_pipeline_span_dedup_stage(spark):
     assert "after_span_dedup" in report
     assert report["after_span_dedup"] <= report["after_dedup"]
     assert packed.count() > 0
+
+
+def test_pipeline_optional_round8_stages(spark):
+    """The optional round-8 stages compose: per-source adaptive gate, LM
+    filter against a target split, DSIR selection — each accounted in the
+    report, each monotone non-increasing over the doc set."""
+    from linkml_store_spark.operators.pipeline import (
+        CorpusConfig,
+        prepare_training_corpus,
+    )
+
+    prose = ("the quick brown fox jumps over the lazy dog and it is a "
+             "fine day for walking in the park with friends today ")
+    rows = (
+        [(i, prose + f"unique tail {i} a{i} b{i}", "tgt") for i in range(6)]
+        + [(10 + i, prose + f"other words {i} c{i} d{i}", "raw")
+           for i in range(8)]
+        + [(30, "@@@ ### !!! %% ^^ && ** (( zz", "raw")]
+        + [(31, "zzz qqq vvv www uuu ttt sss rrr ooo nnn mmm lll", "raw")]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    # make sources distinct for the adaptive gate
+    docs = docs.withColumnRenamed("source", "split_tag").withColumn(
+        "source", F.col("split_tag")
+    )
+    _, report = prepare_training_corpus(
+        docs,
+        CorpusConfig(
+            chunk_tokens=16,
+            pack_budget=64,
+            pack_partitions=1,
+            dedup_verify_threshold=0.9,
+            adaptive_quality_quantile=0.2,
+            lm_min_logprob=-3.0,
+            lm_target_where={"split_tag": "tgt"},
+            dsir_top_k=5,
+            dsir_target_where={"split_tag": "tgt"},
+            dsir_buckets=997,
+        ),
+    )
+    assert report["input"] == 16
+    assert (
+        report["input"]
+        >= report["after_quality_gate"]
+        >= report["after_adaptive_quality"]
+        >= report["after_dedup"]
+        >= report["after_lm_filter"]
+        >= report["after_dsir"]
+    )
+    # DSIR keeps target split + top_k raw docs at most
+    assert report["after_dsir"] <= report["after_lm_filter"]
+    assert report["chunks"] >= report["after_dsir"]
+    assert report["packs"] >= 1
