@@ -1695,7 +1695,7 @@ def q_dsir_select(spark, sf):
     docs = _t(spark, sf, "documents")
     target = docs.filter(F.col("source").isin("src0", "src1"))
     raw = docs.filter(~F.col("source").isin("src0", "src1"))
-    w = dsir_weights(raw, target, n_buckets=1009)
+    w = dsir_weights(raw, target, n_buckets=1009, bucket_hash="md5")
     w4 = F.round(F.col("log_weight"), 4)
     thresh = (
         w.select(w4.alias("w"))
@@ -1748,7 +1748,9 @@ def q_fingerprint_overlap(spark, sf):
     from linkml_store_spark.operators.fingerprint import fingerprint_overlap
 
     docs = _t(spark, sf, "documents").select("doc_id", "text")
-    return fingerprint_overlap(docs, k=5, w=4, min_shared=2).orderBy(
+    return fingerprint_overlap(
+        docs, k=5, w=4, min_shared=2, gram_hash="md5"
+    ).orderBy(
         "left_id", "right_id"
     )
 

@@ -49,14 +49,17 @@ def hashed_ngram_features(
     id_col: str = "doc_id",
     n_buckets: int = 10_000,
     bigrams: bool = True,
+    bucket_hash: str = "xxhash64",
 ) -> DataFrame:
     """(id, bucket, c): per-document hashed unigram+bigram counts.
 
     One projection builds the full feature-string array (tokens +
     space-joined adjacent pairs, matching the oracle's
     ``l[i] || ' ' || l[i+1]``), one explode, one groupBy — the count per
-    (doc, bucket). md5-low64 ``pmod`` keeps the bucket id reproducible
-    in any engine with md5."""
+    (doc, bucket). ``bucket_hash``: "xxhash64" (the scale default — one
+    JVM instruction per feature) or "md5" (md5-low64 ``pmod``, ~3x the
+    per-feature cost but reproducible in any engine with md5 — the
+    variant the SQL value oracle replays; same dual as simhash)."""
     toked = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("__t"))
     feats = F.col("__t")
     if bigrams:
@@ -72,11 +75,14 @@ def hashed_ngram_features(
             ),
         ).otherwise(F.array().cast("array<string>"))
         feats = F.concat(feats, bi)
+    if bucket_hash not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown bucket_hash: {bucket_hash!r}")
+    h = _md5_low64 if bucket_hash == "md5" else F.xxhash64
     ex = toked.select(
         F.col(id_col), F.explode(feats).alias("__f")
     ).select(
         F.col(id_col),
-        F.pmod(_md5_low64(F.col("__f")), F.lit(n_buckets)).alias("bucket"),
+        F.pmod(h(F.col("__f")), F.lit(n_buckets)).alias("bucket"),
     )
     return ex.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("c"))
 
@@ -94,6 +100,7 @@ def dsir_weights(
     n_buckets: int = 10_000,
     alpha: float = 1.0,
     bigrams: bool = True,
+    bucket_hash: str = "xxhash64",
 ) -> DataFrame:
     """(id, log_weight) over the RAW corpus: the per-document log
     importance ratio under the hashed-n-gram bucket models.
@@ -105,10 +112,10 @@ def dsir_weights(
     every bucket through the alpha prior on the log-ratio join's nulls).
     """
     raw_feats = hashed_ngram_features(
-        raw_df, text_col, id_col, n_buckets, bigrams
+        raw_df, text_col, id_col, n_buckets, bigrams, bucket_hash
     )
     tgt_feats = hashed_ngram_features(
-        target_df, text_col, id_col, n_buckets, bigrams
+        target_df, text_col, id_col, n_buckets, bigrams, bucket_hash
     )
     raw_b = _bucket_model(raw_feats)
     tgt_b = _bucket_model(tgt_feats)
@@ -149,6 +156,7 @@ def dsir_select(
     n_buckets: int = 10_000,
     alpha: float = 1.0,
     bigrams: bool = True,
+    bucket_hash: str = "xxhash64",
 ) -> DataFrame:
     """The top-``k`` raw documents by DSIR importance weight — rows of
     ``raw_df`` plus ``log_weight``. Deterministic: ties (and the rank
@@ -156,7 +164,8 @@ def dsir_select(
     across runs, partitionings, and engines — the rank-based analog of
     the paper's Gumbel-top-k resampling."""
     w = dsir_weights(
-        raw_df, target_df, text_col, id_col, n_buckets, alpha, bigrams
+        raw_df, target_df, text_col, id_col, n_buckets, alpha, bigrams,
+        bucket_hash,
     )
     ranked = w.orderBy(
         F.desc("log_weight"), F.md5(F.col(id_col).cast("string"))

