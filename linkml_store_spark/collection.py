@@ -760,7 +760,133 @@ class Collection:
             return None
 
     def query(self, query: Query) -> QueryResult:
-        """Execute the declarative Query IR (reference collection.py:375-398)."""
+        """Execute the declarative Query IR (reference collection.py:375-398).
+
+        Routing: footer-small stores whose query compiles into the
+        faithfully-mirrored subset execute DRIVER-LOCALLY with Arrow
+        kernels (``operators/localexec.py``) — zero Spark jobs, none of
+        the per-job scheduling floor. The first eligible query on a store
+        runs BOTH tiers, value-checks them against each other, and records
+        the measured winner (shared A/B memo + ``_ab_winners.json``
+        sidecar); any result divergence pins the store to the JVM path and
+        warns. Everything else — big stores, unsupported operators/types,
+        facet-bearing queries — takes the distributed plan unchanged.
+        """
+        if not self.exists():
+            return QueryResult(num_rows=0, rows=[], query=query)
+        plan = self._local_tier_plan(query)
+        if plan is not None:
+            local_fn, files, total_rows = plan
+            from linkml_store_spark.operators.arrowagg import (
+                ab_winner,
+                record_ab_winner,
+            )
+            from linkml_store_spark.operators.localexec import (
+                LOCAL_TIER_COLUMN,
+            )
+
+            w = ab_winner(
+                self.spark, files, LOCAL_TIER_COLUMN, total_rows=total_rows
+            )
+            if w == "arrow":
+                try:
+                    return local_fn()
+                except Exception:  # noqa: BLE001 — never fail a query here
+                    return self._query_spark(query)
+            if w is None:
+                # first touch: run both tiers once (both produce the
+                # answer — nothing is wasted), value-check, record winner
+                import time as _time
+
+                lres = None
+                try:
+                    t0 = _time.perf_counter()
+                    lres = local_fn()
+                    t_local = _time.perf_counter() - t0
+                except Exception:  # noqa: BLE001
+                    t_local = float("inf")
+                t0 = _time.perf_counter()
+                sres = self._query_spark(query)
+                t_spark = _time.perf_counter() - t0
+                if lres is not None and not _results_equivalent(
+                    lres, sres, query
+                ):
+                    import warnings
+
+                    warnings.warn(
+                        f"local tier result diverged from Spark on "
+                        f"{self.alias!r} — routing this store to the JVM "
+                        "path (please report: this is an engine bug)",
+                        stacklevel=2,
+                    )
+                    t_local = float("inf")
+                record_ab_winner(
+                    self.spark, files, LOCAL_TIER_COLUMN,
+                    t_jvm=t_spark, t_arrow=t_local, total_rows=total_rows,
+                )
+                return sres
+        return self._query_spark(query)
+
+    def _local_tier_plan(self, query: Query):
+        """(closure returning QueryResult, files, total_rows) when this
+        query is local-tier eligible on this store, else None. Eligibility
+        is decided entirely from driver-side state: footer row/byte gates,
+        store-scan purity, and a full compile of where/sort/select into
+        the mirrored Arrow subset (``operators/localexec.py``)."""
+        from linkml_store_spark.operators import localexec as lx
+
+        if query.include_facet_counts:
+            return None
+        gate = self._local_tier_gate()
+        if gate is None:
+            return None
+        files, schema, total_rows = gate
+        try:
+            cond = lx.compile_where_local(query.where_clause, schema)
+            limit = DEFAULT_LIMIT if query.limit is None else query.limit
+            eff_limit = None if (limit is None or limit < 0) else limit
+            sort_specs = [_sort_parse(s) for s in (query.sort_by or [])]
+            sel = list(query.select_cols) if query.select_cols else None
+            if sel is not None and any(
+                "." in c or "[" in c for c in sel
+            ):
+                return None
+            # compile-check the page shape now so refusals never reach
+            # the executor (sort cols plain+supported, outputs mappable)
+            for c, _d in sort_specs:
+                lx._col_type(schema, c)
+            lx._check_output_types(
+                schema, sel if sel is not None else [f.name for f in schema]
+            )
+        except lx.Unsupported:
+            return None
+        except Exception:  # noqa: BLE001 — any analysis surprise: Spark path
+            return None
+
+        session_tz = self._session_tz()
+        offset = query.offset or 0
+
+        def run() -> QueryResult:
+            ck = ("count", "local", repr(query.where_clause))
+            if ck in self._footer_stats_cache:
+                num_rows = self._footer_stats_cache[ck]
+            else:
+                num_rows = lx.local_count(files, schema, cond, total_rows)
+                self._footer_stats_cache[ck] = num_rows
+            if eff_limit == 0:
+                rows: List[OBJECT] = []
+            else:
+                rows = lx.local_page(
+                    files, schema, cond, sel, sort_specs, offset,
+                    eff_limit, session_tz=session_tz,
+                )
+            return QueryResult(num_rows=num_rows, rows=rows, query=query)
+
+        return run, files, total_rows
+
+    def _query_spark(self, query: Query) -> QueryResult:
+        """The distributed path of :meth:`query` (all stores beyond the
+        local-tier gate, and every shape the local compiler refuses)."""
         if not self.exists():
             return QueryResult(num_rows=0, rows=[], query=query)
         # the filtered plan is built LAZILY: a zone/footer-answered count
@@ -1068,6 +1194,11 @@ class Collection:
         facet_limit: int = DEFAULT_FACET_LIMIT,
         facet_min_count: int = 1,
     ):
+        local = self._local_tier_facets(
+            where, facet_columns, facet_limit, facet_min_count
+        )
+        if local is not None:
+            return local
         info: Dict[str, Any] = {}
         res = query_facets(
             self.df, where, facet_columns, facet_limit, facet_min_count,
@@ -1087,6 +1218,150 @@ class Collection:
                     self._note_unclustered_hit(col)
         self._drain_pending_compactions()
         return res
+
+    def _session_tz(self) -> Optional[str]:
+        """spark.sql.session.timeZone, memoized per Database — the lookup
+        is a Py4J round-trip and sits on the local tier's per-query path."""
+        tz = getattr(self.database, "_session_tz_memo", False)
+        if tz is False:
+            try:
+                tz = self.spark.conf.get("spark.sql.session.timeZone")
+            except Exception:  # noqa: BLE001
+                tz = None
+            self.database._session_tz_memo = tz
+        return tz
+
+    def _local_tier_gate(self):
+        """(files, schema, total_rows) when this store is inside the
+        local-tier size gates with usable footers, else None — the shared
+        eligibility check for every local-tier entry point."""
+        from linkml_store_spark.operators import localexec as lx
+
+        if not lx.local_tier_enabled():
+            return None
+        if not (self._df_is_store_scan and self.database.location):
+            return None
+        metas = self._store_metas()
+        if not metas:
+            return None
+        total_rows = sum(md.num_rows for _fp, md in metas)
+        total_bytes = sum(
+            md.row_group(i).total_byte_size
+            for _fp, md in metas
+            for i in range(md.num_row_groups)
+        )
+        if (
+            total_rows > lx.local_tier_max_rows()
+            or total_bytes > lx.LOCAL_TIER_MAX_BYTES
+        ):
+            return None
+        files = [fp for fp, _md in metas]
+        try:
+            import pyarrow.parquet as pq
+
+            ck = ("local_schema",)
+            schema = self._footer_stats_cache.get(ck)
+            if schema is None:
+                schema = pq.ParquetFile(files[0]).schema_arrow
+                self._footer_stats_cache[ck] = schema
+        except Exception:  # noqa: BLE001
+            return None
+        return files, schema, total_rows
+
+    def _local_tier_facets(
+        self, where, facet_columns, facet_limit, facet_min_count
+    ):
+        """Facet counts via the driver-local Arrow tier (see
+        :meth:`query` routing notes), or None when anything refuses —
+        including any facet column outside the mirrored subset (arrays,
+        nested, timestamps) or a where-clause the compiler rejects. The
+        store-level A/B winner is SHARED with the query tier: both are
+        the same local-vs-JVM floor question."""
+        import pyarrow.types as pt
+
+        from linkml_store_spark.operators import localexec as lx
+        from linkml_store_spark.where import exclude_column
+
+        gate = self._local_tier_gate()
+        if gate is None:
+            return None
+        files, schema, total_rows = gate
+        cols = (
+            list(facet_columns) if facet_columns is not None
+            else [f.name for f in schema]
+        )
+        try:
+            conds = {}
+            for col in cols:
+                parts = [col] if isinstance(col, str) else list(col)
+                for c in parts:
+                    t = lx._col_type(schema, c)
+                    if pt.is_timestamp(t):
+                        # ns/tz round-trip parity not mirrored for facet
+                        # VALUES — timestamps facet through the JVM path
+                        raise lx.Unsupported("timestamp facet column")
+                w = where
+                for c in parts:
+                    w = exclude_column(w, c)
+                conds[id(col)] = lx.compile_where_local(w, schema)
+        except lx.Unsupported:
+            return None
+        except Exception:  # noqa: BLE001
+            return None
+
+        def run():
+            return lx.local_facets(
+                files, schema, lambda col: conds[id(col)], cols,
+                facet_limit, facet_min_count,
+            )
+
+        from linkml_store_spark.operators.arrowagg import (
+            ab_winner,
+            record_ab_winner,
+        )
+
+        w = ab_winner(
+            self.spark, files, lx.LOCAL_TIER_COLUMN, total_rows=total_rows
+        )
+        if w == "jvm":
+            return None
+        if w == "arrow":
+            try:
+                return run()
+            except Exception:  # noqa: BLE001 — never fail a facet here
+                return None
+        # first touch: run both tiers, value-check, record the winner
+        import time as _time
+
+        lres, t_local = None, float("inf")
+        try:
+            t0 = _time.perf_counter()
+            lres = run()
+            t_local = _time.perf_counter() - t0
+        except Exception:  # noqa: BLE001
+            pass
+        t0 = _time.perf_counter()
+        info: Dict[str, Any] = {}
+        sres = query_facets(
+            self.df, where, facet_columns, facet_limit, facet_min_count,
+            route_info=info,
+        )
+        t_spark = _time.perf_counter() - t0
+        if lres is not None and lres != sres:
+            import warnings
+
+            warnings.warn(
+                f"local tier facet counts diverged from Spark on "
+                f"{self.alias!r} — routing this store to the JVM path "
+                "(please report: this is an engine bug)",
+                stacklevel=2,
+            )
+            t_local = float("inf")
+        record_ab_winner(
+            self.spark, files, lx.LOCAL_TIER_COLUMN,
+            t_jvm=t_spark, t_arrow=t_local, total_rows=total_rows,
+        )
+        return sres
 
     def group_by(
         self,
@@ -1752,6 +2027,32 @@ def _sort_norm(spec) -> str:
             return f"{spec[0]} {str(spec[1]).lower()}"
         raise ValueError(f"bad sort spec: {spec!r}")
     return spec
+
+
+def _results_equivalent(lres: QueryResult, sres: QueryResult, query: Query) -> bool:
+    """Value-equivalence of the two tiers' results for the A/B parity
+    check, honoring the query's actual determinism contract: pre-pagination
+    totals must always match; full (untruncated) pages must match as
+    multisets; sorted truncated pages must agree on the sort-key sequence
+    (rows beyond the keys may differ only by tie order — both engines
+    break ties arbitrarily); unsorted truncated pages promise only the
+    row count (an arbitrary-k selection on any engine)."""
+    if lres.num_rows != sres.num_rows:
+        return False
+    lrows, srows = lres.rows, sres.rows
+    if len(lrows) != len(srows):
+        return False
+    if not lrows:
+        return True
+    if len(lrows) == lres.num_rows:
+        return sorted(map(repr, lrows)) == sorted(map(repr, srows))
+    if query.sort_by:
+        keys = [_sort_base(s) for s in query.sort_by]
+        return all(
+            [r.get(k) for k in keys] == [s.get(k) for k in keys]
+            for r, s in zip(lrows, srows)
+        )
+    return True
 
 
 def _sort_parse(spec):

@@ -1,0 +1,734 @@
+"""Driver-local Arrow execution tier for footer-small stores.
+
+THE PROBLEM (BENCH rounds 1-8, SCALING.md attribution): every Spark query
+pays a 30-70 ms per-job floor (DAGScheduler submit -> task launch -> run ->
+collect) that no user-level plan avoids. Against an in-process engine whose
+whole answer takes 3-68 ms at sf0.1, that floor IS the ratio — the round-8
+attribution measured all twelve benchmark shapes floor-dominated with the
+plans already optimal. An in-process engine pays no such floor because it
+never schedules: the scan runs in the caller's thread.
+
+THE FIX, Photon-in-reverse: when the persisted store is provably tiny —
+parquet footer metadata (exact, truncation-free ``num_rows``) says the
+whole table is under :data:`LOCAL_TIER_MAX_ROWS` — ``Collection.query``
+routes the compiled predicate/sort/page through THIS module: pyarrow reads
+the same parquet files in the driver process and evaluates the same
+semantics with Arrow C++ kernels. Zero Spark jobs, zero scheduling floor —
+exactly the in-process execution a single-node engine gets for free.
+
+SCALE SAFETY (the 100 TB story): this tier is a *latency* optimization
+with a hard size guard, not an execution strategy. The gate reads exact
+footer row counts (``num_rows`` is metadata, never an estimate) and
+refuses when the store exceeds the row or compressed-byte caps, when any
+referenced type/operator falls outside the faithfully-mirrored subset, or
+when footers are unavailable. A 100 TB store never comes within six
+orders of magnitude of the gate; every plan it refuses runs the normal
+distributed path unchanged. Correctness never depends on this module.
+
+ROUTING is A/B-memoized like the Arrow aggregation gate
+(``operators/arrowagg.py``): the first eligible query on a store runs BOTH
+tiers, compares results (a free value-parity check on the user's own
+data), records the measured winner in the shared winner memo under the
+pseudo-column ``__local_tier__`` (sidecar-persisted next to stores the
+scan owns), and routes every later query. Any parity divergence routes
+the store to the JVM permanently and warns.
+
+SEMANTIC MIRROR: the where-compiler here accepts only the subset of the
+Mongo-style where-language (``where.py``) it can reproduce EXACTLY with
+Arrow kernels — per-field ``$eq/$ne/$gt/$gte/$lt/$lte/$in/$nin/$like/
+$contains/$exists``, raw-operator spellings, implicit AND, ``$or/$and/
+$not`` (Kleene three-valued logic via ``and_kleene``/``or_kleene``/
+``invert``, matching Spark's SQL semantics: NULL comparisons drop rows,
+``$ne``/``$nin`` are null-rejecting). Dotted paths, ``$regex`` (Java
+vs RE2 dialect risk), ``$size/$mod/$all/$elemMatch/$type``, array-typed
+columns, decimal/map columns, and raw-SQL clauses all REFUSE — the Spark
+path owns them. Known accepted divergence (shared with the zone-map count
+routes): Spark orders NaN above all doubles and equates NaN=NaN, IEEE/
+Arrow do not — same caveat as ``collection._simple_range_clause``.
+
+Reference parity note: the reference engine (e.g.
+``src/linkml_store/api/stores/duckdb/duckdb_collection.py``) runs
+in-process for ALL sizes; this tier gives its users the same interactive
+latency on small collections without giving up the distributed plans that
+are this engine's reason to exist.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import date, datetime
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+__all__ = [
+    "LOCAL_TIER_MAX_ROWS",
+    "LOCAL_TIER_MAX_BYTES",
+    "LOCAL_TIER_COLUMN",
+    "local_tier_enabled",
+    "local_tier_max_rows",
+    "Unsupported",
+    "compile_where_local",
+    "local_count",
+    "local_page",
+    "local_facets",
+]
+
+#: pseudo-column name under which the per-store winner is memoized in the
+#: arrowagg A/B memo + sidecar (a real column can never collide: the memo
+#: key is the winner of local-vs-JVM for the whole store, not one column)
+LOCAL_TIER_COLUMN = "__local_tier__"
+
+#: hard row gate: stores whose exact footer row count exceeds this never
+#: route locally, regardless of any memoized winner. The default is set
+#: from the measured crossover (SCALING.md round 9): the driver-local
+#: count/page/facet shapes beat one Spark job up to tens of millions of
+#: rows on a 32-core box, but the gate stays well inside the measured
+#: range so the tier can NEVER become an accidental execution strategy.
+LOCAL_TIER_MAX_ROWS = int(
+    os.environ.get("SPARK_GRAFT_LOCAL_TIER_MAX_ROWS", 10_000_000)
+)
+
+#: companion byte gate (compressed, from the same footers): a 10M-row
+#: store of wide documents must not drag gigabytes through the driver
+LOCAL_TIER_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_LOCAL_TIER_MAX_BYTES", 1 << 30)
+)
+
+
+def local_tier_enabled() -> bool:
+    return os.environ.get("SPARK_GRAFT_LOCAL_TIER", "1") != "0"
+
+
+def local_tier_max_rows() -> int:
+    return LOCAL_TIER_MAX_ROWS
+
+
+class Unsupported(Exception):
+    """Raised by the compiler for anything outside the mirrored subset —
+    the caller falls back to the Spark path (never a user-visible error)."""
+
+
+# --------------------------------------------------------------------- #
+# where-clause -> Arrow mask compiler
+# --------------------------------------------------------------------- #
+
+def _pa():
+    import pyarrow as pa  # deferred: the tier must not tax module import
+    import pyarrow.compute as pc
+
+    return pa, pc
+
+
+def _decode_dict(arr):
+    """Plain (non-dictionary) view of a possibly dictionary-encoded array."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if isinstance(arr.type, pa.DictionaryType):
+        return arr.dictionary_decode()
+    return arr
+
+
+def _dict_pred(arr, pred: Callable):
+    """Evaluate a value-predicate over a possibly dictionary-encoded array.
+
+    Dictionary fast path: evaluate over the (tiny) dictionary once, then
+    project through the codes with ``take`` — the per-row cost is one
+    int-indexed load instead of a string compare. NULL codes take NULL,
+    which every caller's Kleene combination then drops, exactly like the
+    engine's SQL semantics.
+    """
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if isinstance(arr.type, pa.DictionaryType):
+        return pred(arr.dictionary).take(arr.indices)
+    return pred(arr)
+
+
+def _coerce_literal(v: Any, typ) -> Any:
+    """Mirror Spark's literal-vs-column cast for the supported types, or
+    raise Unsupported. The rules are deliberately narrower than Spark's
+    cast matrix: only coercions whose comparison result is provably
+    identical pass (e.g. int literal on a double column is exact; a float
+    literal on an int column would recast the COLUMN in Spark — refuse)."""
+    import pyarrow.types as pt
+
+    if v is None:
+        return None
+    if pt.is_string(typ) or pt.is_large_string(typ):
+        if isinstance(v, str):
+            return v
+    elif pt.is_integer(typ):
+        if isinstance(v, int) and not isinstance(v, bool):
+            return v
+    elif pt.is_floating(typ):
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
+            return float(v)
+    elif pt.is_boolean(typ):
+        if isinstance(v, bool):
+            return v
+    elif pt.is_timestamp(typ):
+        if typ.tz is not None:
+            raise Unsupported("tz-aware timestamp literal comparison")
+        if isinstance(v, datetime):
+            return v if v.tzinfo is None else _refuse_tz(v)
+        if isinstance(v, str):
+            try:
+                # Spark's string->timestamp cast on the ISO forms the
+                # where-language actually uses ('YYYY-MM-DD[ HH:MM:SS[.f]]')
+                return datetime.fromisoformat(v)
+            except ValueError:
+                raise Unsupported(f"unparseable timestamp literal {v!r}")
+    elif pt.is_date(typ):
+        if isinstance(v, date) and not isinstance(v, datetime):
+            return v
+        if isinstance(v, str):
+            try:
+                return date.fromisoformat(v)
+            except ValueError:
+                raise Unsupported(f"unparseable date literal {v!r}")
+    raise Unsupported(f"literal {type(v).__name__} vs column type {typ}")
+
+
+def _refuse_tz(v):
+    raise Unsupported("tz-aware datetime literal")
+
+
+def _dict_value_type(typ):
+    import pyarrow as pa
+
+    return typ.value_type if isinstance(typ, pa.DictionaryType) else typ
+
+
+class _Cond:
+    """A compiled condition: a callable (cols: {name: Array}) -> BooleanArray
+    (three-valued: NULL where SQL says NULL), plus the columns it reads."""
+
+    __slots__ = ("fn", "cols")
+
+    def __init__(self, fn, cols):
+        self.fn = fn
+        self.cols = cols
+
+
+def _c_eq(name, lit):
+    _pa_, pc = _pa()
+    if lit is None:
+        # IS NULL: two-valued by construction
+        return _Cond(lambda cols: pc.is_null(_decode_dict(cols[name])), {name})
+    return _Cond(lambda cols: _dict_pred(cols[name], lambda a: pc.equal(a, lit)), {name})
+
+
+def _c_ne(name, lit):
+    _pa_, pc = _pa()
+    if lit is None:
+        return _Cond(lambda cols: pc.is_valid(_decode_dict(cols[name])), {name})
+    return _Cond(
+        lambda cols: _dict_pred(cols[name], lambda a: pc.not_equal(a, lit)), {name}
+    )
+
+
+def _c_cmp(name, lit, op):
+    _pa_, pc = _pa()
+    kern = {"gt": pc.greater, "gte": pc.greater_equal,
+            "lt": pc.less, "lte": pc.less_equal}[op]
+    return _Cond(lambda cols: _dict_pred(cols[name], lambda a: kern(a, lit)), {name})
+
+
+def _c_in(name, lits):
+    pa, pc = _pa()
+    if not lits:
+        raise Unsupported("empty IN list")
+    vs = pa.array(list(lits))
+
+    def fn(cols):
+        # is_in yields FALSE (not NULL) for null inputs — same drop as
+        # Spark's three-valued IN when the value list has no NULLs
+        return _dict_pred(cols[name], lambda a: pc.is_in(a, value_set=vs))
+
+    return _Cond(fn, {name})
+
+
+def _c_nin(name, lits):
+    pa, pc = _pa()
+    if not lits:
+        raise Unsupported("empty NOT-IN list")
+    vs = pa.array(list(lits))
+
+    def fn(cols):
+        arr = cols[name]
+        m = _dict_pred(arr, lambda a: pc.invert(pc.is_in(a, value_set=vs)))
+        # NOT IN is null-rejecting in SQL/Spark; is_in maps NULL->FALSE so
+        # the invert alone would KEEP null rows — mask them out explicitly
+        return pc.and_kleene(m, pc.is_valid(_decode_dict(arr)))
+
+    return _Cond(fn, {name})
+
+
+def _c_like(name, pattern):
+    _pa_, pc = _pa()
+    return _Cond(
+        lambda cols: _dict_pred(cols[name], lambda a: pc.match_like(a, pattern)),
+        {name},
+    )
+
+
+def _c_contains(name, needle):
+    _pa_, pc = _pa()
+    return _Cond(
+        lambda cols: _dict_pred(
+            cols[name], lambda a: pc.match_substring(a, needle)
+        ),
+        {name},
+    )
+
+
+def _c_and(conds):
+    _pa_, pc = _pa()
+    from functools import reduce
+
+    cols = set().union(*[c.cols for c in conds])
+    return _Cond(
+        lambda cs: reduce(lambda a, b: pc.and_kleene(a, b), [c.fn(cs) for c in conds]),
+        cols,
+    )
+
+
+def _c_or(conds):
+    _pa_, pc = _pa()
+    from functools import reduce
+
+    cols = set().union(*[c.cols for c in conds])
+    return _Cond(
+        lambda cs: reduce(lambda a, b: pc.or_kleene(a, b), [c.fn(cs) for c in conds]),
+        cols,
+    )
+
+
+def _c_not(cond):
+    _pa_, pc = _pa()
+    return _Cond(lambda cs: pc.invert(cond.fn(cs)), set(cond.cols))
+
+
+_SUPPORTED_OPS = {
+    "$eq", "$ne", "$gt", "$gte", "$lt", "$lte", "$in", "$nin",
+    "$like", "$contains", "$exists", "$not",
+    "=", "==", "!=", "<>", ">", ">=", "<", "<=", "in", "like",
+}
+
+_CMP_ALIASES = {
+    "$gt": "gt", ">": "gt", "$gte": "gte", ">=": "gte",
+    "$lt": "lt", "<": "lt", "$lte": "lte", "<=": "lte",
+}
+
+
+def _col_type(schema, name: str):
+    """Arrow type of a plain top-level column, or Unsupported."""
+    import pyarrow as pa
+
+    if not isinstance(name, str) or "." in name or "[" in name or name.startswith("$"):
+        raise Unsupported(f"non-plain column {name!r}")
+    idx = schema.get_field_index(name)
+    if idx < 0:
+        raise Unsupported(f"unknown column {name!r}")
+    typ = _dict_value_type(schema.field(idx).type)
+    if isinstance(typ, (pa.ListType, pa.LargeListType, pa.MapType, pa.StructType)):
+        raise Unsupported(f"nested column {name!r} in predicate")
+    import pyarrow.types as pt
+
+    if pt.is_decimal(typ):
+        raise Unsupported("decimal predicate")
+    return typ
+
+
+def _compile_field(name: str, spec: Any, schema) -> _Cond:
+    typ = _col_type(schema, name)
+    if isinstance(spec, dict):
+        conds = []
+        for op, v in spec.items():
+            if op not in _SUPPORTED_OPS:
+                raise Unsupported(f"operator {op!r}")
+            if op == "$exists":
+                conds.append(_c_ne(name, None) if v else _c_eq(name, None))
+            elif op == "$not":
+                conds.append(_c_not(_compile_field(name, v, schema)))
+            elif op in ("$eq", "=", "=="):
+                conds.append(_c_eq(name, _coerce_literal(v, typ)))
+            elif op in ("$ne", "!=", "<>"):
+                conds.append(_c_ne(name, _coerce_literal(v, typ)))
+            elif op in _CMP_ALIASES:
+                lit = _coerce_literal(v, typ)
+                if lit is None:
+                    raise Unsupported("NULL range literal")
+                conds.append(_c_cmp(name, lit, _CMP_ALIASES[op]))
+            elif op in ("$in", "in"):
+                vals = v if isinstance(v, (list, tuple, set)) else [v]
+                conds.append(_c_in(name, [_coerce_literal(x, typ) for x in vals]))
+            elif op == "$nin":
+                vals = v if isinstance(v, (list, tuple, set)) else [v]
+                conds.append(_c_nin(name, [_coerce_literal(x, typ) for x in vals]))
+            elif op in ("$like", "like"):
+                if not isinstance(v, str):
+                    raise Unsupported("non-string LIKE pattern")
+                _require_string(typ)
+                conds.append(_c_like(name, v))
+            elif op == "$contains":
+                if not isinstance(v, str):
+                    raise Unsupported("non-string $contains needle")
+                _require_string(typ)
+                conds.append(_c_contains(name, v))
+        if not conds:
+            raise Unsupported("empty operator dict")
+        return conds[0] if len(conds) == 1 else _c_and(conds)
+    if isinstance(spec, (list, tuple)):
+        return _c_in(name, [_coerce_literal(x, typ) for x in spec])
+    return _c_eq(name, _coerce_literal(spec, typ))
+
+
+def _require_string(typ):
+    import pyarrow.types as pt
+
+    if not (pt.is_string(typ) or pt.is_large_string(typ)):
+        raise Unsupported("string operator on non-string column")
+
+
+def _nullable_in_values(spec) -> bool:
+    vals = spec if isinstance(spec, (list, tuple, set)) else [spec]
+    return any(v is None for v in vals)
+
+
+def compile_where_local(where, schema) -> Optional[_Cond]:
+    """Compile a where-clause to an Arrow mask evaluator, or None for the
+    empty clause. Raises :class:`Unsupported` for anything outside the
+    mirrored subset (see module docstring) — including NULL inside $in/$nin
+    value lists, whose SQL semantics ($in never matches NULL rows via IN,
+    but the where-language compiles eq-None to IS NULL only for bare
+    equality) are not worth mirroring here."""
+    if where is None:
+        return None
+    if isinstance(where, (str,)):
+        raise Unsupported("raw SQL clause")
+    if isinstance(where, (list, tuple)):
+        if not where:
+            return None
+        raise Unsupported("raw SQL fragment list")
+    if not isinstance(where, dict):
+        raise Unsupported(f"clause type {type(where).__name__}")
+    if not where:
+        return None
+    conds: List[_Cond] = []
+    for k, v in where.items():
+        if k == "$or":
+            subs = [compile_where_local(w, schema) for w in v]
+            if not subs:
+                raise Unsupported("empty $or")
+            if any(s is None for s in subs):
+                continue  # vacuous TRUE disjunct => no filter contribution
+            conds.append(_c_or(subs))
+        elif k == "$and":
+            subs = [s for s in (compile_where_local(w, schema) for w in v) if s is not None]
+            if subs:
+                conds.append(_c_and(subs))
+        elif k == "$not":
+            inner = compile_where_local(v, schema)
+            if inner is None:
+                raise Unsupported("$not of vacuous clause")  # FALSE: rare, let Spark
+            conds.append(_c_not(inner))
+        else:
+            if isinstance(v, dict) and any(x is None for x in v.values() if not isinstance(x, (list, tuple, set))):
+                # operator dicts with None operands: only $eq/$ne/$exists
+                # handle None; the compile below raises where appropriate
+                pass
+            if (isinstance(v, (list, tuple)) and _nullable_in_values(v)) or (
+                isinstance(v, dict)
+                and any(
+                    op in ("$in", "$nin", "in") and _nullable_in_values(val)
+                    for op, val in v.items()
+                )
+            ):
+                raise Unsupported("NULL in IN-list")
+            conds.append(_compile_field(k, v, schema))
+    if not conds:
+        return None
+    return conds[0] if len(conds) == 1 else _c_and(conds)
+
+
+# --------------------------------------------------------------------- #
+# execution
+# --------------------------------------------------------------------- #
+
+def _string_cols(schema, names) -> List[str]:
+    import pyarrow.types as pt
+
+    out = []
+    for n in names:
+        idx = schema.get_field_index(n)
+        t = _dict_value_type(schema.field(idx).type)
+        if pt.is_string(t) or pt.is_large_string(t):
+            out.append(n)
+    return out
+
+
+def _read_columns(path: str, columns: Sequence[str], dict_cols: Sequence[str]):
+    """One file's columns as a Table. ``dict_cols`` keep parquet dictionary
+    encoding intact (predicates then evaluate over codes — the arrowagg
+    trick, ~7x the decoded-string compare rate)."""
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(path, read_dictionary=list(dict_cols))
+    return f.read(columns=list(columns), use_threads=True)
+
+
+def local_count(files: Sequence[str], schema, cond: Optional[_Cond],
+                total_rows: int) -> int:
+    """COUNT(*) under the compiled condition — per-file column reads, no
+    table materialization beyond the referenced columns."""
+    _pa_, pc = _pa()
+
+    if cond is None:
+        return int(total_rows)
+    need = sorted(cond.cols)
+    dict_cols = _string_cols(schema, need)
+    n = 0
+    for path in files:
+        tbl = _read_columns(path, need, dict_cols)
+        cols = {c: tbl.column(c).combine_chunks() for c in need}
+        mask = cond.fn(cols)
+        s = pc.sum(mask)  # NULL mask rows are skipped = dropped rows
+        n += int(s.as_py() or 0)
+    return n
+
+
+def _localize_value(v, tzinfo):
+    if isinstance(v, datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(tzinfo).replace(tzinfo=None)
+        if type(v) is not datetime and hasattr(v, "to_pydatetime"):
+            # nested ns timestamps surface as pandas.Timestamp — Spark
+            # rows hold stdlib datetimes (microsecond precision)
+            v = v.to_pydatetime()
+        return v
+    if isinstance(v, dict):
+        return {k: _localize_value(x, tzinfo) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_localize_value(x, tzinfo) for x in v]
+    return v
+
+
+def _table_to_dicts(tbl, session_tz: Optional[str]) -> List[dict]:
+    """Row dicts matching Spark's ``Row.asDict(recursive=True)`` on the
+    same data: tz-aware parquet timestamps (Spark-written stores are
+    UTC-adjusted) come back as naive datetimes in the SESSION timezone,
+    exactly what ``collect()`` returns for TimestampType. Nanosecond
+    columns (Spark's INT96 output) are cast to microseconds first —
+    TimestampType IS microsecond precision, and ``to_pylist`` on ns
+    yields ``pandas.Timestamp`` objects instead of stdlib datetimes."""
+    import pyarrow as pa
+
+    has_ts = False
+    for i, f in enumerate(tbl.schema):
+        if isinstance(f.type, pa.TimestampType):
+            has_ts = True
+            if f.type.unit == "ns":
+                tbl = tbl.set_column(
+                    i, f.name,
+                    tbl.column(i).cast(pa.timestamp("us", tz=f.type.tz)),
+                )
+    rows = tbl.to_pylist()
+    if not rows or not has_ts:
+        return rows
+    tzinfo = _resolve_tz(session_tz)
+    return [_localize_value(r, tzinfo) for r in rows]
+
+
+def _resolve_tz(session_tz: Optional[str]):
+    if session_tz:
+        try:
+            from zoneinfo import ZoneInfo
+
+            return ZoneInfo(session_tz)
+        except Exception:  # noqa: BLE001 — fall through to system tz
+            pass
+    return datetime.now().astimezone().tzinfo
+
+
+def _check_output_types(schema, columns: Sequence[str]) -> None:
+    """Refuse output shapes whose ``to_pylist`` differs from Spark's
+    ``Row.asDict`` (maps come back as lists of pairs in Arrow)."""
+    for n in columns:
+        idx = schema.get_field_index(n)
+        if idx < 0:
+            raise Unsupported(f"unknown select column {n!r}")
+        if "map<" in str(schema.field(idx).type):
+            raise Unsupported("map-typed output column")
+
+
+def local_page(
+    files: Sequence[str],
+    schema,
+    cond: Optional[_Cond],
+    select_cols: Optional[Sequence[str]],
+    sort_specs: Sequence[Tuple[str, bool]],
+    offset: int,
+    limit: Optional[int],
+    session_tz: Optional[str] = None,
+) -> List[dict]:
+    """The page (sorted/offset/limited row dicts) under the compiled
+    condition. ``sort_specs`` — [(column, descending)], NULLS LAST both
+    directions (the engine's pinned ordering, collection._sort_col).
+    ``limit`` None = unlimited. Unsorted limited pages stream file batches
+    and stop early — the CollectLimit analog."""
+    pa, pc = _pa()
+
+    out_cols = list(select_cols) if select_cols else [f.name for f in schema]
+    _check_output_types(schema, out_cols)
+    sort_cols = [c for c, _d in sort_specs]
+    for c in sort_cols:
+        _col_type(schema, c)  # plain, non-nested, known
+    where_cols = sorted(cond.cols) if cond is not None else []
+    need = list(dict.fromkeys(out_cols + sort_cols + where_cols))
+
+    if not sort_specs:
+        return _stream_page(
+            files, schema, cond, need, out_cols, offset, limit, session_tz
+        )
+
+    # sorted page: read the needed columns of every file, mask, sort, slice
+    dict_cols = _string_cols(schema, where_cols)
+    tables = []
+    for path in files:
+        tbl = _read_columns(path, need, dict_cols)
+        if cond is not None:
+            cols = {c: tbl.column(c).combine_chunks() for c in where_cols}
+            tbl = tbl.filter(cond.fn(cols))  # NULL mask -> dropped (SQL filter)
+        tables.append(tbl)
+    if not tables:
+        return []
+    table = pa.concat_tables(tables).combine_chunks()
+    # dictionary sort keys sort by CODE, not value — decode them first
+    for c in sort_cols:
+        col = table.column(c)
+        if isinstance(col.type, pa.DictionaryType):
+            table = table.set_column(
+                table.schema.get_field_index(c), c, _decode_dict(col)
+            )
+    keys = [(c, "descending" if d else "ascending") for c, d in sort_specs]
+    k_eff = None if limit is None else offset + limit
+    no_nulls = all(table.column(c).null_count == 0 for c in sort_cols)
+    if k_eff is not None and k_eff <= 100_000 and no_nulls and k_eff < table.num_rows:
+        idx = pc.select_k_unstable(table, k=k_eff, sort_keys=keys)
+    else:
+        idx = pc.sort_indices(table, sort_keys=keys, null_placement="at_end")
+    if limit is not None:
+        idx = idx.slice(offset, limit)
+    elif offset:
+        idx = idx.slice(offset)
+    page = table.take(idx).select(out_cols)
+    return _table_to_dicts(page, session_tz)
+
+
+def _stream_page(
+    files, schema, cond, need, out_cols, offset, limit, session_tz
+) -> List[dict]:
+    """Unsorted page: stream record batches in file order, stop as soon as
+    offset+limit rows matched — identical early-out to Spark CollectLimit
+    over the same file order (the page contents of an UNSORTED limited
+    query are an arbitrary-k selection on both engines)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    take = None if limit is None else offset + limit
+    where_cols = sorted(cond.cols) if cond is not None else []
+    dict_cols = _string_cols(schema, where_cols)
+    got: List[Any] = []
+    have = 0
+    for path in files:
+        f = pq.ParquetFile(path, read_dictionary=dict_cols)
+        for b in f.iter_batches(batch_size=8192, columns=need):
+            if cond is not None:
+                b = b.filter(cond.fn({c: b.column(c) for c in where_cols}))
+            if b.num_rows:
+                got.append(b)
+                have += b.num_rows
+            if take is not None and have >= take:
+                break
+        if take is not None and have >= take:
+            break
+    if not got:
+        return []
+    tbl = pa.Table.from_batches(got, schema=got[0].schema)
+    if take is not None:
+        tbl = tbl.slice(offset, limit)
+    elif offset:
+        tbl = tbl.slice(offset)
+    return _table_to_dicts(tbl.select(out_cols), session_tz)
+
+
+# --------------------------------------------------------------------- #
+# facets
+# --------------------------------------------------------------------- #
+
+def _facet_sort_key(vc):
+    """count desc, value asc with NULL first — the engine's pinned facet
+    tie order (facets._finish_facet_single / query_facets zone path)."""
+    v, c = vc
+    if isinstance(v, tuple):
+        return (-c,) + tuple((x is not None, x if x is not None else 0) for x in v)
+    return (-c, v is not None, v if v is not None else 0)
+
+
+def local_facets(
+    files: Sequence[str],
+    schema,
+    cond_for: Callable[[Any], Optional[_Cond]],
+    facet_columns: Sequence,
+    facet_limit: int,
+    facet_min_count: int,
+) -> Dict[Any, List[Tuple]]:
+    """Facet counts {column: [(value, count), ...]} over the store —
+    pyarrow ``value_counts`` over dictionary codes per column (compound
+    facets group over the decoded pair table). ``cond_for(column)`` returns
+    the compiled post-exclusion condition for that facet column (the
+    multi-select exclusion rewrite happens in the caller against the
+    where-language, not here)."""
+    pa, pc = _pa()
+
+    results: Dict[Any, List[Tuple]] = {}
+    for col in facet_columns:
+        cols = [col] if isinstance(col, str) else list(col)
+        for c in cols:
+            _col_type(schema, c)  # plain + supported or Unsupported
+        cond = cond_for(col)
+        where_cols = sorted(cond.cols) if cond is not None else []
+        need = list(dict.fromkeys(cols + where_cols))
+        dict_cols = _string_cols(schema, need)
+        counts: Dict[Any, int] = {}
+        for path in files:
+            tbl = _read_columns(path, need, dict_cols)
+            if cond is not None:
+                cvals = {c: tbl.column(c).combine_chunks() for c in where_cols}
+                tbl = tbl.filter(cond.fn(cvals))
+            if len(cols) == 1:
+                vc = pc.value_counts(_decode_dict(tbl.column(cols[0])))
+                for v, n in zip(
+                    vc.field("values").to_pylist(), vc.field("counts").to_pylist()
+                ):
+                    counts[v] = counts.get(v, 0) + n
+            else:
+                sub = pa.Table.from_arrays(
+                    [_decode_dict(tbl.column(c)) for c in cols], names=cols
+                )
+                g = sub.group_by(cols).aggregate([([], "count_all")])
+                vals = [g.column(c).to_pylist() for c in cols]
+                for i, n in enumerate(g.column("count_all").to_pylist()):
+                    key = tuple(v[i] for v in vals)
+                    counts[key] = counts.get(key, 0) + n
+        rows = sorted(counts.items(), key=_facet_sort_key)
+        if facet_min_count > 1:
+            rows = [t for t in rows if t[1] >= facet_min_count]
+        if facet_limit and facet_limit > 0:
+            rows = rows[:facet_limit]
+        results[col] = [(v, int(n)) for v, n in rows]
+    return results

@@ -524,7 +524,7 @@ def test_cluster_advisor_auto_then_footer_answers(spark, tmp_path):
     assert coll._footer_stats_cache[("vcount", "status", ("OPEN",))] == 2000
 
 
-def test_cluster_advisor_range_and_topk_shapes(spark, tmp_path):
+def test_cluster_advisor_range_and_topk_shapes(spark, tmp_path, monkeypatch):
     """Round-8 letter: the stats-pruned top-k and range zone counts refuse
     on exactly the same unclustered layouts as facets/equality counts —
     repeated refused queries of BOTH shapes now feed the advisor (float
@@ -533,6 +533,9 @@ def test_cluster_advisor_range_and_topk_shapes(spark, tmp_path):
 
     from linkml_store_spark.query import Query
 
+    # these pin the SPARK-path advisor: the local tier deliberately
+    # bypasses advisor accounting on footer-small stores, so pin it off
+    monkeypatch.setenv("SPARK_GRAFT_LOCAL_TIER", "0")
     client = Client(spark)
     dbp = client.attach_database(f"spark://{tmp_path}/advshapes")
     coll = dbp.create_collection("t", identifier_attribute="id")
@@ -577,7 +580,7 @@ def test_cluster_advisor_range_and_topk_shapes(spark, tmp_path):
 
 
 def test_cluster_advisor_count_path_defers_compact_to_epilogue(
-    spark, tmp_path
+    spark, tmp_path, monkeypatch
 ):
     """auto_cluster_on_hot_column through the COUNT path: the advisor can
     fire MID-query (between the zone decision and the undecided-file
@@ -588,6 +591,7 @@ def test_cluster_advisor_count_path_defers_compact_to_epilogue(
     count finished (round-8 advisor finding)."""
     from linkml_store_spark.query import Query
 
+    monkeypatch.setenv("SPARK_GRAFT_LOCAL_TIER", "0")  # Spark-path advisor test
     client = Client(spark)
     dbp = client.attach_database(f"spark://{tmp_path}/advdefer")
     coll = dbp.create_collection("t", identifier_attribute="id")
@@ -631,13 +635,14 @@ def test_cluster_advisor_count_path_defers_compact_to_epilogue(
     assert coll.query(Query(where_clause={"v": "A"}, limit=0)).num_rows == 2000
 
 
-def test_cluster_advisor_count_path_hits(spark, tmp_path):
+def test_cluster_advisor_count_path_hits(spark, tmp_path, monkeypatch):
     """Equality/$in counts through Collection.query on an unclustered
     store also feed the advisor (zone decided nothing -> hit per query)."""
     import warnings
 
     from linkml_store_spark.query import Query
 
+    monkeypatch.setenv("SPARK_GRAFT_LOCAL_TIER", "0")  # Spark-path advisor test
     client = Client(spark)
     dbp = client.attach_database(f"spark://{tmp_path}/advcnt")
     coll = dbp.create_collection("t", identifier_attribute="id")
