@@ -841,6 +841,8 @@ class Collection:
         if gate is None:
             return None
         files, schema, total_rows = gate
+        if query.group_by:
+            return self._local_tier_agg_plan(query, files, schema, total_rows)
         try:
             cond = lx.compile_where_local(query.where_clause, schema)
             limit = DEFAULT_LIMIT if query.limit is None else query.limit
@@ -884,11 +886,56 @@ class Collection:
 
         return run, files, total_rows
 
+    def _local_tier_agg_plan(self, query: Query, files, schema, total_rows):
+        """The grouped-aggregation branch of :meth:`_local_tier_plan`:
+        compile the where + group keys + aggregate specs into the Arrow
+        subset, or None. The page tail (sort on keys/aliases, offset,
+        limit, select) runs over the tiny aggregate table in-process."""
+        from linkml_store_spark.operators import localexec as lx
+
+        try:
+            cond = lx.compile_where_local(query.where_clause, schema)
+            lx.validate_group_agg(schema, query.group_by, query.aggs)
+            aggs = dict(query.aggs or {"count": ("count", None)})
+            out_names = list(query.group_by) + list(aggs)
+            sort_specs = [_sort_parse(s) for s in (query.sort_by or [])]
+            if any(c not in out_names for c, _d in sort_specs):
+                return None
+            sel = list(query.select_cols) if query.select_cols else None
+            if sel is not None and any(c not in out_names for c in sel):
+                return None
+        except lx.Unsupported:
+            return None
+        except Exception:  # noqa: BLE001
+            return None
+        limit = DEFAULT_LIMIT if query.limit is None else query.limit
+        eff_limit = None if (limit is None or limit < 0) else limit
+        offset = query.offset or 0
+        session_tz = self._session_tz()
+
+        def run() -> QueryResult:
+            total, table = lx.local_group_agg(
+                files, schema, cond, query.group_by, aggs,
+                session_tz=session_tz,
+            )
+            if eff_limit == 0:
+                rows: List[OBJECT] = []
+            else:
+                rows = lx.paginate_table(
+                    table, sort_specs, offset, eff_limit, sel,
+                    session_tz=session_tz,
+                )
+            return QueryResult(num_rows=total, rows=rows, query=query)
+
+        return run, files, total_rows
+
     def _query_spark(self, query: Query) -> QueryResult:
         """The distributed path of :meth:`query` (all stores beyond the
         local-tier gate, and every shape the local compiler refuses)."""
         if not self.exists():
             return QueryResult(num_rows=0, rows=[], query=query)
+        if query.group_by:
+            return self._query_spark_agg(query)
         # the filtered plan is built LAZILY: a zone/footer-answered count
         # with a cached page plan (or limit=0) never needs it at all
         _df_cache = [None]
@@ -1103,6 +1150,77 @@ class Collection:
         # every plan this query built has executed
         self._drain_pending_compactions()
         return QueryResult(num_rows=num_rows, rows=rows, facet_counts=facet_counts, query=query)
+
+    @staticmethod
+    def _agg_exprs(aggs) -> List[F.Column]:
+        """Query.aggs specs -> aliased aggregate Columns (shared between
+        the distributed agg path and tests)."""
+        out = []
+        for alias, (fn, col) in (aggs or {"count": ("count", None)}).items():
+            fn = str(fn).lower()
+            if fn == "count":
+                e = (
+                    F.count(F.lit(1)) if col in (None, "*")
+                    else F.count(F.col(col))
+                )
+            elif fn == "sum":
+                e = F.sum(F.col(col))
+            elif fn == "avg":
+                e = F.avg(F.col(col))
+            elif fn == "min":
+                e = F.min(F.col(col))
+            elif fn == "max":
+                e = F.max(F.col(col))
+            else:
+                raise ValueError(f"unsupported aggregate fn {fn!r}")
+            out.append(e.alias(alias))
+        return out
+
+    def _query_spark_agg(self, query: Query) -> QueryResult:
+        """Grouped aggregation through the distributed plan (the
+        Query.group_by/aggs IR extension): filter -> hash aggregate
+        (partial map-side combine; the shuffle moves only group partials)
+        -> optional sort/offset/limit/projection over the tiny aggregate.
+
+        ``num_rows`` is the pre-pagination GROUP count; when the page is
+        untruncated it is free (len of the page), otherwise one count
+        over the aggregate plan."""
+        pk = (
+            "agg", repr(query.where_clause), tuple(query.group_by),
+            tuple(sorted((query.aggs or {}).items())),
+            tuple(repr(s) for s in (query.sort_by or [])),
+            query.offset or 0, query.limit,
+            tuple(query.select_cols or []),
+        )
+        page = self._plan_cache.get(pk)
+        if page is None:
+            gdf = apply_where(self.df, query.where_clause).groupBy(
+                *[F.col(c) for c in query.group_by]
+            ).agg(*self._agg_exprs(query.aggs))
+            page = gdf
+            if query.sort_by:
+                page = page.orderBy(*[_sort_col(s) for s in query.sort_by])
+            if query.offset:
+                page = page.offset(query.offset)
+            limit = DEFAULT_LIMIT if query.limit is None else query.limit
+            if limit is not None and limit >= 0:
+                page = page.limit(limit)
+            if query.select_cols:
+                page = page.select(*query.select_cols)
+            self._plan_cache_put(pk, page)
+            self._plan_cache_put(pk + ("gdf",), gdf)
+        gdf = self._plan_cache.get(pk + ("gdf",))
+        rows = _rows_to_dicts(page.collect())
+        limit = DEFAULT_LIMIT if query.limit is None else query.limit
+        untruncated = (
+            not query.offset and (limit is None or limit < 0 or len(rows) < limit)
+        )
+        if untruncated:
+            num_rows = len(rows)
+        else:
+            num_rows = fast_count(gdf)
+        self._drain_pending_compactions()
+        return QueryResult(num_rows=num_rows, rows=rows, query=query)
 
     def find(
         self,
@@ -1555,6 +1673,105 @@ class Collection:
             score_col=score_col,
             keep_vector=keep_vector,
         )
+
+    def knn_search(
+        self,
+        query_vector: Sequence,
+        vector_col: str = "embedding",
+        k: int = 10,
+        exact: bool = False,
+        score_col: str = "score",
+        select_cols: Optional[List[str]] = None,
+    ) -> QueryResult:
+        """Eager top-k cosine rows (the vector twin of :meth:`search`'s
+        eager contract): ``rows`` carry the payload (vector column
+        dropped) plus ``score_col``; ``ranked_rows`` pairs (score, row).
+
+        Routing mirrors :meth:`query`: footer-small unindexed stores run
+        the exact cosine IN-PROCESS (one fused numpy matmul — the same
+        float64 math as the distributed Arrow kernel, zero Spark jobs),
+        A/B-checked once per store against the distributed plan; indexed
+        or big stores run :meth:`knn`'s auto-routed IVF/brute plan."""
+        from linkml_store_spark.operators import localexec as lx
+
+        def _spark() -> QueryResult:
+            df = self.knn(
+                query_vector, vector_col=vector_col, k=k, exact=exact,
+                score_col=score_col, keep_vector=False,
+            )
+            if select_cols:
+                df = df.select(*select_cols)
+            rows = _rows_to_dicts(df.collect())
+            return QueryResult(
+                num_rows=len(rows), rows=rows,
+                ranked_rows=[(r.get(score_col), r) for r in rows],
+            )
+
+        gate = None
+        if not exact and self._vector_indexes.get(vector_col) is None:
+            gate = self._local_tier_gate()
+        if gate is None:
+            return _spark()
+        files, schema, total_rows = gate
+
+        def _local() -> QueryResult:
+            rows = lx.local_knn(
+                files, schema, vector_col, query_vector, k,
+                score_col=score_col, select_cols=select_cols,
+                session_tz=self._session_tz(),
+            )
+            return QueryResult(
+                num_rows=len(rows), rows=rows,
+                ranked_rows=[(r.get(score_col), r) for r in rows],
+            )
+
+        from linkml_store_spark.operators.arrowagg import (
+            ab_winner,
+            record_ab_winner,
+        )
+
+        w = ab_winner(
+            self.spark, files, lx.LOCAL_TIER_COLUMN, total_rows=total_rows
+        )
+        if w == "arrow":
+            try:
+                return _local()
+            except Exception:  # noqa: BLE001 — incl. Unsupported: fall back
+                return _spark()
+        if w == "jvm":
+            return _spark()
+        import time as _time
+
+        lres, t_local = None, float("inf")
+        try:
+            t0 = _time.perf_counter()
+            lres = _local()
+            t_local = _time.perf_counter() - t0
+        except Exception:  # noqa: BLE001
+            pass
+        t0 = _time.perf_counter()
+        sres = _spark()
+        t_spark = _time.perf_counter() - t0
+        if lres is not None:
+            # ties at the k-boundary may legitimately swap payload rows;
+            # the score SEQUENCE is the deterministic part of the contract
+            lscores = [_canon_value(s) for s, _r in lres.ranked_rows or []]
+            sscores = [_canon_value(s) for s, _r in sres.ranked_rows or []]
+            if lscores != sscores:
+                import warnings
+
+                warnings.warn(
+                    f"local tier knn scores diverged from Spark on "
+                    f"{self.alias!r} — routing this store to the JVM path "
+                    "(please report: this is an engine bug)",
+                    stacklevel=2,
+                )
+                t_local = float("inf")
+        record_ab_winner(
+            self.spark, files, lx.LOCAL_TIER_COLUMN,
+            t_jvm=t_spark, t_arrow=t_local, total_rows=total_rows,
+        )
+        return sres
 
     def search(
         self,
@@ -2029,14 +2246,35 @@ def _sort_norm(spec) -> str:
     return spec
 
 
+def _canon_value(v):
+    """Float-tolerant canonical form for the A/B parity compare: two
+    engines summing doubles in different orders agree to ~1 ulp, never
+    bit-exactly — 12 significant digits is the shared-truth precision."""
+    if isinstance(v, float):
+        return format(v, ".12g")
+    if isinstance(v, dict):
+        return tuple(sorted((k, _canon_value(x)) for k, x in v.items()))
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon_value(x) for x in v)
+    return v
+
+
+def _canon_rows(rows):
+    return sorted(
+        repr(tuple(sorted((k, _canon_value(v)) for k, v in r.items())))
+        for r in rows
+    )
+
+
 def _results_equivalent(lres: QueryResult, sres: QueryResult, query: Query) -> bool:
     """Value-equivalence of the two tiers' results for the A/B parity
     check, honoring the query's actual determinism contract: pre-pagination
     totals must always match; full (untruncated) pages must match as
-    multisets; sorted truncated pages must agree on the sort-key sequence
-    (rows beyond the keys may differ only by tie order — both engines
-    break ties arbitrarily); unsorted truncated pages promise only the
-    row count (an arbitrary-k selection on any engine)."""
+    multisets (floats to 12 significant digits — aggregation order differs
+    between engines); sorted truncated pages must agree on the sort-key
+    sequence (rows beyond the keys may differ only by tie order — both
+    engines break ties arbitrarily); unsorted truncated pages promise only
+    the row count (an arbitrary-k selection on any engine)."""
     if lres.num_rows != sres.num_rows:
         return False
     lrows, srows = lres.rows, sres.rows
@@ -2045,11 +2283,12 @@ def _results_equivalent(lres: QueryResult, sres: QueryResult, query: Query) -> b
     if not lrows:
         return True
     if len(lrows) == lres.num_rows:
-        return sorted(map(repr, lrows)) == sorted(map(repr, srows))
+        return _canon_rows(lrows) == _canon_rows(srows)
     if query.sort_by:
         keys = [_sort_base(s) for s in query.sort_by]
         return all(
-            [r.get(k) for k in keys] == [s.get(k) for k in keys]
+            [_canon_value(r.get(k)) for k in keys]
+            == [_canon_value(s.get(k)) for k in keys]
             for r, s in zip(lrows, srows)
         )
     return True

@@ -732,3 +732,213 @@ def local_facets(
             rows = rows[:facet_limit]
         results[col] = [(v, int(n)) for v, n in rows]
     return results
+
+
+# --------------------------------------------------------------------- #
+# grouped aggregation (Query.group_by/aggs extension)
+# --------------------------------------------------------------------- #
+
+#: Query.aggs fn -> Arrow aggregate kernel; count(*) handled separately
+_AGG_KERNELS = {"count": "count", "sum": "sum", "avg": "mean",
+                "min": "min", "max": "max"}
+
+
+def validate_group_agg(schema, group_by: Sequence[str], aggs) -> None:
+    """Raise Unsupported unless every group key and aggregate input is
+    inside the mirrored subset. Float group keys refuse: Spark normalizes
+    -0.0/NaN in grouping keys, Arrow hashes raw bits — the one grouping
+    divergence that can't be mirrored cheaply."""
+    import pyarrow.types as pt
+
+    for c in group_by:
+        t = _col_type(schema, c)
+        if pt.is_floating(t) or pt.is_timestamp(t):
+            raise Unsupported(f"group key type {t} on {c!r}")
+    for alias, spec in (aggs or {}).items():
+        fn, col = spec
+        fn = str(fn).lower()
+        if fn not in _AGG_KERNELS:
+            raise Unsupported(f"aggregate fn {fn!r}")
+        if alias in group_by:
+            raise Unsupported(f"alias {alias!r} collides with a group key")
+        if col in (None, "*"):
+            if fn != "count":
+                raise Unsupported(f"{fn} requires a column")
+            continue
+        t = _col_type(schema, col)
+        if fn in ("sum", "avg") and not (
+            pt.is_integer(t) or pt.is_float64(t) or pt.is_float32(t)
+        ):
+            raise Unsupported(f"{fn} over non-numeric {col!r}")
+        if fn in ("min", "max") and pt.is_timestamp(t):
+            raise Unsupported("timestamp min/max value parity not mirrored")
+
+
+def local_group_agg(
+    files: Sequence[str],
+    schema,
+    cond: Optional[_Cond],
+    group_by: Sequence[str],
+    aggs,
+    session_tz: Optional[str] = None,
+):
+    """(total_groups, aggregate Table rows as dicts, UNPAGED/UNSORTED) —
+    the caller owns sort/offset/limit. One Arrow ``Table.group_by``
+    per file batch would re-merge poorly; the store is gate-bounded, so
+    all files' needed columns concatenate first (still only the referenced
+    columns), then ONE hash aggregation runs in C++.
+
+    Sum/mean accumulate in float64 exactly like Spark's double aggregates;
+    sum over int32/64 yields int64 (Spark: long). Count skips NULLs for a
+    named column and counts rows for ``(count, None)``, matching SQL.
+    """
+    pa, pc = _pa()
+
+    aggs = dict(aggs or {})
+    if not aggs:
+        aggs = {"count": ("count", None)}
+    where_cols = sorted(cond.cols) if cond is not None else []
+    agg_cols = [
+        spec[1] for spec in aggs.values() if spec[1] not in (None, "*")
+    ]
+    need = list(dict.fromkeys(list(group_by) + agg_cols + where_cols))
+    dict_cols = _string_cols(schema, where_cols)
+    tables = []
+    for path in files:
+        tbl = _read_columns(path, need, dict_cols)
+        if cond is not None:
+            cols = {c: tbl.column(c).combine_chunks() for c in where_cols}
+            tbl = tbl.filter(cond.fn(cols))
+        tables.append(tbl.select(list(dict.fromkeys(list(group_by) + agg_cols))))
+    table = pa.concat_tables(tables).combine_chunks()
+    # decode any dictionary columns: group keys must surface as plain
+    # values, and aggregate kernels over codes would be wrong
+    for i, f in enumerate(table.schema):
+        if isinstance(f.type, pa.DictionaryType):
+            table = table.set_column(i, f.name, _decode_dict(table.column(i)))
+    def _key(fn, col):
+        fn = str(fn).lower()
+        return ("*", "count_all") if col in (None, "*") else (col, _AGG_KERNELS[fn])
+
+    specs, seen = [], set()
+    for alias, (fn, col) in aggs.items():
+        k = _key(fn, col)
+        if k not in seen:
+            seen.add(k)
+            specs.append(([], "count_all") if k[0] == "*" else k)
+    g = table.group_by(list(group_by)).aggregate(specs)
+    # arrow names outputs {col}_{fn} / count_all — map back to the aliases
+    # (duplicate (col, fn) pairs under different aliases share one kernel)
+    bykey = {
+        k: g.column("count_all" if k[0] == "*" else f"{k[0]}_{k[1]}")
+        for k in seen
+    }
+    cols_out = {c: g.column(c) for c in group_by}
+    for alias, (fn, col) in aggs.items():
+        cols_out[alias] = bykey[_key(fn, col)]
+    out = pa.table(cols_out)
+    return out.num_rows, out
+
+
+def paginate_table(
+    table,
+    sort_specs: Sequence[Tuple[str, bool]],
+    offset: int,
+    limit: Optional[int],
+    select_cols: Optional[Sequence[str]],
+    session_tz: Optional[str] = None,
+) -> List[dict]:
+    """Sort/offset/limit/project an in-memory Arrow table and return row
+    dicts — the shared page tail for the aggregate tier (the scan tier
+    has its own streaming/select-k variants in :func:`local_page`)."""
+    _pa_, pc = _pa()
+
+    if sort_specs:
+        keys = [(c, "descending" if d else "ascending") for c, d in sort_specs]
+        idx = pc.sort_indices(table, sort_keys=keys, null_placement="at_end")
+        table = table.take(idx)
+    if limit is not None:
+        table = table.slice(offset, limit)
+    elif offset:
+        table = table.slice(offset)
+    if select_cols:
+        table = table.select(list(select_cols))
+    return _table_to_dicts(table, session_tz)
+
+
+# --------------------------------------------------------------------- #
+# kNN (eager Collection.knn_search local route)
+# --------------------------------------------------------------------- #
+
+def local_knn(
+    files: Sequence[str],
+    schema,
+    vector_col: str,
+    query_vector: Sequence[float],
+    k: int,
+    score_col: str = "score",
+    select_cols: Optional[Sequence[str]] = None,
+    session_tz: Optional[str] = None,
+) -> List[dict]:
+    """Exact cosine top-k in-process: one fused numpy matmul over the
+    store's (gate-bounded) vectors — the same float64 math as the engine's
+    Arrow kernel (``functions/vector.cosine_to_query``). Raises Unsupported
+    on anything whose Spark-path semantics this cannot mirror: NULL or
+    ragged vectors, zero norms / non-finite scores (Spark orders NaN
+    above all doubles; numpy sorts it last)."""
+    import numpy as np
+    import pyarrow as pa
+
+    pa_, pc = _pa()
+    out_cols = [f.name for f in schema if f.name != vector_col]
+    if select_cols:
+        out_cols = [c for c in select_cols if c != score_col]
+    need = list(dict.fromkeys(out_cols + [vector_col]))
+    tables = [_read_columns(p, need, ()) for p in files]
+    tbl = pa.concat_tables(tables).combine_chunks()
+    col = tbl.column(vector_col).combine_chunks()
+    if col.null_count:
+        raise Unsupported("NULL vectors")
+    typ = col.type
+    n = len(col)
+    if isinstance(typ, pa.FixedSizeListType):
+        dim = typ.list_size
+        flat = col.values
+    elif isinstance(typ, (pa.ListType, pa.LargeListType)):
+        flat = col.values
+        if n == 0 or len(flat) % n != 0:
+            raise Unsupported("ragged vectors")
+        dim = len(flat) // n
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        # offsets must tile [0, len(flat)] exactly in dim-sized steps —
+        # a sliced/offset array's values buffer would misalign the reshape
+        if offs[0] != 0 or offs[-1] != len(flat) or not (np.diff(offs) == dim).all():
+            raise Unsupported("ragged vectors")
+    else:
+        raise Unsupported(f"vector column type {typ}")
+    if flat.null_count:
+        raise Unsupported("NULL vector elements")
+    q = np.asarray(list(query_vector), dtype=np.float64)
+    if len(q) != dim:
+        raise Unsupported("query/vector dimensionality mismatch")
+    X = flat.to_numpy(zero_copy_only=False).astype(np.float64).reshape(n, dim)
+    qn = float(np.linalg.norm(q))
+    norms = np.sqrt(np.einsum("ij,ij->i", X, X))
+    denom = norms * qn
+    if qn == 0.0 or (denom == 0.0).any():
+        raise Unsupported("zero-norm vector")
+    scores = (X @ q) / denom
+    if not np.isfinite(scores).all():
+        raise Unsupported("non-finite scores")
+    kk = min(k, n)
+    if kk <= 0:
+        return []
+    part = np.argpartition(-scores, kk - 1)[:kk]
+    top = part[np.argsort(-scores[part], kind="stable")]
+    page = tbl.select(out_cols).take(pa.array(top))
+    rows = _table_to_dicts(page, session_tz)
+    for r, i in zip(rows, top):
+        r[score_col] = float(scores[i])
+    if select_cols:
+        rows = [{c: r.get(c) for c in select_cols} for r in rows]
+    return rows

@@ -30,6 +30,15 @@ class Query:
     offset: Optional[int] = None
     include_facet_counts: bool = False
     facet_slots: Optional[List[Union[str, Tuple[str, ...]]]] = None
+    #: EXTENSION beyond the reference IR (whose aggregation surface stops
+    #: at facet counts): SQL-style grouped aggregation. ``group_by`` names
+    #: plain grouping columns; ``aggs`` maps output aliases to
+    #: ``(fn, column)`` with fn in {count, sum, avg, min, max} (column
+    #: None/"*" for count). The result page is the aggregate table
+    #: (num_rows = group count pre-pagination); where/sort/limit/offset
+    #: compose as usual — sort/select refer to group keys and aliases.
+    group_by: Optional[List[str]] = None
+    aggs: Optional[Dict[str, Tuple[str, Optional[str]]]] = None
 
 
 FacetCounts = Dict[Union[str, Tuple[str, ...]], List[Tuple[Any, int]]]
