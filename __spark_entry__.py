@@ -1978,7 +1978,103 @@ def q_facet_zone_clustered(spark, sf):
 #: knn_cosine, count_zone_values).  Queries below position 50 stay verified
 #: by tools/oracle_compare.py (full 104-query sweep) and rotate back in
 #: next round.
+
+# --------------------------------------------------------------------- #
+# round 9 — Query-IR aggregation extension (group_by/aggs/join/max_by/
+# date_trunc), executed through Collection.query: at sf0.01 every store
+# is inside the local-tier gate, so these rows come from the driver-local
+# Arrow executor (operators/localexec.py) — the driver's DuckDB hash
+# compare is therefore a DIRECT value oracle over the local tier.
+# --------------------------------------------------------------------- #
+def _ir_db(spark, sf):
+    from linkml_store_spark.database import Database
+
+    return Database(spark, handle=f"spark://{sf}", location=sf)
+
+
+def _rows_df(spark, rows, cols):
+    import pandas as pd
+
+    return spark.createDataFrame(pd.DataFrame(list(rows), columns=cols))
+
+
+def q_qir_group_agg(spark, sf):
+    from linkml_store_spark.query import Query
+
+    r = _ir_db(spark, sf).get_collection("lineitem").query(Query(
+        where_clause={"l_shipdate": {"$lte": "1998-09-02 00:00:00"}},
+        group_by=["l_returnflag", "l_linestatus"],
+        aggs={
+            "sum_qty": ("sum", "l_quantity"),
+            "sum_disc_price": ("sum", "l_extendedprice * (1 - l_discount)"),
+            "avg_disc": ("avg", "l_discount"),
+            "count_order": ("count", None),
+        },
+        limit=-1,
+    ))
+    df = _rows_df(spark, r.rows, [
+        "l_returnflag", "l_linestatus", "sum_qty", "sum_disc_price",
+        "avg_disc", "count_order",
+    ])
+    return df.select(
+        "l_returnflag", "l_linestatus",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.round("sum_disc_price", 2).alias("sum_disc_price"),
+        F.round("avg_disc", 4).alias("avg_disc"),
+        "count_order",
+    )
+
+
+def q_qir_join_agg(spark, sf):
+    from linkml_store_spark.query import Query
+
+    r = _ir_db(spark, sf).get_collection("orders").query(Query(
+        join={"collection": "customer", "left_on": "o_custkey",
+              "right_on": "c_custkey"},
+        group_by=["c_mktsegment"],
+        aggs={"revenue": ("sum", "o_totalprice"), "n": ("count", None)},
+        limit=-1,
+    ))
+    df = _rows_df(spark, r.rows, ["c_mktsegment", "revenue", "n"])
+    return df.select(
+        "c_mktsegment", F.round("revenue", 2).alias("revenue"), "n"
+    )
+
+
+def q_qir_argmax(spark, sf):
+    from linkml_store_spark.query import Query
+
+    r = _ir_db(spark, sf).get_collection("events").query(Query(
+        group_by=["user_id"],
+        aggs={"event_id": ("max_by", "event_id", ("ts", "event_id"))},
+        limit=-1,
+    ))
+    return _rows_df(spark, r.rows, ["user_id", "event_id"])
+
+
+def q_qir_hourly(spark, sf):
+    from linkml_store_spark.query import Query
+
+    r = _ir_db(spark, sf).get_collection("events").query(Query(
+        group_by=[("hour", ("date_trunc", "hour", "ts")), "event_type"],
+        aggs={"n": ("count", None), "sum_value": ("sum", "value")},
+        limit=-1,
+    ))
+    df = _rows_df(spark, r.rows, ["hour", "event_type", "n", "sum_value"])
+    return df.select(
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type", "n", F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # round-9 additions, registered INSIDE the sampled window the round
+    # they land (ADVICE r7 #4): the Query-IR aggregation extension,
+    # local-tier-executed at driver scale
+    "qir_group_agg": q_qir_group_agg,
+    "qir_join_agg": q_qir_join_agg,
+    "qir_argmax": q_qir_argmax,
+    "qir_hourly": q_qir_hourly,
     # Round-8 driver window (first 50): the two former no_oracle reds
     # (dedup_incremental, corpus_pipeline — now value-oracled) +
     # span_stats_window (never driver-sampled) + the 5 canaries + the
@@ -2101,6 +2197,34 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 ORACLES: dict[str, str] = {
+    "qir_group_agg": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(AVG(l_discount), 4) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "qir_join_agg": """
+        SELECT c_mktsegment, ROUND(SUM(o_totalprice), 2) AS revenue,
+               COUNT(*) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    "qir_argmax": """
+        SELECT user_id, event_id FROM (
+            SELECT user_id, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) rn
+            FROM events) t
+        WHERE rn = 1
+    """,
+    "qir_hourly": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+               event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
     "facet_zone_clustered": """
         SELECT l_returnflag, COUNT(*) AS count FROM lineitem
         GROUP BY l_returnflag

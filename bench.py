@@ -77,10 +77,10 @@ def build_queries(spark, sf, qv=None):
         # the bench measures, with per-query route markers documenting
         # what engaged/refused on this layout. Raw hand-built twins are
         # timed interleaved so the API delta is a measured number.
-        # b7: TPC-H Q1 shape. Stays a hand-built plan: the Query IR's
-        # group_by/aggs extension covers plain-column aggregates, but Q1's
-        # sum_disc_price is a derived expression — changing the measured
-        # query to fit the IR would break comparability with BASELINE.md.
+        # b7 routes through the Query IR below (identical semantics to
+        # BASELINE.md's Q1 incl. the derived sum_disc_price — the IR's
+        # restricted arithmetic grammar covers it); this hand-built plan
+        # stays as its raw twin
         "b7": (
             apply_where(lineitem, {"l_shipdate": {"$lte": "1998-09-02 00:00:00"}})
             .groupBy("l_returnflag", "l_linestatus")
@@ -148,6 +148,9 @@ def build_queries(spark, sf, qv=None):
     raw_twins["b12"] = knn(
         emb, qv, vector_col="embedding", k=10, keep_vector=False
     ).select("vec_id", "label", "score").collect
+    # b7/b9/b10/b11 raw twins: the hand-built distributed plans above
+    for nm in ("b7", "b9", "b10", "b11"):
+        raw_twins[nm] = plans[nm].collect
     fns.update(routed)
     return (
         {f"b{i}": fns[f"b{i}"] for i in range(1, 13)},  # stable b1..b12 order
@@ -184,7 +187,9 @@ def _collection_routes(spark, sf, qv):
     li = db.get_collection("lineitem")
     od = db.get_collection("orders")
     eb = db.get_collection("embeddings")
-    li.df, od.df, eb.df  # resolve store scans once, outside the timed region
+    ev = db.get_collection("events")
+    db.get_collection("customer").df  # join side resolves once too
+    li.df, od.df, eb.df, ev.df  # resolve store scans once, outside timing
 
     q1 = Query(where_clause={"l_returnflag": "R"}, limit=100)
     q2 = Query(where_clause={"l_returnflag": "R"}, limit=0)
@@ -198,6 +203,38 @@ def _collection_routes(spark, sf, qv):
         select_cols=["o_orderkey", "o_totalprice"],
         limit=10,
     )
+    # b9/b10/b11 through the join+aggregate IR (Query.join / derived
+    # date_trunc keys / max_by argmax) — engine defaults: broadcast-sized
+    # join side, map-side partial aggregates on the JVM path, one Arrow
+    # hash aggregation on the local path
+    q7 = Query(
+        where_clause={"l_shipdate": {"$lte": "1998-09-02 00:00:00"}},
+        group_by=["l_returnflag", "l_linestatus"],
+        aggs={
+            "sum_qty": ("sum", "l_quantity"),
+            "sum_base_price": ("sum", "l_extendedprice"),
+            "sum_disc_price": ("sum", "l_extendedprice * (1 - l_discount)"),
+            "avg_qty": ("avg", "l_quantity"),
+            "avg_disc": ("avg", "l_discount"),
+            "count_order": ("count", None),
+        },
+    )
+    q9 = Query(
+        join={"collection": "customer", "left_on": "o_custkey",
+              "right_on": "c_custkey"},
+        group_by=["c_mktsegment"],
+        aggs={"revenue": ("sum", "o_totalprice")},
+    )
+    q10 = Query(
+        group_by=["user_id"],
+        aggs={"event_id": ("max_by", "event_id", ("ts", "event_id"))},
+        limit=-1,
+    )
+    q11 = Query(
+        group_by=[("hour", ("date_trunc", "hour", "ts")), "event_type"],
+        aggs={"n": ("count", None), "sum_value": ("sum", "value")},
+        limit=-1,
+    )
     fns = {
         # b1's routed form computes the Query contract's pre-pagination
         # COUNT as well as the page (the raw twin fetches only the page —
@@ -209,6 +246,10 @@ def _collection_routes(spark, sf, qv):
         "b5": lambda: li.query_facets(None, ["l_returnflag"]),
         "b6": lambda: li.query_facets(None, [("l_returnflag", "l_linestatus")]),
         "b8": lambda: od.query(q8).rows,
+        "b7": lambda: li.query(q7).rows,
+        "b9": lambda: od.query(q9).rows,
+        "b10": lambda: ev.query(q10).rows,
+        "b11": lambda: ev.query(q11).rows,
         # b12: eager kNN — rows contract (vector dropped), k=10 cosine
         "b12": lambda: eb.knn_search(
             qv, vector_col="embedding", k=10,
@@ -301,6 +342,10 @@ def _collection_routes(spark, sf, qv):
         "b5": "Collection.query_facets: single column",
         "b6": "Collection.query_facets: compound",
         "b8": "Collection.query: " + topk_marker("orders", "o_totalprice", 10),
+        "b7": "Collection.query: TPC-H Q1 via group_by/aggs IR",
+        "b9": "Collection.query: join+agg IR (customer broadcast-sized)",
+        "b10": "Collection.query: max_by argmax IR",
+        "b11": "Collection.query: date_trunc hour rollup IR",
         "b12": "Collection.knn_search: exact cosine top-10",
     }
 
@@ -313,7 +358,8 @@ def _collection_routes(spark, sf, qv):
 
         for name, coll in [
             ("b1", li), ("b2", li), ("b3", li), ("b4", od),
-            ("b5", li), ("b6", li), ("b8", od), ("b12", eb),
+            ("b5", li), ("b6", li), ("b7", li), ("b8", od), ("b9", od),
+            ("b10", ev), ("b11", ev), ("b12", eb),
         ]:
             metas = coll._store_metas() or []
             files = [fp for fp, _md in metas]

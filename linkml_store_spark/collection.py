@@ -774,6 +774,10 @@ class Collection:
         """
         if not self.exists():
             return QueryResult(num_rows=0, rows=[], query=query)
+        if query.join and not query.group_by:
+            raise ValueError(
+                "Query.join is part of the join+aggregate IR — set group_by"
+            )
         plan = self._local_tier_plan(query)
         if plan is not None:
             local_fn, files, total_rows = plan
@@ -893,11 +897,52 @@ class Collection:
         limit, select) runs over the tiny aggregate table in-process."""
         from linkml_store_spark.operators import localexec as lx
 
+        session_tz = self._session_tz()
+        join = None
         try:
-            cond = lx.compile_where_local(query.where_clause, schema)
-            lx.validate_group_agg(schema, query.group_by, query.aggs)
+            if query.join:
+                other = self.database.get_collection(
+                    query.join["collection"]
+                )
+                other.df  # resolve the scan (sets _df_is_store_scan)
+                ogate = other._local_tier_gate()
+                if ogate is None:
+                    return None
+                ofiles, oschema, _orows = ogate
+                left_on = query.join["left_on"]
+                right_on = query.join["right_on"]
+                lnames = {f.name for f in schema}
+                rnames = {f.name for f in oschema}
+                if lnames & rnames:
+                    # ambiguous columns: Spark would carry both sides;
+                    # the Arrow join coalesces — not mirrored, refuse
+                    return None
+                if left_on not in lnames or right_on not in rnames:
+                    return None
+                # Spark's joined frame keeps right_on; the Arrow join
+                # drops it — refuse queries that reference it downstream
+                import pyarrow as pa
+
+                merged = pa.schema(
+                    list(schema) + [f for f in oschema if f.name != right_on]
+                )
+                if lx._col_type(schema, left_on) != lx._col_type(
+                    oschema, right_on
+                ):
+                    return None
+                join = (ofiles, oschema, left_on, right_on)
+            # compile/validate against the post-join column space; the
+            # executor reads each side with its OWN schema
+            compile_schema = merged if join is not None else schema
+            cond = lx.compile_where_local(query.where_clause, compile_schema)
+            lx.validate_group_agg(
+                compile_schema, query.group_by, query.aggs,
+                session_tz=session_tz,
+            )
             aggs = dict(query.aggs or {"count": ("count", None)})
-            out_names = list(query.group_by) + list(aggs)
+            out_names = [
+                g if isinstance(g, str) else g[0] for g in query.group_by
+            ] + list(aggs)
             sort_specs = [_sort_parse(s) for s in (query.sort_by or [])]
             if any(c not in out_names for c, _d in sort_specs):
                 return None
@@ -911,12 +956,11 @@ class Collection:
         limit = DEFAULT_LIMIT if query.limit is None else query.limit
         eff_limit = None if (limit is None or limit < 0) else limit
         offset = query.offset or 0
-        session_tz = self._session_tz()
 
         def run() -> QueryResult:
             total, table = lx.local_group_agg(
                 files, schema, cond, query.group_by, aggs,
-                session_tz=session_tz,
+                session_tz=session_tz, join=join,
             )
             if eff_limit == 0:
                 rows: List[OBJECT] = []
@@ -1155,47 +1199,101 @@ class Collection:
     def _agg_exprs(aggs) -> List[F.Column]:
         """Query.aggs specs -> aliased aggregate Columns (shared between
         the distributed agg path and tests)."""
+        from linkml_store_spark.operators.localexec import is_plain_name
+
+        def _acol(c):
+            # plain name -> column ref; anything else is the restricted
+            # arithmetic grammar, identical in SQL and in the local tier
+            return F.col(c) if is_plain_name(c) else F.expr(c)
+
         out = []
-        for alias, (fn, col) in (aggs or {"count": ("count", None)}).items():
-            fn = str(fn).lower()
+        for alias, spec in (aggs or {"count": ("count", None)}).items():
+            fn = str(spec[0]).lower()
+            col = spec[1] if len(spec) > 1 else None
             if fn == "count":
                 e = (
                     F.count(F.lit(1)) if col in (None, "*")
                     else F.count(F.col(col))
                 )
             elif fn == "sum":
-                e = F.sum(F.col(col))
+                e = F.sum(_acol(col))
             elif fn == "avg":
-                e = F.avg(F.col(col))
+                e = F.avg(_acol(col))
             elif fn == "min":
-                e = F.min(F.col(col))
+                e = F.min(_acol(col))
             elif fn == "max":
-                e = F.max(F.col(col))
+                e = F.max(_acol(col))
+            elif fn == "max_by":
+                # argmax: the value carried by the lexicographically-max
+                # order tuple per group (struct comparison = tuple order)
+                orders = [F.col(o) for o in spec[2]]
+                e = F.max_by(F.col(col), F.struct(*orders))
             else:
                 raise ValueError(f"unsupported aggregate fn {fn!r}")
             out.append(e.alias(alias))
         return out
 
+    @staticmethod
+    def _group_key_exprs(group_by) -> List[F.Column]:
+        """Query.group_by entries -> grouping Columns. Plain names pass
+        through; ``(alias, ("date_trunc", unit, col))`` derives the time
+        bucket (grouping happens on the 8-byte truncated timestamp)."""
+        out = []
+        for g in group_by:
+            if isinstance(g, str):
+                out.append(F.col(g))
+            else:
+                alias, (fn, unit, col) = g
+                if str(fn) != "date_trunc":
+                    raise ValueError(f"unsupported derived group key {fn!r}")
+                out.append(F.date_trunc(unit, F.col(col)).alias(alias))
+        return out
+
     def _query_spark_agg(self, query: Query) -> QueryResult:
         """Grouped aggregation through the distributed plan (the
-        Query.group_by/aggs IR extension): filter -> hash aggregate
-        (partial map-side combine; the shuffle moves only group partials)
-        -> optional sort/offset/limit/projection over the tiny aggregate.
+        Query.group_by/aggs/join IR extension): [join ->] filter -> hash
+        aggregate (partial map-side combine; the shuffle moves only group
+        partials) -> optional sort/offset/limit/projection over the tiny
+        aggregate. The join side is broadcast whenever its store is
+        footer-known small (<= 64 MB compressed) — the fact side then
+        never shuffles, the correct plan at any scale where the dim fits.
 
         ``num_rows`` is the pre-pagination GROUP count; when the page is
         untruncated it is free (len of the page), otherwise one count
         over the aggregate plan."""
         pk = (
-            "agg", repr(query.where_clause), tuple(query.group_by),
-            tuple(sorted((query.aggs or {}).items())),
+            "agg", repr(query.where_clause), repr(query.group_by),
+            repr(sorted((query.aggs or {}).items())), repr(query.join),
             tuple(repr(s) for s in (query.sort_by or [])),
             query.offset or 0, query.limit,
             tuple(query.select_cols or []),
         )
         page = self._plan_cache.get(pk)
         if page is None:
-            gdf = apply_where(self.df, query.where_clause).groupBy(
-                *[F.col(c) for c in query.group_by]
+            base = self.df
+            if query.join:
+                other = self.database.get_collection(
+                    query.join["collection"]
+                )
+                odf = other.df
+                try:
+                    ometas = other._store_metas() or []
+                    obytes = sum(
+                        md.row_group(i).total_byte_size
+                        for _fp, md in ometas
+                        for i in range(md.num_row_groups)
+                    )
+                    if ometas and obytes <= 64 * (1 << 20):
+                        odf = F.broadcast(odf)
+                except Exception:  # noqa: BLE001 — sizing is advisory
+                    pass
+                base = base.join(
+                    odf,
+                    base[query.join["left_on"]] == odf[query.join["right_on"]],
+                    "inner",
+                )
+            gdf = apply_where(base, query.where_clause).groupBy(
+                *self._group_key_exprs(query.group_by)
             ).agg(*self._agg_exprs(query.aggs))
             page = gdf
             if query.sort_by:

@@ -527,17 +527,22 @@ def _table_to_dicts(tbl, session_tz: Optional[str]) -> List[dict]:
     yields ``pandas.Timestamp`` objects instead of stdlib datetimes."""
     import pyarrow as pa
 
-    has_ts = False
+    needs_pass = False
     for i, f in enumerate(tbl.schema):
         if isinstance(f.type, pa.TimestampType):
-            has_ts = True
             if f.type.unit == "ns":
                 tbl = tbl.set_column(
                     i, f.name,
                     tbl.column(i).cast(pa.timestamp("us", tz=f.type.tz)),
                 )
+            if f.type.tz is not None:
+                needs_pass = True
+        elif "timestamp" in str(f.type):
+            # timestamps nested inside structs/lists: the top-level cast
+            # can't reach them — take the per-value fix-up path
+            needs_pass = True
     rows = tbl.to_pylist()
-    if not rows or not has_ts:
+    if not rows or not needs_pass:
         return rows
     tzinfo = _resolve_tz(session_tz)
     return [_localize_value(r, tzinfo) for r in rows]
@@ -743,27 +748,88 @@ _AGG_KERNELS = {"count": "count", "sum": "sum", "avg": "mean",
                 "min": "min", "max": "max"}
 
 
-def validate_group_agg(schema, group_by: Sequence[str], aggs) -> None:
+def _split_group_by(group_by):
+    """(plain_keys, derived) where derived = [(alias, unit, source_col)].
+    Raises Unsupported for any derivation other than date_trunc."""
+    plain, derived = [], []
+    for g in group_by:
+        if isinstance(g, str):
+            plain.append(g)
+        else:
+            try:
+                alias, (fn, unit, col) = g
+            except Exception:  # noqa: BLE001
+                raise Unsupported(f"malformed group key {g!r}")
+            if str(fn) != "date_trunc" or unit not in (
+                "minute", "hour", "day", "week", "month", "year"
+            ):
+                raise Unsupported(f"derived group key {g!r}")
+            derived.append((alias, unit, col))
+    return plain, derived
+
+
+def validate_group_agg(schema, group_by, aggs, session_tz=None) -> None:
     """Raise Unsupported unless every group key and aggregate input is
     inside the mirrored subset. Float group keys refuse: Spark normalizes
     -0.0/NaN in grouping keys, Arrow hashes raw bits — the one grouping
-    divergence that can't be mirrored cheaply."""
+    divergence that can't be mirrored cheaply. Derived date_trunc keys
+    over tz-aware columns refuse unless the session timezone is UTC
+    (Spark truncates in session time, Arrow in the column's zone)."""
     import pyarrow.types as pt
 
-    for c in group_by:
+    plain, derived = _split_group_by(group_by)
+    key_aliases = [a for a, _u, _c in derived]
+    for c in plain:
         t = _col_type(schema, c)
         if pt.is_floating(t) or pt.is_timestamp(t):
             raise Unsupported(f"group key type {t} on {c!r}")
+    for _alias, _unit, col in derived:
+        idx = schema.get_field_index(col)
+        if idx < 0:
+            raise Unsupported(f"unknown column {col!r}")
+        t = schema.field(idx).type
+        if not pt.is_timestamp(t):
+            raise Unsupported("date_trunc over non-timestamp column")
+        if t.tz is not None and (session_tz or "UTC") not in (
+            "UTC", "Etc/UTC", "GMT", "+00:00", "Z"
+        ):
+            raise Unsupported("date_trunc on tz-aware column outside UTC")
+    order_tuples = {
+        tuple(spec[2]) for spec in (aggs or {}).values()
+        if str(spec[0]).lower() == "max_by" and len(spec) == 3
+    }
+    if len(order_tuples) > 1:
+        # the local argmax implementation sorts ONCE by the shared order
+        # tuple; heterogeneous orders would need one sort per tuple
+        raise Unsupported("multiple max_by order tuples")
     for alias, spec in (aggs or {}).items():
-        fn, col = spec
-        fn = str(fn).lower()
-        if fn not in _AGG_KERNELS:
+        fn = str(spec[0]).lower()
+        col = spec[1] if len(spec) > 1 else None
+        if fn not in _AGG_KERNELS and fn != "max_by":
             raise Unsupported(f"aggregate fn {fn!r}")
-        if alias in group_by:
+        if alias in plain or alias in key_aliases:
             raise Unsupported(f"alias {alias!r} collides with a group key")
+        if fn == "max_by":
+            if len(spec) != 3 or not spec[2]:
+                raise Unsupported("max_by needs (fn, value_col, order_cols)")
+            _col_type(schema, col)
+            for o in spec[2]:
+                t = _col_type(schema, o)
+                if pt.is_timestamp(t) and t.tz is not None and (
+                    session_tz or "UTC"
+                ) not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+                    raise Unsupported("tz-aware max_by order col outside UTC")
+            continue
         if col in (None, "*"):
             if fn != "count":
                 raise Unsupported(f"{fn} requires a column")
+            continue
+        if not is_plain_name(col):
+            # restricted arithmetic over numeric columns ("a * (1 - b)"):
+            # the SAME string feeds F.expr on the distributed side
+            if fn == "count":
+                raise Unsupported("count over an expression")
+            compile_arith(col, schema)
             continue
         t = _col_type(schema, col)
         if fn in ("sum", "avg") and not (
@@ -774,19 +840,55 @@ def validate_group_agg(schema, group_by: Sequence[str], aggs) -> None:
             raise Unsupported("timestamp min/max value parity not mirrored")
 
 
+def _agg_input_cols(aggs, schema):
+    cols = []
+    for spec in (aggs or {}).values():
+        fn = str(spec[0]).lower()
+        col = spec[1] if len(spec) > 1 else None
+        if col not in (None, "*"):
+            if is_plain_name(col):
+                cols.append(col)
+            else:
+                _ev, used = compile_arith(col, schema)
+                cols.extend(sorted(used))
+        if fn == "max_by":
+            cols.extend(spec[2])
+    return cols
+
+
+def _merged_schema(schema, join):
+    """Post-join column space (left + right minus the coalesced right
+    key); the left schema unchanged when there is no join."""
+    if join is None:
+        return schema
+    import pyarrow as pa
+
+    right_schema, right_on = join[1], join[3]
+    return pa.schema(
+        list(schema) + [f for f in right_schema if f.name != right_on]
+    )
+
+
 def local_group_agg(
     files: Sequence[str],
     schema,
     cond: Optional[_Cond],
-    group_by: Sequence[str],
+    group_by: Sequence,
     aggs,
     session_tz: Optional[str] = None,
+    join=None,
 ):
-    """(total_groups, aggregate Table rows as dicts, UNPAGED/UNSORTED) —
-    the caller owns sort/offset/limit. One Arrow ``Table.group_by``
-    per file batch would re-merge poorly; the store is gate-bounded, so
-    all files' needed columns concatenate first (still only the referenced
-    columns), then ONE hash aggregation runs in C++.
+    """(total_groups, aggregate Table) — UNPAGED/UNSORTED; the caller owns
+    sort/offset/limit. The store is gate-bounded, so all files' REFERENCED
+    columns concatenate first, then ONE C++ hash aggregation runs.
+
+    ``join`` = (right_files, right_schema, left_on, right_on): an INNER
+    equi-join runs first (Arrow hash join; NULL keys drop, matching SQL).
+    Derived ``date_trunc`` keys floor in C (week starts Monday, like
+    Spark). ``max_by`` aggregates sort once by the order tuple descending
+    and take ``first`` per group (single-threaded group-by: 'first' is
+    scan-order-defined); NULL order values refuse — Spark's struct-max
+    null ordering is not mirrored.
 
     Sum/mean accumulate in float64 exactly like Spark's double aggregates;
     sum over int32/64 yields int64 (Spark: long). Count skips NULLs for a
@@ -794,48 +896,127 @@ def local_group_agg(
     """
     pa, pc = _pa()
 
-    aggs = dict(aggs or {})
-    if not aggs:
-        aggs = {"count": ("count", None)}
+    aggs = dict(aggs or {"count": ("count", None)})
+    plain, derived = _split_group_by(group_by)
     where_cols = sorted(cond.cols) if cond is not None else []
-    agg_cols = [
-        spec[1] for spec in aggs.values() if spec[1] not in (None, "*")
-    ]
-    need = list(dict.fromkeys(list(group_by) + agg_cols + where_cols))
-    dict_cols = _string_cols(schema, where_cols)
-    tables = []
-    for path in files:
-        tbl = _read_columns(path, need, dict_cols)
-        if cond is not None:
-            cols = {c: tbl.column(c).combine_chunks() for c in where_cols}
-            tbl = tbl.filter(cond.fn(cols))
-        tables.append(tbl.select(list(dict.fromkeys(list(group_by) + agg_cols))))
-    table = pa.concat_tables(tables).combine_chunks()
+    derived_srcs = [c for _a, _u, c in derived]
+    expr_schema = _merged_schema(schema, join)
+    agg_cols = _agg_input_cols(aggs, expr_schema)
+    need_all = list(dict.fromkeys(
+        plain + derived_srcs + agg_cols + where_cols
+    ))
+
+    def _read_side(side_files, side_schema, cols, extra):
+        names = {f.name for f in side_schema}
+        mine = [c for c in cols if c in names] + list(extra)
+        mine = list(dict.fromkeys(mine))
+        dict_cols = _string_cols(side_schema, [c for c in where_cols if c in names])
+        ts = [_read_columns(p, mine, dict_cols) for p in side_files]
+        return pa.concat_tables(ts).combine_chunks()
+
+    if join is not None:
+        right_files, right_schema, left_on, right_on = join
+        left = _read_side(files, schema, need_all, [left_on])
+        right = _read_side(right_files, right_schema, need_all, [right_on])
+        table = left.join(
+            right, keys=[left_on], right_keys=[right_on], join_type="inner"
+        ).combine_chunks()
+    else:
+        table = _read_side(files, schema, need_all, [])
+    if cond is not None:
+        cols = {c: table.column(c).combine_chunks() for c in where_cols}
+        table = table.filter(cond.fn(cols))
     # decode any dictionary columns: group keys must surface as plain
     # values, and aggregate kernels over codes would be wrong
     for i, f in enumerate(table.schema):
         if isinstance(f.type, pa.DictionaryType):
             table = table.set_column(i, f.name, _decode_dict(table.column(i)))
-    def _key(fn, col):
+    # derive time-bucket keys (truncate ns->us so values match Spark's
+    # microsecond TimestampType exactly)
+    keys = list(plain)
+    for alias, unit, col in derived:
+        src = table.column(col)
+        trunc = pc.floor_temporal(
+            src.combine_chunks() if isinstance(src, pa.ChunkedArray) else src,
+            unit=unit, week_starts_monday=True,
+        )
+        if trunc.type.unit == "ns":
+            trunc = trunc.cast(pa.timestamp("us", tz=trunc.type.tz))
+        table = table.append_column(alias, trunc)
+        keys.append(alias)
+
+    # materialize arithmetic-expression aggregate inputs as synthetic
+    # columns so the standard kernels apply (one evaluation per distinct
+    # expression, shared across aliases)
+    expr_names = {}
+    for spec in aggs.values():
+        col = spec[1] if len(spec) > 1 else None
+        if col not in (None, "*") and not is_plain_name(col) and col not in expr_names:
+            ev, _used = compile_arith(col, expr_schema)
+            name = f"__expr_{len(expr_names)}"
+            table = table.append_column(
+                name, ev({c: table.column(c) for c in table.column_names})
+            )
+            expr_names[col] = name
+
+    def _norm_col(col):
+        return expr_names.get(col, col)
+
+    def _key(fn, col, spec):
         fn = str(fn).lower()
-        return ("*", "count_all") if col in (None, "*") else (col, _AGG_KERNELS[fn])
+        if fn == "max_by":
+            return ("max_by", col, tuple(spec[2]))
+        return (
+            ("*", "count_all") if col in (None, "*")
+            else (_norm_col(col), _AGG_KERNELS[fn])
+        )
+
+    # max_by: ONE shared order tuple, pre-sorted descending; 'first' per
+    # group then picks the max-tuple row (stable, single-threaded)
+    order_tuples = {
+        tuple(spec[2]) for spec in aggs.values()
+        if str(spec[0]).lower() == "max_by"
+    }
+    if len(order_tuples) > 1:
+        raise Unsupported("multiple max_by order tuples")
+    single_thread = False
+    if order_tuples:
+        orders = next(iter(order_tuples))
+        for o in orders:
+            col = table.column(o)
+            if col.null_count:
+                raise Unsupported("NULL max_by order values")
+        table = table.sort_by([(o, "descending") for o in orders])
+        single_thread = True
 
     specs, seen = [], set()
-    for alias, (fn, col) in aggs.items():
-        k = _key(fn, col)
-        if k not in seen:
-            seen.add(k)
-            specs.append(([], "count_all") if k[0] == "*" else k)
-    g = table.group_by(list(group_by)).aggregate(specs)
+    for alias, spec in aggs.items():
+        fn, col = str(spec[0]).lower(), (spec[1] if len(spec) > 1 else None)
+        k = _key(fn, col, spec)
+        if k in seen:
+            continue
+        seen.add(k)
+        if k[0] == "*":
+            specs.append(([], "count_all"))
+        elif k[0] == "max_by":
+            specs.append((k[1], "first"))
+        else:
+            specs.append(k)
+    g = table.group_by(keys, use_threads=not single_thread).aggregate(specs)
     # arrow names outputs {col}_{fn} / count_all — map back to the aliases
     # (duplicate (col, fn) pairs under different aliases share one kernel)
-    bykey = {
-        k: g.column("count_all" if k[0] == "*" else f"{k[0]}_{k[1]}")
-        for k in seen
-    }
-    cols_out = {c: g.column(c) for c in group_by}
-    for alias, (fn, col) in aggs.items():
-        cols_out[alias] = bykey[_key(fn, col)]
+    bykey = {}
+    for k in seen:
+        if k[0] == "*":
+            bykey[k] = g.column("count_all")
+        elif k[0] == "max_by":
+            bykey[k] = g.column(f"{k[1]}_first")
+        else:
+            bykey[k] = g.column(f"{k[0]}_{k[1]}")
+    cols_out = {c: g.column(c) for c in keys}
+    for alias, spec in aggs.items():
+        fn, col = str(spec[0]).lower(), (spec[1] if len(spec) > 1 else None)
+        cols_out[alias] = bykey[_key(fn, col, spec)]
     out = pa.table(cols_out)
     return out.num_rows, out
 
@@ -942,3 +1123,77 @@ def local_knn(
     if select_cols:
         rows = [{c: r.get(c) for c in select_cols} for r in rows]
     return rows
+
+
+# --------------------------------------------------------------------- #
+# restricted arithmetic over columns for aggregate inputs
+# --------------------------------------------------------------------- #
+
+def compile_arith(expr: str, schema):
+    """Compile a restricted arithmetic expression over numeric columns
+    (``+ - *`` with parentheses, numeric literals, unary minus) into an
+    Arrow evaluator, or raise Unsupported. The grammar is the overlap
+    where Python-ast and Spark-SQL parses agree token-for-token, so the
+    SAME string feeds ``F.expr`` on the distributed side — e.g. TPC-H
+    Q1's ``l_extendedprice * (1 - l_discount)``. Division is excluded
+    (SQL and Arrow disagree on integer division). Arithmetic NULLs
+    propagate and non-ANSI overflow wraps on both engines (Arrow's
+    unchecked kernels = Spark's default mode).
+
+    Returns ``(evaluate, cols)`` — evaluate({col: Array}) -> Array.
+    """
+    import ast
+
+    import pyarrow.types as pt
+
+    try:
+        tree = ast.parse(expr, mode="eval")
+    except SyntaxError:
+        raise Unsupported(f"unparseable expression {expr!r}")
+    cols: set = set()
+
+    _OPS = {ast.Add: "add", ast.Sub: "subtract", ast.Mult: "multiply"}
+
+    def build(node):
+        if isinstance(node, ast.Expression):
+            return build(node.body)
+        if isinstance(node, ast.BinOp) and type(node.op) in _OPS:
+            return ("op", _OPS[type(node.op)], build(node.left), build(node.right))
+        if isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.USub):
+            return ("neg", build(node.operand))
+        if isinstance(node, ast.Name):
+            t = _col_type(schema, node.id)
+            if not (pt.is_integer(t) or pt.is_floating(t)):
+                raise Unsupported(f"non-numeric column {node.id!r} in arithmetic")
+            cols.add(node.id)
+            return ("col", node.id)
+        if isinstance(node, ast.Constant) and isinstance(
+            node.value, (int, float)
+        ) and not isinstance(node.value, bool):
+            return ("lit", node.value)
+        raise Unsupported(f"unsupported arithmetic node {type(node).__name__}")
+
+    ir = build(tree)
+
+    def evaluate(cols_map):
+        _pa_, pc = _pa()
+
+        def rec(n):
+            if n[0] == "op":
+                return getattr(pc, n[1])(rec(n[2]), rec(n[3]))
+            if n[0] == "neg":
+                return pc.negate(rec(n[1]))
+            if n[0] == "col":
+                return _decode_dict(cols_map[n[1]])
+            return n[1]
+
+        return rec(ir)
+
+    return evaluate, cols
+
+
+_PLAIN_NAME = __import__("re").compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def is_plain_name(col: str) -> bool:
+    return bool(_PLAIN_NAME.match(col or ""))

@@ -31,14 +31,24 @@ class Query:
     include_facet_counts: bool = False
     facet_slots: Optional[List[Union[str, Tuple[str, ...]]]] = None
     #: EXTENSION beyond the reference IR (whose aggregation surface stops
-    #: at facet counts): SQL-style grouped aggregation. ``group_by`` names
-    #: plain grouping columns; ``aggs`` maps output aliases to
-    #: ``(fn, column)`` with fn in {count, sum, avg, min, max} (column
-    #: None/"*" for count). The result page is the aggregate table
-    #: (num_rows = group count pre-pagination); where/sort/limit/offset
-    #: compose as usual — sort/select refer to group keys and aliases.
-    group_by: Optional[List[str]] = None
-    aggs: Optional[Dict[str, Tuple[str, Optional[str]]]] = None
+    #: at facet counts): SQL-style grouped aggregation. ``group_by``
+    #: entries are plain column names OR derived time buckets
+    #: ``(alias, ("date_trunc", unit, column))``; ``aggs`` maps output
+    #: aliases to ``(fn, column)`` with fn in {count, sum, avg, min, max}
+    #: (column None/"*" for count) or the argmax form
+    #: ``("max_by", value_column, (order_col, ...))`` — the value carried
+    #: by the lexicographically-largest order tuple per group. The result
+    #: page is the aggregate table (num_rows = group count
+    #: pre-pagination); where/sort/limit/offset compose as usual —
+    #: sort/select refer to group keys and aliases.
+    group_by: Optional[List[Any]] = None
+    aggs: Optional[Dict[str, Tuple]] = None
+    #: EXTENSION: one INNER equi-join against a sibling collection before
+    #: filter/grouping: {"collection": alias, "left_on": col,
+    #: "right_on": col}. The reference reaches joins only through raw SQL
+    #: or derived collections; this keeps the declarative IR closed over
+    #: the join+aggregate shapes analytics actually runs.
+    join: Optional[Dict[str, str]] = None
 
 
 FacetCounts = Dict[Union[str, Tuple[str, ...]], List[Tuple[Any, int]]]

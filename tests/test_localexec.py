@@ -388,3 +388,166 @@ def test_property_local_count_matches_spark(orders_store, where):
     local_n = plan[0]().num_rows
     spark_n = apply_where(orders_store.df, where).count()
     assert local_n == spark_n, where
+
+
+# --------------------------------------------------------------------- #
+# grouped-aggregation IR (group_by / aggs / join) parity
+# --------------------------------------------------------------------- #
+
+@pytest.fixture()
+def agg_db(spark, tmp_path):
+    """orders/customer-like pair with timestamps for the join/argmax/
+    rollup IR shapes."""
+    client = Client(spark)
+    db = client.attach_database(f"spark://{tmp_path}/aggdb")
+    facts = db.create_collection("facts", identifier_attribute="id")
+    rows = [
+        {
+            "id": i,
+            "cust": i % 7,
+            "price": float((i * 37) % 1000) / 4,
+            "disc": ((i * 13) % 10) / 100.0,
+            "cat": f"c{i % 3}",
+            "ts": f"2024-03-{(i % 5) + 1:02d} {(i % 24):02d}:{i % 60:02d}:00",
+        }
+        for i in range(400)
+    ]
+    facts.insert(spark.createDataFrame(rows).selectExpr(
+        "id", "cust", "price", "disc", "cat", "cast(ts as timestamp) ts"
+    ))
+    dims = db.create_collection("dims", identifier_attribute="ck")
+    dims.insert(spark.createDataFrame(
+        [{"ck": k, "seg": f"s{k % 3}"} for k in range(5)]  # custs 5,6 unmatched
+    ))
+    return db
+
+
+def _agg_parity(coll, q, keys):
+    import math
+
+    plan = coll._local_tier_plan(q)
+    assert plan is not None, "agg IR refused locally"
+    l, s = plan[0](), coll._query_spark(q)
+    assert l.num_rows == s.num_rows
+    key = lambda r: tuple(str(r[k]) for k in keys)  # noqa: E731
+    for a, b in zip(sorted(l.rows, key=key), sorted(s.rows, key=key)):
+        assert a.keys() == b.keys()
+        for k in a:
+            if isinstance(a[k], float):
+                assert math.isclose(a[k], b[k], rel_tol=1e-9), (k, a, b)
+            else:
+                assert a[k] == b[k], (k, a, b)
+
+
+def test_agg_ir_plain_and_expr(agg_db):
+    q = Query(
+        where_clause={"price": {"$gte": 10.0}},
+        group_by=["cat"],
+        aggs={
+            "n": ("count", None),
+            "n_disc": ("count", "disc"),
+            "rev": ("sum", "price"),
+            "net": ("sum", "price * (1 - disc)"),
+            "hi": ("max", "price"),
+            "avg_d": ("avg", "disc"),
+        },
+        limit=-1,
+    )
+    _agg_parity(agg_db.get_collection("facts"), q, ["cat"])
+
+
+def test_agg_ir_join(agg_db):
+    q = Query(
+        join={"collection": "dims", "left_on": "cust", "right_on": "ck"},
+        group_by=["seg"],
+        aggs={"rev": ("sum", "price"), "n": ("count", None)},
+        limit=-1,
+    )
+    facts = agg_db.get_collection("facts")
+    _agg_parity(facts, q, ["seg"])
+    # inner-join semantics: unmatched custs (5, 6) contribute nothing
+    plan = facts._local_tier_plan(q)
+    total_n = sum(r["n"] for r in plan[0]().rows)
+    assert total_n == sum(1 for i in range(400) if i % 7 < 5)
+
+
+def test_agg_ir_max_by(agg_db):
+    q = Query(
+        group_by=["cust"],
+        aggs={"latest_id": ("max_by", "id", ("ts", "id"))},
+        limit=-1,
+    )
+    _agg_parity(agg_db.get_collection("facts"), q, ["cust"])
+
+
+def test_agg_ir_date_trunc(agg_db):
+    q = Query(
+        group_by=[("day", ("date_trunc", "day", "ts")), "cat"],
+        aggs={"n": ("count", None), "rev": ("sum", "price")},
+        limit=-1,
+    )
+    _agg_parity(agg_db.get_collection("facts"), q, ["day", "cat"])
+
+
+def test_agg_ir_sorted_paged(agg_db):
+    q = Query(
+        group_by=["cat"],
+        aggs={"rev": ("sum", "price")},
+        sort_by=["-rev"],
+        limit=2,
+    )
+    facts = agg_db.get_collection("facts")
+    plan = facts._local_tier_plan(q)
+    l, s = plan[0](), facts._query_spark(q)
+    assert l.num_rows == s.num_rows == 3  # pre-pagination group count
+    assert [r["cat"] for r in l.rows] == [r["cat"] for r in s.rows]
+    assert len(l.rows) == 2
+
+
+def test_agg_ir_refusals(agg_db):
+    facts = agg_db.get_collection("facts")
+    refused = [
+        Query(group_by=["price"], aggs={"n": ("count", None)}),   # float key
+        Query(group_by=["ts"], aggs={"n": ("count", None)}),      # ts key
+        Query(group_by=["cat"], aggs={"n": ("count", "price*2")}),  # count expr
+        Query(group_by=["cat"], aggs={"r": ("sum", "price / disc")}),  # division
+        Query(group_by=["cat"], aggs={"r": ("sum", "nope + 1")}),  # unknown col
+        Query(group_by=["cat"], aggs={"cat": ("count", None)}),   # alias clash
+        Query(group_by=["cat"], aggs={                            # two orders
+            "a": ("max_by", "id", ("ts",)),
+            "b": ("max_by", "id", ("id",)),
+        }),
+        Query(join={"collection": "dims", "left_on": "cust",
+                    "right_on": "nope"},
+              group_by=["seg"], aggs={"n": ("count", None)}),     # bad key
+    ]
+    for q in refused:
+        assert facts._local_tier_plan(q) is None, q
+
+
+def test_agg_ir_join_requires_group_by(agg_db):
+    with pytest.raises(ValueError, match="join"):
+        agg_db.get_collection("facts").query(
+            Query(join={"collection": "dims", "left_on": "cust",
+                        "right_on": "ck"})
+        )
+
+
+def test_agg_ir_via_query_routes_and_matches(agg_db):
+    """End-to-end through Collection.query: A/B on first touch, memoized
+    local route after, equal answers throughout."""
+    facts = agg_db.get_collection("facts")
+    q = Query(group_by=["cat"], aggs={"rev": ("sum", "price")}, limit=-1)
+    r1 = facts.query(q)
+    r2 = facts.query(q)
+    import math
+
+    s = facts._query_spark(q)
+    for res in (r1, r2):
+        assert res.num_rows == s.num_rows
+        a = sorted(res.rows, key=lambda r: r["cat"])
+        b = sorted(s.rows, key=lambda r: r["cat"])
+        assert all(
+            math.isclose(x["rev"], y["rev"], rel_tol=1e-9) and x["cat"] == y["cat"]
+            for x, y in zip(a, b)
+        )
