@@ -620,9 +620,12 @@ class Collection:
             meta, undecided = decision
             if not undecided:
                 return meta  # pure driver metadata — zero jobs
-            if not meta:
-                # footers decided nothing: an unclustered layout — the
-                # clustering advisor counts repeats of this shape
+            if not meta and len(undecided) == len(metas or ()):
+                # footers decided NOTHING (every file undecided): an
+                # unclustered layout — the clustering advisor counts
+                # repeats of this shape. meta == 0 with a smaller scan
+                # set means files were decided OUT — a zone success, not
+                # advisor material (round-9 advisor finding)
                 self._note_unclustered_hit(col)
         key = (
             "in_scan", col, tuple(values),

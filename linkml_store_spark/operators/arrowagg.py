@@ -265,9 +265,22 @@ def ab_winner(
     k = _ab_key(spark, files, column)
     entry = _AB_WINNERS.get(k) if k is not None else None
     if entry:
+        if entry[0] == "__miss__":
+            # negative sidecar lookup, memoized below: without this every
+            # query against a store that never ran an A/B re-read and
+            # re-parsed the sidecar file on the hot path (round-9
+            # advisor finding). The miss is layout-fingerprinted like the
+            # sidecar itself; a recorded winner overwrites it.
+            return None if entry[1] == total_rows else _sidecar_check(
+                files, column, total_rows, k
+            )
         return entry[0]
     if total_rows is None:
         return None
+    return _sidecar_check(files, column, total_rows, k)
+
+
+def _sidecar_check(files, column, total_rows, k) -> Optional[str]:
     e = _sidecar_load(files).get(column)
     if (
         isinstance(e, dict)
@@ -280,6 +293,10 @@ def ab_winner(
                 _AB_WINNERS.pop(next(iter(_AB_WINNERS)))
             _AB_WINNERS[k] = (e["winner"], e.get("t_jvm"), e.get("t_arrow"))
         return e["winner"]
+    if k is not None:
+        if len(_AB_WINNERS) >= 1024:
+            _AB_WINNERS.pop(next(iter(_AB_WINNERS)))
+        _AB_WINNERS[k] = ("__miss__", total_rows)
     return None
 
 

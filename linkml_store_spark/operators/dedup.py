@@ -810,6 +810,22 @@ def dedup_incremental(
 
     if os.path.exists(index_path):
         stored = spark.read.parquet(index_path)
+        if verify_threshold is not None and not os.path.exists(sets_path):
+            # the bucket index exists but the shingle-set sidecar does
+            # not: this index was built WITHOUT verify_threshold (or the
+            # sidecar was lost). Failing fast beats the alternatives —
+            # spark.read would raise an opaque path error, and an empty
+            # sidecar would silently never match, permanently disabling
+            # dup detection against the indexed docs (round-9 advisor
+            # finding).
+            raise ValueError(
+                f"dedup_incremental(verify_threshold=...) against "
+                f"{index_path!r}: the shingle-set sidecar {sets_path!r} "
+                "is missing — this index was built without verified "
+                "mode. Rebuild the index with verify_threshold set, or "
+                "call without verify_threshold to continue in banded "
+                "mode."
+            )
         if verify_threshold is None:
             dup_ids = (
                 buckets.join(stored, ["band_idx", "band_hash"], "left_semi")
@@ -910,9 +926,16 @@ def dedup_incremental(
         num_perm,
         bands,
     )
-    surv_buckets.write.mode("append").parquet(index_path)
+    # SETS sidecar first, buckets second: a failure between the two
+    # appends must leave the index in a state later batches can survive.
+    # Order matters — a doc with buckets but no shingle set would collide
+    # as a candidate and then silently never verify (permanently
+    # undetectable dup); a doc with a shingle set but no buckets merely
+    # never collides, identical to a crash BEFORE either append (the doc
+    # is re-processed/re-appended next run). (Round-9 advisor finding.)
     if verify_threshold is not None:
         shingle_hash_sets(survivors, text_col, id_col, shingle_size).write.mode(
             "append"
         ).parquet(sets_path)
+    surv_buckets.write.mode("append").parquet(index_path)
     return survivors

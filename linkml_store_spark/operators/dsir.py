@@ -159,15 +159,20 @@ def dsir_select(
     bucket_hash: str = "xxhash64",
 ) -> DataFrame:
     """The top-``k`` raw documents by DSIR importance weight — rows of
-    ``raw_df`` plus ``log_weight``. Deterministic: ties (and the rank
-    order itself) break on md5(id), so the selection is reproducible
-    across runs, partitionings, and engines — the rank-based analog of
-    the paper's Gumbel-top-k resampling."""
+    ``raw_df`` plus ``log_weight``. Deterministic: ranking happens on the
+    weight ROUNDED to 4 decimals (log_weight is a float sum whose last
+    bits depend on aggregation order — rounding collapses
+    partitioning/engine noise to equality, the same tolerance the value
+    oracle uses) with md5(id) breaking the resulting ties, so the
+    selected SET is reproducible across runs, partitionings, and engines
+    — the rank-based analog of the paper's Gumbel-top-k resampling. The
+    returned ``log_weight`` column keeps full precision."""
     w = dsir_weights(
         raw_df, target_df, text_col, id_col, n_buckets, alpha, bigrams,
         bucket_hash,
     )
     ranked = w.orderBy(
-        F.desc("log_weight"), F.md5(F.col(id_col).cast("string"))
+        F.desc(F.round(F.col("log_weight"), 4)),
+        F.md5(F.col(id_col).cast("string")),
     ).limit(k)
     return raw_df.join(ranked, id_col, "inner")

@@ -136,6 +136,20 @@ def fingerprint_overlap(
             .select("fp")
         )
         fps = fps.join(hot, "fp", "left_anti")
+        # materialize the PRUNED sketch once: without this the self-join
+        # evaluates the winnowing + hot-fp aggregate TWICE (one per join
+        # branch — Catalyst has no CTE reuse across differently-projected
+        # branches), which made the degenerate all-boilerplate case cost
+        # 2x the sketch for 0 output pairs (SCALING.md round-8 newops;
+        # round-8 verdict #2). The checkpoint is the same volume the join
+        # shuffle would materialize anyway; the count it enables is the
+        # empty-after-prune short-circuit.
+        fps = fps.localCheckpoint(eager=True)
+        if fps.isEmpty():
+            id_t = df.schema[id_col].dataType.simpleString()
+            return df.sparkSession.createDataFrame(
+                [], f"left_id {id_t}, right_id {id_t}, shared_fps long"
+            )
     left = fps.select(F.col(id_col).alias("left_id"), "fp")
     right = fps.select(F.col(id_col).alias("right_id"), "fp")
     return (

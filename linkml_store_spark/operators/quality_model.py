@@ -175,10 +175,16 @@ def adaptive_quality_filter(
         scored = df.withColumn("__q", F.col(score_col))
     thr = scored.groupBy(by).agg(
         F.percentile("__q", float(quantile)).alias("__thr")
-    )
-    out = scored.join(F.broadcast(thr), by).filter(
+    ).withColumnRenamed(by, "__by")
+    # null-safe equi-join: rows with a NULL group key gate against the
+    # NULL group's own threshold (groupBy emits one) — a plain USING join
+    # never matches NULL and silently REMOVED every un-sourced doc
+    # (round-9 advisor finding)
+    out = scored.join(
+        F.broadcast(thr), scored[by].eqNullSafe(F.col("__by"))
+    ).filter(
         F.col("__q") >= F.col("__thr")
-    )
+    ).drop("__by")
     if keep_score:
         return out.withColumnRenamed("__q", "quality").withColumnRenamed(
             "__thr", "group_threshold"

@@ -498,11 +498,24 @@ def stats_filtered_count(
     meta_count, undecided = decision
     if route_info is not None:
         # "undecided_all" = the zone maps decided NOTHING — the layout
-        # signature the clustering advisor counts (footers exist but every
-        # file's range straddles the predicate: an unclustered store)
+        # signature the clustering advisor counts (footers exist but EVERY
+        # file's range straddles the predicate: an unclustered store).
+        # Classified by file COUNT, not meta_count truthiness: a narrow
+        # range fully inside one file of a well-clustered store decides
+        # every other file OUT (meta_count 0, one file scanned) — that is
+        # a zone SUCCESS, and advising a recluster for it would queue
+        # redundant full-store compactions (round-9 advisor finding)
+        try:
+            n_files = len(metas) if metas else len(_parquet_files(path) or ())
+        except Exception:  # noqa: BLE001
+            n_files = 0
         route_info["zone"] = (
             "decided_full" if not undecided
-            else ("partial" if meta_count else "undecided_all")
+            else (
+                "undecided_all"
+                if not meta_count and n_files and len(undecided) == n_files
+                else "partial"
+            )
         )
         route_info["undecided_files"] = len(undecided or ())
     if not undecided:

@@ -141,3 +141,34 @@ def test_winnowing_guarantee_property(spark):
     }
     for pair in expected_pairs:
         assert pair in got, f"guaranteed shared run missed for {pair}"
+
+
+def test_overlap_short_circuits_when_cap_prunes_everything(spark):
+    """max_freq pruning that empties the sketch must return the empty
+    pair frame WITHOUT building the inverted-index self-join (the
+    round-8 degenerate worst case: every fingerprint is boilerplate)."""
+    from linkml_store_spark.operators.fingerprint import fingerprint_overlap
+
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated everywhere always") for i in range(6)],
+        ["doc_id", "text"],
+    )
+    out = fingerprint_overlap(docs, max_freq=2)  # every fp in 6 docs > 2
+    assert out.count() == 0
+    assert out.columns == ["left_id", "right_id", "shared_fps"]
+    assert "Join" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_overlap_unchanged_when_cap_keeps_some(spark):
+    from linkml_store_spark.operators.fingerprint import fingerprint_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "completely different words having nothing in common here"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = fingerprint_overlap(docs, max_freq=5).collect()
+    assert len(rows) == 1 and rows[0]["left_id"] == 1 and rows[0]["right_id"] == 2
