@@ -2068,131 +2068,123 @@ def q_qir_hourly(spark, sf):
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # round-9 additions, registered INSIDE the sampled window the round
-    # they land (ADVICE r7 #4): the Query-IR aggregation extension,
-    # local-tier-executed at driver scale
+    # ordering = the driver sampling window: the round-9 additions
+    # first, then every other query by STALENESS (least-recently
+    # driver-sampled first, aggregated over CORRECTNESS_r1..r8) so no
+    # query's driver row goes stale beyond ~2 rounds (round-8 letter #6)
     "qir_group_agg": q_qir_group_agg,
     "qir_join_agg": q_qir_join_agg,
     "qir_argmax": q_qir_argmax,
     "qir_hourly": q_qir_hourly,
-    # Round-8 driver window (first 50): the two former no_oracle reds
-    # (dedup_incremental, corpus_pipeline — now value-oracled) +
-    # span_stats_window (never driver-sampled) + the 5 canaries + the
-    # four NEW round-8 operators (dsir_select, ngram_lm_score,
-    # fingerprint_overlap, adaptive_quality — registered inside the
-    # window the round they land, ADVICE r7 #4) + a rotation of the
-    # stalest queries (last sampled round 6).
-    "dedup_incremental": q_dedup_incremental,
-    "corpus_pipeline": q_corpus_pipeline,
-    "span_stats_window": q_span_stats_window,
-    "find_eq": q_find_eq,
-    "groupby_tpch_q1": q_groupby_tpch_q1,
-    "dedup_minhash": q_dedup_minhash,
-    "knn_cosine": q_knn_cosine,
-    "count_zone_values": q_count_zone_values,
-    # round-8 additions, registered INSIDE the sampled window the round
-    # they land (ADVICE r7 #4)
-    "dsir_select": q_dsir_select,
-    "ngram_lm_score": q_ngram_lm_score,
-    "fingerprint_overlap": q_fingerprint_overlap,
-    "adaptive_quality": q_adaptive_quality,
-    "facet_zone_clustered": q_facet_zone_clustered,
-    "topk_string_pruned": q_topk_string_pruned,
-    "find_range": q_find_range,
-    "find_in": q_find_in,
-    "find_nin": q_find_nin,
-    "find_like": q_find_like,
-    "find_regex": q_find_regex,
-    "find_or": q_find_or,
-    "find_notnull": q_find_notnull,
-    "find_exists": q_find_exists,
-    "find_size": q_find_size,
-    "find_mod": q_find_mod,
-    "sort_topk": q_sort_topk,
-    "topk_pruned": q_topk_pruned,
-    "distinct_status": q_distinct_status,
-    "facet_priority": q_facet_priority,
-    "facet_multiselect": q_facet_multiselect,
-    "facet_compound": q_facet_compound,
-    "pivot_status_priority": q_pivot_status_priority,
-    "describe_totalprice": q_describe_totalprice,
-    "join_revenue_by_segment": q_join_revenue_by_segment,
-    "join_supplier_geo": q_join_supplier_geo,
-    "referential_integrity": q_referential_integrity,
-    "window_latest_event": q_window_latest_event,
-    "window_hourly_rollup": q_window_hourly_rollup,
-    "dedup_exact": q_dedup_exact,
-    "dedup_jaccard": q_dedup_jaccard,
-    "embedding_dup_exact": q_embedding_dup_exact,
-    "dedup_groups": q_dedup_groups,
-    "dedup_simhash": q_dedup_simhash,
-    "ann_knn_join": q_ann_knn_join,
-    "span_stats": q_span_stats,
-    "paragraph_dedup": q_paragraph_dedup,
-    "semantic_dedup": q_semantic_dedup,
-    "quality_classifier": q_quality_classifier,
-    "deterministic_shuffle": q_deterministic_shuffle,
-    "bpe_tokenize": q_bpe_tokenize,
-    "span_dedup_incremental": q_span_dedup_incremental,
-    "token_budget_sample": q_token_budget_sample,
-    "text_stats": q_text_stats,
-    "text_lang_facet": q_text_lang_facet,
-    "derived_projection": q_derived_projection,
-    "rule_inference": q_rule_inference,
-    "embedding_stats": q_embedding_stats,
-    "lag_lead": q_lag_lead,
-    "correlation_by_type": q_correlation_by_type,
-    "topn_per_group": q_topn_per_group,
-    "resample_hourly": q_resample_hourly,
-    "resample_ffill": q_resample_ffill,
-    "rolling_1h": q_rolling_1h,
-    "join_topk_revenue": q_join_topk_revenue,
-    "groupby_objects": q_groupby_objects,
     "collection_api": q_collection_api,
     "facet_multivalued": q_facet_multivalued,
-    "multimodal_features": q_multimodal_features,
-    "multimodal_real_decode": q_multimodal_real_decode,
-    "multimodal_jpeg": q_multimodal_jpeg,
-    "multimodal_gif": q_multimodal_gif,
-    "multimodal_audio": q_multimodal_audio,
-    "multimodal_frames": q_multimodal_frames,
+    "groupby_objects": q_groupby_objects,
+    "join_topk_revenue": q_join_topk_revenue,
+    "resample_ffill": q_resample_ffill,
+    "resample_hourly": q_resample_hourly,
+    "rolling_1h": q_rolling_1h,
+    "topn_per_group": q_topn_per_group,
+    "correlation_by_type": q_correlation_by_type,
+    "derived_projection": q_derived_projection,
+    "embedding_stats": q_embedding_stats,
+    "lag_lead": q_lag_lead,
+    "rule_inference": q_rule_inference,
+    "text_lang_facet": q_text_lang_facet,
+    "text_stats": q_text_stats,
+    "token_budget_sample": q_token_budget_sample,
     "ann_ivf": q_ann_ivf,
-    "quantiles_by_priority": q_quantiles_by_priority,
-    "range_join_error_clicks": q_range_join_error_clicks,
-    "rollup_multigrain": q_rollup_multigrain,
-    "sketch_distinct_users": q_sketch_distinct_users,
-    "hash_split_documents": q_hash_split_documents,
-    "cap_per_source": q_cap_per_source,
-    "stratified_sample": q_stratified_sample,
-    "lm_quality": q_lm_quality,
-    "contamination": q_contamination,
-    "tfidf_terms": q_tfidf_terms,
-    "keyword_filter": q_keyword_filter,
-    "corpus_mix_counts": q_corpus_mix_counts,
-    "chunk_documents": q_chunk_documents,
-    "pack_sequences": q_pack_sequences,
-    "scrub_documents": q_scrub_documents,
-    "connected_components": q_connected_components,
-    "repetition_stats": q_repetition_stats,
-    "robust_outliers": q_robust_outliers,
-    "domain_stats": q_domain_stats,
-    "normalize_documents": q_normalize_documents,
-    "fuzzy_join_names": q_fuzzy_join_names,
-    "funnel_view_click_purchase": q_funnel_view_click_purchase,
-    "cohort_retention": q_cohort_retention,
-    "sessionize": q_sessionize,
+    "asof_forward": q_asof_forward,
     "asof_join": q_asof_view_before_purchase,
     "asof_tolerance": q_asof_tolerance,
-    "asof_forward": q_asof_forward,
+    "boxplot_stats": q_boxplot_stats,
+    "cap_per_source": q_cap_per_source,
+    "chunk_documents": q_chunk_documents,
+    "cohort_retention": q_cohort_retention,
+    "connected_components": q_connected_components,
+    "contamination": q_contamination,
+    "corpus_mix_counts": q_corpus_mix_counts,
+    "domain_stats": q_domain_stats,
     "enrichment": q_enrichment,
     "find_matches": q_find_matches,
-    "text_search": q_text_search,
+    "funnel_view_click_purchase": q_funnel_view_click_purchase,
+    "fuzzy_join_names": q_fuzzy_join_names,
     "graph_traverse": q_graph_traverse,
-    "json_extract": q_json_extract,
-    "histogram": q_histogram,
+    "hash_split_documents": q_hash_split_documents,
     "heatmap": q_heatmap,
-    "boxplot_stats": q_boxplot_stats,
+    "histogram": q_histogram,
+    "json_extract": q_json_extract,
+    "keyword_filter": q_keyword_filter,
+    "lm_quality": q_lm_quality,
+    "multimodal_audio": q_multimodal_audio,
+    "multimodal_features": q_multimodal_features,
+    "multimodal_frames": q_multimodal_frames,
+    "multimodal_gif": q_multimodal_gif,
+    "multimodal_jpeg": q_multimodal_jpeg,
+    "multimodal_real_decode": q_multimodal_real_decode,
+    "normalize_documents": q_normalize_documents,
+    "pack_sequences": q_pack_sequences,
+    "quantiles_by_priority": q_quantiles_by_priority,
+    "range_join_error_clicks": q_range_join_error_clicks,
+    "repetition_stats": q_repetition_stats,
+    "robust_outliers": q_robust_outliers,
+    "rollup_multigrain": q_rollup_multigrain,
+    "scrub_documents": q_scrub_documents,
+    "sessionize": q_sessionize,
     "set_ops": q_set_ops,
+    "sketch_distinct_users": q_sketch_distinct_users,
+    "stratified_sample": q_stratified_sample,
+    "text_search": q_text_search,
+    "tfidf_terms": q_tfidf_terms,
+    "adaptive_quality": q_adaptive_quality,
+    "ann_knn_join": q_ann_knn_join,
+    "bpe_tokenize": q_bpe_tokenize,
+    "corpus_pipeline": q_corpus_pipeline,
+    "count_zone_values": q_count_zone_values,
+    "dedup_exact": q_dedup_exact,
+    "dedup_groups": q_dedup_groups,
+    "dedup_incremental": q_dedup_incremental,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "describe_totalprice": q_describe_totalprice,
+    "deterministic_shuffle": q_deterministic_shuffle,
+    "distinct_status": q_distinct_status,
+    "dsir_select": q_dsir_select,
+    "embedding_dup_exact": q_embedding_dup_exact,
+    "facet_compound": q_facet_compound,
+    "facet_multiselect": q_facet_multiselect,
+    "facet_priority": q_facet_priority,
+    "facet_zone_clustered": q_facet_zone_clustered,
+    "find_eq": q_find_eq,
+    "find_exists": q_find_exists,
+    "find_in": q_find_in,
+    "find_like": q_find_like,
+    "find_mod": q_find_mod,
+    "find_nin": q_find_nin,
+    "find_notnull": q_find_notnull,
+    "find_or": q_find_or,
+    "find_range": q_find_range,
+    "find_regex": q_find_regex,
+    "find_size": q_find_size,
+    "fingerprint_overlap": q_fingerprint_overlap,
+    "groupby_tpch_q1": q_groupby_tpch_q1,
+    "join_revenue_by_segment": q_join_revenue_by_segment,
+    "join_supplier_geo": q_join_supplier_geo,
+    "knn_cosine": q_knn_cosine,
+    "ngram_lm_score": q_ngram_lm_score,
+    "paragraph_dedup": q_paragraph_dedup,
+    "pivot_status_priority": q_pivot_status_priority,
+    "quality_classifier": q_quality_classifier,
+    "referential_integrity": q_referential_integrity,
+    "semantic_dedup": q_semantic_dedup,
+    "sort_topk": q_sort_topk,
+    "span_dedup_incremental": q_span_dedup_incremental,
+    "span_stats": q_span_stats,
+    "span_stats_window": q_span_stats_window,
+    "topk_pruned": q_topk_pruned,
+    "topk_string_pruned": q_topk_string_pruned,
+    "window_hourly_rollup": q_window_hourly_rollup,
+    "window_latest_event": q_window_latest_event,
 }
 
 

@@ -354,8 +354,13 @@ def _collection_routes(spark, sf, qv):
         # local-vs-JVM A/B, so the winner each routed query will use for
         # every timed run is now known — record it in the marker
         from linkml_store_spark.operators.arrowagg import ab_winner
-        from linkml_store_spark.operators.localexec import LOCAL_TIER_COLUMN
+        from linkml_store_spark.operators.localexec import local_tier_column
 
+        kinds = {
+            "b1": "page", "b2": "count", "b3": "count", "b4": "count",
+            "b5": "facet", "b6": "facet", "b7": "agg", "b8": "page",
+            "b9": "agg", "b10": "agg", "b11": "agg", "b12": "knn",
+        }
         for name, coll in [
             ("b1", li), ("b2", li), ("b3", li), ("b4", od),
             ("b5", li), ("b6", li), ("b7", li), ("b8", od), ("b9", od),
@@ -364,7 +369,9 @@ def _collection_routes(spark, sf, qv):
             metas = coll._store_metas() or []
             files = [fp for fp, _md in metas]
             total = sum(md.num_rows for _fp, md in metas)
-            w = ab_winner(spark, files, LOCAL_TIER_COLUMN, total_rows=total)
+            w = ab_winner(
+                spark, files, local_tier_column(kinds[name]), total_rows=total
+            )
             tier = {
                 "arrow": f"LOCAL TIER (driver Arrow, A/B winner, {total} rows)",
                 "jvm": "jvm (A/B winner)",

@@ -789,11 +789,18 @@ class Collection:
                 record_ab_winner,
             )
             from linkml_store_spark.operators.localexec import (
-                LOCAL_TIER_COLUMN,
+                local_tier_column,
             )
 
+            # shape-class winners: counts, pages, and aggregates cross
+            # over at different store sizes (localtier_scale.py round 9)
+            kind = (
+                "agg" if query.group_by
+                else ("count" if query.limit == 0 else "page")
+            )
+            ab_col = local_tier_column(kind)
             w = ab_winner(
-                self.spark, files, LOCAL_TIER_COLUMN, total_rows=total_rows
+                self.spark, files, ab_col, total_rows=total_rows
             )
             if w == "arrow":
                 try:
@@ -828,7 +835,7 @@ class Collection:
                     )
                     t_local = float("inf")
                 record_ab_winner(
-                    self.spark, files, LOCAL_TIER_COLUMN,
+                    self.spark, files, ab_col,
                     t_jvm=t_spark, t_arrow=t_local, total_rows=total_rows,
                 )
                 return sres
@@ -1539,8 +1546,9 @@ class Collection:
             record_ab_winner,
         )
 
+        ab_col = lx.local_tier_column("facet")
         w = ab_winner(
-            self.spark, files, lx.LOCAL_TIER_COLUMN, total_rows=total_rows
+            self.spark, files, ab_col, total_rows=total_rows
         )
         if w == "jvm":
             return None
@@ -1577,7 +1585,7 @@ class Collection:
             )
             t_local = float("inf")
         record_ab_winner(
-            self.spark, files, lx.LOCAL_TIER_COLUMN,
+            self.spark, files, ab_col,
             t_jvm=t_spark, t_arrow=t_local, total_rows=total_rows,
         )
         return sres
@@ -1831,8 +1839,9 @@ class Collection:
             record_ab_winner,
         )
 
+        ab_col = lx.local_tier_column("knn")
         w = ab_winner(
-            self.spark, files, lx.LOCAL_TIER_COLUMN, total_rows=total_rows
+            self.spark, files, ab_col, total_rows=total_rows
         )
         if w == "arrow":
             try:
@@ -1869,7 +1878,7 @@ class Collection:
                 )
                 t_local = float("inf")
         record_ab_winner(
-            self.spark, files, lx.LOCAL_TIER_COLUMN,
+            self.spark, files, ab_col,
             t_jvm=t_spark, t_arrow=t_local, total_rows=total_rows,
         )
         return sres

@@ -72,17 +72,30 @@ __all__ = [
     "local_facets",
 ]
 
-#: pseudo-column name under which the per-store winner is memoized in the
-#: arrowagg A/B memo + sidecar (a real column can never collide: the memo
-#: key is the winner of local-vs-JVM for the whole store, not one column)
+#: pseudo-column prefix under which per-store winners are memoized in the
+#: arrowagg A/B memo + sidecar (a real column can never collide). Winners
+#: are PER SHAPE CLASS — the round-9 crossover measurement
+#: (tools/localtier_scale.py) shows the classes cross at different sizes
+#: (at 5M rows the 32-way JVM scan already wins counts while the local
+#: select-k still wins top-k pages 2.4x), so one store-level winner would
+#: misroute one of them.
 LOCAL_TIER_COLUMN = "__local_tier__"
 
+
+def local_tier_column(kind: str) -> str:
+    """The A/B memo pseudo-column for one shape class: count, page,
+    agg, facet, or knn."""
+    return LOCAL_TIER_COLUMN + kind
+
 #: hard row gate: stores whose exact footer row count exceeds this never
-#: route locally, regardless of any memoized winner. The default is set
-#: from the measured crossover (SCALING.md round 9): the driver-local
-#: count/page/facet shapes beat one Spark job up to tens of millions of
-#: rows on a 32-core box, but the gate stays well inside the measured
-#: range so the tier can NEVER become an accidental execution strategy.
+#: route locally, regardless of any memoized winner. This bounds A/B
+#: ELIGIBILITY, not routing — within the gate the first touch still runs
+#: both tiers and the measured winner routes (tools/localtier_scale.py,
+#: SCALING.md round 9: on a 32-core box the local tier wins every shape
+#: at 1M rows by 1.3-4.4x, still wins top-k at 5M, and loses counts/aggs
+#: to the 32-way JVM scan from ~3-5M — exactly what the per-store memo
+#: encodes). The gate's real job is bounding the one-time A/B's local
+#: run and keeping the tier out of genuinely big stores entirely.
 LOCAL_TIER_MAX_ROWS = int(
     os.environ.get("SPARK_GRAFT_LOCAL_TIER_MAX_ROWS", 10_000_000)
 )

@@ -195,11 +195,13 @@ def test_ab_records_winner_and_routes(store):
 
     files = [fp for fp, _md in store._store_metas()]
     # the fixture's inserts may have left a stale winner — clear
-    for k in [k for k in _AB_WINNERS if k[2] == lx.LOCAL_TIER_COLUMN]:
+    for k in [k for k in _AB_WINNERS if str(k[2]).startswith(lx.LOCAL_TIER_COLUMN)]:
         del _AB_WINNERS[k]
     q = Query(where_clause={"cat": "c1"}, limit=0)
     r1 = store.query(q)
-    w = ab_winner(store.spark, files, lx.LOCAL_TIER_COLUMN, total_rows=300)
+    w = ab_winner(
+        store.spark, files, lx.local_tier_column("count"), total_rows=300
+    )
     assert w in ("arrow", "jvm")
     r2 = store.query(q)
     assert r1.num_rows == r2.num_rows == store._query_spark(q).num_rows
@@ -224,7 +226,9 @@ def test_ab_divergence_pins_jvm_and_warns(spark, tmp_path, monkeypatch):
         res = coll.query(q)
     assert res.num_rows == coll._query_spark(q).num_rows  # spark answer wins
     files = [fp for fp, _md in coll._store_metas()]
-    assert ab_winner(coll.spark, files, lx.LOCAL_TIER_COLUMN, total_rows=50) == "jvm"
+    assert ab_winner(
+        coll.spark, files, lx.local_tier_column("count"), total_rows=50
+    ) == "jvm"
     monkeypatch.setattr(lx, "local_count", real)
     assert coll.query(q).num_rows == res.num_rows  # still routed via jvm
 
@@ -253,8 +257,9 @@ def test_sidecar_persists_local_winner(spark, tmp_path):
     sidecar = os.path.join(store_dir, "_ab_winners.json")
     assert os.path.exists(sidecar)
     data = json.load(open(sidecar))
-    assert lx.LOCAL_TIER_COLUMN in data
-    assert data[lx.LOCAL_TIER_COLUMN]["winner"] in ("arrow", "jvm")
+    key = lx.local_tier_column("count")
+    assert key in data
+    assert data[key]["winner"] in ("arrow", "jvm")
 
 
 # --------------------------------------------------------------------- #
@@ -281,7 +286,7 @@ def _spark_facets(coll, where, cols, limit=100, min_count=1):
 def test_facet_parity_unfiltered(store, cols):
     from linkml_store_spark.operators.arrowagg import _AB_WINNERS
 
-    for k in [k for k in _AB_WINNERS if k[2] == lx.LOCAL_TIER_COLUMN]:
+    for k in [k for k in _AB_WINNERS if str(k[2]).startswith(lx.LOCAL_TIER_COLUMN)]:
         del _AB_WINNERS[k]
     assert _local_facets(store, None, cols) == _spark_facets(store, None, cols)
 
