@@ -110,13 +110,14 @@ def main():
         # int-probe variant: customer keys are DENSE 1..N, so the probe
         # can be an array-literal index instead of a hash-map lookup —
         # the "dictionary-encode the probe" experiment from the letter
-        segs = [
-            r["c_mktsegment"]
-            for r in customer.orderBy("c_custkey").select("c_mktsegment").collect()
-        ]
+        pairs = customer.select("c_custkey", "c_mktsegment").collect()
+        max_key = max(int(r["c_custkey"]) for r in pairs)
+        segs = [None] * (max_key + 1)
+        for r in pairs:
+            segs[int(r["c_custkey"])] = r["c_mktsegment"]
         probe_plan = (
             orders.select(
-                F.element_at(
+                F.get(  # 0-based array index, NULL out of bounds
                     F.lit(segs), F.col("o_custkey").cast("int")
                 ).alias("c_mktsegment"),
                 "o_totalprice",
