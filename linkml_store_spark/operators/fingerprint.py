@@ -46,6 +46,7 @@ def winnow_fingerprints(
     k: int = 5,
     w: int = 4,
     gram_hash: str = "xxhash64",
+    dedup: bool = True,
 ) -> DataFrame:
     """(id, pos, fp): the winnowed fingerprint set of every document.
 
@@ -60,7 +61,14 @@ def winnow_fingerprints(
     default; measured 2.9x faster end-to-end at 290M grams) or "md5"
     (md5-low64 via decimal conversion — ~3x the per-gram cost but
     bit-identical in any engine with md5; the variant the SQL value
-    oracle replays). Same dual simhash established."""
+    oracle replays). Same dual simhash established.
+
+    ``dedup=False`` skips the final row-level DISTINCT (a full shuffle of
+    the sketch): ``array_distinct`` has already removed within-document
+    repeats at array level, so the rows are near-unique, and consumers
+    that re-aggregate anyway (``fingerprint_overlap``'s per-(id, fp)
+    dedup) fold the residual duplicates into their own shuffle — one
+    sketch-volume exchange instead of two (SCALING.md round 9)."""
     if k < 1 or w < 1:
         raise ValueError("k and w must be >= 1")
     if gram_hash not in ("xxhash64", "md5"):
@@ -102,11 +110,12 @@ def winnow_fingerprints(
             )
         ).alias("__s"),
     )
-    return sel.select(
+    out = sel.select(
         F.col(id_col),
         F.col("__s.pos").alias("pos"),
         F.col("__s.fp").alias("fp"),
-    ).distinct()
+    )
+    return out.distinct() if dedup else out
 
 
 def fingerprint_overlap(
@@ -125,9 +134,9 @@ def fingerprint_overlap(
     fingerprints appearing in more than that many documents before the
     self-join (boilerplate guard, same role as the Jaccard index's hot
     shingle cap)."""
-    fps = winnow_fingerprints(df, text_col, id_col, k, w, gram_hash).select(
-        id_col, "fp"
-    ).distinct()
+    fps = winnow_fingerprints(
+        df, text_col, id_col, k, w, gram_hash, dedup=False
+    ).select(id_col, "fp").distinct()
     if max_freq is not None:
         hot = (
             fps.groupBy("fp")

@@ -183,11 +183,14 @@ def test_predicate_count_refusals(spark):
     assert parquet_predicate_count(spark, li, "l_returnflag", [], min_rows=0) is None
 
 
-def test_collection_count_routes_equality_through_arrow(spark, tmp_path):
+def test_collection_count_routes_equality_through_arrow(spark, tmp_path, monkeypatch):
     """Collection.query's pre-pagination total for a simple equality/$in
     where-clause routes through the Arrow dictionary-code count when the
     store clears the (instance-lowered) crossover gate, and the cached
     total is reused for paging."""
+    # pins the ARROW-COUNT routes: the local tier would intercept
+    # footer-small stores before them (round 9)
+    monkeypatch.setenv("SPARK_GRAFT_LOCAL_TIER", "0")
     from linkml_store_spark.client import Client
     from linkml_store_spark.query import Query
 
@@ -401,6 +404,9 @@ def test_ab_sidecar_deleted_on_mutation(spark, tmp_path, monkeypatch):
 def test_count_ab_memo_through_collection(spark, tmp_path, monkeypatch):
     """Equality counts through Collection.query A/B-test once per
     store+column and stay value-correct on both routes."""
+    # pins the ARROW-COUNT routes: the local tier would intercept
+    # footer-small stores before them (round 9)
+    monkeypatch.setenv("SPARK_GRAFT_LOCAL_TIER", "0")
     from linkml_store_spark.client import Client
     from linkml_store_spark.operators import arrowagg as A
     from linkml_store_spark.query import Query

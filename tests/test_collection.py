@@ -465,12 +465,13 @@ def test_plan_cache_capped(spark, tmp_path):
     assert ("k", 299) in coll._plan_cache and ("k", 0) not in coll._plan_cache
 
 
-def test_cluster_advisor_warns_once(spark, tmp_path):
+def test_cluster_advisor_warns_once(spark, tmp_path, monkeypatch):
     """Round-7 advisor: repeated unfiltered facets on one low-cardinality
     column of an UNCLUSTERED store warn exactly once, naming
     compact(sort_cols=[col]); further queries stay silent."""
     import warnings
 
+    monkeypatch.setenv("SPARK_GRAFT_LOCAL_TIER", "0")  # Spark-path advisor test
     client = Client(spark)
     dbp = client.attach_database(f"spark://{tmp_path}/advdb")
     coll = dbp.create_collection("t", identifier_attribute="id")

@@ -58,7 +58,11 @@ def duck_timed(views: dict, sql: str, budget_s: int) -> object:
     import subprocess
     import tempfile
 
-    lines = ["import duckdb, time, sys", "con = duckdb.connect()"]
+    lines = [
+        "import duckdb, time, sys",
+        "con = duckdb.connect()",
+        "con.execute('SET enable_progress_bar=false')",
+    ]
     for name, path in views.items():
         lines.append(
             f"con.execute(\"CREATE VIEW {name} AS SELECT * FROM "
@@ -80,7 +84,8 @@ def duck_timed(views: dict, sql: str, budget_s: int) -> object:
         )
         if r.returncode != 0:
             return f"error: {r.stderr.strip()[-120:]}"
-        return round(float(r.stdout.strip().splitlines()[-1]), 2)
+        # last whitespace-separated token: immune to stray progress output
+        return round(float(r.stdout.strip().split()[-1]), 2)
     except subprocess.TimeoutExpired:
         return f"DNF(>{budget_s}s)"
 
