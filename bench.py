@@ -552,7 +552,14 @@ def main():
             ]
 
     # FLOOR DECOMPOSITION: the same twelve plans executed over 0-ROW tables
-    # with identical schemas. What remains is Spark's fixed per-query cost —
+    # with identical schemas. NOTE (round 9): for LOCAL-TIER-routed shapes
+    # this is no longer a lower bound of the real query — the empty-mirror
+    # stores run their own A/B and may route to the JVM (whose empty-table
+    # job costs a full scheduling floor the real local-routed query never
+    # pays), so floor can EXCEED wall; job_floor_per_query is the honest
+    # per-shape scheduling context now. Kept for the unrouted comparisons
+    # and cross-round continuity.
+    # What remains for JVM-routed shapes is Spark's fixed per-query cost —
     # job/stage scheduling, task launch, empty-file scan machinery, Arrow
     # collection setup — i.e. the latency floor a 3-55 ms DuckDB query is
     # compared against at sf0.1. compute = wall - floor is the data-dependent
