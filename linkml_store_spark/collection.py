@@ -1362,11 +1362,38 @@ class Collection:
         """The physical plan for a find() — shows predicate pushdown
         (`PushedFilters`), column pruning (`ReadSchema`), and codegen spans.
         The engine's analog of EXPLAIN; plan shapes are regression-tested in
-        tests/test_plans.py."""
+        tests/test_plans.py. When the query would route through the
+        driver-local Arrow tier, the report leads with that (the physical
+        plan below it is what the distributed path WOULD run — exactly
+        what executes on stores past the gate or after a JVM A/B verdict)."""
+        header = ""
+        try:
+            q = Query(where_clause=where, select_cols=select_cols)
+            if self._local_tier_plan(q) is not None:
+                from linkml_store_spark.operators.arrowagg import ab_winner
+                from linkml_store_spark.operators.localexec import (
+                    local_tier_column,
+                )
+
+                metas = self._store_metas() or []
+                files = [fp for fp, _md in metas]
+                total = sum(md.num_rows for _fp, md in metas)
+                w = ab_winner(
+                    self.spark, files, local_tier_column("page"),
+                    total_rows=total,
+                )
+                verdict = w or "not yet measured (first query runs both tiers)"
+                header = (
+                    f"== Local Tier ==\nEligible: driver-local Arrow "
+                    f"execution ({total} footer rows inside the gate); "
+                    f"A/B winner: {verdict}\n\n"
+                )
+        except Exception:  # noqa: BLE001 — explain must never fail
+            pass
         df = apply_where(self.df, where)
         if select_cols:
             df = df.select(*select_cols)
-        return df._sc._jvm.PythonSQLUtils.explainString(
+        return header + df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), mode
         )
 

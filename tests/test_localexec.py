@@ -556,3 +556,14 @@ def test_agg_ir_via_query_routes_and_matches(agg_db):
             math.isclose(x["rev"], y["rev"], rel_tol=1e-9) and x["cat"] == y["cat"]
             for x, y in zip(a, b)
         )
+
+
+def test_explain_reports_local_tier(store):
+    out = store.explain({"cat": "c1"})
+    assert "Local Tier" in out and "footer rows inside the gate" in out
+    assert "PhysicalRDD" in out or "Scan" in out  # the JVM plan still shown
+
+
+def test_explain_silent_when_tier_ineligible(store, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_LOCAL_TIER", "0")
+    assert "Local Tier" not in store.explain({"cat": "c1"})
