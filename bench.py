@@ -698,7 +698,18 @@ def _duckdb_companion_fns() -> dict:
         "SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id=0"
     ).fetchone()[0]
     qs = {
-        "b1": "SELECT * FROM lineitem WHERE l_returnflag='R' LIMIT 100",
+        # b1's engine form is Collection.query(Query(where, limit=100)):
+        # the reference Query contract returns num_rows = the PRE-pagination
+        # match count alongside the page, so the twin must compute both —
+        # a page-only twin does strictly less work (round-9 verdict: "fix
+        # the twin to do the same work"). DuckDB has no single-statement
+        # count+page that avoids a full window materialization, so the twin
+        # is the same two logical results the engine's fused single mask
+        # pass produces.
+        "b1": (
+            "SELECT * FROM lineitem WHERE l_returnflag='R' LIMIT 100",
+            "SELECT COUNT(*) FROM lineitem WHERE l_returnflag='R'",
+        ),
         "b2": "SELECT COUNT(*) FROM lineitem WHERE l_returnflag='R'",
         "b3": "SELECT COUNT(*) FROM lineitem WHERE l_quantity>=5.0 AND l_quantity<30.0",
         "b4": "SELECT COUNT(*) FROM orders WHERE o_orderpriority IN ('1-URGENT','2-HIGH')",
@@ -713,9 +724,12 @@ def _duckdb_companion_fns() -> dict:
         "b11": "SELECT date_trunc('hour', ts) h, event_type, COUNT(*), SUM(value) FROM events GROUP BY 1,2",
         "b12": f"SELECT vec_id, label, list_cosine_similarity(CAST(embedding AS DOUBLE[]), {qv}) s FROM embeddings ORDER BY s DESC LIMIT 10",
     }
-    return {
-        name: (lambda q=q: con.execute(q).fetchall()) for name, q in qs.items()
-    }
+    def _runner(q):
+        if isinstance(q, tuple):
+            return lambda: [con.execute(s).fetchall() for s in q]
+        return lambda: con.execute(q).fetchall()
+
+    return {name: _runner(q) for name, q in qs.items()}
 
 
 if __name__ == "__main__":

@@ -697,6 +697,20 @@ class Collection:
         except Exception:  # noqa: BLE001 — stats are an optimization only
             return None
 
+    def _bust_result_memos(self) -> None:
+        """Drop memoized RESULT entries (counts/totals) while keeping
+        planning-time state (footer metas, schemas, zone decisions, plan
+        caches). The first-touch A/B uses this so both timed sides
+        recompute their answer — a side served from a memo left by an
+        earlier query would record a near-zero time and pin the wrong
+        winner for the whole (store, shape-class)."""
+        for k in [
+            k for k in self._footer_stats_cache
+            if isinstance(k, tuple) and k
+            and k[0] in ("count", "vcount", "total_rows")
+        ]:
+            del self._footer_stats_cache[k]
+
     def _store_total_rows(self) -> Optional[int]:
         """Exact whole-store row count from parquet footers (num_rows is
         exact metadata, not an estimate) — the pre-pagination total of an
@@ -755,6 +769,11 @@ class Collection:
             t_arrow = time.perf_counter() - t0
             if n_arrow is None:
                 return int(n_jvm)
+            if t_arrow < t_jvm:
+                # don't pin 'arrow' against a COLD jvm plan — re-time warm
+                t0 = time.perf_counter()
+                jvm_d.collect()
+                t_jvm = min(t_jvm, time.perf_counter() - t0)
             record_ab_winner(
                 self.spark, files, col, t_jvm, t_arrow, total_rows=total_rows
             )
@@ -809,16 +828,23 @@ class Collection:
                     return self._query_spark(query)
             if w is None:
                 # first touch: run both tiers once (both produce the
-                # answer — nothing is wasted), value-check, record winner
+                # answer — nothing is wasted), value-check, record winner.
+                # Each timed side starts from FRESH result memos: an
+                # earlier query sharing this where-clause may have left a
+                # memoized count behind, and a side answered from a memo
+                # records a near-zero time that pins the wrong winner
+                # for every later query in the shape class.
                 import time as _time
 
                 lres = None
                 try:
+                    self._bust_result_memos()
                     t0 = _time.perf_counter()
                     lres = local_fn()
                     t_local = _time.perf_counter() - t0
                 except Exception:  # noqa: BLE001
                     t_local = float("inf")
+                self._bust_result_memos()
                 t0 = _time.perf_counter()
                 sres = self._query_spark(query)
                 t_spark = _time.perf_counter() - t0
@@ -834,6 +860,30 @@ class Collection:
                         stacklevel=2,
                     )
                     t_local = float("inf")
+                if t_local < t_spark and t_local != float("inf"):
+                    # the first Spark run pays one-time plan analysis +
+                    # JVM warm-up; a PINNED 'arrow' verdict must beat the
+                    # WARM plan, so re-time it against fresh result memos
+                    # (plan caches and footer metas stay warm: "warm
+                    # plan, fresh result" is what a harness times).
+                    self._bust_result_memos()
+                    t0 = _time.perf_counter()
+                    self._query_spark(query)
+                    t_spark = min(t_spark, _time.perf_counter() - t0)
+                    if t_spark < t_local:
+                        # the warm rerun flipped the verdict: the local
+                        # side deserves the same best-of-2 (its single
+                        # cold sample pays file opens + compile and can
+                        # spike) — a contested pin uses min vs min
+                        try:
+                            self._bust_result_memos()
+                            t0 = _time.perf_counter()
+                            local_fn()
+                            t_local = min(
+                                t_local, _time.perf_counter() - t0
+                            )
+                        except Exception:  # noqa: BLE001
+                            pass
                 record_ab_winner(
                     self.spark, files, ab_col,
                     t_jvm=t_spark, t_arrow=t_local, total_rows=total_rows,
@@ -884,18 +934,26 @@ class Collection:
 
         def run() -> QueryResult:
             ck = ("count", "local", repr(query.where_clause))
-            if ck in self._footer_stats_cache:
-                num_rows = self._footer_stats_cache[ck]
-            else:
-                num_rows = lx.local_count(files, schema, cond, total_rows)
-                self._footer_stats_cache[ck] = num_rows
+            num_rows = self._footer_stats_cache.get(ck)
             if eff_limit == 0:
-                rows: List[OBJECT] = []
-            else:
+                if num_rows is None:
+                    num_rows = lx.local_count(files, schema, cond, total_rows)
+                    self._footer_stats_cache[ck] = num_rows
+                return QueryResult(num_rows=num_rows, rows=[], query=query)
+            if num_rows is not None:
                 rows = lx.local_page(
                     files, schema, cond, sel, sort_specs, offset,
                     eff_limit, session_tz=session_tz,
                 )
+            else:
+                # count + page in ONE mask pass per file: the fused form
+                # reads the predicate columns once, sums the mask for the
+                # count, and slices it per batch for the page take
+                num_rows, rows = lx.local_count_page(
+                    files, schema, cond, sel, sort_specs, offset,
+                    eff_limit, total_rows, session_tz=session_tz,
+                )
+                self._footer_stats_cache[ck] = num_rows
             return QueryResult(num_rows=num_rows, rows=rows, query=query)
 
         return run, files, total_rows
@@ -1265,7 +1323,9 @@ class Collection:
         aggregate (partial map-side combine; the shuffle moves only group
         partials) -> optional sort/offset/limit/projection over the tiny
         aggregate. The join side is broadcast whenever its store is
-        footer-known small (<= 64 MB compressed) — the fact side then
+        footer-known small (<= 64 MB uncompressed, the parquet footer's
+        row-group ``total_byte_size`` — the in-memory measure that
+        actually bounds the broadcast) — the fact side then
         never shuffles, the correct plan at any scale where the dim fits.
 
         ``num_rows`` is the pre-pagination GROUP count; when the page is
@@ -1611,6 +1671,23 @@ class Collection:
                 stacklevel=2,
             )
             t_local = float("inf")
+        if t_local < t_spark and t_local != float("inf"):
+            # don't pin 'arrow' against a COLD spark plan (one-time
+            # analysis + JVM warm-up): re-time the warm run
+            t0 = _time.perf_counter()
+            query_facets(
+                self.df, where, facet_columns, facet_limit,
+                facet_min_count,
+            )
+            t_spark = min(t_spark, _time.perf_counter() - t0)
+            if t_spark < t_local:
+                # contested pin: give the local side best-of-2 too
+                try:
+                    t0 = _time.perf_counter()
+                    run()
+                    t_local = min(t_local, _time.perf_counter() - t0)
+                except Exception:  # noqa: BLE001
+                    pass
         record_ab_winner(
             self.spark, files, ab_col,
             t_jvm=t_spark, t_arrow=t_local, total_rows=total_rows,
@@ -1904,6 +1981,19 @@ class Collection:
                     stacklevel=2,
                 )
                 t_local = float("inf")
+        if t_local < t_spark and t_local != float("inf"):
+            # don't pin 'arrow' against a COLD spark plan — re-time warm
+            t0 = _time.perf_counter()
+            _spark()
+            t_spark = min(t_spark, _time.perf_counter() - t0)
+            if t_spark < t_local:
+                # contested pin: give the local side best-of-2 too
+                try:
+                    t0 = _time.perf_counter()
+                    _local()
+                    t_local = min(t_local, _time.perf_counter() - t0)
+                except Exception:  # noqa: BLE001
+                    pass
         record_ab_winner(
             self.spark, files, ab_col,
             t_jvm=t_spark, t_arrow=t_local, total_rows=total_rows,

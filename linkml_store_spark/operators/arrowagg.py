@@ -31,6 +31,7 @@ path.
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
@@ -242,7 +243,6 @@ def _store_dir(files) -> Optional[str]:
 
 def _sidecar_load(files) -> dict:
     import json
-    import os
 
     d = _store_dir(files)
     if not d:
@@ -308,6 +308,15 @@ def record_ab_winner(
     t_arrow: float,
     total_rows: Optional[int] = None,
 ) -> None:
+    if os.environ.get("SPARK_GRAFT_AB_DEBUG"):
+        import sys
+
+        print(
+            f"[ab] col={column} t_jvm={t_jvm * 1000:.1f}ms "
+            f"t_arrow={t_arrow * 1000:.1f}ms -> "
+            f"{'arrow' if t_arrow < t_jvm else 'jvm'}",
+            file=sys.stderr,
+        )
     k = _ab_key(spark, files, column)
     if k is not None:
         if len(_AB_WINNERS) >= 1024:  # bounded driver memory, oldest out
@@ -324,7 +333,6 @@ def record_ab_winner(
     # sidecar keyed by column name would collide across tables, and a
     # data directory we merely READ from is not ours to write into.
     import json
-    import os
 
     d = _store_dir(files)
     if not d:

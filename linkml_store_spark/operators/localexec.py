@@ -19,7 +19,8 @@ exactly the in-process execution a single-node engine gets for free.
 SCALE SAFETY (the 100 TB story): this tier is a *latency* optimization
 with a hard size guard, not an execution strategy. The gate reads exact
 footer row counts (``num_rows`` is metadata, never an estimate) and
-refuses when the store exceeds the row or compressed-byte caps, when any
+refuses when the store exceeds the row or byte caps (bytes are the
+footers' UNCOMPRESSED total_byte_size — what driver memory pays), when any
 referenced type/operator falls outside the faithfully-mirrored subset, or
 when footers are unavailable. A 100 TB store never comes within six
 orders of magnitude of the gate; every plan it refuses runs the normal
@@ -100,7 +101,9 @@ LOCAL_TIER_MAX_ROWS = int(
     os.environ.get("SPARK_GRAFT_LOCAL_TIER_MAX_ROWS", 10_000_000)
 )
 
-#: companion byte gate (compressed, from the same footers): a 10M-row
+#: companion byte gate (UNCOMPRESSED row-group total_byte_size, from the
+#: same footers — the parquet spec's total_byte_size is the uncompressed
+#: size, which is the measure that bounds driver memory): a 10M-row
 #: store of wide documents must not drag gigabytes through the driver
 LOCAL_TIER_MAX_BYTES = int(
     os.environ.get("SPARK_GRAFT_LOCAL_TIER_MAX_BYTES", 1 << 30)
@@ -254,30 +257,28 @@ def _c_in(name, lits):
     pa, pc = _pa()
     if not lits:
         raise Unsupported("empty IN list")
+    if any(l is None for l in lits):
+        raise Unsupported("NULL in IN-list")
     vs = pa.array(list(lits))
 
     def fn(cols):
-        # is_in yields FALSE (not NULL) for null inputs — same drop as
-        # Spark's three-valued IN when the value list has no NULLs
-        return _dict_pred(cols[name], lambda a: pc.is_in(a, value_set=vs))
+        arr = cols[name]
+        m = _dict_pred(arr, lambda a: pc.is_in(a, value_set=vs))
+        # three-valued IN: is_in maps NULL inputs to FALSE, but Spark's
+        # col.isin(...) yields NULL there — FALSE vs NULL both drop at the
+        # filter, but invert differently under $not, so restore the NULLs
+        return pc.if_else(
+            pc.is_valid(_decode_dict(arr)), m, pa.scalar(None, pa.bool_())
+        )
 
     return _Cond(fn, {name})
 
 
 def _c_nin(name, lits):
-    pa, pc = _pa()
-    if not lits:
-        raise Unsupported("empty NOT-IN list")
-    vs = pa.array(list(lits))
-
-    def fn(cols):
-        arr = cols[name]
-        m = _dict_pred(arr, lambda a: pc.invert(pc.is_in(a, value_set=vs)))
-        # NOT IN is null-rejecting in SQL/Spark; is_in maps NULL->FALSE so
-        # the invert alone would KEEP null rows — mask them out explicitly
-        return pc.and_kleene(m, pc.is_valid(_decode_dict(arr)))
-
-    return _Cond(fn, {name})
+    # Spark's $nin is ~col.isin(...): NULL rows stay NULL (dropped by the
+    # filter), and a further $not brings back NULL, not TRUE — so NOT IN
+    # is exactly the Kleene inversion of the three-valued IN above
+    return _c_not(_c_in(name, lits))
 
 
 def _c_like(name, pattern):
@@ -613,17 +614,116 @@ def local_page(
             files, schema, cond, need, out_cols, offset, limit, session_tz
         )
 
-    # sorted page: read the needed columns of every file, mask, sort, slice
+    _n, page = _sorted_count_page(
+        files, schema, cond, need, where_cols, out_cols, sort_specs,
+        offset, limit, session_tz,
+    )
+    return page
+
+
+def local_count_page(
+    files: Sequence[str],
+    schema,
+    cond: Optional[_Cond],
+    select_cols: Optional[Sequence[str]],
+    sort_specs: Sequence[Tuple[str, bool]],
+    offset: int,
+    limit: Optional[int],
+    total_rows: int,
+    session_tz: Optional[str] = None,
+) -> Tuple[int, List[dict]]:
+    """(pre-pagination COUNT, page rows) in ONE mask pass per file — the
+    fused form of ``local_count`` + ``local_page`` for queries that need
+    both (the reference ``Query`` contract: ``num_rows`` is the total
+    match count, ``rows`` the page). Unfused, the predicate columns are
+    read and the mask evaluated twice per file; here the full-file mask
+    feeds ``sum`` (the count) and is sliced per record batch to take the
+    page, and the page batches read only the OUTPUT columns. Sorted pages
+    materialize every matching row anyway, so there the count is free."""
+    pa, pc = _pa()
+    import pyarrow.parquet as pq
+
+    out_cols = list(select_cols) if select_cols else [f.name for f in schema]
+    _check_output_types(schema, out_cols)
+    sort_cols = [c for c, _d in sort_specs]
+    for c in sort_cols:
+        _col_type(schema, c)
+    where_cols = sorted(cond.cols) if cond is not None else []
+    need = list(dict.fromkeys(out_cols + sort_cols + where_cols))
+
+    if cond is None:
+        # count is footer metadata; nothing to fuse
+        rows = local_page(
+            files, schema, None, select_cols, sort_specs, offset, limit,
+            session_tz=session_tz,
+        )
+        return int(total_rows), rows
+
+    if sort_specs:
+        return _sorted_count_page(
+            files, schema, cond, need, where_cols, out_cols, sort_specs,
+            offset, limit, session_tz,
+        )
+
+    # unsorted: full-file mask per file -> count; early-out batch stream
+    # over the output columns reuses mask slices (no second predicate pass)
+    dict_cols = _string_cols(schema, where_cols)
+    take = None if limit is None else offset + limit
+    n = 0
+    got: List[Any] = []
+    have = 0
+    for path in files:
+        f = pq.ParquetFile(path, read_dictionary=dict_cols)
+        wt = f.read(columns=where_cols)
+        cols = {c: wt.column(c).combine_chunks() for c in where_cols}
+        mask = cond.fn(cols)
+        if isinstance(mask, pa.ChunkedArray):
+            mask = mask.combine_chunks()
+        n += int(pc.sum(mask).as_py() or 0)  # NULL mask rows skipped
+        if take is not None and have >= take:
+            continue  # page already full: this file contributed count only
+        pos = 0
+        for b in f.iter_batches(batch_size=8192, columns=out_cols):
+            bm = mask.slice(pos, b.num_rows)
+            pos += b.num_rows
+            fb = b.filter(bm)  # NULL -> dropped, same as the filter path
+            if fb.num_rows:
+                got.append(fb)
+                have += fb.num_rows
+            if take is not None and have >= take:
+                break
+    if not got:
+        return n, []
+    tbl = pa.Table.from_batches(got, schema=got[0].schema)
+    if take is not None:
+        tbl = tbl.slice(offset, limit)
+    elif offset:
+        tbl = tbl.slice(offset)
+    return n, _table_to_dicts(tbl.select(out_cols), session_tz)
+
+
+def _sorted_count_page(
+    files, schema, cond, need, where_cols, out_cols, sort_specs,
+    offset, limit, session_tz,
+) -> Tuple[int, List[dict]]:
+    """Shared sorted-page kernel: read needed columns of every file, mask
+    ONCE, then (matched-row count, sorted/offset/limited page). The count
+    is a by-product of the rows the sort must materialize anyway."""
+    pa, pc = _pa()
+
+    sort_cols = [c for c, _d in sort_specs]
     dict_cols = _string_cols(schema, where_cols)
     tables = []
+    n = 0
     for path in files:
         tbl = _read_columns(path, need, dict_cols)
         if cond is not None:
             cols = {c: tbl.column(c).combine_chunks() for c in where_cols}
             tbl = tbl.filter(cond.fn(cols))  # NULL mask -> dropped (SQL filter)
+        n += tbl.num_rows
         tables.append(tbl)
     if not tables:
-        return []
+        return 0, []
     table = pa.concat_tables(tables).combine_chunks()
     # dictionary sort keys sort by CODE, not value — decode them first
     for c in sort_cols:
@@ -644,7 +744,7 @@ def local_page(
     elif offset:
         idx = idx.slice(offset)
     page = table.take(idx).select(out_cols)
-    return _table_to_dicts(page, session_tz)
+    return n, _table_to_dicts(page, session_tz)
 
 
 def _stream_page(
@@ -1012,7 +1112,12 @@ def local_group_agg(
         if k[0] == "*":
             specs.append(([], "count_all"))
         elif k[0] == "max_by":
-            specs.append((k[1], "first"))
+            # skip_nulls=False: Spark's max_by returns the argmax row's
+            # carried value even when it is NULL; Arrow's default 'first'
+            # would skip to the group's first non-NULL value instead
+            specs.append(
+                (k[1], "first", pc.ScalarAggregateOptions(skip_nulls=False))
+            )
         else:
             specs.append(k)
     g = table.group_by(keys, use_threads=not single_thread).aggregate(specs)
