@@ -2068,60 +2068,14 @@ def q_qir_hourly(spark, sf):
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ordering = the driver sampling window: the round-9 additions
-    # first, then every other query by STALENESS (least-recently
-    # driver-sampled first, aggregated over CORRECTNESS_r1..r8) so no
-    # query's driver row goes stale beyond ~2 rounds (round-8 letter #6)
-    "qir_group_agg": q_qir_group_agg,
-    "qir_join_agg": q_qir_join_agg,
-    "qir_argmax": q_qir_argmax,
-    "qir_hourly": q_qir_hourly,
-    "collection_api": q_collection_api,
-    "facet_multivalued": q_facet_multivalued,
-    "groupby_objects": q_groupby_objects,
-    "join_topk_revenue": q_join_topk_revenue,
-    "resample_ffill": q_resample_ffill,
-    "resample_hourly": q_resample_hourly,
-    "rolling_1h": q_rolling_1h,
-    "topn_per_group": q_topn_per_group,
-    "correlation_by_type": q_correlation_by_type,
-    "derived_projection": q_derived_projection,
-    "embedding_stats": q_embedding_stats,
-    "lag_lead": q_lag_lead,
-    "rule_inference": q_rule_inference,
-    "text_lang_facet": q_text_lang_facet,
-    "text_stats": q_text_stats,
-    "token_budget_sample": q_token_budget_sample,
-    "ann_ivf": q_ann_ivf,
-    "asof_forward": q_asof_forward,
-    "asof_join": q_asof_view_before_purchase,
-    "asof_tolerance": q_asof_tolerance,
-    "boxplot_stats": q_boxplot_stats,
-    "cap_per_source": q_cap_per_source,
-    "chunk_documents": q_chunk_documents,
-    "cohort_retention": q_cohort_retention,
-    "connected_components": q_connected_components,
-    "contamination": q_contamination,
-    "corpus_mix_counts": q_corpus_mix_counts,
-    "domain_stats": q_domain_stats,
-    "enrichment": q_enrichment,
-    "find_matches": q_find_matches,
-    "funnel_view_click_purchase": q_funnel_view_click_purchase,
-    "fuzzy_join_names": q_fuzzy_join_names,
-    "graph_traverse": q_graph_traverse,
-    "hash_split_documents": q_hash_split_documents,
-    "heatmap": q_heatmap,
-    "histogram": q_histogram,
-    "json_extract": q_json_extract,
-    "keyword_filter": q_keyword_filter,
-    "lm_quality": q_lm_quality,
-    "multimodal_audio": q_multimodal_audio,
-    "multimodal_features": q_multimodal_features,
-    "multimodal_frames": q_multimodal_frames,
-    "multimodal_gif": q_multimodal_gif,
-    "multimodal_jpeg": q_multimodal_jpeg,
-    "multimodal_real_decode": q_multimodal_real_decode,
-    "normalize_documents": q_normalize_documents,
+    # ordering = the driver sampling window (first 50 hash-compared per
+    # round). Round 10 policy (round-9 letter #4): the 13 queries whose
+    # driver row is r7-stale lead, then the block last driver-sampled in
+    # r8 (which carries the cross-round canaries find_eq /
+    # groupby_tpch_q1 / dedup_minhash / knn_cosine / count_zone_values
+    # inside the 50-window), then the r9-sampled block. Everything below
+    # position 50 stays value-verified by tools/oracle_compare.py's full
+    # sweep and rotates back in next round.
     "pack_sequences": q_pack_sequences,
     "quantiles_by_priority": q_quantiles_by_priority,
     "range_join_error_clicks": q_range_join_error_clicks,
@@ -2185,6 +2139,56 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_string_pruned": q_topk_string_pruned,
     "window_hourly_rollup": q_window_hourly_rollup,
     "window_latest_event": q_window_latest_event,
+    "qir_group_agg": q_qir_group_agg,
+    "qir_join_agg": q_qir_join_agg,
+    "qir_argmax": q_qir_argmax,
+    "qir_hourly": q_qir_hourly,
+    "collection_api": q_collection_api,
+    "facet_multivalued": q_facet_multivalued,
+    "groupby_objects": q_groupby_objects,
+    "join_topk_revenue": q_join_topk_revenue,
+    "resample_ffill": q_resample_ffill,
+    "resample_hourly": q_resample_hourly,
+    "rolling_1h": q_rolling_1h,
+    "topn_per_group": q_topn_per_group,
+    "correlation_by_type": q_correlation_by_type,
+    "derived_projection": q_derived_projection,
+    "embedding_stats": q_embedding_stats,
+    "lag_lead": q_lag_lead,
+    "rule_inference": q_rule_inference,
+    "text_lang_facet": q_text_lang_facet,
+    "text_stats": q_text_stats,
+    "token_budget_sample": q_token_budget_sample,
+    "ann_ivf": q_ann_ivf,
+    "asof_forward": q_asof_forward,
+    "asof_join": q_asof_view_before_purchase,
+    "asof_tolerance": q_asof_tolerance,
+    "boxplot_stats": q_boxplot_stats,
+    "cap_per_source": q_cap_per_source,
+    "chunk_documents": q_chunk_documents,
+    "cohort_retention": q_cohort_retention,
+    "connected_components": q_connected_components,
+    "contamination": q_contamination,
+    "corpus_mix_counts": q_corpus_mix_counts,
+    "domain_stats": q_domain_stats,
+    "enrichment": q_enrichment,
+    "find_matches": q_find_matches,
+    "funnel_view_click_purchase": q_funnel_view_click_purchase,
+    "fuzzy_join_names": q_fuzzy_join_names,
+    "graph_traverse": q_graph_traverse,
+    "hash_split_documents": q_hash_split_documents,
+    "heatmap": q_heatmap,
+    "histogram": q_histogram,
+    "json_extract": q_json_extract,
+    "keyword_filter": q_keyword_filter,
+    "lm_quality": q_lm_quality,
+    "multimodal_audio": q_multimodal_audio,
+    "multimodal_features": q_multimodal_features,
+    "multimodal_frames": q_multimodal_frames,
+    "multimodal_gif": q_multimodal_gif,
+    "multimodal_jpeg": q_multimodal_jpeg,
+    "multimodal_real_decode": q_multimodal_real_decode,
+    "normalize_documents": q_normalize_documents,
 }
 
 
