@@ -359,6 +359,15 @@ def record_ab_winner(
             "n_files": len(files),
             "total_rows": int(total_rows),
         }
+        try:
+            # sidecar schema 2: record the writing box's gate + measured
+            # crossover ladder so a foreign deployment reading this store
+            # starts its routing from a profile, not from nothing
+            from linkml_store_spark.operators.localexec import sidecar_meta
+
+            data["__meta__"] = sidecar_meta()
+        except Exception:  # noqa: BLE001 — meta is advisory
+            pass
         tmp = os.path.join(d, AB_SIDECAR + ".tmp")
         with open(tmp, "w") as fh:
             json.dump(data, fh)

@@ -60,21 +60,8 @@ def hashed_ngram_features(
     JVM instruction per feature) or "md5" (md5-low64 ``pmod``, ~3x the
     per-feature cost but reproducible in any engine with md5 — the
     variant the SQL value oracle replays; same dual as simhash)."""
-    toked = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("__t"))
-    feats = F.col("__t")
-    if bigrams:
-        n = F.size("__t")
-        idx = F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1)))
-        bi = F.when(
-            n >= 2,
-            F.transform(
-                idx,
-                lambda i: F.concat_ws(
-                    " ", F.element_at("__t", i), F.element_at("__t", i + 1)
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        feats = F.concat(feats, bi)
+    toked, feats = _feature_array(df, text_col, bigrams)
+    toked = toked.select(F.col(id_col), F.col("__t"))
     if bucket_hash not in ("xxhash64", "md5"):
         raise ValueError(f"unknown bucket_hash: {bucket_hash!r}")
     h = _md5_low64 if bucket_hash == "md5" else F.xxhash64
@@ -92,6 +79,66 @@ def _bucket_model(feats: DataFrame) -> DataFrame:
     return feats.groupBy("bucket").agg(F.sum("c").alias("n"))
 
 
+def _feature_array(df, text_col, bigrams):
+    """The per-document feature-string array (tokens + space-joined
+    adjacent pairs) — the SAME elements hashed_ngram_features explodes,
+    kept as one array column so callers can fold over it without the
+    explode."""
+    toked = df.withColumn("__t", _tokens(F.col(text_col)))
+    feats = F.col("__t")
+    if bigrams:
+        n = F.size("__t")
+        # zip_with over two shifted slices, NOT element_at(__t, i) inside
+        # a per-element lambda: when Catalyst inlines __t (CollapseProject
+        # treats the reference as collapsible), a per-element element_at
+        # re-evaluates the whole split per bigram — O(tokens^2) string
+        # work per document (measured 186 s for the 1M-doc dense score;
+        # 14 s with the row-level slices)
+        bi = F.when(
+            n >= 2,
+            F.zip_with(
+                F.slice("__t", 1, n - 1),
+                F.slice("__t", 2, n - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        feats = F.concat(feats, bi)
+    return toked, feats
+
+
+def corpus_bucket_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 10_000,
+    bigrams: bool = True,
+    bucket_hash: str = "xxhash64",
+) -> DataFrame:
+    """(bucket, n): corpus-level bucket counts DIRECTLY from the explode —
+    the fit stage never needs the per-(doc, bucket) aggregate that
+    ``hashed_ngram_features`` builds for scoring, and skipping it keeps
+    the fit's shuffle at ≤ ``n_buckets`` rows per task (map-side combine
+    onto the bucket domain) instead of one row per distinct (doc, bucket).
+    Value-identical to ``_bucket_model(hashed_ngram_features(df, ...))``
+    (summing per-doc counts = counting occurrences)."""
+    if bucket_hash not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown bucket_hash: {bucket_hash!r}")
+    h = _md5_low64 if bucket_hash == "md5" else F.xxhash64
+    toked, feats = _feature_array(df, text_col, bigrams)
+    return (
+        toked.select(F.explode(feats).alias("__f"))
+        .select(F.pmod(h(F.col("__f")), F.lit(n_buckets)).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+#: dense-scoring gate: the log-ratio table is embedded in the plan as ONE
+#: array literal of ``n_buckets`` doubles (8 B each; the paper's 10k
+#: buckets = 80 KB). Past this the literal stops being broadcast-trivial
+#: and the legacy broadcast-join plan takes over.
+DSIR_DENSE_MAX_BUCKETS = 1_000_000
+
+
 def dsir_weights(
     raw_df: DataFrame,
     target_df: DataFrame,
@@ -101,16 +148,81 @@ def dsir_weights(
     alpha: float = 1.0,
     bigrams: bool = True,
     bucket_hash: str = "xxhash64",
+    scoring: str = "auto",
 ) -> DataFrame:
     """(id, log_weight) over the RAW corpus: the per-document log
     importance ratio under the hashed-n-gram bucket models.
 
-    The ratio table has at most ``n_buckets`` rows and is broadcast into
-    the per-doc join, so the only shuffle over raw-corpus-sized data is
-    the per-doc feature aggregate. Documents with no features in any
-    target-seen bucket still get a weight (the smoothed model covers
-    every bucket through the alpha prior on the log-ratio join's nulls).
-    """
+    ``scoring``:
+
+    - ``"dense"`` (the default whenever ``n_buckets`` is inside
+      :data:`DSIR_DENSE_MAX_BUCKETS`): the bucket domain is dense ints
+      ``[0, n_buckets)`` BY CONSTRUCTION, so the fitted log-ratio table
+      collapses to one array literal of ``n_buckets`` doubles and the
+      per-doc weight is a single whole-stage-codegen projection —
+      ``aggregate(features, 0.0, acc + lr[pmod(hash(f), B)])``. ZERO
+      shuffle over the corpus: no per-(doc, bucket) explode-aggregate,
+      no per-doc re-aggregate (round-9 verdict: the exploded
+      intermediate was 1.5 B rows / ~36 GB shuffled at 5 M docs). The
+      fit itself aggregates straight onto the bucket domain
+      (:func:`corpus_bucket_counts`), so its shuffle is ≤ n_buckets
+      rows per task regardless of corpus size.
+    - ``"join"``: the legacy per-(doc, bucket) aggregate + broadcast
+      ratio join — kept for bucket domains past the literal gate.
+    - ``"auto"``: dense inside the gate, join past it.
+
+    Weight values are the same sum in a different addition order (per
+    occurrence instead of per grouped bucket count); consumers rank on
+    4-dp-rounded weights (see :func:`dsir_select`) exactly so that
+    aggregation order never changes a selection. Documents with no
+    features in any target-seen bucket still get a weight (the smoothed
+    model covers every bucket through the alpha prior)."""
+    if scoring not in ("auto", "dense", "join"):
+        raise ValueError(f"unknown scoring: {scoring!r}")
+    dense = scoring == "dense" or (
+        scoring == "auto" and n_buckets <= DSIR_DENSE_MAX_BUCKETS
+    )
+    B = float(n_buckets)
+    if dense:
+        raw_b = corpus_bucket_counts(
+            raw_df, text_col, n_buckets, bigrams, bucket_hash
+        )
+        tgt_b = corpus_bucket_counts(
+            target_df, text_col, n_buckets, bigrams, bucket_hash
+        )
+        # the fitted models ARE driver-sized (≤ n_buckets rows each, the
+        # paper's 10k): collect once, fold into one dense literal
+        import math
+
+        raw_counts = {r["bucket"]: r["n"] for r in raw_b.collect()}
+        tgt_counts = {r["bucket"]: r["n"] for r in tgt_b.collect()}
+        raw_total = float(sum(raw_counts.values()))
+        tgt_total = float(sum(tgt_counts.values()))
+        lr = [
+            math.log(
+                (tgt_counts.get(b, 0) + alpha) / (tgt_total + alpha * B)
+            )
+            - math.log(
+                (raw_counts.get(b, 0) + alpha) / (raw_total + alpha * B)
+            )
+            for b in range(n_buckets)
+        ]
+        h = _md5_low64 if bucket_hash == "md5" else F.xxhash64
+        toked, feats = _feature_array(raw_df, text_col, bigrams)
+        lr_arr = F.lit(lr)
+        return toked.select(
+            F.col(id_col), feats.alias("__feats")
+        ).where(F.size("__feats") > 0).select(
+            F.col(id_col),
+            F.aggregate(
+                "__feats",
+                F.lit(0.0),
+                lambda acc, f: acc + F.element_at(
+                    lr_arr,
+                    (F.pmod(h(f), F.lit(n_buckets)) + 1).cast("int"),
+                ),
+            ).alias("log_weight"),
+        )
     raw_feats = hashed_ngram_features(
         raw_df, text_col, id_col, n_buckets, bigrams, bucket_hash
     )
@@ -122,7 +234,6 @@ def dsir_weights(
     # totals are model constants (two one-row aggregates at fit time)
     raw_total = raw_b.agg(F.sum("n")).first()[0] or 0
     tgt_total = tgt_b.agg(F.sum("n")).first()[0] or 0
-    B = float(n_buckets)
     ratio = (
         raw_b.withColumnRenamed("n", "nr")
         .join(tgt_b.withColumnRenamed("n", "nt"), "bucket", "full_outer")
@@ -157,6 +268,7 @@ def dsir_select(
     alpha: float = 1.0,
     bigrams: bool = True,
     bucket_hash: str = "xxhash64",
+    scoring: str = "auto",
 ) -> DataFrame:
     """The top-``k`` raw documents by DSIR importance weight — rows of
     ``raw_df`` plus ``log_weight``. Deterministic: ranking happens on the
@@ -169,7 +281,7 @@ def dsir_select(
     returned ``log_weight`` column keeps full precision."""
     w = dsir_weights(
         raw_df, target_df, text_col, id_col, n_buckets, alpha, bigrams,
-        bucket_hash,
+        bucket_hash, scoring,
     )
     ranked = w.orderBy(
         F.desc(F.round(F.col("log_weight"), 4)),

@@ -69,6 +69,31 @@ def winnow_fingerprints(
     that re-aggregate anyway (``fingerprint_overlap``'s per-(id, fp)
     dedup) fold the residual duplicates into their own shuffle — one
     sketch-volume exchange instead of two (SCALING.md round 9)."""
+    gh, sel_col = _winnow_parts(df, text_col, id_col, k, w, gram_hash)
+    sel = gh.select(F.col(id_col), F.explode(sel_col).alias("__s"))
+    out = sel.select(
+        F.col(id_col),
+        F.col("__s.pos").alias("pos"),
+        F.col("__s.fp").alias("fp"),
+    )
+    return out.distinct() if dedup else out
+
+
+def _winnow_parts(
+    df: DataFrame, text_col: str, id_col: str, k: int, w: int,
+    gram_hash: str,
+):
+    """(gh, sel_col): ``gh`` is the projection holding the per-document
+    gram-hash array ``__g``; ``sel_col`` is the winnowed
+    ``array<struct<pos, fp>>`` selection column OVER ``gh`` — the shared
+    stateless core of :func:`winnow_fingerprints` (which explodes it) and
+    :func:`_doc_distinct_fps` (which array-distincts the fps without
+    shuffling rows). Consumers must put ``sel_col`` (or a
+    single-reference wrapper of it) directly into ONE projection over
+    ``gh``: the column references ``__g`` many times, and keeping ``gh``
+    a real projection boundary is what stops Catalyst from inlining the
+    gram-array build per window (a measured O(windows x tokens)
+    blow-up)."""
     if k < 1 or w < 1:
         raise ValueError("k and w must be >= 1")
     if gram_hash not in ("xxhash64", "md5"):
@@ -100,22 +125,31 @@ def winnow_fingerprints(
             (i + right - 2).cast("long").alias("pos"), mn.alias("fp")
         )
 
-    sel = gh.select(
+    sel_col = F.array_distinct(
+        F.when(m >= w, F.transform(widx, pick)).otherwise(
+            F.array(pick(F.lit(1)))
+        )
+    )
+    return gh, sel_col
+
+
+def _doc_distinct_fps(
+    df: DataFrame, text_col: str, id_col: str, k: int, w: int,
+    gram_hash: str,
+) -> DataFrame:
+    """(id, fp) with fps EXACT-unique per document, produced entirely
+    inside the stateless projection (array_distinct over the per-doc fp
+    array before the explode) — the round-10 replacement for the
+    per-(id, fp) ``dropDuplicates`` EXCHANGE over the full sketch, which
+    the round-9 decomposition identified as the degenerate worst case's
+    dominant cost. Same rows, zero shuffle."""
+    gh, sel_col = _winnow_parts(df, text_col, id_col, k, w, gram_hash)
+    return gh.select(
         F.col(id_col),
         F.explode(
-            F.array_distinct(
-                F.when(m >= w, F.transform(widx, pick)).otherwise(
-                    F.array(pick(F.lit(1)))
-                )
-            )
-        ).alias("__s"),
+            F.array_distinct(F.transform(sel_col, lambda s: s["fp"]))
+        ).alias("fp"),
     )
-    out = sel.select(
-        F.col(id_col),
-        F.col("__s.pos").alias("pos"),
-        F.col("__s.fp").alias("fp"),
-    )
-    return out.distinct() if dedup else out
 
 
 def fingerprint_overlap(
@@ -133,11 +167,46 @@ def fingerprint_overlap(
     ``w + k - 1`` tokens is guaranteed to surface. ``max_freq`` drops
     fingerprints appearing in more than that many documents before the
     self-join (boilerplate guard, same role as the Jaccard index's hot
-    shingle cap)."""
-    fps = winnow_fingerprints(
-        df, text_col, id_col, k, w, gram_hash, dedup=False
-    ).select(id_col, "fp").distinct()
+    shingle cap).
+
+    Plan shape (round 10): per-doc fp uniqueness happens at ARRAY level
+    inside the stateless projection (:func:`_doc_distinct_fps`) — the
+    round-9 per-(id, fp) dedup EXCHANGE over the whole sketch is gone.
+    With ``max_freq`` set, a 1/32 document-sample pre-pass first
+    estimates the prune's reach; when it predicts the cap prunes
+    EVERYTHING (the all-boilerplate degenerate case), one exact
+    map-side-combined doc-frequency aggregate verifies and the empty
+    result returns after ~one sketch-projection cost, never exchanging
+    or materializing the sketch. Otherwise the sketch repartitions once
+    on fp (a plain hash exchange the hot aggregate and the anti-join
+    both reuse), the pruned sketch checkpoints (the round-8/9
+    single-evaluation + empty-short-circuit discipline), and the
+    self-join runs as before."""
+    fps = _doc_distinct_fps(df, text_col, id_col, k, w, gram_hash)
     if max_freq is not None:
+        if _predict_total_prune(
+            df, text_col, id_col, k, w, gram_hash, max_freq
+        ):
+            # exact verification — ONE projection + a map-combined
+            # aggregate onto the fp domain (tiny shuffle): survivors are
+            # fps whose EXACT doc frequency clears the cap
+            survivors = (
+                fps.groupBy("fp")
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") <= max_freq)
+            )
+            if survivors.isEmpty():
+                id_t = df.schema[id_col].dataType.simpleString()
+                return df.sparkSession.createDataFrame(
+                    [], f"left_id {id_t}, right_id {id_t}, shared_fps long"
+                )
+            # prediction wrong (rare by construction): fall through to
+            # the normal chain — one wasted aggregate, nothing else
+        # one explicit hash exchange on fp: the hot aggregate needs no
+        # further shuffle and the anti-join probes co-partitioned data,
+        # so the projection runs ONCE (ReuseExchange) like round 9's
+        # distinct exchange — minus the per-(id, fp) dedup sort it paid
+        fps = fps.repartition("fp")
         hot = (
             fps.groupBy("fp")
             .agg(F.count(F.lit(1)).alias("__n"))
@@ -159,6 +228,10 @@ def fingerprint_overlap(
             return df.sparkSession.createDataFrame(
                 [], f"left_id {id_t}, right_id {id_t}, shared_fps long"
             )
+    else:
+        # no cap: exchange once so the self-join's two branches share one
+        # projection instead of re-winnowing per branch
+        fps = fps.repartition("fp")
     left = fps.select(F.col(id_col).alias("left_id"), "fp")
     right = fps.select(F.col(id_col).alias("right_id"), "fp")
     return (
@@ -168,3 +241,59 @@ def fingerprint_overlap(
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+#: degenerate pre-pass tuning: document sample rate (1/32 — one core's
+#: share of the projection), the minimum corpus size worth probing
+#: (below it the exact chain is already cheap), and the predicted
+#: cold-ROW fraction under which the corpus counts as degenerate.
+#: The fraction is over rows, not fingerprints: in an all-boilerplate
+#: corpus a percent of fps still land in the sample only once (their
+#: estimate then reads "cold" by noise), but they carry almost no rows —
+#: a per-fp zero-tolerance rule would never fire. Estimates only GATE
+#: which exact plan runs; pruning itself always uses exact counts.
+PREPASS_FRACTION = 1.0 / 32.0
+PREPASS_MIN_SAMPLE_ROWS = 50_000
+PREPASS_COLD_ROW_FRACTION = 0.01
+
+
+def _predict_total_prune(
+    df, text_col, id_col, k, w, gram_hash, max_freq
+) -> bool:
+    """True when a seeded document sample predicts the ``max_freq`` cap
+    prunes (essentially) the ENTIRE sketch: the sample rows belonging to
+    fingerprints whose estimated doc frequency (``sample_count /
+    fraction``) clears the cap make up under
+    :data:`PREPASS_COLD_ROW_FRACTION` of all sampled rows. A fingerprint
+    the sample misses entirely counts AGAINST degeneracy (unseen fps are
+    rare fps — they would survive the cap), so the prediction errs
+    toward the normal chain. Costs ~1/32 of the sketch projection plus a
+    sample-sized aggregate (the "<= 5% normal-case overhead" budget);
+    tiny samples never predict degenerate."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_FP_PREPASS", "1") == "0":
+        return False
+    sample = df.sample(fraction=PREPASS_FRACTION, seed=7)
+    est = (
+        _doc_distinct_fps(sample, text_col, id_col, k, w, gram_hash)
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .agg(
+            F.sum("__c").alias("n_rows"),
+            F.sum(
+                F.when(
+                    F.col("__c") / F.lit(PREPASS_FRACTION) <= max_freq,
+                    F.col("__c"),
+                ).otherwise(0)
+            ).alias("cold_rows"),
+        )
+        .first()
+    )
+    if (
+        est is None
+        or est["n_rows"] is None
+        or est["n_rows"] < PREPASS_MIN_SAMPLE_ROWS
+    ):
+        return False
+    return est["cold_rows"] / est["n_rows"] <= PREPASS_COLD_ROW_FRACTION

@@ -114,6 +114,49 @@ def local_tier_enabled() -> bool:
     return os.environ.get("SPARK_GRAFT_LOCAL_TIER", "1") != "0"
 
 
+#: the measured local-vs-JVM crossover ladder (tools/localtier_scale.py,
+#: synthetic single-table stores, best-of-3 per tier, 32-core box —
+#: SCALING.md "Local-vs-JVM crossover"). Exported into every A/B sidecar
+#: (schema 2, :func:`sidecar_meta`) so a DIFFERENT deployment reading the
+#: store starts its routing from this box's measurements instead of from
+#: nothing: its own first-touch A/B still runs and overrides, but the
+#: ladder tells it where the contested region is.
+MEASURED_CROSSOVER_LADDER = {
+    "box_cpus": 32,
+    "winner_by_rows": {
+        "1000000": {"count_eq": "local", "count_range": "local",
+                    "topk10": "local", "group_agg": "local"},
+        "5000000": {"count_eq": "jvm", "count_range": "jvm",
+                    "topk10": "local", "group_agg": "jvm"},
+        "10000000": {"count_eq": "jvm", "count_range": "jvm",
+                     "topk10": "jvm", "group_agg": "jvm"},
+    },
+}
+
+#: sidecar schema revision: 1 = per-column winner entries only (round 8);
+#: 2 = adds the reserved "__meta__" entry carrying the writing box's
+#: local-tier gate constants, cpu count, and the measured ladder above.
+#: Readers look entries up BY COLUMN NAME, so "__meta__" (which is never
+#: a tier column) is invisible to schema-1 readers — forward compatible.
+SIDECAR_SCHEMA = 2
+
+
+def sidecar_meta() -> dict:
+    """The "__meta__" entry written into every A/B sidecar: the gate this
+    box routed under plus its measured crossover ladder (round-9 letter
+    #6 — a new deployment's first A/B can tighten its own routing from
+    the recorded profile instead of starting blind)."""
+    return {
+        "schema": SIDECAR_SCHEMA,
+        "box_cpus": os.cpu_count(),
+        "local_tier_gate": {
+            "max_rows": local_tier_max_rows(),
+            "max_bytes": LOCAL_TIER_MAX_BYTES,
+        },
+        "measured_ladder": MEASURED_CROSSOVER_LADDER,
+    }
+
+
 def local_tier_max_rows() -> int:
     return LOCAL_TIER_MAX_ROWS
 

@@ -75,12 +75,56 @@ def train_ngram_lm(
     return {"order": order, "n_tokens": int(n_tokens), "counts": counts}
 
 
+#: broadcast-scoring gate: total gram-table entries (across all orders)
+#: a worker can hold as a plain dict. 5M entries of short grams ≈ a few
+#: hundred MB per executor python worker — comfortably inside this box's
+#: budget; a web-scale vocabulary past the gate keeps the join plan.
+LM_BROADCAST_MAX_ENTRIES = 5_000_000
+
+#: the Python mirror of Spark's tokenizer ``split(lower(trim(s)), '\\s+')``:
+#: Java ``\s`` is ASCII-only ([ \t\n\x0B\f\r]) while Python ``\s`` also
+#: matches Unicode spaces — the explicit class keeps both engines
+#: splitting identically; Java ``trim`` strips codepoints <= U+0020.
+_JAVA_WS = "".join(chr(i) for i in range(0x21))
+
+
+def _py_tokens(text):
+    import re
+
+    return re.split(r"[ \t\n\x0b\f\r]+", text.strip(_JAVA_WS).lower())
+
+
+def _score_tokens(tokens, cnts, order, N, alpha):
+    """One document's (n_tokens, mean log10 Stupid Backoff score) — the
+    exact Python replay of the expression chain in the join plan below
+    (ascending-order overwrite; unreachable orders charge no backoff)."""
+    import math
+
+    c1 = cnts[1]
+    total = 0.0
+    for p in range(1, len(tokens) + 1):
+        uni = c1.get(tokens[p - 1], 0) / N
+        score = uni if uni > 0 else 1.0 / N
+        for n in range(2, order + 1):
+            if p >= n:
+                gc = cnts[n].get(" ".join(tokens[p - n:p]))
+                cc = cnts[n - 1].get(" ".join(tokens[p - n:p - 1]))
+                if gc is not None and cc is not None:
+                    score = gc / cc
+                else:
+                    score = alpha * score
+        total += math.log10(score)
+    return len(tokens), total / len(tokens)
+
+
 def score_with_lm(
     df: DataFrame,
     model: Dict,
     text_col: str = "text",
     id_col: str = "doc_id",
     alpha: float = 0.4,
+    scoring: str = "auto",
+    broadcast_max_entries: int = LM_BROADCAST_MAX_ENTRIES,
 ) -> DataFrame:
     """(id, n_tokens, logprob_per_token): mean per-token log10 Stupid
     Backoff score of every document under ``model``.
@@ -88,11 +132,40 @@ def score_with_lm(
     Every token is scored at the HIGHEST order its left context allows
     (token i uses an (i+1)-gram until ``order`` is reachable — standard
     sentence-start handling without pad symbols), backing off by
-    ``alpha`` per unmatched order. One explode of the scored corpus into
-    (doc, position, gram_1..gram_order suffix strings), ``order``
-    broadcast-free LEFT joins against the count tables on the gram
-    string, one groupBy on the doc id."""
+    ``alpha`` per unmatched order.
+
+    ``scoring``:
+
+    - ``"broadcast"`` (the ``"auto"`` default whenever the gram tables
+      total ≤ ``broadcast_max_entries`` entries — probed with a
+      LIMIT-bounded collect, never an unbounded one): the count tables
+      are broadcast as plain dicts and every document is scored in ONE
+      Arrow-batched ``mapInPandas`` pass over (id, text) — ZERO shuffle
+      over the scored corpus (round-9 verdict: the join plan shuffled
+      ~900M scored positions × 3 gram orders at 5M docs). The model is
+      corpus-vocabulary sized, not corpus sized — CCNet-style target
+      models fit comfortably; a web-scale model past the gate keeps the
+      join plan.
+    - ``"join"``: one explode of the scored corpus into (doc, position,
+      suffix grams), ``2·order-1`` LEFT joins against the count tables
+      on the gram string, one groupBy on the doc id — linear shuffle in
+      corpus tokens, the Brants et al. MapReduce layout; correct at any
+      model size.
+    - ``"auto"``: broadcast inside the gate, join past it.
+    """
+    if scoring not in ("auto", "broadcast", "join"):
+        raise ValueError(f"unknown scoring: {scoring!r}")
     order, N = model["order"], max(model["n_tokens"], 1)
+    if scoring != "join":
+        cnts = _collect_model(model, broadcast_max_entries)
+        if cnts is not None:
+            return _score_broadcast(
+                df, cnts, order, N, alpha, text_col, id_col
+            )
+        if scoring == "broadcast":
+            raise ValueError(
+                f"model exceeds broadcast_max_entries={broadcast_max_entries}"
+            )
     toked = df.select(
         F.col(id_col), _tokens(F.col(text_col)).alias("__t")
     )
@@ -148,6 +221,74 @@ def score_with_lm(
     return scored.groupBy(id_col, "n_tokens").agg(
         F.avg("__lp").alias("logprob_per_token")
     )
+
+
+def _collect_model(model: Dict, max_entries: int):
+    """{n: {gram: count}} when the gram tables fit the broadcast gate,
+    else None. The probe collects AT MOST ``max_entries + 1`` rows per
+    table (LIMIT-bounded — a web-scale table never floods the driver)."""
+    cnts: Dict[int, Dict[str, int]] = {}
+    budget = max_entries
+    for n in range(1, model["order"] + 1):
+        pdf = model["counts"][n].limit(budget + 1).toPandas()
+        if len(pdf) > budget:
+            return None
+        cnts[n] = dict(zip(pdf["gram"], pdf["n_count"].astype(int)))
+        budget -= len(pdf)
+    return cnts
+
+
+def _score_broadcast(
+    df: DataFrame,
+    cnts: Dict[int, Dict[str, int]],
+    order: int,
+    N: int,
+    alpha: float,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """The shuffle-free scorer: model dicts broadcast once per executor,
+    one Arrow-batched pass over (id, text). NULL texts are absent from
+    the output, exactly like the join plan (explode drops them)."""
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    b = spark.sparkContext.broadcast(cnts)
+    id_field = df.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType, id_field.nullable),
+            T.StructField("n_tokens", T.IntegerType(), False),
+            T.StructField("logprob_per_token", T.DoubleType(), False),
+        ]
+    )
+
+    def score_batches(batches):
+        import pandas as pd
+
+        m = b.value
+        for pdf in batches:
+            ids, lens, lps = [], [], []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None or (
+                    isinstance(text, float) and text != text
+                ):
+                    continue  # NULL text: the join plan drops it too
+                n_tok, lp = _score_tokens(
+                    _py_tokens(text), m, order, N, alpha
+                )
+                ids.append(i)
+                lens.append(n_tok)
+                lps.append(lp)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
+                    "n_tokens": pd.Series(lens, dtype="int32"),
+                    "logprob_per_token": pd.Series(lps, dtype="float64"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(score_batches, out_schema)
 
 
 def lm_quality_filter(

@@ -114,3 +114,49 @@ def test_select_carries_raw_columns_and_weight(spark):
     out = dsir_select(raw, tgt, k=2, n_buckets=97)
     assert set(out.columns) == {"doc_id", "text", "source", "log_weight"}
     assert out.count() == 2
+
+
+def test_dense_join_weight_parity(spark):
+    """The dense array-literal route (the auto default) and the legacy
+    broadcast-join route agree to float noise and include exactly the
+    same documents — the round-10 'value parity vs the existing plans
+    pinned' gate, with NULL/empty-text edge docs."""
+    rows = RAW + [(90, None), (91, "")]
+    raw = spark.createDataFrame(rows, ["doc_id", "text"])
+    tgt = spark.createDataFrame(TARGET, ["doc_id", "text"])
+    a = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_weights(raw, tgt, n_buckets=97, scoring="dense").collect()
+    }
+    b = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_weights(raw, tgt, n_buckets=97, scoring="join").collect()
+    }
+    assert set(a) == set(b)  # NULL text absent from BOTH, empty in BOTH
+    assert 90 not in a and 91 in a
+    for k in a:
+        assert a[k] == pytest.approx(b[k], rel=1e-9, abs=1e-9)
+
+
+def test_dense_weight_plan_is_shuffle_free(spark):
+    """The dense route is one whole-stage-codegen projection over the raw
+    corpus: no Exchange, no explode-aggregate, no Python stage (round-9
+    verdict #1: the join plan shuffled 1.5B (doc, feature) rows at 5M
+    docs)."""
+    raw = spark.createDataFrame(RAW, ["doc_id", "text"])
+    tgt = spark.createDataFrame(TARGET, ["doc_id", "text"])
+    plan = (
+        dsir_weights(raw, tgt, n_buckets=97)  # auto -> dense under the gate
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_dense_selection_matches_join_selection(spark):
+    raw = spark.createDataFrame(RAW, ["doc_id", "text"])
+    tgt = spark.createDataFrame(TARGET, ["doc_id", "text"])
+    sd = {r["doc_id"] for r in dsir_select(raw, tgt, k=3, n_buckets=997, scoring="dense").collect()}
+    sj = {r["doc_id"] for r in dsir_select(raw, tgt, k=3, n_buckets=997, scoring="join").collect()}
+    assert sd == sj

@@ -172,3 +172,97 @@ def test_overlap_unchanged_when_cap_keeps_some(spark):
     )
     rows = fingerprint_overlap(docs, max_freq=5).collect()
     assert len(rows) == 1 and rows[0]["left_id"] == 1 and rows[0]["right_id"] == 2
+
+
+def test_prepass_predicts_degenerate_and_verifies_exactly(spark, monkeypatch):
+    """Round-10: the sampled pre-pass routes an all-boilerplate corpus to
+    the one-aggregate emptiness proof (no sketch exchange/checkpoint),
+    and the PREDICTION never changes the answer — both routes return the
+    same (empty) result because the verification count is exact."""
+    from linkml_store_spark.operators import fingerprint as fpmod
+
+    # short boilerplate texts yield ~3 fps/doc; scale the sample-size
+    # gate down so this 60k-doc corpus is probe-eligible like the 1M-doc
+    # production shape (whose sample carries ~2.8M rows)
+    monkeypatch.setattr(fpmod, "PREPASS_MIN_SAMPLE_ROWS", 1_000)
+
+    # 60k docs, every text one of 3 boilerplate strings -> every fp in
+    # ~20k docs; sample is comfortably over PREPASS_MIN_SAMPLE_ROWS
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three four five six seven eight nine ten",
+        "red orange yellow green blue indigo violet pink brown black",
+    ]
+    docs = spark.range(60_000).selectExpr(
+        "id AS doc_id",
+        "CASE CAST(id % 3 AS INT) WHEN 0 THEN '" + texts[0] + "' "
+        "WHEN 1 THEN '" + texts[1] + "' ELSE '" + texts[2] + "' END AS text",
+    )
+    assert fpmod._predict_total_prune(
+        docs, "text", "doc_id", 5, 4, "xxhash64", 50
+    )
+    out = fpmod.fingerprint_overlap(docs, max_freq=50)
+    assert out.count() == 0
+    # the degenerate route returns join-free
+    assert "Join" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_prepass_never_predicts_on_mixed_corpus(spark):
+    """A corpus with rare fingerprints must NOT predict total prune (the
+    sample sees cold fps), so the normal exact chain runs and pairs
+    survive."""
+    from linkml_store_spark.operators import fingerprint as fpmod
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.range(60_000).selectExpr(
+        "id AS doc_id",
+        # 90% boilerplate, 10% unique-ish texts (id baked into the tokens)
+        "CASE WHEN id % 10 = 0 THEN concat('uniq', id, ' foo bar baz qux "
+        "quux corge grault garply waldo') ELSE '" + base + "' END AS text",
+    )
+    assert not fpmod._predict_total_prune(
+        docs, "text", "doc_id", 5, 4, "xxhash64", 50
+    )
+
+
+def test_prepass_skips_tiny_corpora(spark):
+    from linkml_store_spark.operators import fingerprint as fpmod
+
+    docs = spark.createDataFrame(
+        [(i, "same boiler plate text here all over again") for i in range(200)],
+        ["doc_id", "text"],
+    )
+    # tiny sample: never predict (the exact chain is already cheap) —
+    # and the exact chain still returns the right (empty) answer
+    assert not fpmod._predict_total_prune(
+        docs, "text", "doc_id", 5, 4, "xxhash64", 3
+    )
+    assert fpmod.fingerprint_overlap(docs, max_freq=3).count() == 0
+
+
+def test_doc_distinct_fps_matches_row_distinct(spark):
+    """The array-level per-doc dedup produces EXACTLY the rows the old
+    per-(id, fp) dropDuplicates exchange produced."""
+    from linkml_store_spark.operators.fingerprint import (
+        _doc_distinct_fps,
+        winnow_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j a b c d e f g h i j"),  # repeats
+            (2, "one two three four five six seven eight"),
+            (3, "a b c d e"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["doc_id"], r["fp"])
+        for r in _doc_distinct_fps(docs, "text", "doc_id", 5, 4, "xxhash64").collect()
+    }
+    want = {
+        (r["doc_id"], r["fp"])
+        for r in winnow_fingerprints(docs, k=5, w=4)
+        .select("doc_id", "fp").distinct().collect()
+    }
+    assert got == want

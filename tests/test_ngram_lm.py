@@ -87,11 +87,70 @@ def test_lm_quality_filter_keeps_target_like(spark):
     assert {r["doc_id"] for r in kept.collect()} == {1, 2, 4}
 
 
-def test_score_plan_stays_native(spark):
-    """The scoring plan must contain no Python stage (explode + joins +
-    aggregate only) — the 100 TB path is all-JVM."""
+def test_score_join_plan_stays_native(spark):
+    """The join-route scoring plan must contain no Python stage (explode
+    + joins + aggregate only) — the past-the-gate web-scale-model path
+    is all-JVM."""
     tgt = spark.createDataFrame(TARGET, ["doc_id", "text"])
     raw = spark.createDataFrame(RAW, ["doc_id", "text"])
     model = train_ngram_lm(tgt, order=3)
-    plan = score_with_lm(raw, model)._jdf.queryExecution().executedPlan().toString()
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    plan = (
+        score_with_lm(raw, model, scoring="join")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_score_broadcast_plan_is_shuffle_free(spark):
+    """The broadcast route (the auto default under the gate) is ONE
+    Arrow-batched MapInPandas over (id, text) — zero Exchange over the
+    scored corpus (round-9 verdict #1: the join plan shuffled ~900M
+    scored positions at 5M docs)."""
+    tgt = spark.createDataFrame(TARGET, ["doc_id", "text"])
+    raw = spark.createDataFrame(RAW, ["doc_id", "text"])
+    model = train_ngram_lm(tgt, order=3)
+    plan = (
+        score_with_lm(raw, model)  # auto -> broadcast under the gate
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+
+
+def test_broadcast_join_score_parity(spark):
+    """Both routes produce the same (n_tokens, logprob_per_token) to
+    float noise — the round-10 'value parity vs the existing plans
+    pinned' gate, including padded/empty/NULL-text edge docs."""
+    tgt = spark.createDataFrame(TARGET, ["doc_id", "text"])
+    rows = RAW + [(90, None), (91, ""), (92, "  padded   tokens  ")]
+    raw = spark.createDataFrame(rows, ["doc_id", "text"])
+    model = train_ngram_lm(tgt, order=3)
+    a = {
+        r["doc_id"]: (r["n_tokens"], r["logprob_per_token"])
+        for r in score_with_lm(raw, model, scoring="broadcast").collect()
+    }
+    b = {
+        r["doc_id"]: (r["n_tokens"], r["logprob_per_token"])
+        for r in score_with_lm(raw, model, scoring="join").collect()
+    }
+    assert set(a) == set(b)  # NULL text absent from BOTH
+    assert 90 not in a
+    for k in a:
+        assert a[k][0] == b[k][0]
+        assert a[k][1] == pytest.approx(b[k][1], rel=1e-12, abs=1e-12)
+
+
+def test_broadcast_gate_refuses_oversized_model(spark):
+    tgt = spark.createDataFrame(TARGET, ["doc_id", "text"])
+    raw = spark.createDataFrame(RAW, ["doc_id", "text"])
+    model = train_ngram_lm(tgt, order=2)
+    with pytest.raises(ValueError, match="broadcast_max_entries"):
+        score_with_lm(
+            raw, model, scoring="broadcast", broadcast_max_entries=3
+        )
+    # auto degrades to the join plan instead
+    out = score_with_lm(raw, model, broadcast_max_entries=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan
+    assert out.count() == len(RAW)
