@@ -2067,6 +2067,36 @@ def q_qir_hourly(spark, sf):
     )
 
 
+def q_qir_min_by(spark, sf):
+    """Query IR argmin: the FIRST event per user (min_by over the
+    (ts, event_id) order tuple) — Collection.query compiles it to
+    F.min_by on the distributed path and to the ascending-sorted
+    grouped-'first' Arrow kernel on the local tier."""
+    from linkml_store_spark.query import Query
+
+    r = _ir_db(spark, sf).get_collection("events").query(Query(
+        group_by=["user_id"],
+        aggs={"event_id": ("min_by", "event_id", ("ts", "event_id"))},
+        limit=-1,
+    ))
+    return _rows_df(spark, r.rows, ["user_id", "event_id"])
+
+
+def q_qir_count_distinct(spark, sf):
+    """Query IR exact COUNT(DISTINCT): distinct users per event type —
+    F.countDistinct on the distributed path, Arrow's grouped
+    count_distinct kernel (valid-only, same NULL handling) locally."""
+    from linkml_store_spark.query import Query
+
+    r = _ir_db(spark, sf).get_collection("events").query(Query(
+        group_by=["event_type"],
+        aggs={"users": ("count_distinct", "user_id"),
+              "n": ("count", None)},
+        limit=-1,
+    ))
+    return _rows_df(spark, r.rows, ["event_type", "users", "n"])
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ordering = the driver sampling window (first 50 hash-compared per
     # round). Round 10 policy (round-9 letter #4): the 13 queries whose
@@ -2076,6 +2106,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # inside the 50-window), then the r9-sampled block. Everything below
     # position 50 stays value-verified by tools/oracle_compare.py's full
     # sweep and rotates back in next round.
+    "qir_min_by": q_qir_min_by,
+    "qir_count_distinct": q_qir_count_distinct,
     "pack_sequences": q_pack_sequences,
     "quantiles_by_priority": q_quantiles_by_priority,
     "range_join_error_clicks": q_range_join_error_clicks,
@@ -2089,6 +2121,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "text_search": q_text_search,
     "tfidf_terms": q_tfidf_terms,
+    "knn_cosine": q_knn_cosine,
     "adaptive_quality": q_adaptive_quality,
     "ann_knn_join": q_ann_knn_join,
     "bpe_tokenize": q_bpe_tokenize,
@@ -2124,7 +2157,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "groupby_tpch_q1": q_groupby_tpch_q1,
     "join_revenue_by_segment": q_join_revenue_by_segment,
     "join_supplier_geo": q_join_supplier_geo,
-    "knn_cosine": q_knn_cosine,
     "ngram_lm_score": q_ngram_lm_score,
     "paragraph_dedup": q_paragraph_dedup,
     "pivot_status_priority": q_pivot_status_priority,
@@ -2207,6 +2239,19 @@ ORACLES: dict[str, str] = {
                COUNT(*) AS n
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
+    """,
+    "qir_min_by": """
+        SELECT user_id, event_id FROM (
+            SELECT user_id, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts ASC, event_id ASC) rn
+            FROM events) t
+        WHERE rn = 1
+    """,
+    "qir_count_distinct": """
+        SELECT event_type, COUNT(DISTINCT user_id) AS users,
+               COUNT(*) AS n
+        FROM events GROUP BY event_type
     """,
     "qir_argmax": """
         SELECT user_id, event_id FROM (

@@ -1296,6 +1296,11 @@ class Collection:
                 # order tuple per group (struct comparison = tuple order)
                 orders = [F.col(o) for o in spec[2]]
                 e = F.max_by(F.col(col), F.struct(*orders))
+            elif fn == "min_by":
+                orders = [F.col(o) for o in spec[2]]
+                e = F.min_by(F.col(col), F.struct(*orders))
+            elif fn == "count_distinct":
+                e = F.countDistinct(F.col(col))
             else:
                 raise ValueError(f"unsupported aggregate fn {fn!r}")
             out.append(e.alias(alias))

@@ -901,7 +901,15 @@ def local_facets(
 
 #: Query.aggs fn -> Arrow aggregate kernel; count(*) handled separately
 _AGG_KERNELS = {"count": "count", "sum": "sum", "avg": "mean",
-                "min": "min", "max": "max"}
+                "min": "min", "max": "max",
+                # Arrow's grouped count_distinct defaults to valid-only,
+                # exactly Spark's countDistinct NULL handling
+                "count_distinct": "count_distinct"}
+
+#: argmin/argmax family: ONE shared order tuple, sorted once (descending
+#: for max_by, ascending for min_by), then grouped 'first' picks the
+#: extreme-tuple row
+_ARG_FNS = {"max_by": "descending", "min_by": "ascending"}
 
 
 def _split_group_by(group_by):
@@ -951,34 +959,45 @@ def validate_group_agg(schema, group_by, aggs, session_tz=None) -> None:
         ):
             raise Unsupported("date_trunc on tz-aware column outside UTC")
     order_tuples = {
-        tuple(spec[2]) for spec in (aggs or {}).values()
-        if str(spec[0]).lower() == "max_by" and len(spec) == 3
+        (str(spec[0]).lower(), tuple(spec[2]))
+        for spec in (aggs or {}).values()
+        if str(spec[0]).lower() in _ARG_FNS and len(spec) == 3
     }
     if len(order_tuples) > 1:
-        # the local argmax implementation sorts ONCE by the shared order
-        # tuple; heterogeneous orders would need one sort per tuple
-        raise Unsupported("multiple max_by order tuples")
+        # the local argmin/argmax implementation sorts ONCE by the shared
+        # (direction, order tuple); heterogeneous orders or mixed
+        # min_by/max_by would need one sort per tuple
+        raise Unsupported("multiple min_by/max_by order tuples")
     for alias, spec in (aggs or {}).items():
         fn = str(spec[0]).lower()
         col = spec[1] if len(spec) > 1 else None
-        if fn not in _AGG_KERNELS and fn != "max_by":
+        if fn not in _AGG_KERNELS and fn not in _ARG_FNS:
             raise Unsupported(f"aggregate fn {fn!r}")
         if alias in plain or alias in key_aliases:
             raise Unsupported(f"alias {alias!r} collides with a group key")
-        if fn == "max_by":
+        if fn in _ARG_FNS:
             if len(spec) != 3 or not spec[2]:
-                raise Unsupported("max_by needs (fn, value_col, order_cols)")
+                raise Unsupported(f"{fn} needs (fn, value_col, order_cols)")
             _col_type(schema, col)
             for o in spec[2]:
                 t = _col_type(schema, o)
                 if pt.is_timestamp(t) and t.tz is not None and (
                     session_tz or "UTC"
                 ) not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
-                    raise Unsupported("tz-aware max_by order col outside UTC")
+                    raise Unsupported(f"tz-aware {fn} order col outside UTC")
             continue
         if col in (None, "*"):
             if fn != "count":
                 raise Unsupported(f"{fn} requires a column")
+            continue
+        if fn == "count_distinct":
+            t = _col_type(schema, col)
+            if pt.is_floating(t):
+                # Spark normalizes -0.0/NaN inside DISTINCT; Arrow
+                # distinguishes by bits — refuse rather than mirror
+                raise Unsupported("count_distinct over float column")
+            if pt.is_timestamp(t):
+                raise Unsupported("count_distinct over timestamp column")
             continue
         if not is_plain_name(col):
             # restricted arithmetic over numeric columns ("a * (1 - b)"):
@@ -1007,7 +1026,7 @@ def _agg_input_cols(aggs, schema):
             else:
                 _ev, used = compile_arith(col, schema)
                 cols.extend(sorted(used))
-        if fn == "max_by":
+        if fn in _ARG_FNS:
             cols.extend(spec[2])
     return cols
 
@@ -1120,29 +1139,31 @@ def local_group_agg(
 
     def _key(fn, col, spec):
         fn = str(fn).lower()
-        if fn == "max_by":
-            return ("max_by", col, tuple(spec[2]))
+        if fn in _ARG_FNS:
+            return (fn, col, tuple(spec[2]))
         return (
             ("*", "count_all") if col in (None, "*")
             else (_norm_col(col), _AGG_KERNELS[fn])
         )
 
-    # max_by: ONE shared order tuple, pre-sorted descending; 'first' per
-    # group then picks the max-tuple row (stable, single-threaded)
+    # min_by/max_by: ONE shared order tuple, pre-sorted (ascending for
+    # min_by, descending for max_by); 'first' per group then picks the
+    # extreme-tuple row (stable, single-threaded)
     order_tuples = {
-        tuple(spec[2]) for spec in aggs.values()
-        if str(spec[0]).lower() == "max_by"
+        (str(spec[0]).lower(), tuple(spec[2])) for spec in aggs.values()
+        if str(spec[0]).lower() in _ARG_FNS
     }
     if len(order_tuples) > 1:
-        raise Unsupported("multiple max_by order tuples")
+        raise Unsupported("multiple min_by/max_by order tuples")
     single_thread = False
     if order_tuples:
-        orders = next(iter(order_tuples))
+        arg_fn, orders = next(iter(order_tuples))
+        direction = _ARG_FNS[arg_fn]
         for o in orders:
             col = table.column(o)
             if col.null_count:
-                raise Unsupported("NULL max_by order values")
-        table = table.sort_by([(o, "descending") for o in orders])
+                raise Unsupported(f"NULL {arg_fn} order values")
+        table = table.sort_by([(o, direction) for o in orders])
         single_thread = True
 
     specs, seen = [], set()
@@ -1154,10 +1175,10 @@ def local_group_agg(
         seen.add(k)
         if k[0] == "*":
             specs.append(([], "count_all"))
-        elif k[0] == "max_by":
-            # skip_nulls=False: Spark's max_by returns the argmax row's
-            # carried value even when it is NULL; Arrow's default 'first'
-            # would skip to the group's first non-NULL value instead
+        elif k[0] in _ARG_FNS:
+            # skip_nulls=False: Spark's min_by/max_by return the argmin/
+            # argmax row's carried value even when it is NULL; Arrow's
+            # default 'first' would skip to the group's first non-NULL
             specs.append(
                 (k[1], "first", pc.ScalarAggregateOptions(skip_nulls=False))
             )
@@ -1170,7 +1191,7 @@ def local_group_agg(
     for k in seen:
         if k[0] == "*":
             bykey[k] = g.column("count_all")
-        elif k[0] == "max_by":
+        elif k[0] in _ARG_FNS:
             bykey[k] = g.column(f"{k[1]}_first")
         else:
             bykey[k] = g.column(f"{k[0]}_{k[1]}")

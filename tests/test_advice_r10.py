@@ -162,3 +162,100 @@ def test_ab_first_touch_busts_result_memos(spark, tmp_path):
             f"jvm side timed at {t_jvm * 1000:.2f} ms — answered from a "
             "memo, not recomputed"
         )
+
+
+# ---- round-10 IR extension: min_by + exact count_distinct ---------------
+
+def _agg_store(tmp_path):
+    t = pa.table(
+        {
+            "g": [1, 1, 1, 2, 2, 2],
+            "u": ["a", "a", "b", "c", None, "c"],
+            "v": ["x", None, "y", "p", "q", "r"],
+            "o": [3, 1, 2, 9, 7, 8],
+        }
+    )
+    p = str(tmp_path / "agg.parquet")
+    pq.write_table(t, p)
+    return p, t.schema
+
+
+def test_min_by_local_mirror(tmp_path):
+    p, schema = _agg_store(tmp_path)
+    _n, out = lx.local_group_agg(
+        [p], schema, None, ["g"], {"first_v": ("min_by", "v", ["o"])}
+    )
+    rows = {r["g"]: r["first_v"] for r in out.to_pylist()}
+    # group 1 argmin o=1 carries v=NULL (must surface, not skip);
+    # group 2 argmin o=7 carries 'q'
+    assert rows == {1: None, 2: "q"}
+
+
+def test_count_distinct_local_mirror(tmp_path):
+    p, schema = _agg_store(tmp_path)
+    _n, out = lx.local_group_agg(
+        [p], schema, None, ["g"],
+        {"users": ("count_distinct", "u"), "n": ("count", None)},
+    )
+    rows = {r["g"]: (r["users"], r["n"]) for r in out.to_pylist()}
+    # NULLs don't count as a distinct value (Spark countDistinct)
+    assert rows == {1: (2, 3), 2: (1, 3)}
+
+
+def test_mixed_min_max_by_refuses(tmp_path):
+    p, schema = _agg_store(tmp_path)
+    with pytest.raises(lx.Unsupported):
+        lx.validate_group_agg(
+            schema, ["g"],
+            {"a": ("min_by", "v", ["o"]), "b": ("max_by", "v", ["o"])},
+        )
+
+
+def test_count_distinct_float_refuses(tmp_path):
+    t = pa.table({"g": [1], "f": [1.0]})
+    p = str(tmp_path / "f.parquet")
+    pq.write_table(t, p)
+    with pytest.raises(lx.Unsupported):
+        lx.validate_group_agg(
+            t.schema, ["g"], {"d": ("count_distinct", "f")}
+        )
+
+
+def test_min_by_spark_local_parity(spark, tmp_path):
+    """The full Collection.query route: Spark F.min_by/F.countDistinct vs
+    the local Arrow mirror must agree on real data (first-touch A/B
+    value-checks them against each other; any divergence warns + pins)."""
+    import warnings
+
+    from linkml_store_spark.client import Client
+    from linkml_store_spark.query import Query
+
+    client = Client(spark)
+    db = client.attach_database(f"spark://{tmp_path}/mb")
+    coll = db.create_collection("t", identifier_attribute="id")
+    coll.insert(
+        spark.createDataFrame(
+            [(i, i % 7, f"e{i}", i % 13) for i in range(3000)],
+            ["id", "g", "name", "o"],
+        )
+    )
+    q = Query(
+        group_by=["g"],
+        aggs={"first_name": ("min_by", "name", ("o", "id")),
+              "kinds": ("count_distinct", "o")},
+        sort_by=["g"],
+        limit=-1,
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # divergence warning = failure
+        r = coll.query(q)
+    assert r.num_rows == 7
+    for row in r.rows:
+        assert row["kinds"] == 13
+        # argmin over (o, id): o = id % 13 minimal at the smallest id
+        # with id % 13 == 0 in the group
+        g = row["g"]
+        want = min(
+            (i % 13, i) for i in range(3000) if i % 7 == g
+        )[1]
+        assert row["first_name"] == f"e{want}"
