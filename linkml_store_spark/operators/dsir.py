@@ -287,4 +287,7 @@ def dsir_select(
         F.desc(F.round(F.col("log_weight"), 4)),
         F.md5(F.col(id_col).cast("string")),
     ).limit(k)
-    return raw_df.join(ranked, id_col, "inner")
+    # ranked is k rows by construction — broadcast it so the raw corpus
+    # never shuffles for the final attach (AQE usually catches this, but
+    # the bound is structural, not statistical)
+    return raw_df.join(F.broadcast(ranked), id_col, "inner")
