@@ -1184,7 +1184,26 @@ def local_group_agg(
             )
         else:
             specs.append(k)
-    g = table.group_by(keys, use_threads=not single_thread).aggregate(specs)
+    # pyarrow 16.1 grouper bug (found by the property differential): a
+    # VAR-LENGTH key preceding a NULL-bearing fixed-width key splits the
+    # null-keyed groups (group_by(["s","g"]) on 48 true groups returned
+    # 66 rows; ["g","s"] returns 48). Key order is semantically free —
+    # grouping happens on the set — so always feed the grouper
+    # fixed-width keys first; the output pulls columns BY NAME in the
+    # caller's requested order either way.
+    import pyarrow.types as _pt
+
+    def _varlen(c):
+        t = table.schema.field(table.schema.get_field_index(c)).type
+        return bool(
+            _pt.is_string(t) or _pt.is_large_string(t)
+            or _pt.is_binary(t) or _pt.is_large_binary(t)
+        )
+
+    grouper_keys = sorted(keys, key=_varlen)  # stable: fixed-width first
+    g = table.group_by(
+        grouper_keys, use_threads=not single_thread
+    ).aggregate(specs)
     # arrow names outputs {col}_{fn} / count_all — map back to the aliases
     # (duplicate (col, fn) pairs under different aliases share one kernel)
     bykey = {}
