@@ -2097,6 +2097,27 @@ def q_qir_count_distinct(spark, sf):
     return _rows_df(spark, r.rows, ["event_type", "users", "n"])
 
 
+def q_qir_having(spark, sf):
+    """Query IR HAVING: post-aggregation filter in the same where-language,
+    evaluated over the aggregate row space on BOTH tiers (Spark: filter
+    above the hash aggregate; local: Arrow mask over the aggregate table
+    compiled at plan time against the predicted output schema)."""
+    from linkml_store_spark.query import Query
+
+    r = _ir_db(spark, sf).get_collection("events").query(Query(
+        group_by=["user_id"],
+        aggs={"n": ("count", None),
+              "kinds": ("count_distinct", "event_type"),
+              "sum_value": ("sum", "value")},
+        having={"n": {"$gte": 60}, "kinds": {"$gte": 5}},
+        limit=-1,
+    ))
+    df = _rows_df(spark, r.rows, ["user_id", "n", "kinds", "sum_value"])
+    return df.select(
+        "user_id", "n", "kinds", F.round("sum_value", 2).alias("sum_value")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ordering = the driver sampling window (first 50 hash-compared per
     # round). Round 10 policy (round-9 letter #4): the 13 queries whose
@@ -2106,6 +2127,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # inside the 50-window), then the r9-sampled block. Everything below
     # position 50 stays value-verified by tools/oracle_compare.py's full
     # sweep and rotates back in next round.
+    "qir_having": q_qir_having,
     "qir_min_by": q_qir_min_by,
     "qir_count_distinct": q_qir_count_distinct,
     "pack_sequences": q_pack_sequences,
@@ -2239,6 +2261,13 @@ ORACLES: dict[str, str] = {
                COUNT(*) AS n
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
+    """,
+    "qir_having": """
+        SELECT user_id, COUNT(*) AS n,
+               COUNT(DISTINCT event_type) AS kinds,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM events GROUP BY user_id
+        HAVING COUNT(*) >= 60 AND COUNT(DISTINCT event_type) >= 5
     """,
     "qir_min_by": """
         SELECT user_id, event_id FROM (

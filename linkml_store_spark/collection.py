@@ -800,6 +800,10 @@ class Collection:
             raise ValueError(
                 "Query.join is part of the join+aggregate IR — set group_by"
             )
+        if query.having is not None and not query.group_by:
+            raise ValueError(
+                "Query.having filters aggregate rows — set group_by"
+            )
         plan = self._local_tier_plan(query)
         if plan is not None:
             local_fn, files, total_rows = plan
@@ -1008,6 +1012,17 @@ class Collection:
                 session_tz=session_tz,
             )
             aggs = dict(query.aggs or {"count": ("count", None)})
+            having_cond = None
+            if query.having is not None:
+                # HAVING compiles at plan time against the PREDICTED
+                # aggregate schema (keys + alias types); any uncertainty
+                # there refuses to the Spark path before any work runs
+                agg_schema = lx.predicted_agg_schema(
+                    compile_schema, query.group_by, aggs
+                )
+                having_cond = lx.compile_where_local(
+                    query.having, agg_schema
+                )
             out_names = [
                 g if isinstance(g, str) else g[0] for g in query.group_by
             ] + list(aggs)
@@ -1030,6 +1045,13 @@ class Collection:
                 files, schema, cond, query.group_by, aggs,
                 session_tz=session_tz, join=join,
             )
+            if having_cond is not None:
+                cols = {
+                    c: table.column(c).combine_chunks()
+                    for c in sorted(having_cond.cols)
+                }
+                table = table.filter(having_cond.fn(cols))
+                total = table.num_rows  # post-HAVING group count
             if eff_limit == 0:
                 rows: List[OBJECT] = []
             else:
@@ -1337,7 +1359,8 @@ class Collection:
         untruncated it is free (len of the page), otherwise one count
         over the aggregate plan."""
         pk = (
-            "agg", repr(query.where_clause), repr(query.group_by),
+            "agg", repr(query.where_clause), repr(query.having),
+            repr(query.group_by),
             repr(sorted((query.aggs or {}).items())), repr(query.join),
             tuple(repr(s) for s in (query.sort_by or [])),
             query.offset or 0, query.limit,
@@ -1370,6 +1393,12 @@ class Collection:
             gdf = apply_where(base, query.where_clause).groupBy(
                 *self._group_key_exprs(query.group_by)
             ).agg(*self._agg_exprs(query.aggs))
+            if query.having is not None:
+                # SQL HAVING: the same where-language, evaluated over the
+                # aggregate row space (group keys + agg aliases) —
+                # Catalyst keeps the filter above the aggregate, and
+                # num_rows below becomes the post-HAVING group count
+                gdf = apply_where(gdf, query.having)
             page = gdf
             if query.sort_by:
                 page = page.orderBy(*[_sort_col(s) for s in query.sort_by])

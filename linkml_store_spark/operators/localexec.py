@@ -912,6 +912,52 @@ _AGG_KERNELS = {"count": "count", "sum": "sum", "avg": "mean",
 _ARG_FNS = {"max_by": "descending", "min_by": "ascending"}
 
 
+def predicted_agg_schema(schema, group_by, aggs):
+    """The Arrow schema :func:`local_group_agg` will produce for this
+    (group_by, aggs) spec over ``schema`` — used to compile a HAVING
+    clause at PLAN time (before any aggregation has run). Raises
+    Unsupported where the output type is not certain to match the
+    executor's (float32 sums, expression inputs), so a having-bearing
+    plan refuses to the Spark path instead of filtering on a guessed
+    type."""
+    import pyarrow as pa
+    import pyarrow.types as pt
+
+    plain, derived = _split_group_by(group_by)
+    fields = []
+    for c in plain:
+        fields.append(pa.field(c, _col_type(schema, c)))
+    for alias, _unit, col in derived:
+        t = schema.field(schema.get_field_index(col)).type
+        fields.append(pa.field(alias, pa.timestamp("us", tz=t.tz)))
+    for alias, spec in (aggs or {"count": ("count", None)}).items():
+        fn = str(spec[0]).lower()
+        col = spec[1] if len(spec) > 1 else None
+        if fn in ("count", "count_distinct"):
+            fields.append(pa.field(alias, pa.int64()))
+            continue
+        if fn in _ARG_FNS:
+            fields.append(pa.field(alias, _col_type(schema, col)))
+            continue
+        if not is_plain_name(col):
+            raise Unsupported("having over expression-input aggregate")
+        t = _col_type(schema, col)
+        if fn == "avg":
+            fields.append(pa.field(alias, pa.float64()))
+        elif fn == "sum":
+            if pt.is_integer(t):
+                fields.append(pa.field(alias, pa.int64()))
+            elif pt.is_float64(t):
+                fields.append(pa.field(alias, pa.float64()))
+            else:
+                raise Unsupported(f"having over sum({t})")
+        elif fn in ("min", "max"):
+            fields.append(pa.field(alias, t))
+        else:
+            raise Unsupported(f"having over {fn}")
+    return pa.schema(fields)
+
+
 def _split_group_by(group_by):
     """(plain_keys, derived) where derived = [(alias, unit, source_col)].
     Raises Unsupported for any derivation other than date_trunc."""

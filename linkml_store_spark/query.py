@@ -49,6 +49,11 @@ class Query:
     #: or derived collections; this keeps the declarative IR closed over
     #: the join+aggregate shapes analytics actually runs.
     join: Optional[Dict[str, str]] = None
+    #: EXTENSION: post-aggregation filter (SQL HAVING) in the SAME
+    #: where-language as ``where_clause``, evaluated over the aggregate
+    #: row space (group keys + agg aliases). ``num_rows`` is the
+    #: post-HAVING group count. Requires ``group_by``.
+    having: WhereClause = None
 
 
 FacetCounts = Dict[Union[str, Tuple[str, ...]], List[Tuple[Any, int]]]

@@ -259,3 +259,81 @@ def test_min_by_spark_local_parity(spark, tmp_path):
             (i % 13, i) for i in range(3000) if i % 7 == g
         )[1]
         assert row["first_name"] == f"e{want}"
+
+
+# ---- round-10 IR extension: HAVING ---------------------------------------
+
+def test_having_local_spark_parity(spark, tmp_path):
+    from linkml_store_spark.client import Client
+    from linkml_store_spark.query import Query
+
+    client = Client(spark)
+    db = client.attach_database(f"spark://{tmp_path}/hv")
+    coll = db.create_collection("t", identifier_attribute="id")
+    coll.insert(
+        spark.createDataFrame(
+            [(i, i % 10, float(i % 4)) for i in range(4000)],
+            ["id", "g", "v"],
+        )
+    )
+    q = Query(
+        group_by=["g"],
+        aggs={"n": ("count", None), "s": ("sum", "v")},
+        having={"$or": [{"n": {"$gt": 400}}, {"s": {"$lte": 550.0}}]},
+        sort_by=["g"],
+        limit=-1,
+    )
+    r = coll.query(q)
+    import os
+
+    os.environ["SPARK_GRAFT_LOCAL_TIER"] = "0"
+    try:
+        db2 = client.attach_database(f"spark://{tmp_path}/hv")
+        r2 = db2.get_collection("t").query(q)
+    finally:
+        os.environ.pop("SPARK_GRAFT_LOCAL_TIER")
+    assert r.num_rows == r2.num_rows
+    assert r.rows == r2.rows
+    # the predicate really filtered: every surviving group satisfies it
+    for row in r.rows:
+        assert row["n"] > 400 or row["s"] <= 550.0
+
+
+def test_having_requires_group_by(spark, tmp_path):
+    from linkml_store_spark.client import Client
+    from linkml_store_spark.query import Query
+
+    client = Client(spark)
+    db = client.attach_database(f"spark://{tmp_path}/hv2")
+    coll = db.create_collection("t", identifier_attribute="id")
+    coll.insert(spark.createDataFrame([(1, 1)], ["id", "g"]))
+    with pytest.raises(ValueError, match="having"):
+        coll.query(Query(having={"n": 1}))
+
+
+def test_having_num_rows_is_post_having_count(spark, tmp_path):
+    from linkml_store_spark.client import Client
+    from linkml_store_spark.query import Query
+
+    client = Client(spark)
+    db = client.attach_database(f"spark://{tmp_path}/hv3")
+    coll = db.create_collection("t", identifier_attribute="id")
+    coll.insert(
+        spark.createDataFrame(
+            [(i, i % 20) for i in range(2000)], ["id", "g"]
+        )
+    )
+    # every group has n=100; having n > 100 keeps none
+    r = coll.query(Query(group_by=["g"], aggs={"n": ("count", None)},
+                         having={"n": {"$gt": 100}}, limit=5))
+    assert r.num_rows == 0 and r.rows == []
+    # limit smaller than surviving groups: num_rows still the full count
+    r2 = coll.query(Query(group_by=["g"], aggs={"n": ("count", None)},
+                          having={"n": {"$gte": 100}}, limit=5))
+    assert r2.num_rows == 20 and len(r2.rows) == 5
+
+
+def test_predicted_agg_schema_refusals(tmp_path):
+    t = pa.table({"g": ["a"], "f32": pa.array([1.0], pa.float32())})
+    with pytest.raises(lx.Unsupported):
+        lx.predicted_agg_schema(t.schema, ["g"], {"s": ("sum", "f32")})
