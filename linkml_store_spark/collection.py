@@ -804,6 +804,14 @@ class Collection:
             raise ValueError(
                 "Query.having filters aggregate rows — set group_by"
             )
+        if query.include_facet_counts and query.group_by:
+            # facets count the ROW space; an aggregate query's page is the
+            # GROUP space — a combined contract is undefined, so fail
+            # loudly instead of silently dropping the facet request
+            raise ValueError(
+                "include_facet_counts and group_by cannot combine — "
+                "facet the row space with query_facets() instead"
+            )
         plan = self._local_tier_plan(query)
         if plan is not None:
             local_fn, files, total_rows = plan

@@ -337,3 +337,16 @@ def test_predicted_agg_schema_refusals(tmp_path):
     t = pa.table({"g": ["a"], "f32": pa.array([1.0], pa.float32())})
     with pytest.raises(lx.Unsupported):
         lx.predicted_agg_schema(t.schema, ["g"], {"s": ("sum", "f32")})
+
+
+def test_facets_plus_group_by_fails_loudly(spark, tmp_path):
+    from linkml_store_spark.client import Client
+    from linkml_store_spark.query import Query
+
+    client = Client(spark)
+    db = client.attach_database(f"spark://{tmp_path}/fg")
+    coll = db.create_collection("t", identifier_attribute="id")
+    coll.insert(spark.createDataFrame([(1, 1)], ["id", "g"]))
+    with pytest.raises(ValueError, match="facet"):
+        coll.query(Query(group_by=["g"], aggs={"n": ("count", None)},
+                         include_facet_counts=True, facet_slots=["g"]))

@@ -147,3 +147,68 @@ def test_string_leading_null_key_groups_not_split(store):
     assert got == Counter(tuple(r) for r in want)
     # output column order still honors the requested key order
     assert out.column_names[:2] == ["s", "g"]
+
+
+having_spec = st.one_of(
+    st.none(),
+    st.fixed_dictionaries({"a0": st.fixed_dictionaries(
+        {"$gte": st.integers(min_value=0, max_value=120)})}),
+    st.fixed_dictionaries({"a0": st.fixed_dictionaries(
+        {"$gt": st.integers(min_value=0, max_value=80),
+         "$lte": st.integers(min_value=40, max_value=200)})}),
+    st.builds(
+        lambda lo, hi: {"$or": [{"a0": {"$lt": lo}}, {"a0": {"$gte": hi}}]},
+        st.integers(min_value=5, max_value=40),
+        st.integers(min_value=50, max_value=150),
+    ),
+)
+
+
+def _having_to_sql(h):
+    if h is None:
+        return ""
+    def cond(col, spec):
+        ops = {"$gt": ">", "$gte": ">=", "$lt": "<", "$lte": "<="}
+        return " AND ".join(f"{col} {ops[o]} {v}" for o, v in spec.items())
+    if "$or" in h:
+        return " HAVING " + " OR ".join(
+            f"({cond(*next(iter(d.items())))})" for d in h["$or"]
+        )
+    return " HAVING " + " AND ".join(cond(c, s) for c, s in h.items())
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys=st.lists(st.sampled_from(["g", "s"]), min_size=1, max_size=2,
+                  unique=True),
+    having=having_spec,
+)
+def test_having_matches_duckdb(spark, store, keys, having):
+    """Random HAVING clauses over the count alias, end-to-end through
+    Collection.query (whichever tier routes), vs DuckDB HAVING."""
+    from collections import Counter
+
+    from linkml_store_spark.client import Client
+    from linkml_store_spark.query import Query
+
+    path, schema, con = store
+    client = Client(spark)
+    db = client.attach_database("memory")
+    name = f"fuzz_h_{abs(hash((tuple(keys), repr(having)))) % 10**8}"
+    coll = db.get_collection(name, create_if_not_exists=True)
+    if not coll.exists():
+        coll.insert(spark.read.parquet(path))
+    r = coll.query(Query(group_by=keys, aggs={"a0": ("count", None)},
+                         having=having, limit=-1))
+    sql = (
+        f"SELECT {', '.join(keys)}, COUNT(*) AS a0 FROM t "
+        f"GROUP BY {', '.join(keys)}{_having_to_sql(having)}"
+    )
+    want_rows = con.execute(sql).fetchall()
+    assert r.num_rows == len(want_rows)
+    got = Counter(tuple(row[c] for c in keys + ["a0"]) for row in r.rows)
+    assert got == Counter(tuple(w) for w in want_rows)
