@@ -154,3 +154,37 @@ def test_broadcast_gate_refuses_oversized_model(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in plan
     assert out.count() == len(RAW)
+
+
+def test_fast_scorer_bitwise_matches_reference():
+    """_score_tokens_fast must produce BIT-IDENTICAL floats to the
+    reference loop (same operations in the same order), across doc
+    lengths, OOV tokens, and order settings — fuzzed with a seeded
+    corpus-like vocabulary."""
+    import random
+
+    from linkml_store_spark.operators.ngram_lm import (
+        _score_tokens,
+        _score_tokens_fast,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    # synth counts with holes so backoff paths all fire
+    cnts = {1: {}, 2: {}, 3: {}}
+    for _ in range(300):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(1, 12))]
+        for n in (1, 2, 3):
+            for i in range(len(toks) - n + 1):
+                g = " ".join(toks[i:i + n])
+                if rng.random() < 0.8:
+                    cnts[n][g] = cnts[n].get(g, 0) + 1
+    N = max(sum(cnts[1].values()), 1)
+    for _ in range(200):
+        toks = [rng.choice(vocab + ["oov1", "oov2"])
+                for _ in range(rng.randint(1, 25))]
+        for order in (1, 2, 3):
+            a = _score_tokens(toks, cnts, order, N, 0.4)
+            b = _score_tokens_fast(toks, cnts, order, N, 0.4)
+            assert a[0] == b[0]
+            assert a[1] == b[1], (toks, order, a, b)  # bit-identical
