@@ -635,7 +635,24 @@ def main():
         out["duckdb_same_run"] = duck_timings
         out["duckdb_same_run_total"] = round(sum(duck_timings.values()), 4)
         out["duckdb_spread"] = duck_spreads
+    # Full diagnostics line first, then a COMPACT headline line LAST: the
+    # driver records only a bounded stdout tail, and since r8 the single big
+    # JSON line was front-truncated past parseability ("parsed": null in
+    # BENCH_r8..r10). The final line carries everything the grading needs
+    # (per-query walls + same-run DuckDB twin) in well under 1 KB, so any
+    # tail window or last-line parser gets a complete JSON document.
     print(json.dumps(out))
+    headline = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "sf": sf,
+        "queries": timings,
+    }
+    if duck_timings:
+        headline["duckdb_same_run"] = duck_timings
+        headline["duckdb_same_run_total"] = out["duckdb_same_run_total"]
+    print(json.dumps(headline, separators=(",", ":")))
 
 
 def _empty_mirror(spark, sf_dir: str) -> str:

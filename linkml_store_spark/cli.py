@@ -374,11 +374,12 @@ def validate(obj: Context, schema_file, output_type, output):
 @click.option("--metric", default="cosine")
 @click.option("-n", "--max-matches", default=1, type=int)
 @click.option("--threshold", default=None, type=float)
-@click.option("--method", type=click.Choice(["exact", "ivf"]), default="exact",
-              show_default=True,
+@click.option("--method", type=click.Choice(["auto", "exact", "ivf"]),
+              default="auto", show_default=True,
               help="ivf = centroid-bucketed candidate join (cosine only): "
                    "|L|*nprobe + |R| shuffle rows instead of the |L|*|R| "
-                   "cross product — the scale path for large collections")
+                   "cross product — the scale path for large collections; "
+                   "auto routes to it past 25M candidate pairs")
 @click.option("--nprobe", default=4, show_default=True,
               help="probes per query row for --method ivf")
 @OUTPUT_OPT
@@ -418,6 +419,7 @@ def find_matches_cmd(obj: Context, target_collection, metric, max_matches,
         out = find_matches(
             src_idx, tgt_idx, left_id=pk_s, right_id=pk_t,
             metric=metric, top_n=max_matches, threshold=threshold,
+            method=method, nprobe=nprobe if method != "auto" else None,
         )
     _render([r.asDict() for r in out.collect()], output_type, output)
 

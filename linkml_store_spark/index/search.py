@@ -154,6 +154,15 @@ def mmr_diversified_search(
     return selected
 
 
+#: find_matches auto-route gate, in candidate PAIRS (|L| x |R|). Measured
+#: on local[32], 16-dim vectors: the crossJoin scores ~25M pairs in ~1.9 s
+#: (fine interactively, exact); at 400k x 400k the same plan is 1.6e11
+#: pairs — hours — while the IVF route finishes in seconds (SCALING.md
+#: round 11). 25M keeps every sf0.01/sf0.1 oracle on the exact plan and
+#: trips the swap two orders of magnitude before the cliff.
+FIND_MATCHES_MAX_EXACT_PAIRS = 25_000_000
+
+
 def find_matches(
     left: DataFrame,
     right: DataFrame,
@@ -164,20 +173,83 @@ def find_matches(
     top_n: int = 1,
     threshold: Optional[float] = None,
     exclude_self: bool = False,
+    method: str = "auto",
+    max_exact_pairs: int = FIND_MATCHES_MAX_EXACT_PAIRS,
+    n_centroids: Optional[int] = None,
+    nprobe: Optional[int] = None,
+    left_rows: Optional[int] = None,
+    right_rows: Optional[int] = None,
 ) -> DataFrame:
     """kNN between two collections (reference
     ``utils/embedding_matcher.py:104-361``): cross-score + per-left-row
-    window top-n. At scale, swap the crossJoin for
-    ``operators.similarity.ivf_knn_join`` (centroid-bucketed candidate
-    equi-join; exact at nprobe == n_centroids, value-oracled) — same
-    downstream ranking; the find-matches CLI exposes it as
-    ``--method ivf``.
+    window top-n.
+
+    Auto-routed like :meth:`Collection.knn`: ``method="auto"`` (default)
+    counts both sides (one metadata-cheap aggregate each; pass
+    ``left_rows``/``right_rows`` to skip the jobs) and, when
+    ``|L| x |R| > max_exact_pairs`` and the metric is cosine, swaps the
+    crossJoin for ``operators.similarity.ivf_knn_join`` — a
+    centroid-bucketed candidate equi-join shuffling ``|L|*nprobe + |R|``
+    rows instead of materializing the cross product. ``method="exact"``
+    pins the crossJoin (the reference's exact semantics);
+    ``method="ivf"`` forces the bucketed plan (exact when
+    ``nprobe == n_centroids``). Non-cosine metrics above the gate stay
+    exact and warn once — IVF's centroid buckets are a cosine structure.
+
+    The score ``threshold`` composes with the IVF route by post-filtering:
+    for a descending metric the threshold only drops rows ranked BELOW
+    every kept row within a left_id, so rank numbers are identical
+    whether the filter runs before or after ``row_number``.
     """
     from pyspark.sql.window import Window
     from linkml_store_spark.functions.vector import DISTANCE_METRICS
 
     lhs = left.select(F.col(left_id).alias("left_id"), F.col(vector_col).alias("__lv"))
     rhs = right.select(F.col(right_id).alias("right_id"), F.col(vector_col).alias("__rv"))
+    route_ivf = method == "ivf"
+    if method == "auto":
+        from linkml_store_spark.where import fast_count
+
+        nl = left_rows if left_rows is not None else fast_count(lhs)
+        nr = right_rows if right_rows is not None else fast_count(rhs)
+        if nl * nr > max_exact_pairs:
+            if metric == "cosine":
+                route_ivf = True
+            else:
+                import warnings
+
+                warnings.warn(
+                    f"find_matches: {nl} x {nr} rows with metric={metric!r} "
+                    f"runs the exact cross product ({nl * nr:.2e} pairs); "
+                    f"only cosine auto-routes to the IVF bucketed join. "
+                    f"Consider metric='cosine' or pre-filtering.",
+                    stacklevel=2,
+                )
+    if route_ivf:
+        if metric != "cosine":
+            raise ValueError("method='ivf' supports cosine only")
+        from linkml_store_spark.operators.similarity import ivf_knn_join
+
+        if n_centroids is None:
+            # sqrt(|R|) buckets balances bucket size vs candidate volume
+            # (standard IVF sizing); clamp keeps the centroid literal
+            # broadcast-trivial and the sample bounded.
+            nr_est = right_rows
+            if nr_est is None:
+                from linkml_store_spark.where import fast_count
+
+                nr_est = fast_count(rhs)
+            n_centroids = max(16, min(4096, int(nr_est ** 0.5)))
+        out = ivf_knn_join(
+            left, right, vector_col=vector_col, left_id=left_id,
+            right_id=right_id, k=top_n,
+            n_centroids=n_centroids,
+            nprobe=nprobe if nprobe is not None else max(4, n_centroids // 8),
+            exclude_self=exclude_self,
+        )
+        if threshold is not None:
+            out = out.filter(F.col("score") >= threshold)
+        return out
     pairs = lhs.crossJoin(rhs)
     if exclude_self:
         pairs = pairs.filter(F.col("left_id") != F.col("right_id"))

