@@ -2041,6 +2041,65 @@ def q_qir_join_agg(spark, sf):
     )
 
 
+def q_qir_left_join(spark, sf):
+    """Query IR how='left': customers keep their row when they have no
+    orders (NULL right side); count(col) skips the nulls, count(*)
+    doesn't. Routed local/Spark like every IR agg."""
+    from linkml_store_spark.query import Query
+
+    r = _ir_db(spark, sf).get_collection("customer").query(Query(
+        join={"collection": "orders", "left_on": "c_custkey",
+              "right_on": "o_custkey", "how": "left"},
+        group_by=["c_mktsegment"],
+        aggs={"n": ("count", None), "n_orders": ("count", "o_orderkey"),
+              "revenue": ("sum", "o_totalprice")},
+        limit=-1,
+    ))
+    df = _rows_df(spark, r.rows, ["c_mktsegment", "n", "n_orders", "revenue"])
+    return df.select(
+        "c_mktsegment", "n", "n_orders",
+        F.round("revenue", 2).alias("revenue"),
+    )
+
+
+def q_qir_semi_join(spark, sf):
+    """Query IR how='semi' (SQL EXISTS): customers WITH at least one
+    order, grouped — the membership filter, not a widening join."""
+    from linkml_store_spark.query import Query
+
+    r = _ir_db(spark, sf).get_collection("customer").query(Query(
+        join={"collection": "orders", "left_on": "c_custkey",
+              "right_on": "o_custkey", "how": "semi"},
+        group_by=["c_mktsegment"],
+        aggs={"n": ("count", None), "avg_acct": ("avg", "c_acctbal")},
+        limit=-1,
+    ))
+    df = _rows_df(spark, r.rows, ["c_mktsegment", "n", "avg_acct"])
+    return df.select(
+        "c_mktsegment", "n", F.round("avg_acct", 2).alias("avg_acct")
+    )
+
+
+def q_qir_anti_join(spark, sf):
+    """Query IR how='anti' (SQL NOT EXISTS): customers with NO event
+    activity — the referential-integrity / kill-list-dedup shape through
+    the same routed IR machinery. (customer-vs-orders is empty in the
+    synthetic data; customer-vs-events leaves ~13.5% unmatched.)"""
+    from linkml_store_spark.query import Query
+
+    r = _ir_db(spark, sf).get_collection("customer").query(Query(
+        join={"collection": "events", "left_on": "c_custkey",
+              "right_on": "user_id", "how": "anti"},
+        group_by=["c_mktsegment"],
+        aggs={"n": ("count", None), "avg_acct": ("avg", "c_acctbal")},
+        limit=-1,
+    ))
+    df = _rows_df(spark, r.rows, ["c_mktsegment", "n", "avg_acct"])
+    return df.select(
+        "c_mktsegment", "n", F.round("avg_acct", 2).alias("avg_acct")
+    )
+
+
 def q_qir_argmax(spark, sf):
     from linkml_store_spark.query import Query
 
@@ -2120,30 +2179,84 @@ def q_qir_having(spark, sf):
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ordering = the driver sampling window (first 50 hash-compared per
-    # round). Round 10 policy (round-9 letter #4): the 13 queries whose
-    # driver row is r7-stale lead, then the block last driver-sampled in
-    # r8 (which carries the cross-round canaries find_eq /
-    # groupby_tpch_q1 / dedup_minhash / knn_cosine / count_zone_values
-    # inside the 50-window), then the r9-sampled block. Everything below
-    # position 50 stays value-verified by tools/oracle_compare.py's full
-    # sweep and rotates back in next round.
-    "qir_having": q_qir_having,
-    "qir_min_by": q_qir_min_by,
-    "qir_count_distinct": q_qir_count_distinct,
-    "pack_sequences": q_pack_sequences,
-    "quantiles_by_priority": q_quantiles_by_priority,
-    "range_join_error_clicks": q_range_join_error_clicks,
-    "repetition_stats": q_repetition_stats,
-    "robust_outliers": q_robust_outliers,
-    "rollup_multigrain": q_rollup_multigrain,
-    "scrub_documents": q_scrub_documents,
-    "sessionize": q_sessionize,
-    "set_ops": q_set_ops,
-    "sketch_distinct_users": q_sketch_distinct_users,
-    "stratified_sample": q_stratified_sample,
-    "text_search": q_text_search,
-    "tfidf_terms": q_tfidf_terms,
-    "knn_cosine": q_knn_cosine,
+    # round). Round 11 policy (VERDICT r10 next-round #4): the 16 queries
+    # whose latest driver row is r8 lead, then the three NEW join-IR
+    # queries (qir_left/semi/anti_join), then the r9-stale block the
+    # verdict named (qir_* aggregates, the multimodal six, the asof trio,
+    # graph/funnel/cohort) and an alphabetical r9 fill to 50 (includes
+    # find_matches, re-driven after this round's auto-route change). The
+    # 19 remaining r9 queries sit at 51-69 to lead the r12 window; the
+    # r10-sampled 50 close the registry. Everything below position 50
+    # stays value-verified by tools/oracle_compare.py's full sweep.
+    "join_revenue_by_segment": q_join_revenue_by_segment,
+    "join_supplier_geo": q_join_supplier_geo,
+    "ngram_lm_score": q_ngram_lm_score,
+    "paragraph_dedup": q_paragraph_dedup,
+    "pivot_status_priority": q_pivot_status_priority,
+    "quality_classifier": q_quality_classifier,
+    "referential_integrity": q_referential_integrity,
+    "semantic_dedup": q_semantic_dedup,
+    "sort_topk": q_sort_topk,
+    "span_dedup_incremental": q_span_dedup_incremental,
+    "span_stats": q_span_stats,
+    "span_stats_window": q_span_stats_window,
+    "topk_pruned": q_topk_pruned,
+    "topk_string_pruned": q_topk_string_pruned,
+    "window_hourly_rollup": q_window_hourly_rollup,
+    "window_latest_event": q_window_latest_event,
+    "qir_left_join": q_qir_left_join,
+    "qir_semi_join": q_qir_semi_join,
+    "qir_anti_join": q_qir_anti_join,
+    "qir_group_agg": q_qir_group_agg,
+    "qir_join_agg": q_qir_join_agg,
+    "qir_argmax": q_qir_argmax,
+    "qir_hourly": q_qir_hourly,
+    "multimodal_audio": q_multimodal_audio,
+    "multimodal_features": q_multimodal_features,
+    "multimodal_frames": q_multimodal_frames,
+    "multimodal_gif": q_multimodal_gif,
+    "multimodal_jpeg": q_multimodal_jpeg,
+    "multimodal_real_decode": q_multimodal_real_decode,
+    "asof_forward": q_asof_forward,
+    "asof_join": q_asof_view_before_purchase,
+    "asof_tolerance": q_asof_tolerance,
+    "graph_traverse": q_graph_traverse,
+    "funnel_view_click_purchase": q_funnel_view_click_purchase,
+    "cohort_retention": q_cohort_retention,
+    "ann_ivf": q_ann_ivf,
+    "boxplot_stats": q_boxplot_stats,
+    "cap_per_source": q_cap_per_source,
+    "chunk_documents": q_chunk_documents,
+    "collection_api": q_collection_api,
+    "connected_components": q_connected_components,
+    "contamination": q_contamination,
+    "corpus_mix_counts": q_corpus_mix_counts,
+    "correlation_by_type": q_correlation_by_type,
+    "derived_projection": q_derived_projection,
+    "domain_stats": q_domain_stats,
+    "embedding_stats": q_embedding_stats,
+    "enrichment": q_enrichment,
+    "facet_multivalued": q_facet_multivalued,
+    "find_matches": q_find_matches,
+    "fuzzy_join_names": q_fuzzy_join_names,
+    "groupby_objects": q_groupby_objects,
+    "hash_split_documents": q_hash_split_documents,
+    "heatmap": q_heatmap,
+    "histogram": q_histogram,
+    "join_topk_revenue": q_join_topk_revenue,
+    "json_extract": q_json_extract,
+    "keyword_filter": q_keyword_filter,
+    "lag_lead": q_lag_lead,
+    "lm_quality": q_lm_quality,
+    "normalize_documents": q_normalize_documents,
+    "resample_ffill": q_resample_ffill,
+    "resample_hourly": q_resample_hourly,
+    "rolling_1h": q_rolling_1h,
+    "rule_inference": q_rule_inference,
+    "text_lang_facet": q_text_lang_facet,
+    "text_stats": q_text_stats,
+    "token_budget_sample": q_token_budget_sample,
+    "topn_per_group": q_topn_per_group,
     "adaptive_quality": q_adaptive_quality,
     "ann_knn_join": q_ann_knn_join,
     "bpe_tokenize": q_bpe_tokenize,
@@ -2177,72 +2290,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "find_size": q_find_size,
     "fingerprint_overlap": q_fingerprint_overlap,
     "groupby_tpch_q1": q_groupby_tpch_q1,
-    "join_revenue_by_segment": q_join_revenue_by_segment,
-    "join_supplier_geo": q_join_supplier_geo,
-    "ngram_lm_score": q_ngram_lm_score,
-    "paragraph_dedup": q_paragraph_dedup,
-    "pivot_status_priority": q_pivot_status_priority,
-    "quality_classifier": q_quality_classifier,
-    "referential_integrity": q_referential_integrity,
-    "semantic_dedup": q_semantic_dedup,
-    "sort_topk": q_sort_topk,
-    "span_dedup_incremental": q_span_dedup_incremental,
-    "span_stats": q_span_stats,
-    "span_stats_window": q_span_stats_window,
-    "topk_pruned": q_topk_pruned,
-    "topk_string_pruned": q_topk_string_pruned,
-    "window_hourly_rollup": q_window_hourly_rollup,
-    "window_latest_event": q_window_latest_event,
-    "qir_group_agg": q_qir_group_agg,
-    "qir_join_agg": q_qir_join_agg,
-    "qir_argmax": q_qir_argmax,
-    "qir_hourly": q_qir_hourly,
-    "collection_api": q_collection_api,
-    "facet_multivalued": q_facet_multivalued,
-    "groupby_objects": q_groupby_objects,
-    "join_topk_revenue": q_join_topk_revenue,
-    "resample_ffill": q_resample_ffill,
-    "resample_hourly": q_resample_hourly,
-    "rolling_1h": q_rolling_1h,
-    "topn_per_group": q_topn_per_group,
-    "correlation_by_type": q_correlation_by_type,
-    "derived_projection": q_derived_projection,
-    "embedding_stats": q_embedding_stats,
-    "lag_lead": q_lag_lead,
-    "rule_inference": q_rule_inference,
-    "text_lang_facet": q_text_lang_facet,
-    "text_stats": q_text_stats,
-    "token_budget_sample": q_token_budget_sample,
-    "ann_ivf": q_ann_ivf,
-    "asof_forward": q_asof_forward,
-    "asof_join": q_asof_view_before_purchase,
-    "asof_tolerance": q_asof_tolerance,
-    "boxplot_stats": q_boxplot_stats,
-    "cap_per_source": q_cap_per_source,
-    "chunk_documents": q_chunk_documents,
-    "cohort_retention": q_cohort_retention,
-    "connected_components": q_connected_components,
-    "contamination": q_contamination,
-    "corpus_mix_counts": q_corpus_mix_counts,
-    "domain_stats": q_domain_stats,
-    "enrichment": q_enrichment,
-    "find_matches": q_find_matches,
-    "funnel_view_click_purchase": q_funnel_view_click_purchase,
-    "fuzzy_join_names": q_fuzzy_join_names,
-    "graph_traverse": q_graph_traverse,
-    "hash_split_documents": q_hash_split_documents,
-    "heatmap": q_heatmap,
-    "histogram": q_histogram,
-    "json_extract": q_json_extract,
-    "keyword_filter": q_keyword_filter,
-    "lm_quality": q_lm_quality,
-    "multimodal_audio": q_multimodal_audio,
-    "multimodal_features": q_multimodal_features,
-    "multimodal_frames": q_multimodal_frames,
-    "multimodal_gif": q_multimodal_gif,
-    "multimodal_jpeg": q_multimodal_jpeg,
-    "multimodal_real_decode": q_multimodal_real_decode,
-    "normalize_documents": q_normalize_documents,
+    "knn_cosine": q_knn_cosine,
+    "pack_sequences": q_pack_sequences,
+    "qir_count_distinct": q_qir_count_distinct,
+    "qir_having": q_qir_having,
+    "qir_min_by": q_qir_min_by,
+    "quantiles_by_priority": q_quantiles_by_priority,
+    "range_join_error_clicks": q_range_join_error_clicks,
+    "repetition_stats": q_repetition_stats,
+    "robust_outliers": q_robust_outliers,
+    "rollup_multigrain": q_rollup_multigrain,
+    "scrub_documents": q_scrub_documents,
+    "sessionize": q_sessionize,
+    "set_ops": q_set_ops,
+    "sketch_distinct_users": q_sketch_distinct_users,
+    "stratified_sample": q_stratified_sample,
+    "text_search": q_text_search,
+    "tfidf_terms": q_tfidf_terms,
 }
 
 
@@ -2260,6 +2324,26 @@ ORACLES: dict[str, str] = {
         SELECT c_mktsegment, ROUND(SUM(o_totalprice), 2) AS revenue,
                COUNT(*) AS n
         FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    "qir_left_join": """
+        SELECT c_mktsegment, COUNT(*) AS n, COUNT(o_orderkey) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_mktsegment
+    """,
+    "qir_semi_join": """
+        SELECT c_mktsegment, COUNT(*) AS n,
+               ROUND(AVG(c_acctbal), 2) AS avg_acct
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment
+    """,
+    "qir_anti_join": """
+        SELECT c_mktsegment, COUNT(*) AS n,
+               ROUND(AVG(c_acctbal), 2) AS avg_acct
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)
         GROUP BY c_mktsegment
     """,
     "qir_having": """

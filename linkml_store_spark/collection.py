@@ -991,11 +991,15 @@ class Collection:
                 ofiles, oschema, _orows = ogate
                 left_on = query.join["left_on"]
                 right_on = query.join["right_on"]
+                how = query.join.get("how", "inner")
+                if how not in ("inner", "left", "semi", "anti"):
+                    return None
                 lnames = {f.name for f in schema}
                 rnames = {f.name for f in oschema}
-                if lnames & rnames:
+                if how in ("inner", "left") and lnames & rnames:
                     # ambiguous columns: Spark would carry both sides;
-                    # the Arrow join coalesces — not mirrored, refuse
+                    # the Arrow join coalesces — not mirrored, refuse.
+                    # Semi/anti surface only left columns: no ambiguity.
                     return None
                 if left_on not in lnames or right_on not in rnames:
                     return None
@@ -1003,14 +1007,18 @@ class Collection:
                 # drops it — refuse queries that reference it downstream
                 import pyarrow as pa
 
-                merged = pa.schema(
-                    list(schema) + [f for f in oschema if f.name != right_on]
-                )
+                if how in ("semi", "anti"):
+                    merged = schema
+                else:
+                    merged = pa.schema(
+                        list(schema)
+                        + [f for f in oschema if f.name != right_on]
+                    )
                 if lx._col_type(schema, left_on) != lx._col_type(
                     oschema, right_on
                 ):
                     return None
-                join = (ofiles, oschema, left_on, right_on)
+                join = (ofiles, oschema, left_on, right_on, how)
             # compile/validate against the post-join column space; the
             # executor reads each side with its OWN schema
             compile_schema = merged if join is not None else schema
@@ -1393,10 +1401,20 @@ class Collection:
                         odf = F.broadcast(odf)
                 except Exception:  # noqa: BLE001 — sizing is advisory
                     pass
+                how = query.join.get("how", "inner")
+                try:
+                    spark_how = {
+                        "inner": "inner", "left": "left",
+                        "semi": "left_semi", "anti": "left_anti",
+                    }[how]
+                except KeyError:
+                    raise ValueError(
+                        f"join how={how!r}: expected inner|left|semi|anti"
+                    ) from None
                 base = base.join(
                     odf,
                     base[query.join["left_on"]] == odf[query.join["right_on"]],
-                    "inner",
+                    spark_how,
                 )
             gdf = apply_where(base, query.where_clause).groupBy(
                 *self._group_key_exprs(query.group_by)

@@ -1079,8 +1079,9 @@ def _agg_input_cols(aggs, schema):
 
 def _merged_schema(schema, join):
     """Post-join column space (left + right minus the coalesced right
-    key); the left schema unchanged when there is no join."""
-    if join is None:
+    key); the left schema unchanged when there is no join. Semi/anti
+    joins are EXISTS filters — their output space is the left schema."""
+    if join is None or (len(join) > 4 and join[4] in ("semi", "anti")):
         return schema
     import pyarrow as pa
 
@@ -1136,12 +1137,28 @@ def local_group_agg(
         return pa.concat_tables(ts).combine_chunks()
 
     if join is not None:
-        right_files, right_schema, left_on, right_on = join
+        right_files, right_schema, left_on, right_on = join[:4]
+        how = join[4] if len(join) > 4 else "inner"
         left = _read_side(files, schema, need_all, [left_on])
-        right = _read_side(right_files, right_schema, need_all, [right_on])
-        table = left.join(
-            right, keys=[left_on], right_keys=[right_on], join_type="inner"
-        ).combine_chunks()
+        if how in ("semi", "anti"):
+            # EXISTS / NOT EXISTS: only the right KEY column is read; the
+            # membership test replaces the hash join. NULL left keys never
+            # match (semi drops them, like SQL EXISTS); anti KEEPS them
+            # (SQL NOT EXISTS / Spark left_anti: null matches nothing).
+            right_keys = _read_side(
+                right_files, right_schema, [], [right_on]
+            ).column(right_on).combine_chunks().drop_null()
+            key = left.column(left_on).combine_chunks()
+            mask = pc.is_in(key, value_set=right_keys.unique())
+            if how == "anti":
+                mask = pc.or_kleene(pc.invert(mask), pc.is_null(key))
+            table = left.filter(mask)
+        else:
+            right = _read_side(right_files, right_schema, need_all, [right_on])
+            table = left.join(
+                right, keys=[left_on], right_keys=[right_on],
+                join_type="inner" if how == "inner" else "left outer",
+            ).combine_chunks()
     else:
         table = _read_side(files, schema, need_all, [])
     if cond is not None:

@@ -43,11 +43,15 @@ class Query:
     #: sort/select refer to group keys and aliases.
     group_by: Optional[List[Any]] = None
     aggs: Optional[Dict[str, Tuple]] = None
-    #: EXTENSION: one INNER equi-join against a sibling collection before
+    #: EXTENSION: one equi-join against a sibling collection before
     #: filter/grouping: {"collection": alias, "left_on": col,
-    #: "right_on": col}. The reference reaches joins only through raw SQL
-    #: or derived collections; this keeps the declarative IR closed over
-    #: the join+aggregate shapes analytics actually runs.
+    #: "right_on": col, "how": type} with type in {"inner" (default),
+    #: "left", "semi", "anti"}. "semi"/"anti" are EXISTS / NOT EXISTS
+    #: filters (output carries only this collection's columns; anti keeps
+    #: NULL-key rows, matching SQL NOT EXISTS) — the referential-integrity
+    #: and kill-list-dedup shapes. The reference reaches joins only
+    #: through raw SQL or derived collections; this keeps the declarative
+    #: IR closed over the join+aggregate shapes analytics actually runs.
     join: Optional[Dict[str, str]] = None
     #: EXTENSION: post-aggregation filter (SQL HAVING) in the SAME
     #: where-language as ``where_clause``, evaluated over the aggregate

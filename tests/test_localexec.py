@@ -509,6 +509,94 @@ def test_agg_ir_sorted_paged(agg_db):
     assert len(l.rows) == 2
 
 
+def test_agg_ir_left_join(agg_db):
+    """how='left' keeps unmatched facts (cust 5, 6) with a NULL group key;
+    count(col) skips the nulls, count(*) doesn't — both mirrored."""
+    q = Query(
+        join={"collection": "dims", "left_on": "cust", "right_on": "ck",
+              "how": "left"},
+        group_by=["seg"],
+        aggs={"n": ("count", None), "n_seg": ("count", "seg"),
+              "rev": ("sum", "price")},
+        limit=-1,
+    )
+    facts = agg_db.get_collection("facts")
+    _agg_parity(facts, q, ["seg"])
+    plan = facts._local_tier_plan(q)
+    rows = plan[0]().rows
+    assert sum(r["n"] for r in rows) == 400  # every fact row survives
+    null_grp = [r for r in rows if r["seg"] is None]
+    assert len(null_grp) == 1 and null_grp[0]["n_seg"] == 0
+
+
+def test_agg_ir_semi_join(agg_db):
+    q = Query(
+        join={"collection": "dims", "left_on": "cust", "right_on": "ck",
+              "how": "semi"},
+        group_by=["cat"],
+        aggs={"n": ("count", None), "rev": ("sum", "price")},
+        limit=-1,
+    )
+    facts = agg_db.get_collection("facts")
+    _agg_parity(facts, q, ["cat"])
+    plan = facts._local_tier_plan(q)
+    assert sum(r["n"] for r in plan[0]().rows) == sum(
+        1 for i in range(400) if i % 7 < 5
+    )
+
+
+def test_agg_ir_anti_join(agg_db):
+    q = Query(
+        join={"collection": "dims", "left_on": "cust", "right_on": "ck",
+              "how": "anti"},
+        group_by=["cat"],
+        aggs={"n": ("count", None), "rev": ("sum", "price")},
+        limit=-1,
+    )
+    facts = agg_db.get_collection("facts")
+    _agg_parity(facts, q, ["cat"])
+    plan = facts._local_tier_plan(q)
+    assert sum(r["n"] for r in plan[0]().rows) == sum(
+        1 for i in range(400) if i % 7 >= 5
+    )
+
+
+def test_agg_ir_anti_semi_null_keys(spark, tmp_path):
+    """NULL join keys: EXISTS (semi) drops them, NOT EXISTS (anti) keeps
+    them — SQL semantics, mirrored local vs Spark."""
+    from pyspark.sql.types import (
+        IntegerType, StringType, StructField, StructType,
+    )
+
+    client = Client(spark)
+    db = client.attach_database(f"spark://{tmp_path}/nulldb")
+    facts = db.create_collection("f", identifier_attribute="id")
+    schema = StructType([
+        StructField("id", IntegerType()),
+        StructField("k", IntegerType()),
+        StructField("g", StringType()),
+    ])
+    facts.insert(spark.createDataFrame(
+        [(1, 1, "a"), (2, None, "a"), (3, 2, "b"), (4, None, "b"),
+         (5, 9, "b")],
+        schema,
+    ))
+    dims = db.create_collection("d", identifier_attribute="dk")
+    dims.insert(spark.createDataFrame(
+        [(1,), (2,)],
+        StructType([StructField("dk", IntegerType())]),
+    ))
+    for how, expect_total in [("semi", 2), ("anti", 3)]:
+        q = Query(
+            join={"collection": "d", "left_on": "k", "right_on": "dk",
+                  "how": how},
+            group_by=["g"], aggs={"n": ("count", None)}, limit=-1,
+        )
+        _agg_parity(facts, q, ["g"])
+        plan = facts._local_tier_plan(q)
+        assert sum(r["n"] for r in plan[0]().rows) == expect_total, how
+
+
 def test_agg_ir_refusals(agg_db):
     facts = agg_db.get_collection("facts")
     refused = [
@@ -525,6 +613,12 @@ def test_agg_ir_refusals(agg_db):
         Query(join={"collection": "dims", "left_on": "cust",
                     "right_on": "nope"},
               group_by=["seg"], aggs={"n": ("count", None)}),     # bad key
+        Query(join={"collection": "dims", "left_on": "cust",
+                    "right_on": "ck", "how": "right"},
+              group_by=["cat"], aggs={"n": ("count", None)}),     # bad how
+        Query(join={"collection": "dims", "left_on": "cust",
+                    "right_on": "ck", "how": "semi"},
+              group_by=["seg"], aggs={"n": ("count", None)}),     # right col
     ]
     for q in refused:
         assert facts._local_tier_plan(q) is None, q
@@ -567,3 +661,43 @@ def test_explain_reports_local_tier(store):
 def test_explain_silent_when_tier_ineligible(store, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_LOCAL_TIER", "0")
     assert "Local Tier" not in store.explain({"cat": "c1"})
+
+
+def test_agg_ir_join_types_spark_plan(spark, sf_dir):
+    """Spark-path plan pins for the IR join types: semi/anti compile to
+    broadcast hash SEMI/ANTI joins when the right store is footer-small
+    (the dim never shuffles), and no cartesian anywhere."""
+    from linkml_store_spark.database import Database
+
+    db = Database(spark, handle=f"spark://{sf_dir}", location=sf_dir)
+    cust = db.get_collection("customer")
+    for how, marker in [("semi", "LeftSemi"), ("anti", "LeftAnti"),
+                        ("left", "LeftOuter")]:
+        q = Query(
+            join={"collection": "orders", "left_on": "c_custkey",
+                  "right_on": "o_custkey", "how": how},
+            group_by=["c_mktsegment"],
+            aggs={"n": ("count", None)},
+            limit=-1,
+        )
+        cust._query_spark_agg(q)
+        gdf = next(
+            v for k, v in cust._plan_cache.items()
+            if isinstance(k, tuple) and k and k[-1] == "gdf"
+            and repr(q.join) in str(k)
+        )
+        s = gdf._sc._jvm.PythonSQLUtils.explainString(
+            gdf._jdf.queryExecution(), "formatted"
+        )
+        assert marker in s, (how, s)
+        assert "BroadcastHashJoin" in s, (how, s)
+        assert "CartesianProduct" not in s
+
+
+def test_agg_ir_bad_how_raises(agg_db):
+    with pytest.raises(ValueError, match="inner|left|semi|anti"):
+        agg_db.get_collection("facts")._query_spark_agg(
+            Query(join={"collection": "dims", "left_on": "cust",
+                        "right_on": "ck", "how": "right"},
+                  group_by=["cat"], aggs={"n": ("count", None)})
+        )
