@@ -698,16 +698,19 @@ class Collection:
             return None
 
     def _bust_result_memos(self) -> None:
-        """Drop memoized RESULT entries (counts/totals) while keeping
+        """Drop memoized RESULT entries (filtered counts) while keeping
         planning-time state (footer metas, schemas, zone decisions, plan
-        caches). The first-touch A/B uses this so both timed sides
-        recompute their answer — a side served from a memo left by an
-        earlier query would record a near-zero time and pin the wrong
+        caches, and the ('total_rows',) store total — that one is pure
+        footer metadata recomputed from the kept metas, so busting it
+        only added driver metadata work into the timed A/B window;
+        round-10 advice). The first-touch A/B uses this so both timed
+        sides recompute their answer — a side served from a memo left by
+        an earlier query would record a near-zero time and pin the wrong
         winner for the whole (store, shape-class)."""
         for k in [
             k for k in self._footer_stats_cache
             if isinstance(k, tuple) and k
-            and k[0] in ("count", "vcount", "total_rows")
+            and k[0] in ("count", "vcount")
         ]:
             del self._footer_stats_cache[k]
 
@@ -872,30 +875,32 @@ class Collection:
                         stacklevel=2,
                     )
                     t_local = float("inf")
-                if t_local < t_spark and t_local != float("inf"):
-                    # the first Spark run pays one-time plan analysis +
-                    # JVM warm-up; a PINNED 'arrow' verdict must beat the
-                    # WARM plan, so re-time it against fresh result memos
-                    # (plan caches and footer metas stay warm: "warm
-                    # plan, fresh result" is what a harness times).
+                # best-of-2 for BOTH sides unconditionally: each cold
+                # sample carries one-time noise (Spark: plan analysis +
+                # JVM warm-up; local: file opens + where-compile) and the
+                # recorded winner PERSISTS until the store mutates, so a
+                # wrong pin from one cold spike costs every later query
+                # in the shape class (round-10 advice: the old flow only
+                # re-timed the side that lost a flip, leaving 'jvm' pins
+                # from single cold measurements). Plan caches and footer
+                # metas stay warm across the re-runs — "warm plan, fresh
+                # result" is what a harness times; only result memos bust.
+                if t_local != float("inf"):
+                    try:
+                        self._bust_result_memos()
+                        t0 = _time.perf_counter()
+                        local_fn()
+                        t_local = min(t_local, _time.perf_counter() - t0)
+                    except Exception:  # noqa: BLE001
+                        pass
+                if t_local != float("inf"):
+                    # skip the Spark re-run only when local is disqualified
+                    # (diverged/failed): the pin is then forced to jvm and
+                    # a second Spark sample would change nothing
                     self._bust_result_memos()
                     t0 = _time.perf_counter()
                     self._query_spark(query)
                     t_spark = min(t_spark, _time.perf_counter() - t0)
-                    if t_spark < t_local:
-                        # the warm rerun flipped the verdict: the local
-                        # side deserves the same best-of-2 (its single
-                        # cold sample pays file opens + compile and can
-                        # spike) — a contested pin uses min vs min
-                        try:
-                            self._bust_result_memos()
-                            t0 = _time.perf_counter()
-                            local_fn()
-                            t_local = min(
-                                t_local, _time.perf_counter() - t0
-                            )
-                        except Exception:  # noqa: BLE001
-                            pass
                 record_ab_winner(
                     self.spark, files, ab_col,
                     t_jvm=t_spark, t_arrow=t_local, total_rows=total_rows,

@@ -134,9 +134,13 @@ def corpus_bucket_counts(
 
 #: dense-scoring gate: the log-ratio table is embedded in the plan as ONE
 #: array literal of ``n_buckets`` doubles (8 B each; the paper's 10k
-#: buckets = 80 KB). Past this the literal stops being broadcast-trivial
-#: and the legacy broadcast-join plan takes over.
-DSIR_DENSE_MAX_BUCKETS = 1_000_000
+#: buckets = 80 KB, this gate = 800 KB). The literal serializes with
+#: EVERY task and the fit collects 2 x n_buckets count rows on the
+#: driver, so the round-10 1M gate (an 8 MB plan literal) was only
+#: "broadcast-trivial" near the paper's sizes — 100k keeps the all-JVM
+#: projection where the literal genuinely is noise and hands web-scale
+#: bucket domains to the broadcast-join plan (round-10 advice).
+DSIR_DENSE_MAX_BUCKETS = 100_000
 
 
 def dsir_weights(

@@ -32,7 +32,7 @@ LLM-pipeline extension (build brief).
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Optional
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -75,11 +75,57 @@ def train_ngram_lm(
     return {"order": order, "n_tokens": int(n_tokens), "counts": counts}
 
 
-#: broadcast-scoring gate: total gram-table entries (across all orders)
-#: a worker can hold as a plain dict. 5M entries of short grams ≈ a few
-#: hundred MB per executor python worker — comfortably inside this box's
-#: budget; a web-scale vocabulary past the gate keeps the join plan.
+#: broadcast-scoring HARD CAP in gram-table entries (across all orders).
+#: The effective default gate is memory-derived (:func:`lm_broadcast_gate`)
+#: and never exceeds this. IMPORTANT SIZING FACT: the broadcast dict is
+#: deserialized ONCE PER PYTHON WORKER PROCESS, and local[K] / a K-core
+#: executor can run K workers concurrently — the model's memory budget
+#: MULTIPLIES by the per-executor core count, not by the executor count.
 LM_BROADCAST_MAX_ENTRIES = 5_000_000
+
+#: measured on this interpreter: a dict of 1M random 3-word gram strings
+#: -> int costs ~141 bytes/entry of resident memory (string + int + dict
+#: slot); 160 leaves margin for pickle/broadcast copies in flight.
+LM_BROADCAST_BYTES_PER_ENTRY = 160
+
+
+def lm_broadcast_gate(spark=None) -> int:
+    """Default broadcast gate in entries: a quarter of AVAILABLE system
+    memory divided across the concurrent python workers (one per core in
+    local mode; per-executor cores on a cluster), at the measured
+    ~160 B/entry — capped at :data:`LM_BROADCAST_MAX_ENTRIES`. On a
+    128 GiB / 32-core box this lands near the cap; on a 16 GiB laptop it
+    drops to ~1M entries instead of OOMing 32 workers x 0.7 GB
+    (round-10 advice)."""
+    import os
+
+    avail = None
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    avail = int(line.split()[1]) * 1024
+                    break
+    except OSError:
+        pass
+    if avail is None:
+        avail = 8 << 30  # conservative fallback when /proc is absent
+    workers = os.cpu_count() or 8
+    if spark is not None:
+        try:
+            workers = max(
+                1, int(spark.sparkContext.getConf().get(
+                    "spark.executor.cores", str(workers)
+                ))
+            )
+        except Exception:  # noqa: BLE001 — sizing is advisory
+            pass
+    per_worker = (avail // 4) // max(workers, 1)
+    return max(
+        100_000,
+        min(LM_BROADCAST_MAX_ENTRIES,
+            per_worker // LM_BROADCAST_BYTES_PER_ENTRY),
+    )
 
 #: the Python mirror of Spark's tokenizer ``split(lower(trim(s)), '\\s+')``:
 #: Java ``\s`` is ASCII-only ([ \t\n\x0B\f\r]) while Python ``\s`` also
@@ -119,37 +165,117 @@ def _score_tokens(tokens, cnts, order, N, alpha):
     return len(tokens), total / len(tokens)
 
 
-def _score_tokens_fast(tokens, cnts, order, N, alpha):
+def _rekey_model(cnts):
+    """String-keyed gram tables -> integer-token-id tables:
+    ``{"vocab": {token: id}, 1: {id: count}, n>=2: {(id,...): count}}``.
+    Tokens can't contain spaces (the tokenizer splits on whitespace) and
+    ``" ".join``/``split(" ")`` round-trips empty tokens, so the split is
+    exact. Ids are assigned from every gram of every order — a higher-
+    order gram whose token is missing from the unigram table still keys
+    consistently. Done ONCE (driver side); the scorer then probes dicts
+    with int/tuple keys instead of constructing strings per position."""
+    vocab: Dict[str, int] = {}
+
+    def tid(tok):
+        i = vocab.get(tok)
+        if i is None:
+            i = len(vocab)
+            vocab[tok] = i
+        return i
+
+    out = {"vocab": vocab}
+    for n, table in cnts.items():
+        if n == 1:
+            out[1] = {tid(g): c for g, c in table.items()}
+        else:
+            out[n] = {
+                tuple(tid(t) for t in g.split(" ")): c
+                for g, c in table.items()
+            }
+    return out
+
+
+def _score_tokens_fast(tokens, model, order, N, alpha):
     """Value-identical to :func:`_score_tokens` (same float operations in
-    the same order), restructured for throughput: the n-gram ending at
-    position p is built INCREMENTALLY as (the (n-1)-gram ending at p-1)
-    + ' ' + token[p] — O(order x L) concats instead of O(order x L)
-    slice-joins — and each order's count lookups run as one list pass.
-    The context count of order n at position p is then just the
-    (n-1)-order lookup at p-1, so no separate context grams exist at
-    all. Measured ~2.5x the reference loop at the 1M-doc rung."""
+    the same order), restructured for throughput. ``model`` is the
+    :func:`_rekey_model` form: tokens map to int ids once per document,
+    and the n-gram ending at position p is the TUPLE of the last n ids —
+    ``zip(*(ids[i:] for i in range(n)))`` yields exactly those tuples at
+    C speed, so no gram strings are ever built (round-10 verdict #7: the
+    string path spent its time in concat + long-string hashing; int-tuple
+    hashing is a few word ops). OOV tokens map to fresh negative-free ids
+    via ``get`` -> -1, and no model tuple contains -1, so OOV grams miss
+    exactly like their strings did. Measured 1.5x the r10 string
+    scorer / 4x the reference loop at the 1M-doc rung (SCALING.md)."""
     import math
 
     L = len(tokens)
-    # counts_by_order[n-1][p] = cnts[n].get(n-gram ending at p), None
-    # where the gram would cross the document start
-    c1 = cnts[1]
-    lookups = [[c1.get(t) for t in tokens]]
-    grams_prev = tokens
+    vocab = model["vocab"]
+    ids = [vocab.get(t, -1) for t in tokens]
+    c1 = model[1]
+    # lookups[n-1][p] = count of the n-gram ending at p, None where the
+    # gram would cross the document start or is absent from the model
+    lookups = [[c1.get(i) for i in ids]]
     for n in range(2, order + 1):
-        cn = cnts[n]
-        grams_cur = [None] * L
-        look = [None] * L
-        for p in range(n - 1, L):
-            g = grams_prev[p - 1] + " " + tokens[p]
-            grams_cur[p] = g
-            look[p] = cn.get(g)
-        lookups.append(look)
-        grams_prev = grams_cur
-    total = 0.0
+        get = model[n].get
+        lookups.append(
+            [None] * (n - 1)
+            + [get(t) for t in zip(*(ids[i:] for i in range(n)))]
+        )
     log10 = math.log10
+    total = 0.0
+    l1 = lookups[0]
+    # The steady-state positions (p >= order-1) run in UNROLLED zip loops
+    # for the common orders — the generic per-position `for n in
+    # range(2, order+1)` inner loop was ~40% of the scorer (profiled at
+    # the 1M rung); zip pulls the five operands per position at C speed
+    # with zero index arithmetic. Same divisions, same order => same bits.
+    if order >= 3 and len(lookups) == 3:
+        l2, l3 = lookups[1], lookups[2]
+        u = l1[0]
+        total += log10(u / N if u else 1.0 / N)
+        if L > 1:
+            u = l1[1]
+            score = u / N if u else 1.0 / N
+            gc, cc = l2[1], l1[0]
+            if gc is not None and cc is not None:
+                score = gc / cc
+            else:
+                score = alpha * score
+            total += log10(score)
+        for u, cc2, gc2, cc3, gc3 in zip(
+            l1[2:], l1[1:], l2[2:], l2[1:], l3[2:]
+        ):
+            score = u / N if u else 1.0 / N
+            if gc2 is not None and cc2 is not None:
+                score = gc2 / cc2
+            else:
+                score = alpha * score
+            if gc3 is not None and cc3 is not None:
+                score = gc3 / cc3
+            else:
+                score = alpha * score
+            total += log10(score)
+        return L, total / L
+    if order == 2:
+        l2 = lookups[1]
+        u = l1[0]
+        total += log10(u / N if u else 1.0 / N)
+        for u, cc2, gc2 in zip(l1[1:], l1, l2[1:]):
+            score = u / N if u else 1.0 / N
+            if gc2 is not None and cc2 is not None:
+                score = gc2 / cc2
+            else:
+                score = alpha * score
+            total += log10(score)
+        return L, total / L
+    if order == 1:
+        for u in l1:
+            total += log10(u / N if u else 1.0 / N)
+        return L, total / L
+    # generic fallback for order > 3 (rare): the reference cascade
     for p in range(L):
-        u = lookups[0][p]
+        u = l1[p]
         score = u / N if u else 1.0 / N
         for n in range(2, order + 1):
             if p >= n - 1:
@@ -170,7 +296,7 @@ def score_with_lm(
     id_col: str = "doc_id",
     alpha: float = 0.4,
     scoring: str = "auto",
-    broadcast_max_entries: int = LM_BROADCAST_MAX_ENTRIES,
+    broadcast_max_entries: Optional[int] = None,
 ) -> DataFrame:
     """(id, n_tokens, logprob_per_token): mean per-token log10 Stupid
     Backoff score of every document under ``model``.
@@ -191,7 +317,11 @@ def score_with_lm(
       ~900M scored positions × 3 gram orders at 5M docs). The model is
       corpus-vocabulary sized, not corpus sized — CCNet-style target
       models fit comfortably; a web-scale model past the gate keeps the
-      join plan.
+      join plan. NOTE the budget multiplies PER PYTHON WORKER (one per
+      executor core): ``broadcast_max_entries=None`` (default) derives
+      the gate from available memory / worker count at ~160 B/entry
+      (:func:`lm_broadcast_gate`), capped at 5M entries; pass an int to
+      pin it.
     - ``"join"``: one explode of the scored corpus into (doc, position,
       suffix grams), ``2·order-1`` LEFT joins against the count tables
       on the gram string, one groupBy on the doc id — linear shuffle in
@@ -201,6 +331,8 @@ def score_with_lm(
     """
     if scoring not in ("auto", "broadcast", "join"):
         raise ValueError(f"unknown scoring: {scoring!r}")
+    if broadcast_max_entries is None:
+        broadcast_max_entries = lm_broadcast_gate(df.sparkSession)
     order, N = model["order"], max(model["n_tokens"], 1)
     if scoring != "join":
         cnts = _collect_model(model, broadcast_max_entries)
@@ -270,9 +402,12 @@ def score_with_lm(
 
 
 def _collect_model(model: Dict, max_entries: int):
-    """{n: {gram: count}} when the gram tables fit the broadcast gate,
-    else None. The probe collects AT MOST ``max_entries + 1`` rows per
-    table (LIMIT-bounded — a web-scale table never floods the driver)."""
+    """The :func:`_rekey_model` id-keyed form when the gram tables fit
+    the broadcast gate, else None. The probe collects AT MOST
+    ``max_entries + 1`` rows per table (LIMIT-bounded — a web-scale
+    table never floods the driver). Re-keying to int/tuple keys happens
+    HERE, once on the driver, so workers deserialize the compact form
+    and never touch gram strings."""
     cnts: Dict[int, Dict[str, int]] = {}
     budget = max_entries
     for n in range(1, model["order"] + 1):
@@ -281,7 +416,7 @@ def _collect_model(model: Dict, max_entries: int):
             return None
         cnts[n] = dict(zip(pdf["gram"], pdf["n_count"].astype(int)))
         budget -= len(pdf)
-    return cnts
+    return _rekey_model(cnts)
 
 
 def _score_broadcast(

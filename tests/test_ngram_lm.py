@@ -164,27 +164,56 @@ def test_fast_scorer_bitwise_matches_reference():
     import random
 
     from linkml_store_spark.operators.ngram_lm import (
+        _rekey_model,
         _score_tokens,
         _score_tokens_fast,
     )
 
     rng = random.Random(7)
     vocab = [f"w{i}" for i in range(30)]
-    # synth counts with holes so backoff paths all fire
-    cnts = {1: {}, 2: {}, 3: {}}
+    # synth counts with holes so backoff paths all fire; order 4 included
+    # so the generic >3 fallback is fuzzed alongside the unrolled 1/2/3
+    cnts = {1: {}, 2: {}, 3: {}, 4: {}}
     for _ in range(300):
         toks = [rng.choice(vocab) for _ in range(rng.randint(1, 12))]
-        for n in (1, 2, 3):
+        for n in (1, 2, 3, 4):
             for i in range(len(toks) - n + 1):
                 g = " ".join(toks[i:i + n])
                 if rng.random() < 0.8:
                     cnts[n][g] = cnts[n].get(g, 0) + 1
     N = max(sum(cnts[1].values()), 1)
+    rekeyed = _rekey_model(cnts)
     for _ in range(200):
         toks = [rng.choice(vocab + ["oov1", "oov2"])
                 for _ in range(rng.randint(1, 25))]
-        for order in (1, 2, 3):
+        for order in (1, 2, 3, 4):
             a = _score_tokens(toks, cnts, order, N, 0.4)
-            b = _score_tokens_fast(toks, cnts, order, N, 0.4)
+            b = _score_tokens_fast(toks, rekeyed, order, N, 0.4)
             assert a[0] == b[0]
             assert a[1] == b[1], (toks, order, a, b)  # bit-identical
+
+
+def test_lm_broadcast_gate_memory_scaled():
+    """The default gate derives from available memory / worker count
+    (round-10 advice: the entries gate multiplied per python worker)."""
+    from linkml_store_spark.operators.ngram_lm import (
+        LM_BROADCAST_MAX_ENTRIES,
+        lm_broadcast_gate,
+    )
+
+    g = lm_broadcast_gate()
+    assert 100_000 <= g <= LM_BROADCAST_MAX_ENTRIES
+
+
+def test_rekey_model_roundtrip_and_oov():
+    from linkml_store_spark.operators.ngram_lm import _rekey_model
+
+    cnts = {1: {"a": 3, "b": 1, "": 2}, 2: {"a b": 2, "b c": 1, " a": 1}}
+    m = _rekey_model(cnts)
+    v = m["vocab"]
+    # 'c' appears only inside a bigram; '' (empty token) keys exactly
+    assert m[1][v["a"]] == 3 and m[1][v[""]] == 2
+    assert m[2][(v["a"], v["b"])] == 2
+    assert m[2][(v["b"], v["c"])] == 1
+    assert m[2][(v[""], v["a"])] == 1  # " a".split(" ") == ["", "a"]
+    assert (v["a"], -1) not in m[2]  # OOV grams always miss
