@@ -425,6 +425,21 @@ def find_matches_cmd(obj: Context, target_collection, metric, max_matches,
 
 
 @cli.command()
+@click.option("--host", default="127.0.0.1", show_default=True)
+@click.option("--port", default=8000, show_default=True, type=int)
+@click.pass_obj
+def serve(obj: Context, host, port):
+    """Serve the REST API over the attached databases (reference
+    webapi/main.py:843-858; flask dev server — front with any WSGI
+    server in production)."""
+    from linkml_store_spark.webapi import create_app
+
+    if obj.database_handle:
+        obj.db  # attach the CLI-selected database before serving
+    create_app(obj.client).run(host=host, port=port)
+
+
+@cli.command()
 @click.pass_obj
 def indexes(obj: Context):
     """List attached indexers (reference cli.py:984-996)."""

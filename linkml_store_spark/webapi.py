@@ -1,0 +1,511 @@
+"""REST serving façade over Client/Database/Collection.
+
+A thin hypermedia JSON API mirroring the reference's FastAPI surface
+(reference ``webapi/main.py:143-745``): the same URL scheme
+(``/databases/{db}/collections/{coll}/objects|search|facets|attributes``),
+the same response envelope (``meta`` / ``items`` / ``item_type`` /
+``data`` / ``links`` / ``errors``), the same paging contract (pre-limit
+total count, prev/next/first/last links). Built on Flask (FastAPI is not
+in this environment); every endpoint is a direct call into the engine —
+no query logic lives here.
+
+Usage::
+
+    from linkml_store_spark import Client
+    from linkml_store_spark.webapi import create_app
+
+    app = create_app(Client())
+    app.run()          # or any WSGI server; app.test_client() in tests
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+from datetime import date, datetime, timezone
+from typing import Any, Dict, List, Optional
+
+try:
+    from flask import Flask, Response, request
+except ImportError:  # pragma: no cover - optional dependency
+    Flask = None  # type: ignore[assignment]
+
+MAX_PAGE_SIZE = 100
+
+
+def _json_default(o):
+    if isinstance(o, (datetime, date)):
+        return o.isoformat()
+    if isinstance(o, bytes):
+        return o.hex()
+    return str(o)
+
+
+def _link(rel: str, href: str) -> Dict[str, str]:
+    return {"rel": rel, "href": href}
+
+
+def _meta(path: str, template: str, params: Dict[str, Any],
+          **page_fields) -> Dict[str, Any]:
+    m = {
+        "path": path,
+        "path_template": template,
+        "params": params,
+        "timestamp": datetime.now(timezone.utc).isoformat(),
+        "version": "1.0",
+        "request_id": str(uuid.uuid4()),
+        "item_count": None,
+        "paged": False,
+        "page": 1,
+        "page_size": None,
+    }
+    m.update(page_fields)
+    return m
+
+
+def _page_links(base_url: str, limit: int, offset: int,
+                total_count: int) -> List[Dict[str, str]]:
+    """prev/next/first/last paging links (reference main.py:350-372)."""
+    total_pages = max((total_count + limit - 1) // limit, 1)
+    current = offset // limit + 1
+    links = [_link("self", f"{base_url}?limit={limit}&offset={offset}")]
+    if current > 1:
+        links.append(
+            _link("prev", f"{base_url}?limit={limit}&offset={offset - limit}")
+        )
+    if current < total_pages:
+        links.append(
+            _link("next", f"{base_url}?limit={limit}&offset={offset + limit}")
+        )
+    links.append(_link("first", f"{base_url}?limit={limit}&offset=0"))
+    links.append(
+        _link(
+            "last",
+            f"{base_url}?limit={limit}&offset={(total_pages - 1) * limit}",
+        )
+    )
+    return links
+
+
+def create_app(client) -> "Flask":
+    """Build the WSGI app over an attached :class:`Client`."""
+    if Flask is None:  # pragma: no cover
+        raise ImportError("flask is required for the web API façade")
+    app = Flask("linkml_store_spark")
+
+    def respond(payload: Dict[str, Any], status: int = 200) -> Response:
+        return Response(
+            json.dumps(payload, default=_json_default),
+            status=status,
+            mimetype="application/json",
+        )
+
+    def envelope(template: str, params: Dict[str, Any], *,
+                 items=None, item_type=None, data=None, links=None,
+                 errors=None, **page_fields) -> Dict[str, Any]:
+        return {
+            "meta": _meta(request.path, template, params, **page_fields),
+            "items": items,
+            "item_type": item_type,
+            "data": data,
+            "links": links,
+            "errors": errors,
+        }
+
+    def fail(code: str, message: str, status: int) -> Response:
+        return respond(
+            envelope("error", {},
+                     errors=[{"code": code, "message": message,
+                              "details": None}]),
+            status=status,
+        )
+
+    def get_db(name: str):
+        try:
+            return client.get_database(name)
+        except KeyError:
+            return None
+
+    def parse_where() -> Optional[dict]:
+        raw = request.args.get("where")
+        return json.loads(raw) if raw else None
+
+    def page_args():
+        limit = min(max(int(request.args.get("limit", 10)), 1),
+                    MAX_PAGE_SIZE)
+        offset = max(int(request.args.get("offset", 0)), 0)
+        return limit, offset
+
+    # ------------------------------------------------------------- #
+
+    @app.get("/")
+    def top():
+        return respond(envelope("top", {}, links=[
+            _link("self", "/"),
+            _link("databases", "/databases"),
+            _link("config", "/config"),
+        ]))
+
+    @app.get("/config")
+    def config():
+        return respond(envelope("config", {}, data={
+            "databases": {
+                alias: {"handle": db.handle}
+                for alias, db in client.databases.items()
+            },
+        }, links=[_link("self", "/config"), _link("parent", "/")]))
+
+    @app.get("/databases")
+    def list_databases():
+        items = [
+            {
+                "name": alias,
+                "type": "Database",
+                "data": {"handle": db.handle},
+                "links": [_link("self", f"/databases/{alias}")],
+            }
+            for alias, db in client.databases.items()
+        ]
+        return respond(envelope(
+            "databases", {}, items=items,
+            item_type={"name": "Database", "description": None},
+            links=[_link("self", "/databases"), _link("parent", "/")],
+        ))
+
+    @app.post("/database/create")
+    def create_database():
+        body = request.get_json(force=True)
+        db = client.attach_database(body["handle"], alias=body.get("name"))
+        return respond(envelope(
+            "database_create", {"name": db.alias},
+            data={"name": db.alias, "handle": db.handle},
+            links=[_link("self", f"/databases/{db.alias}")],
+        ), status=201)
+
+    @app.get("/databases/<db_name>")
+    def database_details(db_name):
+        db = get_db(db_name)
+        if db is None:
+            return fail("not_found", f"no database {db_name!r}", 404)
+        return respond(envelope(
+            "database", {"database_name": db_name},
+            data={"name": db_name, "handle": db.handle,
+                  "collections": db.list_collection_names()},
+            links=[
+                _link("self", f"/databases/{db_name}"),
+                _link("collections", f"/databases/{db_name}/collections"),
+                _link("parent", "/databases"),
+            ],
+        ))
+
+    @app.get("/databases/<db_name>/collections")
+    def list_collections(db_name):
+        db = get_db(db_name)
+        if db is None:
+            return fail("not_found", f"no database {db_name!r}", 404)
+        items = [
+            {
+                "name": name,
+                "type": "Collection",
+                "data": {},
+                "links": [_link(
+                    "self", f"/databases/{db_name}/collections/{name}"
+                )],
+            }
+            for name in db.list_collection_names()
+        ]
+        return respond(envelope(
+            "collections", {"database_name": db_name}, items=items,
+            item_type={"name": "Collection", "description": None},
+            links=[_link("self", f"/databases/{db_name}/collections"),
+                   _link("parent", f"/databases/{db_name}")],
+        ))
+
+    @app.get("/databases/<db_name>/collections/<coll_name>")
+    def collection_details(db_name, coll_name):
+        db = get_db(db_name)
+        if db is None:
+            return fail("not_found", f"no database {db_name!r}", 404)
+        coll = db.get_collection(coll_name)
+        base = f"/databases/{db_name}/collections/{coll_name}"
+        return respond(envelope(
+            "collection",
+            {"database_name": db_name, "collection_name": coll_name},
+            data={
+                "name": coll_name,
+                "count": coll.size() if coll.exists() else 0,
+                "identifier_attribute": coll.identifier_attribute,
+            },
+            links=[
+                _link("self", base),
+                _link("objects", f"{base}/objects"),
+                _link("facets", f"{base}/facets"),
+                _link("attributes", f"{base}/attributes"),
+                _link("parent", f"/databases/{db_name}/collections"),
+            ],
+        ))
+
+    @app.post("/databases/<db_name>/collections/<coll_name>/create")
+    def create_collection(db_name, coll_name):
+        db = get_db(db_name)
+        if db is None:
+            return fail("not_found", f"no database {db_name!r}", 404)
+        body = request.get_json(silent=True) or {}
+        db.create_collection(
+            coll_name,
+            identifier_attribute=body.get("identifier_attribute"),
+        )
+        return respond(envelope(
+            "collection_create",
+            {"database_name": db_name, "collection_name": coll_name},
+            data={"name": coll_name},
+            links=[_link(
+                "self", f"/databases/{db_name}/collections/{coll_name}"
+            )],
+        ), status=201)
+
+    @app.get("/databases/<db_name>/collections/<coll_name>/objects")
+    def list_objects(db_name, coll_name):
+        db = get_db(db_name)
+        if db is None:
+            return fail("not_found", f"no database {db_name!r}", 404)
+        coll = db.get_collection(coll_name)
+        limit, offset = page_args()
+        result = coll.find(parse_where(), limit=limit, offset=offset)
+        base = f"/databases/{db_name}/collections/{coll_name}/objects"
+        id_att = coll.identifier_attribute
+        items = []
+        for i, row in enumerate(result.rows):
+            name = str(row[id_att]) if id_att else str(offset + i)
+            items.append({
+                "name": name,
+                "type": None,
+                "data": row,
+                "links": [_link("self", f"{base}/{name}")],
+            })
+        total = result.num_rows  # pre-limit count, reference contract
+        return respond(envelope(
+            "objects",
+            {"database_name": db_name, "collection_name": coll_name},
+            items=items,
+            item_type={"name": coll_name, "description": None},
+            data={},
+            links=_page_links(base, limit, offset, total) + [
+                _link("parent",
+                      f"/databases/{db_name}/collections/{coll_name}"),
+            ],
+            paged=True, item_count=total,
+            page=offset // limit + 1, page_size=limit,
+        ))
+
+    @app.post("/databases/<db_name>/collections/<coll_name>/objects")
+    def insert_objects(db_name, coll_name):
+        db = get_db(db_name)
+        if db is None:
+            return fail("not_found", f"no database {db_name!r}", 404)
+        body = request.get_json(force=True)
+        objs = body.get("objects", [])
+        n = db.get_collection(coll_name).insert(objs)
+        return respond(envelope(
+            "objects_insert",
+            {"database_name": db_name, "collection_name": coll_name},
+            data={"inserted": n},
+            links=[_link(
+                "self",
+                f"/databases/{db_name}/collections/{coll_name}/objects",
+            )],
+        ), status=201)
+
+    @app.get("/databases/<db_name>/collections/<coll_name>/objects/<obj_id>")
+    def object_details(db_name, coll_name, obj_id):
+        db = get_db(db_name)
+        if db is None:
+            return fail("not_found", f"no database {db_name!r}", 404)
+        coll = db.get_collection(coll_name)
+        id_att = coll.identifier_attribute
+        if not id_att:
+            return fail("no_identifier",
+                        f"collection {coll_name!r} has no identifier "
+                        "attribute", 400)
+        # ids are typed columns; try the raw string then a numeric cast
+        obj = coll.get_one(obj_id)
+        if obj is None:
+            try:
+                obj = coll.get_one(int(obj_id))
+            except ValueError:
+                pass
+        if obj is None:
+            return fail("not_found", f"no object {obj_id!r}", 404)
+        base = f"/databases/{db_name}/collections/{coll_name}"
+        return respond(envelope(
+            "object",
+            {"database_name": db_name, "collection_name": coll_name,
+             "id": obj_id},
+            data=obj,
+            links=[_link("self", f"{base}/objects/{obj_id}"),
+                   _link("parent", f"{base}/objects")],
+        ))
+
+    @app.get("/databases/<db_name>/collections/<coll_name>/search/<term>")
+    def search_objects(db_name, coll_name, term):
+        db = get_db(db_name)
+        if db is None:
+            return fail("not_found", f"no database {db_name!r}", 404)
+        coll = db.get_collection(coll_name)
+        limit, _offset = page_args()
+        if not coll.indexers:
+            coll.attach_indexer("simple")
+        result = coll.search(term, limit=limit)
+        base = f"/databases/{db_name}/collections/{coll_name}"
+        id_att = coll.identifier_attribute
+        items = []
+        for score, row in result.ranked_rows or []:
+            name = str(row.get(id_att)) if id_att else None
+            items.append({
+                "name": name,
+                "type": None,
+                "data": {"score": score, "object": row},
+                "links": [_link("self", f"{base}/objects/{name}")]
+                if name else [],
+            })
+        return respond(envelope(
+            "search",
+            {"database_name": db_name, "collection_name": coll_name,
+             "term": term},
+            items=items, item_count=len(items),
+            links=[_link("self", f"{base}/search/{term}"),
+                   _link("parent", base)],
+        ))
+
+    @app.get("/databases/<db_name>/collections/<coll_name>/facets")
+    def collection_facets(db_name, coll_name):
+        db = get_db(db_name)
+        if db is None:
+            return fail("not_found", f"no database {db_name!r}", 404)
+        coll = db.get_collection(coll_name)
+        cols_arg = request.args.get("facet_columns")
+        cols = cols_arg.split(",") if cols_arg else None
+        facets = coll.query_facets(parse_where(), facet_columns=cols)
+        # JSON object keys must be strings; compound facet keys are tuples
+        data = {
+            (k if isinstance(k, str) else "+".join(k)):
+                [{"value": v, "count": c} for v, c in vs]
+            for k, vs in facets.items()
+        }
+        base = f"/databases/{db_name}/collections/{coll_name}"
+        return respond(envelope(
+            "facets",
+            {"database_name": db_name, "collection_name": coll_name},
+            data={"items": data, "total_count": coll.size()},
+            links=[_link("self", f"{base}/facets"),
+                   _link("collection", base),
+                   _link("database", f"/databases/{db_name}")],
+        ))
+
+    @app.get("/databases/<db_name>/collections/<coll_name>/attributes")
+    def collection_attributes(db_name, coll_name):
+        db = get_db(db_name)
+        if db is None:
+            return fail("not_found", f"no database {db_name!r}", 404)
+        coll = db.get_collection(coll_name)
+        cd = coll.class_definition()
+        base = f"/databases/{db_name}/collections/{coll_name}/attributes"
+        items = [
+            {
+                "name": att,
+                "type": "Attribute",
+                "data": spec,
+                "links": [_link("self", f"{base}/{att}")],
+            }
+            for att, spec in cd.get("attributes", {}).items()
+        ]
+        return respond(envelope(
+            "attributes",
+            {"database_name": db_name, "collection_name": coll_name},
+            items=items,
+            item_type={"name": "Attribute", "description": None},
+            links=[_link("self", base)],
+        ))
+
+    @app.get(
+        "/databases/<db_name>/collections/<coll_name>/attributes/<att>"
+    )
+    def attribute_details(db_name, coll_name, att):
+        db = get_db(db_name)
+        if db is None:
+            return fail("not_found", f"no database {db_name!r}", 404)
+        coll = db.get_collection(coll_name)
+        facets = coll.query_facets(parse_where(), facet_columns=[att])
+        counts = facets.get(att, [])
+        base = (f"/databases/{db_name}/collections/{coll_name}"
+                f"/attributes/{att}")
+        items = [
+            {
+                "name": str(v),
+                "type": "Value",
+                "data": {"count": c},
+                "links": [_link("self", f"{base}/equals/{v}")],
+            }
+            for v, c in counts
+        ]
+        cd = coll.class_definition()
+        return respond(envelope(
+            "facets",
+            {"database_name": db_name, "collection_name": coll_name},
+            items=items,
+            data={"attribute": cd.get("attributes", {}).get(att)},
+            links=[_link("self", base)],
+        ))
+
+    @app.get(
+        "/databases/<db_name>/collections/<coll_name>"
+        "/attributes/<att>/equals/<value>"
+    )
+    def query_by_attribute(db_name, coll_name, att, value):
+        db = get_db(db_name)
+        if db is None:
+            return fail("not_found", f"no database {db_name!r}", 404)
+        coll = db.get_collection(coll_name)
+        limit, offset = page_args()
+        # string URLs vs typed columns: retry numerically on empty
+        result = coll.find({att: value}, limit=limit, offset=offset)
+        if result.num_rows == 0:
+            try:
+                result = coll.find(
+                    {att: int(value)}, limit=limit, offset=offset
+                )
+            except ValueError:
+                pass
+        base = (f"/databases/{db_name}/collections/{coll_name}"
+                f"/attributes/{att}/equals/{value}")
+        items = [
+            {"name": None, "type": None, "data": row, "links": []}
+            for row in result.rows
+        ]
+        return respond(envelope(
+            "query",
+            {"database_name": db_name, "collection_name": coll_name,
+             "attribute": att, "value": value},
+            items=items,
+            links=_page_links(base, limit, offset, result.num_rows),
+            paged=True, item_count=result.num_rows,
+            page=offset // limit + 1, page_size=limit,
+        ))
+
+    @app.get("/databases/<db_name>/schema")
+    def database_schema(db_name):
+        db = get_db(db_name)
+        if db is None:
+            return fail("not_found", f"no database {db_name!r}", 404)
+        classes = {
+            name: db.get_collection(name).class_definition()
+            for name in db.list_collection_names()
+        }
+        return respond(envelope(
+            "schema", {"database_name": db_name},
+            data={"name": db_name, "classes": classes},
+            links=[_link("self", f"/databases/{db_name}/schema"),
+                   _link("parent", f"/databases/{db_name}")],
+        ))
+
+    return app
