@@ -240,11 +240,19 @@ def find_matches(
 
                 nr_est = fast_count(rhs)
             n_centroids = max(16, min(4096, int(nr_est ** 0.5)))
+        if nprobe is None:
+            # a SMALL CONSTANT probe count, not a fraction of the bucket
+            # domain: candidate volume is |L| * |R| * nprobe / C, so a
+            # C/8 probe default would keep 1/8 of the cross product no
+            # matter how large C grows. 8 probes at sqrt(N) centroids
+            # gives ~8*|R|/sqrt(|R|) candidates per left row; raise
+            # nprobe (up to C, = exact) for recall, not by default.
+            nprobe = min(8, n_centroids)
         out = ivf_knn_join(
             left, right, vector_col=vector_col, left_id=left_id,
             right_id=right_id, k=top_n,
             n_centroids=n_centroids,
-            nprobe=nprobe if nprobe is not None else max(4, n_centroids // 8),
+            nprobe=nprobe,
             exclude_self=exclude_self,
         )
         if threshold is not None:

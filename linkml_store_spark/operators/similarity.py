@@ -322,6 +322,44 @@ def _probe_centroids_expr(vector_col: Column, centroids: np.ndarray, nprobe: int
     )
 
 
+#: probe-expression gate: _probe_centroids_expr embeds ~2*dims nodes PER
+#: CENTROID in one Column (632 centroids x 16 dims ≈ 20k expression
+#: nodes — Catalyst's optimizer passes grind for minutes before a single
+#: row moves). Past this many centroids the probe assignment runs as an
+#: Arrow-batched numpy kernel instead (same distances, same tie order).
+PROBE_EXPR_MAX_CENTROIDS = 64
+
+
+def _probe_centroids_udf(centroids: np.ndarray, nprobe: int):
+    """Arrow-batched twin of :func:`_probe_centroids_expr`: indices of
+    the ``nprobe`` nearest centroids per row via one numpy matmul per
+    batch. Same distance (|c|^2 - 2 v.c, float64) and the same tie order
+    (stable ascending argsort == the expression's (d, i) struct sort)."""
+    from pyspark.sql import types as T
+
+    C = centroids.astype(np.float64)
+    cc = (C * C).sum(axis=1)
+
+    def _kernel(col):
+        import numpy as np
+        import pandas as pd
+
+        mask = col.notna()
+        rows = iter(())
+        if mask.any():
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in col[mask]]
+            )
+            d = cc[None, :] - 2.0 * (V @ C.T)
+            rows = iter(np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+                        .astype("int32"))
+        return pd.Series(
+            [next(rows) if ok else None for ok in mask], dtype=object
+        )
+
+    return F.pandas_udf(_kernel, T.ArrayType(T.IntegerType()))
+
+
 def ivf_knn_join(
     left: DataFrame,
     right: DataFrame,
@@ -341,42 +379,96 @@ def ivf_knn_join(
 
     Shape: centroids are learned from the RIGHT (database) side; right
     rows land in their nearest-centroid bucket, left rows EXPLODE to
-    their ``nprobe`` nearest buckets, and the candidate join is an
-    equi-join on the bucket id — shuffle volume is |L|·nprobe + |R|
-    rows instead of the |L|·|R| crossJoin. Exact when
+    their ``nprobe`` nearest buckets, and scoring runs as a BATCHED
+    COGROUP KERNEL per bucket (the FAISS IVF layout): each bucket's
+    right matrix meets its probing left rows in ONE numpy matmul, and
+    only the per-(left, bucket) top-k survive — so the rows that exist
+    as Spark rows are |L|·nprobe + |R| in (with vectors) and
+    ≤ k·|L|·nprobe out (ids + score, no vectors). The earlier
+    pair-explode plan materialized |L|·|R|·nprobe/C scored pairs through
+    an Arrow pandas-UDF — at 400k x 400k that is ~2e9 pairs x two
+    16-float vectors ≈ 64 GB over the Python bridge; the cogroup kernel
+    moves ~100 MB for the same answer. Exact when
     ``nprobe == n_centroids`` (every pair lands in some shared bucket —
     the configuration the value oracle runs); approximate below that
     with the usual IVF recall/probe trade.
 
     Returns (left_id, right_id, score, rank) like ``find_matches``.
     """
+    from pyspark.sql import types as T
     from pyspark.sql.window import Window
-
-    from linkml_store_spark.functions.vector import cosine_pairwise
 
     assigned_r, cents = build_ivf(
         right.select(F.col(right_id).alias("right_id"),
                      F.col(vector_col).alias("__rv")),
         "__rv", n_centroids=n_centroids, seed=seed, with_norm=False,
     )
+    probe_col = (
+        _probe_centroids_expr(F.col(vector_col), cents, nprobe)
+        if len(cents) <= PROBE_EXPR_MAX_CENTROIDS
+        else _probe_centroids_udf(cents, nprobe)(F.col(vector_col))
+    )
     probes = left.select(
         F.col(left_id).alias("left_id"),
         F.col(vector_col).alias("__lv"),
-        F.explode(
-            _probe_centroids_expr(F.col(vector_col), cents, nprobe)
-        ).alias("__centroid"),
+        F.explode(probe_col).alias("__centroid"),
     )
-    pairs = probes.join(assigned_r, "__centroid").drop("__centroid")
-    if exclude_self:
-        pairs = pairs.filter(F.col("left_id") != F.col("right_id"))
-    scored = pairs.withColumn(
-        "score", cosine_pairwise(F.col("__lv"), F.col("__rv"))
+    out_schema = T.StructType([
+        T.StructField("left_id", probes.schema["left_id"].dataType),
+        T.StructField("right_id", assigned_r.schema["right_id"].dataType),
+        T.StructField("score", T.DoubleType()),
+    ])
+    kk, excl = k, exclude_self
+
+    def score_bucket(lpdf, rpdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({"left_id": [], "right_id": [], "score": []})
+        lpdf = lpdf[lpdf["__lv"].notna()]
+        # right side sorted by id so a STABLE argsort on -score breaks
+        # score ties by right_id asc — the window's exact tie order
+        rpdf = rpdf[rpdf["__rv"].notna()].sort_values(
+            "right_id", kind="mergesort"
+        )
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return empty
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in lpdf["__lv"]])
+        B = np.stack([np.asarray(v, dtype=np.float64) for v in rpdf["__rv"]])
+        S = A @ B.T
+        norms = (
+            np.linalg.norm(A, axis=1)[:, None]
+            * np.linalg.norm(B, axis=1)[None, :]
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            S = np.where(norms == 0, 0.0, S / norms)
+        lids = lpdf["left_id"].to_numpy()
+        rids = rpdf["right_id"].to_numpy()
+        if excl:
+            # right ids are unique, so at most ONE self pair per row:
+            # take k+1 then drop the -inf slots below
+            S = np.where(lids[:, None] == rids[None, :], -np.inf, S)
+        kq = min(kk + (1 if excl else 0), S.shape[1])
+        idx = np.argsort(-S, axis=1, kind="stable")[:, :kq]
+        top = np.take_along_axis(S, idx, axis=1)
+        fin = np.isfinite(top)
+        keep = (fin & (np.cumsum(fin, axis=1) <= kk)).ravel()
+        return pd.DataFrame({
+            "left_id": np.repeat(lids, kq)[keep],
+            "right_id": rids[idx.ravel()[keep]],
+            "score": top.ravel()[keep],
+        })
+
+    cands = (
+        probes.groupBy("__centroid")
+        .cogroup(assigned_r.groupBy("__centroid"))
+        .applyInPandas(score_bucket, schema=out_schema)
     )
     w = Window.partitionBy("left_id").orderBy(
         F.desc("score"), F.asc("right_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cands.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("left_id", "right_id", "score", "rank")
     )

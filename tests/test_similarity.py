@@ -453,3 +453,25 @@ def test_find_matches_noncosine_above_gate_warns_and_stays_exact(spark):
         )
         assert df.count() == 5
     assert any("cross product" in str(w.message) for w in rec)
+
+
+def test_ivf_knn_join_udf_probe_path_exact(spark):
+    """Past PROBE_EXPR_MAX_CENTROIDS the probe assignment runs as the
+    Arrow numpy kernel instead of the Column expression (632 centroids
+    built a ~20k-node expression Catalyst ground on for minutes). At
+    all-probe both paths are exact, so they must agree pair-for-pair."""
+    from linkml_store_spark.operators.similarity import (
+        PROBE_EXPR_MAX_CENTROIDS,
+        ivf_knn_join,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    left = emb.limit(30)
+    big_c = PROBE_EXPR_MAX_CENTROIDS + 36  # udf path
+    key = lambda rows: sorted(
+        (r["left_id"], r["right_id"], r["rank"]) for r in rows
+    )
+    a = key(ivf_knn_join(left, emb, k=2, n_centroids=big_c,
+                         nprobe=big_c).collect())
+    b = key(ivf_knn_join(left, emb, k=2, n_centroids=8, nprobe=8).collect())
+    assert a == b and len(a) == 60
