@@ -157,9 +157,9 @@ def mmr_diversified_search(
 #: find_matches auto-route gate, in candidate PAIRS (|L| x |R|). Measured
 #: on local[32], 16-dim vectors: the crossJoin scores ~25M pairs in ~1.9 s
 #: (fine interactively, exact); at 400k x 400k the same plan is 1.6e11
-#: pairs — hours — while the IVF route finishes in seconds (SCALING.md
-#: round 11). 25M keeps every sf0.01/sf0.1 oracle on the exact plan and
-#: trips the swap two orders of magnitude before the cliff.
+#: pairs — ~9 hours — while the routed IVF cogroup kernel measured 400 s
+#: (SCALING.md round 11). 25M keeps every sf0.01/sf0.1 oracle on the
+#: exact plan and trips the swap two orders of magnitude before the cliff.
 FIND_MATCHES_MAX_EXACT_PAIRS = 25_000_000
 
 
@@ -231,15 +231,19 @@ def find_matches(
         from linkml_store_spark.operators.similarity import ivf_knn_join
 
         if n_centroids is None:
-            # sqrt(|R|) buckets balances bucket size vs candidate volume
-            # (standard IVF sizing); clamp keeps the centroid literal
-            # broadcast-trivial and the sample bounded.
+            # BALANCED sizing: per-left-row cost is probe assignment
+            # (C*d) plus candidate scoring (|R|*nprobe/C * d) — equal at
+            # C = sqrt(|R| * nprobe), which also bounds candidates per
+            # row to ~C. Clamp keeps the k-means sample and centroid
+            # broadcast bounded.
             nr_est = right_rows
             if nr_est is None:
                 from linkml_store_spark.where import fast_count
 
                 nr_est = fast_count(rhs)
-            n_centroids = max(16, min(4096, int(nr_est ** 0.5)))
+            n_centroids = max(
+                16, min(4096, int((nr_est * (nprobe or 8)) ** 0.5))
+            )
         if nprobe is None:
             # a SMALL CONSTANT probe count, not a fraction of the bucket
             # domain: candidate volume is |L| * |R| * nprobe / C, so a

@@ -99,17 +99,30 @@ def lsh_knn(
 # IVF
 # --------------------------------------------------------------------- #
 def _kmeans(sample: np.ndarray, n_centroids: int, iters: int = 10, seed: int = 42) -> np.ndarray:
-    """Small deterministic Lloyd's k-means on a driver-side sample."""
+    """Small deterministic Lloyd's k-means on a driver-side sample.
+
+    Distances via |x|^2 - 2 x.c + |c|^2 (one matmul per iteration):
+    the broadcast-subtract tensor form materialized n x C x d float64
+    temporaries — 2.3 GB per iteration at 10k x 1789 x 16, measured
+    ~8 MINUTES of driver churn where the matmul form takes < 1 s.
+    Member means via bincount (no per-centroid boolean-mask pass)."""
     rng = np.random.RandomState(seed)
+    sample = np.asarray(sample, dtype=float)
     idx = rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)
     centroids = sample[idx].astype(float)
+    s2 = (sample * sample).sum(axis=1)
     for _ in range(iters):
-        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        d = (
+            s2[:, None]
+            - 2.0 * (sample @ centroids.T)
+            + (centroids * centroids).sum(axis=1)[None, :]
+        )
         assign = d.argmin(axis=1)
-        for c in range(len(centroids)):
-            members = sample[assign == c]
-            if len(members):
-                centroids[c] = members.mean(axis=0)
+        counts = np.bincount(assign, minlength=len(centroids))
+        sums = np.zeros_like(centroids)
+        np.add.at(sums, assign, sample)
+        nonempty = counts > 0
+        centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
     return centroids
 
 

@@ -144,7 +144,7 @@ def main():
             "section": "fm", "rows": f"{n} x {n}",
             "pairs_if_cross": n * n,
             "spark_s_single_cold": round(time.time() - t0, 1),
-            "plan": "auto -> ivf_knn_join (sqrt-N centroids, 8 probes)",
+            "plan": "auto -> ivf_knn_join (balanced sqrt(R*nprobe) centroids, 8 probes)",
         }), flush=True)
 
 
