@@ -212,6 +212,7 @@ def find_matches(
 
         nl = left_rows if left_rows is not None else fast_count(lhs)
         nr = right_rows if right_rows is not None else fast_count(rhs)
+        left_rows, right_rows = nl, nr  # reuse downstream (sizing, salting)
         if nl * nr > max_exact_pairs:
             if metric == "cosine":
                 route_ivf = True
@@ -258,6 +259,7 @@ def find_matches(
             n_centroids=n_centroids,
             nprobe=nprobe,
             exclude_self=exclude_self,
+            right_rows=right_rows,
         )
         if threshold is not None:
             out = out.filter(F.col("score") >= threshold)

@@ -179,10 +179,14 @@ def build_ivf(
     seed: int = 42,
     assign_method: str = "arrow",
     with_norm: bool = True,
+    with_sample: bool = False,
 ):
     """Assign every vector to its nearest centroid; returns (assigned_df,
-    centroids). Persist/partition ``assigned_df`` by ``__centroid`` to make
-    probes partition-pruned at scale.
+    centroids) — or (assigned_df, centroids, sample) with
+    ``with_sample=True`` (the driver-side fit sample, which skew
+    estimation can reuse without another collect). Persist/partition
+    ``assigned_df`` by ``__centroid`` to make probes partition-pruned at
+    scale.
 
     ``assign_method``: "arrow" (numpy kernel per batch — the fast default)
     or "native" (pure Column expression — keeps the plan Python-free for
@@ -217,6 +221,8 @@ def build_ivf(
                 )
             ),
         )
+    if with_sample:
+        return assigned, centroids, sample
     return assigned, centroids
 
 
@@ -384,6 +390,8 @@ def ivf_knn_join(
     nprobe: int = 4,
     seed: int = 42,
     exclude_self: bool = False,
+    bucket_target: int = 100_000,
+    right_rows: Optional[int] = None,
 ) -> DataFrame:
     """kNN JOIN between two collections via shared IVF buckets — the scale
     swap for ``index.search.find_matches``'s crossJoin (reference
@@ -411,10 +419,11 @@ def ivf_knn_join(
     from pyspark.sql import types as T
     from pyspark.sql.window import Window
 
-    assigned_r, cents = build_ivf(
+    assigned_r, cents, fit_sample = build_ivf(
         right.select(F.col(right_id).alias("right_id"),
                      F.col(vector_col).alias("__rv")),
         "__rv", n_centroids=n_centroids, seed=seed, with_norm=False,
+        with_sample=True,
     )
     probe_col = (
         _probe_centroids_expr(F.col(vector_col), cents, nprobe)
@@ -472,9 +481,65 @@ def ivf_knn_join(
             "score": top.ravel()[keep],
         })
 
+    # SKEW SALTING: k-means on clustered data can pack a large share of
+    # |R| into one bucket — one cogroup task then grinds a giant matmul
+    # (BLAS is single-thread per task) while the rest idle. Buckets past
+    # ``bucket_target`` rows split into ceil(n/target) salted sub-buckets
+    # (right rows by hash(right_id), probes EXPLODE to all salts of a
+    # probed bucket). Same candidates, finer partitions — exactness
+    # untouched; balanced buckets skip the salting plan entirely.
+    # Sizing: with ``right_rows`` known (the find_matches route always
+    # knows it), bucket sizes are ESTIMATED from the k-means fit sample
+    # driver-side — zero extra jobs; sampling noise only matters within
+    # ~1x of the target, where a missed split is harmless. Without it,
+    # one exact C-row count aggregate runs.
+    import math
+
+    if right_rows is not None and len(fit_sample):
+        cc2 = (cents * cents).sum(axis=1)
+        d = cc2[None, :] - 2.0 * (fit_sample @ cents.T)
+        counts = np.bincount(d.argmin(axis=1), minlength=len(cents))
+        est = counts * (right_rows / max(len(fit_sample), 1))
+        sizes = dict(enumerate(est))
+    else:
+        sizes = {
+            r["__centroid"]: r["n"]
+            for r in assigned_r.groupBy("__centroid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    salts = {
+        int(c): int(math.ceil(n / bucket_target))
+        for c, n in sizes.items()
+        if n > bucket_target
+    }
+    group_keys = ["__centroid"]
+    if salts:
+        salt_df = F.broadcast(
+            left.sparkSession.createDataFrame(
+                list(salts.items()),
+                "__centroid int, __m int",
+            )
+        )
+        assigned_r = assigned_r.join(salt_df, "__centroid", "left").withColumn(
+            "__salt",
+            F.when(
+                F.col("__m").isNotNull(),
+                F.pmod(F.xxhash64(F.col("right_id")), F.col("__m")).cast("int"),
+            ).otherwise(F.lit(0)),
+        ).drop("__m")
+        probes = probes.join(salt_df, "__centroid", "left").withColumn(
+            "__salt",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.coalesce(F.col("__m"), F.lit(1)) - 1
+                ).cast("array<int>")
+            ),
+        ).drop("__m")
+        group_keys = ["__centroid", "__salt"]
     cands = (
-        probes.groupBy("__centroid")
-        .cogroup(assigned_r.groupBy("__centroid"))
+        probes.groupBy(*group_keys)
+        .cogroup(assigned_r.groupBy(*group_keys))
         .applyInPandas(score_bucket, schema=out_schema)
     )
     w = Window.partitionBy("left_id").orderBy(

@@ -475,3 +475,27 @@ def test_ivf_knn_join_udf_probe_path_exact(spark):
                          nprobe=big_c).collect())
     b = key(ivf_knn_join(left, emb, k=2, n_centroids=8, nprobe=8).collect())
     assert a == b and len(a) == 60
+
+
+def test_ivf_knn_join_skew_salting_exact(spark):
+    """Buckets past bucket_target split into salted sub-buckets (probes
+    explode to every salt; right rows hash into one) — same candidates,
+    finer kernel groups, identical results. Forced here by a tiny
+    target so EVERY bucket salts, compared against the unsalted
+    all-probe plan (both exact)."""
+    from linkml_store_spark.operators.similarity import ivf_knn_join
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    left = emb.limit(30)
+    key = lambda rows: sorted(
+        (r["left_id"], r["right_id"], r["rank"], round(r["score"], 9))
+        for r in rows
+    )
+    salted = key(ivf_knn_join(
+        left, emb, k=3, n_centroids=8, nprobe=8, exclude_self=True,
+        bucket_target=50,  # ~2000/8 = 250 rows/bucket -> every bucket salts
+    ).collect())
+    plain = key(ivf_knn_join(
+        left, emb, k=3, n_centroids=8, nprobe=8, exclude_self=True,
+    ).collect())
+    assert salted == plain and len(salted) == 90
