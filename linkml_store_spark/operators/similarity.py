@@ -457,6 +457,30 @@ def ivf_knn_join(
             return empty
         A = np.stack([np.asarray(v, dtype=np.float64) for v in lpdf["__lv"]])
         B = np.stack([np.asarray(v, dtype=np.float64) for v in rpdf["__rv"]])
+        if len(B) > 4 * (kk + 1):
+            # EXACT-DUPLICATE FOLD: byte-identical right vectors score
+            # identically for every left row, so a duplicate set can fill
+            # at most k result slots — always with its k smallest
+            # right_ids (the tie order). Keeping the first k+1 rows per
+            # set (rpdf is right_id-sorted; +1 absorbs an excluded self)
+            # is therefore EXACT, and collapses the degenerate hot-bucket
+            # case (a mass of duplicate embeddings all hashing to one
+            # bucket: |A| x |B| matmul -> |A| x (k+1)).
+            key = np.ascontiguousarray(B).view(
+                np.dtype((np.void, B.shape[1] * B.itemsize))
+            ).ravel()
+            order = np.argsort(key, kind="stable")
+            sk = key[order]
+            new_set = np.empty(len(sk), dtype=bool)
+            new_set[0] = True
+            new_set[1:] = sk[1:] != sk[:-1]
+            rank_in_set = np.arange(len(sk)) - np.maximum.accumulate(
+                np.where(new_set, np.arange(len(sk)), 0)
+            )
+            keep_rows = np.sort(order[rank_in_set <= kk])  # first k+1, id order
+            if len(keep_rows) < len(B):
+                B = B[keep_rows]
+                rpdf = rpdf.iloc[keep_rows]
         S = A @ B.T
         norms = (
             np.linalg.norm(A, axis=1)[:, None]
@@ -488,24 +512,36 @@ def ivf_knn_join(
     # (right rows by hash(right_id), probes EXPLODE to all salts of a
     # probed bucket). Same candidates, finer partitions — exactness
     # untouched; balanced buckets skip the salting plan entirely.
-    # Sizing: with ``right_rows`` known (the find_matches route always
-    # knows it), bucket sizes are ESTIMATED from the k-means fit sample
-    # driver-side — zero extra jobs; sampling noise only matters within
-    # ~1x of the target, where a missed split is harmless. Without it,
-    # one exact C-row count aggregate runs.
+    # Sizing on the FOLDED bucket size (DISTINCT vectors, not rows): the
+    # kernel's exact-duplicate fold already collapses duplicate mass to
+    # k+1 rows per set, so row counts overstate the matmul a bucket
+    # actually runs — salting a duplicate-heavy bucket would only
+    # duplicate its probes for nothing. With ``right_rows`` known (the
+    # find_matches route always knows it) distinct-per-bucket is
+    # ESTIMATED from the k-means fit sample driver-side — zero extra
+    # jobs; noise only matters within ~1x of the target, where a missed
+    # split is harmless. Without it, one exact C-row distinct-count
+    # aggregate runs.
     import math
 
     if right_rows is not None and len(fit_sample):
         cc2 = (cents * cents).sum(axis=1)
         d = cc2[None, :] - 2.0 * (fit_sample @ cents.T)
-        counts = np.bincount(d.argmin(axis=1), minlength=len(cents))
-        est = counts * (right_rows / max(len(fit_sample), 1))
-        sizes = dict(enumerate(est))
+        assign = d.argmin(axis=1)
+        fs = np.ascontiguousarray(fit_sample)
+        keys = fs.view(
+            np.dtype((np.void, fs.shape[1] * fs.itemsize))
+        ).ravel()
+        scale = right_rows / max(len(fit_sample), 1)
+        sizes = {
+            int(c): len(np.unique(keys[assign == c])) * scale
+            for c in np.unique(assign)
+        }
     else:
         sizes = {
             r["__centroid"]: r["n"]
             for r in assigned_r.groupBy("__centroid")
-            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.count_distinct("__rv").alias("n"))
             .collect()
         }
     salts = {

@@ -499,3 +499,39 @@ def test_ivf_knn_join_skew_salting_exact(spark):
         left, emb, k=3, n_centroids=8, nprobe=8, exclude_self=True,
     ).collect())
     assert salted == plain and len(salted) == 90
+
+
+def test_ivf_knn_join_duplicate_fold_exact(spark):
+    """Byte-identical right vectors fold to their k+1 smallest right_ids
+    before the matmul (a duplicate set can fill at most k slots, always
+    with its smallest ids) — exact under exclude_self and when k spans
+    the set, pinned against the crossJoin path on a corpus where 40% of
+    vectors are exact duplicates."""
+    from pyspark.sql import functions as F
+
+    from linkml_store_spark.operators.similarity import ivf_knn_join
+
+    emb = spark.range(500).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda i: F.when(
+                F.col("id") % 5 < 2, (1.0 + i * 0.25)
+            ).otherwise(
+                F.sin((F.col("id") + 1) * (i + 3) * 0.41)
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    left = emb.filter(F.col("vec_id") % 7 == 0)
+    key = lambda rows: sorted(
+        (r["left_id"], r["right_id"], r["rank"]) for r in rows
+    )
+    for k, excl in ((3, True), (5, False), (1, True)):
+        routed = key(ivf_knn_join(
+            left, emb, k=k, n_centroids=8, nprobe=8, exclude_self=excl,
+        ).collect())
+        exact = key(find_matches(
+            left, emb, vector_col="embedding", left_id="vec_id",
+            right_id="vec_id", top_n=k, exclude_self=excl, method="exact",
+        ).collect())
+        assert routed == exact, (k, excl)
