@@ -2179,65 +2179,15 @@ def q_qir_having(spark, sf):
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ordering = the driver sampling window (first 50 hash-compared per
-    # round). Round 11 policy (VERDICT r10 next-round #4): the 16 queries
-    # whose latest driver row is r8 lead, then the three NEW join-IR
-    # queries (qir_left/semi/anti_join), then the r9-stale block the
-    # verdict named (qir_* aggregates, the multimodal six, the asof trio,
-    # graph/funnel/cohort) and an alphabetical r9 fill to 50 (includes
-    # find_matches, re-driven after this round's auto-route change). The
-    # 19 remaining r9 queries sit at 51-69 to lead the r12 window; the
-    # r10-sampled 50 close the registry. Everything below position 50
+    # round). Round 12 policy (VERDICT r11 next-round #4): the 19 queries
+    # whose latest driver row is r9 lead (fuzzy_join_names .. topn_per_group),
+    # then the five cross-round canaries (find_eq / groupby_tpch_q1 /
+    # dedup_minhash / knn_cosine / count_zone_values), then ann_knn_join and
+    # find_matches (both re-driven after this round's probe-mass salting and
+    # euclidean IVF routing changes), then an alphabetical r10 fill to 50.
+    # The remaining r10-sampled queries sit at 51-69 to lead the r13 window;
+    # the r11-sampled 50 close the registry. Everything below position 50
     # stays value-verified by tools/oracle_compare.py's full sweep.
-    "join_revenue_by_segment": q_join_revenue_by_segment,
-    "join_supplier_geo": q_join_supplier_geo,
-    "ngram_lm_score": q_ngram_lm_score,
-    "paragraph_dedup": q_paragraph_dedup,
-    "pivot_status_priority": q_pivot_status_priority,
-    "quality_classifier": q_quality_classifier,
-    "referential_integrity": q_referential_integrity,
-    "semantic_dedup": q_semantic_dedup,
-    "sort_topk": q_sort_topk,
-    "span_dedup_incremental": q_span_dedup_incremental,
-    "span_stats": q_span_stats,
-    "span_stats_window": q_span_stats_window,
-    "topk_pruned": q_topk_pruned,
-    "topk_string_pruned": q_topk_string_pruned,
-    "window_hourly_rollup": q_window_hourly_rollup,
-    "window_latest_event": q_window_latest_event,
-    "qir_left_join": q_qir_left_join,
-    "qir_semi_join": q_qir_semi_join,
-    "qir_anti_join": q_qir_anti_join,
-    "qir_group_agg": q_qir_group_agg,
-    "qir_join_agg": q_qir_join_agg,
-    "qir_argmax": q_qir_argmax,
-    "qir_hourly": q_qir_hourly,
-    "multimodal_audio": q_multimodal_audio,
-    "multimodal_features": q_multimodal_features,
-    "multimodal_frames": q_multimodal_frames,
-    "multimodal_gif": q_multimodal_gif,
-    "multimodal_jpeg": q_multimodal_jpeg,
-    "multimodal_real_decode": q_multimodal_real_decode,
-    "asof_forward": q_asof_forward,
-    "asof_join": q_asof_view_before_purchase,
-    "asof_tolerance": q_asof_tolerance,
-    "graph_traverse": q_graph_traverse,
-    "funnel_view_click_purchase": q_funnel_view_click_purchase,
-    "cohort_retention": q_cohort_retention,
-    "ann_ivf": q_ann_ivf,
-    "boxplot_stats": q_boxplot_stats,
-    "cap_per_source": q_cap_per_source,
-    "chunk_documents": q_chunk_documents,
-    "collection_api": q_collection_api,
-    "connected_components": q_connected_components,
-    "contamination": q_contamination,
-    "corpus_mix_counts": q_corpus_mix_counts,
-    "correlation_by_type": q_correlation_by_type,
-    "derived_projection": q_derived_projection,
-    "domain_stats": q_domain_stats,
-    "embedding_stats": q_embedding_stats,
-    "enrichment": q_enrichment,
-    "facet_multivalued": q_facet_multivalued,
-    "find_matches": q_find_matches,
     "fuzzy_join_names": q_fuzzy_join_names,
     "groupby_objects": q_groupby_objects,
     "hash_split_documents": q_hash_split_documents,
@@ -2257,16 +2207,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "token_budget_sample": q_token_budget_sample,
     "topn_per_group": q_topn_per_group,
-    "adaptive_quality": q_adaptive_quality,
+    "find_eq": q_find_eq,
+    "groupby_tpch_q1": q_groupby_tpch_q1,
+    "dedup_minhash": q_dedup_minhash,
+    "knn_cosine": q_knn_cosine,
+    "count_zone_values": q_count_zone_values,
     "ann_knn_join": q_ann_knn_join,
+    "find_matches": q_find_matches,
+    "adaptive_quality": q_adaptive_quality,
     "bpe_tokenize": q_bpe_tokenize,
     "corpus_pipeline": q_corpus_pipeline,
-    "count_zone_values": q_count_zone_values,
     "dedup_exact": q_dedup_exact,
     "dedup_groups": q_dedup_groups,
     "dedup_incremental": q_dedup_incremental,
     "dedup_jaccard": q_dedup_jaccard,
-    "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "describe_totalprice": q_describe_totalprice,
     "deterministic_shuffle": q_deterministic_shuffle,
@@ -2277,7 +2231,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "facet_multiselect": q_facet_multiselect,
     "facet_priority": q_facet_priority,
     "facet_zone_clustered": q_facet_zone_clustered,
-    "find_eq": q_find_eq,
     "find_exists": q_find_exists,
     "find_in": q_find_in,
     "find_like": q_find_like,
@@ -2289,8 +2242,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "find_regex": q_find_regex,
     "find_size": q_find_size,
     "fingerprint_overlap": q_fingerprint_overlap,
-    "groupby_tpch_q1": q_groupby_tpch_q1,
-    "knn_cosine": q_knn_cosine,
     "pack_sequences": q_pack_sequences,
     "qir_count_distinct": q_qir_count_distinct,
     "qir_having": q_qir_having,
@@ -2307,6 +2258,55 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "text_search": q_text_search,
     "tfidf_terms": q_tfidf_terms,
+    "ann_ivf": q_ann_ivf,
+    "asof_forward": q_asof_forward,
+    "asof_join": q_asof_view_before_purchase,
+    "asof_tolerance": q_asof_tolerance,
+    "boxplot_stats": q_boxplot_stats,
+    "cap_per_source": q_cap_per_source,
+    "chunk_documents": q_chunk_documents,
+    "cohort_retention": q_cohort_retention,
+    "collection_api": q_collection_api,
+    "connected_components": q_connected_components,
+    "contamination": q_contamination,
+    "corpus_mix_counts": q_corpus_mix_counts,
+    "correlation_by_type": q_correlation_by_type,
+    "derived_projection": q_derived_projection,
+    "domain_stats": q_domain_stats,
+    "embedding_stats": q_embedding_stats,
+    "enrichment": q_enrichment,
+    "facet_multivalued": q_facet_multivalued,
+    "funnel_view_click_purchase": q_funnel_view_click_purchase,
+    "graph_traverse": q_graph_traverse,
+    "join_revenue_by_segment": q_join_revenue_by_segment,
+    "join_supplier_geo": q_join_supplier_geo,
+    "multimodal_audio": q_multimodal_audio,
+    "multimodal_features": q_multimodal_features,
+    "multimodal_frames": q_multimodal_frames,
+    "multimodal_gif": q_multimodal_gif,
+    "multimodal_jpeg": q_multimodal_jpeg,
+    "multimodal_real_decode": q_multimodal_real_decode,
+    "ngram_lm_score": q_ngram_lm_score,
+    "paragraph_dedup": q_paragraph_dedup,
+    "pivot_status_priority": q_pivot_status_priority,
+    "qir_anti_join": q_qir_anti_join,
+    "qir_argmax": q_qir_argmax,
+    "qir_group_agg": q_qir_group_agg,
+    "qir_hourly": q_qir_hourly,
+    "qir_join_agg": q_qir_join_agg,
+    "qir_left_join": q_qir_left_join,
+    "qir_semi_join": q_qir_semi_join,
+    "quality_classifier": q_quality_classifier,
+    "referential_integrity": q_referential_integrity,
+    "semantic_dedup": q_semantic_dedup,
+    "sort_topk": q_sort_topk,
+    "span_dedup_incremental": q_span_dedup_incremental,
+    "span_stats": q_span_stats,
+    "span_stats_window": q_span_stats_window,
+    "topk_pruned": q_topk_pruned,
+    "topk_string_pruned": q_topk_string_pruned,
+    "window_hourly_rollup": q_window_hourly_rollup,
+    "window_latest_event": q_window_latest_event,
 }
 
 
