@@ -974,6 +974,28 @@ def q_find_matches(spark, sf):
     ).orderBy("left_id", "rank")
 
 
+def q_find_matches_euclidean(spark, sf):
+    # euclidean through the ROUTED IVF bucketed join (round 12): k-means
+    # buckets are natively L2, so method="ivf" at nprobe == n_centroids
+    # is exact and DuckDB replays it as the brute-force list_distance
+    # cross join (ascending rank, ties by right_id)
+    from linkml_store_spark.index.search import find_matches
+
+    emb = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    left = emb.filter(F.col("vec_id") < 50)
+    right = emb.filter(F.col("vec_id") >= 50)
+    out = find_matches(
+        left, right, vector_col="embedding", left_id="vec_id",
+        right_id="vec_id", top_n=3, metric="euclidean",
+        method="ivf", n_centroids=8, nprobe=8,
+    )
+    return out.select(
+        "left_id", "right_id", F.round("score", 4).alias("score"), "rank"
+    ).orderBy("left_id", "rank")
+
+
 def q_groupby_objects(spark, sf):
     # group_by collapses rows into per-group object lists (one
     # collect_list(struct) shuffle); verify via per-group summary
@@ -2214,6 +2236,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "count_zone_values": q_count_zone_values,
     "ann_knn_join": q_ann_knn_join,
     "find_matches": q_find_matches,
+    "find_matches_euclidean": q_find_matches_euclidean,
     "adaptive_quality": q_adaptive_quality,
     "bpe_tokenize": q_bpe_tokenize,
     "corpus_pipeline": q_corpus_pipeline,
@@ -3700,6 +3723,25 @@ ORACLES: dict[str, str] = {
                    ROW_NUMBER() OVER (
                        PARTITION BY left_id
                        ORDER BY list_cosine_similarity(lv, rv) DESC, right_id ASC
+                   ) AS rank
+            FROM l, r
+        )
+        SELECT left_id, right_id, ROUND(raw_score, 4) AS score, rank
+        FROM scored WHERE rank <= 3 ORDER BY left_id, rank
+    """,
+    "find_matches_euclidean": """
+        WITH l AS (
+            SELECT vec_id AS left_id, CAST(embedding AS DOUBLE[]) AS lv
+            FROM embeddings WHERE vec_id < 50
+        ), r AS (
+            SELECT vec_id AS right_id, CAST(embedding AS DOUBLE[]) AS rv
+            FROM embeddings WHERE vec_id >= 50
+        ), scored AS (
+            SELECT left_id, right_id,
+                   list_distance(lv, rv) AS raw_score,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY left_id
+                       ORDER BY list_distance(lv, rv) ASC, right_id ASC
                    ) AS rank
             FROM l, r
         )

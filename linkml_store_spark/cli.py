@@ -376,12 +376,15 @@ def validate(obj: Context, schema_file, output_type, output):
 @click.option("--threshold", default=None, type=float)
 @click.option("--method", type=click.Choice(["auto", "exact", "ivf"]),
               default="auto", show_default=True,
-              help="ivf = centroid-bucketed candidate join (cosine only): "
-                   "|L|*nprobe + |R| shuffle rows instead of the |L|*|R| "
-                   "cross product — the scale path for large collections; "
-                   "auto routes to it past 25M candidate pairs")
-@click.option("--nprobe", default=4, show_default=True,
-              help="probes per query row for --method ivf")
+              help="ivf = centroid-bucketed candidate join "
+                   "(cosine/euclidean/dot): |L|*nprobe + |R| shuffle rows "
+                   "instead of the |L|*|R| cross product — the scale path "
+                   "for large collections; auto routes to it past 25M "
+                   "candidate pairs")
+@click.option("--nprobe", default=None, type=int,
+              help="probes per query row for the ivf plan (default 4 for "
+                   "--method ivf; auto-sized when auto routes — an "
+                   "explicit value is honored on every method)")
 @OUTPUT_OPT
 @OUTPUT_FILE_OPT
 @click.pass_obj
@@ -403,23 +406,33 @@ def find_matches_cmd(obj: Context, target_collection, metric, max_matches,
     tgt_idx = next(iter(tgt._index_dfs.values()))
     pk_s, pk_t = src._require_pk(), tgt._require_pk()
     if method == "ivf":
-        if metric != "cosine":
-            raise click.UsageError("--method ivf supports cosine only")
+        if metric not in ("cosine", "euclidean", "dot"):
+            raise click.UsageError(
+                "--method ivf supports cosine/euclidean/dot only"
+            )
+        from pyspark.sql import functions as F
+
         from linkml_store_spark.operators.similarity import ivf_knn_join
 
         out = ivf_knn_join(
             src_idx, tgt_idx, vector_col=INDEX_COLUMN, left_id=pk_s,
-            right_id=pk_t, k=max_matches, nprobe=nprobe,
+            right_id=pk_t, k=max_matches, metric=metric,
+            nprobe=nprobe if nprobe is not None else 4,
         )
         if threshold is not None:
-            from pyspark.sql import functions as F
-
-            out = out.filter(F.col("score") >= threshold)
+            out = out.filter(
+                F.col("score") <= threshold
+                if metric == "euclidean"
+                else F.col("score") >= threshold
+            )
     else:
+        # an explicit --nprobe is honored on EVERY method (auto included —
+        # it used to be silently dropped there, ADVICE r11); when unset,
+        # auto's balanced sizing picks it
         out = find_matches(
             src_idx, tgt_idx, left_id=pk_s, right_id=pk_t,
             metric=metric, top_n=max_matches, threshold=threshold,
-            method=method, nprobe=nprobe if method != "auto" else None,
+            method=method, nprobe=nprobe,
         )
     _render([r.asDict() for r in out.collect()], output_type, output)
 

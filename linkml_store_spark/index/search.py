@@ -187,14 +187,19 @@ def find_matches(
     Auto-routed like :meth:`Collection.knn`: ``method="auto"`` (default)
     counts both sides (one metadata-cheap aggregate each; pass
     ``left_rows``/``right_rows`` to skip the jobs) and, when
-    ``|L| x |R| > max_exact_pairs`` and the metric is cosine, swaps the
-    crossJoin for ``operators.similarity.ivf_knn_join`` — a
-    centroid-bucketed candidate equi-join shuffling ``|L|*nprobe + |R|``
-    rows instead of materializing the cross product. ``method="exact"``
-    pins the crossJoin (the reference's exact semantics);
-    ``method="ivf"`` forces the bucketed plan (exact when
-    ``nprobe == n_centroids``). Non-cosine metrics above the gate stay
-    exact and warn once — IVF's centroid buckets are a cosine structure.
+    ``|L| x |R| > max_exact_pairs`` and the metric is cosine, euclidean,
+    or dot, swaps the crossJoin for
+    ``operators.similarity.ivf_knn_join`` — a centroid-bucketed
+    candidate equi-join shuffling ``|L|*nprobe + |R|`` rows instead of
+    materializing the cross product (k-means buckets are natively L2,
+    so euclidean rides the same probe structure; dot via the
+    max-inner-product reduction). ``method="exact"`` pins the crossJoin
+    (the reference's exact semantics); ``method="ivf"`` forces the
+    bucketed plan (exact when ``nprobe == n_centroids``). The routed
+    plan with ``nprobe < n_centroids`` is APPROXIMATE (IVF recall
+    trade) — auto-routing warns once, stating how to pin exactness.
+    Manhattan above the gate stays exact and warns — its pairwise L1
+    has no matmul form for the bucket kernel.
 
     The score ``threshold`` composes with the IVF route by post-filtering:
     for a descending metric the threshold only drops rows ranked BELOW
@@ -214,7 +219,7 @@ def find_matches(
         nr = right_rows if right_rows is not None else fast_count(rhs)
         left_rows, right_rows = nl, nr  # reuse downstream (sizing, salting)
         if nl * nr > max_exact_pairs:
-            if metric == "cosine":
+            if metric in ("cosine", "euclidean", "dot"):
                 route_ivf = True
             else:
                 import warnings
@@ -222,13 +227,16 @@ def find_matches(
                 warnings.warn(
                     f"find_matches: {nl} x {nr} rows with metric={metric!r} "
                     f"runs the exact cross product ({nl * nr:.2e} pairs); "
-                    f"only cosine auto-routes to the IVF bucketed join. "
-                    f"Consider metric='cosine' or pre-filtering.",
+                    f"only cosine/euclidean/dot auto-route to the IVF "
+                    f"bucketed join. Consider one of those metrics or "
+                    f"pre-filtering.",
                     stacklevel=2,
                 )
     if route_ivf:
-        if metric != "cosine":
-            raise ValueError("method='ivf' supports cosine only")
+        if metric not in ("cosine", "euclidean", "dot"):
+            raise ValueError(
+                "method='ivf' supports cosine/euclidean/dot only"
+            )
         from linkml_store_spark.operators.similarity import ivf_knn_join
 
         if n_centroids is None:
@@ -253,6 +261,18 @@ def find_matches(
             # gives ~8*|R|/sqrt(|R|) candidates per left row; raise
             # nprobe (up to C, = exact) for recall, not by default.
             nprobe = min(8, n_centroids)
+        if method == "auto" and nprobe < n_centroids:
+            import warnings
+
+            warnings.warn(
+                f"find_matches: auto-routing {left_rows} x {right_rows} "
+                f"rows to the IVF bucketed join (nprobe={nprobe} of "
+                f"{n_centroids} centroids) — results are APPROXIMATE "
+                f"(the usual IVF recall trade). Pin method='exact' for "
+                f"the cross product, or raise nprobe (= n_centroids is "
+                f"exact).",
+                stacklevel=2,
+            )
         out = ivf_knn_join(
             left, right, vector_col=vector_col, left_id=left_id,
             right_id=right_id, k=top_n,
@@ -260,9 +280,15 @@ def find_matches(
             nprobe=nprobe,
             exclude_self=exclude_self,
             right_rows=right_rows,
+            metric=metric,
+            left_rows=left_rows,
         )
         if threshold is not None:
-            out = out.filter(F.col("score") >= threshold)
+            out = out.filter(
+                F.col("score") <= threshold
+                if metric == "euclidean"
+                else F.col("score") >= threshold
+            )
         return out
     pairs = lhs.crossJoin(rhs)
     if exclude_self:

@@ -392,6 +392,9 @@ def ivf_knn_join(
     exclude_self: bool = False,
     bucket_target: int = 100_000,
     right_rows: Optional[int] = None,
+    metric: str = "cosine",
+    left_rows: Optional[int] = None,
+    probe_target: Optional[int] = None,
 ) -> DataFrame:
     """kNN JOIN between two collections via shared IVF buckets — the scale
     swap for ``index.search.find_matches``'s crossJoin (reference
@@ -414,11 +417,28 @@ def ivf_knn_join(
     the configuration the value oracle runs); approximate below that
     with the usual IVF recall/probe trade.
 
+    ``metric``: ``"cosine"`` (default, descending), ``"dot"``
+    (descending — max-inner-product through the same L2 centroid
+    buckets), or ``"euclidean"`` (ASCENDING — k-means buckets are
+    natively L2, so this is IVF's home metric; FAISS's default). The
+    probe step is identical for all three (nearest centroids by
+    ``|c|^2 - 2 v.c``); only the in-bucket scoring matmul and the
+    rank direction differ.
+
+    ``left_rows``/``probe_target`` drive PROBE-mass salting (see the
+    skew-salting comment below): pass ``left_rows`` when known to skip
+    a count job.
+
     Returns (left_id, right_id, score, rank) like ``find_matches``.
     """
     from pyspark.sql import types as T
     from pyspark.sql.window import Window
 
+    if metric not in ("cosine", "dot", "euclidean"):
+        raise ValueError(
+            f"ivf_knn_join supports cosine/dot/euclidean, got {metric!r}"
+        )
+    ascending = metric == "euclidean"
     assigned_r, cents, fit_sample = build_ivf(
         right.select(F.col(right_id).alias("right_id"),
                      F.col(vector_col).alias("__rv")),
@@ -440,7 +460,7 @@ def ivf_knn_join(
         T.StructField("right_id", assigned_r.schema["right_id"].dataType),
         T.StructField("score", T.DoubleType()),
     ])
-    kk, excl = k, exclude_self
+    kk, excl, met, asc = k, exclude_self, metric, ascending
 
     def score_bucket(lpdf, rpdf):
         import numpy as np
@@ -482,20 +502,29 @@ def ivf_knn_join(
                 B = B[keep_rows]
                 rpdf = rpdf.iloc[keep_rows]
         S = A @ B.T
-        norms = (
-            np.linalg.norm(A, axis=1)[:, None]
-            * np.linalg.norm(B, axis=1)[None, :]
-        )
-        with np.errstate(divide="ignore", invalid="ignore"):
-            S = np.where(norms == 0, 0.0, S / norms)
+        if met == "cosine":
+            norms = (
+                np.linalg.norm(A, axis=1)[:, None]
+                * np.linalg.norm(B, axis=1)[None, :]
+            )
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = np.where(norms == 0, 0.0, S / norms)
+        elif met == "euclidean":
+            # |a-b|^2 = |a|^2 + |b|^2 - 2 a.b off the same matmul; clip
+            # the tiny negative residue float cancellation can leave
+            a2 = (A * A).sum(axis=1)
+            b2 = (B * B).sum(axis=1)
+            S = np.sqrt(np.maximum(a2[:, None] + b2[None, :] - 2.0 * S, 0.0))
+        # met == "dot": S already is A @ B.T
         lids = lpdf["left_id"].to_numpy()
         rids = rpdf["right_id"].to_numpy()
+        sentinel = np.inf if asc else -np.inf
         if excl:
             # right ids are unique, so at most ONE self pair per row:
-            # take k+1 then drop the -inf slots below
-            S = np.where(lids[:, None] == rids[None, :], -np.inf, S)
+            # take k+1 then drop the infinite slots below
+            S = np.where(lids[:, None] == rids[None, :], sentinel, S)
         kq = min(kk + (1 if excl else 0), S.shape[1])
-        idx = np.argsort(-S, axis=1, kind="stable")[:, :kq]
+        idx = np.argsort(S if asc else -S, axis=1, kind="stable")[:, :kq]
         top = np.take_along_axis(S, idx, axis=1)
         fin = np.isfinite(top)
         keep = (fin & (np.cumsum(fin, axis=1) <= kk)).ravel()
@@ -505,23 +534,35 @@ def ivf_knn_join(
             "score": top.ravel()[keep],
         })
 
-    # SKEW SALTING: k-means on clustered data can pack a large share of
-    # |R| into one bucket — one cogroup task then grinds a giant matmul
-    # (BLAS is single-thread per task) while the rest idle. Buckets past
-    # ``bucket_target`` rows split into ceil(n/target) salted sub-buckets
-    # (right rows by hash(right_id), probes EXPLODE to all salts of a
-    # probed bucket). Same candidates, finer partitions — exactness
-    # untouched; balanced buckets skip the salting plan entirely.
-    # Sizing on the FOLDED bucket size (DISTINCT vectors, not rows): the
-    # kernel's exact-duplicate fold already collapses duplicate mass to
-    # k+1 rows per set, so row counts overstate the matmul a bucket
-    # actually runs — salting a duplicate-heavy bucket would only
-    # duplicate its probes for nothing. With ``right_rows`` known (the
-    # find_matches route always knows it) distinct-per-bucket is
-    # ESTIMATED from the k-means fit sample driver-side — zero extra
-    # jobs; noise only matters within ~1x of the target, where a missed
-    # split is harmless. Without it, one exact C-row distinct-count
-    # aggregate runs.
+    # SKEW SALTING, two independent axes per bucket:
+    #
+    #   * RIGHT mass (``__mr`` sub-buckets): k-means on clustered data can
+    #     pack a large share of |R|'s DISTINCT vectors into one bucket —
+    #     one cogroup task then grinds a giant matmul (BLAS is
+    #     single-thread per task) while the rest idle. Sized on the FOLDED
+    #     bucket size (distinct vectors, not rows): the kernel's
+    #     exact-duplicate fold already collapses duplicate mass to k+1
+    #     rows per set. With ``right_rows`` known (the find_matches route
+    #     always knows it) distinct-per-bucket is ESTIMATED from the
+    #     k-means fit sample driver-side — zero extra jobs; without it,
+    #     one exact C-row distinct-count aggregate runs.
+    #   * PROBE mass (``__mp`` salts): a duplicate-heavy corpus folds a
+    #     bucket's right side to ~k+1 rows (never right-salted) yet every
+    #     duplicate probe still targets that one bucket — the single
+    #     cogroup group RECEIVES all of them and serializes (measured
+    #     25-190 s run spread at 400k x 400k with 45% duplicates,
+    #     SCALING.md round 11). Estimated from a driver-side left sample
+    #     (same pattern as the k-means fit sample; ``left_rows`` skips
+    #     the count job); buckets past ``probe_target`` estimated probes
+    #     REPLICATE their right rows across ceil(probes/target) salts and
+    #     each probe hashes into exactly ONE of them.
+    #
+    # A bucket can be both right- and probe-heavy: right rows hash into
+    # ``mr`` sub-buckets and replicate across ``mp``; probes hash into
+    # ``mp`` and replicate across ``mr``; combined salt = p*mr + r, so
+    # every (probe, right-row) pair of the bucket meets in EXACTLY one
+    # salted group — same candidates, finer partitions, exactness
+    # untouched. Balanced buckets skip the salting plan entirely.
     import math
 
     if right_rows is not None and len(fit_sample):
@@ -544,34 +585,115 @@ def ivf_knn_join(
             .agg(F.count_distinct("__rv").alias("n"))
             .collect()
         }
-    salts = {
+    mr_map = {
         int(c): int(math.ceil(n / bucket_target))
         for c, n in sizes.items()
         if n > bucket_target
+    }
+
+    tgt = probe_target if probe_target is not None else bucket_target
+    lsample = [
+        r[0]
+        for r in left.select(vector_col).limit(10_000).collect()
+        if r[0] is not None
+    ]
+    mp_map: dict = {}
+    if lsample:
+        if left_rows is None:
+            from linkml_store_spark.where import fast_count
+
+            left_rows = fast_count(left)
+        Lm = np.asarray(lsample, dtype=float)
+        dd = (cents * cents).sum(axis=1)[None, :] - 2.0 * (Lm @ cents.T)
+        npr = min(nprobe, len(cents))
+        cntb = np.bincount(
+            np.argsort(dd, axis=1, kind="stable")[:, :npr].ravel(),
+            minlength=len(cents),
+        )
+        scale_p = max(left_rows, len(Lm)) / len(Lm)
+        mp_map = {
+            int(c): int(math.ceil(cntb[c] * scale_p / tgt))
+            for c in np.nonzero(cntb)[0]
+            if cntb[c] * scale_p > tgt
+        }
+
+    if mp_map:
+        # Fold BEFORE replicating: a probe-hot bucket's right rows are
+        # about to be copied mp times, so collapse each exact-duplicate
+        # vector set to its k+1 smallest right_ids first (the same fold —
+        # and the same exactness argument — as the kernel's in-group
+        # fold: identical vectors fill at most k result slots, +1 absorbs
+        # an excluded self). The row_number window sorts each duplicate
+        # set in one partition — bounded by the duplicate set's row
+        # count, and only probe-hot buckets pay it. Vectors containing
+        # NaN are exempt (Spark groups all NaNs equal; the kernel's
+        # byte-level fold does not — folding them here could merge sets
+        # the kernel would keep apart).
+        hot = sorted(mp_map)
+        no_nan = ~F.exists(
+            F.col("__rv"), lambda x: F.isnan(x.cast("double"))
+        )
+        can_fold = F.coalesce(
+            F.col("__centroid").isin(hot)
+            & F.col("__rv").isNotNull()
+            & no_nan,
+            F.lit(False),
+        )
+        wf = Window.partitionBy("__centroid", "__rv").orderBy("right_id")
+        folded = (
+            assigned_r.filter(can_fold)
+            .withColumn("__dr", F.row_number().over(wf))
+            .filter(F.col("__dr") <= k + 1)
+            .drop("__dr")
+        )
+        assigned_r = assigned_r.filter(~can_fold).unionByName(folded)
+
+    salts = {
+        c: (mr_map.get(c, 1), mp_map.get(c, 1))
+        for c in set(mr_map) | set(mp_map)
     }
     group_keys = ["__centroid"]
     if salts:
         salt_df = F.broadcast(
             left.sparkSession.createDataFrame(
-                list(salts.items()),
-                "__centroid int, __m int",
+                [(c, a, b) for c, (a, b) in sorted(salts.items())],
+                "__centroid int, __mr int, __mp int",
             )
         )
-        assigned_r = assigned_r.join(salt_df, "__centroid", "left").withColumn(
-            "__salt",
-            F.when(
-                F.col("__m").isNotNull(),
-                F.pmod(F.xxhash64(F.col("right_id")), F.col("__m")).cast("int"),
-            ).otherwise(F.lit(0)),
-        ).drop("__m")
-        probes = probes.join(salt_df, "__centroid", "left").withColumn(
-            "__salt",
-            F.explode(
-                F.sequence(
-                    F.lit(0), F.coalesce(F.col("__m"), F.lit(1)) - 1
-                ).cast("array<int>")
-            ),
-        ).drop("__m")
+        mr_c = F.coalesce(F.col("__mr"), F.lit(1))
+        mp_c = F.coalesce(F.col("__mp"), F.lit(1))
+        assigned_r = (
+            assigned_r.join(salt_df, "__centroid", "left")
+            .withColumn(
+                "__rs", F.pmod(F.xxhash64(F.col("right_id")), mr_c).cast("int")
+            )
+            .withColumn(
+                "__salt",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), mp_c - 1),
+                        lambda p: (p * mr_c + F.col("__rs")).cast("int"),
+                    )
+                ),
+            )
+            .drop("__mr", "__mp", "__rs")
+        )
+        probes = (
+            probes.join(salt_df, "__centroid", "left")
+            .withColumn(
+                "__ps", F.pmod(F.xxhash64(F.col("left_id")), mp_c).cast("int")
+            )
+            .withColumn(
+                "__salt",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), mr_c - 1),
+                        lambda r: (F.col("__ps") * mr_c + r).cast("int"),
+                    )
+                ),
+            )
+            .drop("__mr", "__mp", "__ps")
+        )
         group_keys = ["__centroid", "__salt"]
     cands = (
         probes.groupBy(*group_keys)
@@ -579,7 +701,7 @@ def ivf_knn_join(
         .applyInPandas(score_bucket, schema=out_schema)
     )
     w = Window.partitionBy("left_id").orderBy(
-        F.desc("score"), F.asc("right_id")
+        F.asc("score") if ascending else F.desc("score"), F.asc("right_id")
     )
     return (
         cands.withColumn("rank", F.row_number().over(w))

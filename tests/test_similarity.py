@@ -440,6 +440,9 @@ def test_find_matches_routed_threshold_and_exclude_self(spark):
 
 
 def test_find_matches_noncosine_above_gate_warns_and_stays_exact(spark):
+    # manhattan is the one metric left on the warned exact path (no
+    # matmul form for the bucket kernel); euclidean/dot route — see
+    # test_find_matches_euclidean_routes_above_gate
     import warnings as _w
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -448,11 +451,98 @@ def test_find_matches_noncosine_above_gate_warns_and_stays_exact(spark):
         _w.simplefilter("always")
         df = find_matches(
             left, emb, vector_col="embedding", left_id="vec_id",
-            right_id="vec_id", top_n=1, metric="euclidean",
+            right_id="vec_id", top_n=1, metric="manhattan",
             max_exact_pairs=10,
         )
+        assert "__centroid" not in _plan(df)
         assert df.count() == 5
-    assert any("cross product" in str(w.message) for w in rec)
+    assert any("runs the exact cross product" in str(w.message) for w in rec)
+
+
+def test_find_matches_auto_ivf_warns_approximate(spark):
+    """ADVICE r11: auto-routing to IVF with nprobe < n_centroids must
+    say so — callers relying on the reference's exact semantics get
+    approximate matches with nothing else indicating it."""
+    import warnings as _w
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    left = emb.limit(30)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        find_matches(
+            left, emb, vector_col="embedding", left_id="vec_id",
+            right_id="vec_id", top_n=1, max_exact_pairs=10,
+            n_centroids=8, nprobe=4,
+        ).collect()
+    assert any("APPROXIMATE" in str(w.message) for w in rec)
+    # all-probe routing is exact -> no approximation warning
+    with _w.catch_warnings(record=True) as rec2:
+        _w.simplefilter("always")
+        find_matches(
+            left, emb, vector_col="embedding", left_id="vec_id",
+            right_id="vec_id", top_n=1, max_exact_pairs=10,
+            n_centroids=8, nprobe=8,
+        ).collect()
+    assert not any("APPROXIMATE" in str(w.message) for w in rec2)
+
+
+def test_find_matches_euclidean_routes_above_gate(spark):
+    """VERDICT r11 #2: euclidean (k-means' native metric) rides the IVF
+    bucketed join above the gate — no cartesian in the plan, and at
+    all-probe the result equals the exact crossJoin path (ascending
+    rank order, threshold as a <= post-filter)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    left = emb.limit(40)
+    routed = find_matches(
+        left, emb, vector_col="embedding", left_id="vec_id",
+        right_id="vec_id", top_n=3, metric="euclidean",
+        max_exact_pairs=10, n_centroids=8, nprobe=8,
+    )
+    s = _plan(routed)
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s, s
+    exact = find_matches(
+        left, emb, vector_col="embedding", left_id="vec_id",
+        right_id="vec_id", top_n=3, metric="euclidean", method="exact",
+    )
+    key = lambda rows: sorted(
+        (r["left_id"], r["right_id"], r["rank"]) for r in rows
+    )
+    assert key(routed.collect()) == key(exact.collect())
+    # threshold keeps the ascending direction on the routed path
+    thr_r = find_matches(
+        left, emb, vector_col="embedding", left_id="vec_id",
+        right_id="vec_id", top_n=3, metric="euclidean",
+        max_exact_pairs=10, n_centroids=8, nprobe=8, threshold=2.0,
+    ).collect()
+    thr_e = find_matches(
+        left, emb, vector_col="embedding", left_id="vec_id",
+        right_id="vec_id", top_n=3, metric="euclidean", method="exact",
+        threshold=2.0,
+    ).collect()
+    assert key(thr_r) == key(thr_e)
+    assert all(r["score"] <= 2.0 for r in thr_r)
+
+
+def test_find_matches_dot_routes_above_gate(spark):
+    """dot (max inner product) through the same L2 buckets: exact at
+    all-probe, descending rank order, exclude_self composes."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    left = emb.limit(40)
+    routed = find_matches(
+        left, emb, vector_col="embedding", left_id="vec_id",
+        right_id="vec_id", top_n=2, metric="dot", exclude_self=True,
+        max_exact_pairs=10, n_centroids=8, nprobe=8,
+    )
+    assert "CartesianProduct" not in _plan(routed)
+    exact = find_matches(
+        left, emb, vector_col="embedding", left_id="vec_id",
+        right_id="vec_id", top_n=2, metric="dot", exclude_self=True,
+        method="exact",
+    )
+    key = lambda rows: sorted(
+        (r["left_id"], r["right_id"], r["rank"]) for r in rows
+    )
+    assert key(routed.collect()) == key(exact.collect())
 
 
 def test_ivf_knn_join_udf_probe_path_exact(spark):
@@ -535,3 +625,70 @@ def test_ivf_knn_join_duplicate_fold_exact(spark):
             right_id="vec_id", top_n=k, exclude_self=excl, method="exact",
         ).collect())
         assert routed == exact, (k, excl)
+
+
+def _dup_heavy_corpus(spark, n=500, dup_mod=5, dup_lt=2):
+    """40% exact-duplicate embeddings — the probe-hot-bucket shape."""
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda i: F.when(
+                F.col("id") % dup_mod < dup_lt, (1.0 + i * 0.25)
+            ).otherwise(
+                F.sin((F.col("id") + 1) * (i + 3) * 0.41)
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+
+
+def test_ivf_knn_join_probe_mass_salting_exact(spark):
+    """VERDICT r11 #1: a duplicate-heavy bucket folds its right side to
+    ~k+1 rows (never right-salted) yet still RECEIVES every duplicate
+    probe — one serialized cogroup task. Probe-mass salting replicates
+    the (pre-folded) right rows across salts and hashes each probe into
+    one. Forced here with a tiny probe_target so the hot buckets salt;
+    results must equal the unsalted all-probe plan exactly, including
+    under exclude_self and 2-D (right x probe) salting."""
+    from linkml_store_spark.operators.similarity import ivf_knn_join
+
+    emb = _dup_heavy_corpus(spark)
+    left = emb  # self-join: every duplicate probes its own hot bucket
+    key = lambda rows: sorted(
+        (r["left_id"], r["right_id"], r["rank"], round(r["score"], 9))
+        for r in rows
+    )
+    plain = key(ivf_knn_join(
+        left, emb, k=2, n_centroids=8, nprobe=8, exclude_self=True,
+    ).collect())
+    probe_salted = key(ivf_knn_join(
+        left, emb, k=2, n_centroids=8, nprobe=8, exclude_self=True,
+        probe_target=50, left_rows=500, right_rows=500,
+    ).collect())
+    assert probe_salted == plain and len(plain) == 1000
+    both_salted = key(ivf_knn_join(
+        left, emb, k=2, n_centroids=8, nprobe=8, exclude_self=True,
+        probe_target=50, bucket_target=30, left_rows=500, right_rows=500,
+    ).collect())
+    assert both_salted == plain
+
+
+def test_ivf_knn_join_probe_salting_partial_probe(spark):
+    """Probe salting must not change WHICH buckets a probe reaches:
+    at partial probe, salted and unsalted runs return identical pairs
+    (both approximate the same way)."""
+    from linkml_store_spark.operators.similarity import ivf_knn_join
+
+    emb = _dup_heavy_corpus(spark)
+    left = emb.filter(F.col("vec_id") % 3 == 0)
+    key = lambda rows: sorted(
+        (r["left_id"], r["right_id"], r["rank"]) for r in rows
+    )
+    plain = key(ivf_knn_join(
+        left, emb, k=1, n_centroids=8, nprobe=3,
+    ).collect())
+    salted = key(ivf_knn_join(
+        left, emb, k=1, n_centroids=8, nprobe=3,
+        probe_target=20, left_rows=167, right_rows=500,
+    ).collect())
+    assert salted == plain
