@@ -449,7 +449,10 @@ def serve(obj: Context, host, port):
 
     if obj.database_handle:
         obj.db  # attach the CLI-selected database before serving
-    create_app(obj.client).run(host=host, port=port)
+    # threaded: the dev server otherwise serializes ALL requests on one
+    # thread — a single slow query would head-of-line-block the API.
+    # Still the dev server; front with waitress/gunicorn in production.
+    create_app(obj.client).run(host=host, port=port, threaded=True)
 
 
 @cli.command()

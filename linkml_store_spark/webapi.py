@@ -33,6 +33,12 @@ except ImportError:  # pragma: no cover - optional dependency
 MAX_PAGE_SIZE = 100
 
 
+class _BadRequestError(Exception):
+    """Malformed query parameter — rendered as the API's 400 envelope
+    (not a Flask 500): raised by ``page_args``/``parse_where`` and
+    caught by the app-level errorhandler (ADVICE r11)."""
+
+
 def _json_default(o):
     if isinstance(o, (datetime, date)):
         return o.isoformat()
@@ -91,7 +97,10 @@ def create_app(client) -> "Flask":
     """Build the WSGI app over an attached :class:`Client`."""
     if Flask is None:  # pragma: no cover
         raise ImportError("flask is required for the web API façade")
+    import threading
+
     app = Flask("linkml_store_spark")
+    _indexer_lock = threading.Lock()
 
     def respond(payload: Dict[str, Any], status: int = 200) -> Response:
         return Response(
@@ -128,13 +137,28 @@ def create_app(client) -> "Flask":
 
     def parse_where() -> Optional[dict]:
         raw = request.args.get("where")
-        return json.loads(raw) if raw else None
+        if not raw:
+            return None
+        try:
+            parsed = json.loads(raw)
+        except json.JSONDecodeError as e:
+            raise _BadRequestError(f"where must be a JSON object: {e}")
+        if not isinstance(parsed, dict):
+            raise _BadRequestError("where must be a JSON object")
+        return parsed
 
     def page_args():
-        limit = min(max(int(request.args.get("limit", 10)), 1),
-                    MAX_PAGE_SIZE)
-        offset = max(int(request.args.get("offset", 0)), 0)
+        try:
+            limit = min(max(int(request.args.get("limit", 10)), 1),
+                        MAX_PAGE_SIZE)
+            offset = max(int(request.args.get("offset", 0)), 0)
+        except (TypeError, ValueError):
+            raise _BadRequestError("limit/offset must be integers")
         return limit, offset
+
+    @app.errorhandler(_BadRequestError)
+    def _bad_request(e):
+        return fail("bad_request", str(e), 400)
 
     # ------------------------------------------------------------- #
 
@@ -354,7 +378,12 @@ def create_app(client) -> "Flask":
         coll = db.get_collection(coll_name)
         limit, _offset = page_args()
         if not coll.indexers:
-            coll.attach_indexer("simple")
+            # double-checked under a lock: two concurrent first searches
+            # must not both attach/build the default indexer (ADVICE
+            # r11 — GET stays idempotent; the one-time attach is guarded)
+            with _indexer_lock:
+                if not coll.indexers:
+                    coll.attach_indexer("simple")
         result = coll.search(term, limit=limit)
         base = f"/databases/{db_name}/collections/{coll_name}"
         id_att = coll.identifier_attribute

@@ -157,3 +157,87 @@ def test_database_schema(api):
     b = _body(api.get("/databases/maindb/schema"))
     assert "issues" in b["data"]["classes"]
     assert "status" in b["data"]["classes"]["issues"]["attributes"]
+
+
+def test_malformed_params_get_400_envelope(api):
+    """ADVICE r11: '?limit=abc' and non-JSON where must return the
+    documented errors envelope with HTTP 400, not a Flask 500."""
+    for url in [
+        "/databases/maindb/collections/issues/objects?limit=abc",
+        "/databases/maindb/collections/issues/objects?offset=x",
+        "/databases/maindb/collections/issues/objects?where=notjson",
+        "/databases/maindb/collections/issues/objects?where=[1,2]",
+        "/databases/maindb/collections/issues/search/open?limit=1e3",
+        "/databases/maindb/collections/issues/facets?where={bad",
+    ]:
+        r = api.get(url)
+        assert r.status_code == 400, url
+        b = _body(r)
+        assert b["errors"] and b["errors"][0]["code"] == "bad_request", url
+
+
+def test_concurrent_first_search_attaches_one_indexer(api):
+    """ADVICE r11: concurrent first requests to GET /search must not
+    race the one-time default-indexer attach (double-checked lock).
+    Each thread gets its OWN test client — Flask context stacks are
+    thread-local."""
+    import threading
+
+    # fresh collection so no indexer exists yet
+    api.post(
+        "/databases/maindb/collections/conc/create",
+        json={"identifier_attribute": "k"},
+    )
+    api.post(
+        "/databases/maindb/collections/conc/objects",
+        json={"objects": [{"k": i, "v": f"term{i % 3}"} for i in range(9)]},
+    )
+    app = api.application
+    codes = []
+
+    def hit():
+        codes.append(app.test_client().get(
+            "/databases/maindb/collections/conc/search/term1"
+        ).status_code)
+
+    threads = [threading.Thread(target=hit) for _ in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert codes == [200] * 6
+    b = _body(api.get("/databases/maindb/collections/conc/search/term2"))
+    assert b["items"]
+
+
+def test_objects_paging_stays_valid_over_mutation(api):
+    """Paging contract under concurrent mutation: a page fetched AFTER
+    an insert reflects the new total, stays inside the envelope
+    contract, and page windows never error — the find() path re-counts
+    rather than serving a stale cached total."""
+    api.post(
+        "/databases/maindb/collections/mut/create",
+        json={"identifier_attribute": "k"},
+    )
+    api.post(
+        "/databases/maindb/collections/mut/objects",
+        json={"objects": [{"k": i, "v": i * 2} for i in range(15)]},
+    )
+    p1 = _body(api.get("/databases/maindb/collections/mut/objects?limit=10"))
+    assert p1["meta"]["item_count"] == 15 and len(p1["items"]) == 10
+    # mutate between page fetches
+    r = api.post(
+        "/databases/maindb/collections/mut/objects",
+        json={"objects": [{"k": 100 + i, "v": -1} for i in range(3)]},
+    )
+    assert r.status_code == 201
+    p2 = _body(api.get(
+        "/databases/maindb/collections/mut/objects?limit=10&offset=10"
+    ))
+    assert p2["meta"]["item_count"] == 18  # pre-limit total re-counted
+    assert len(p2["items"]) == 8
+    # an offset past the end is a valid empty page, not an error
+    p3 = _body(api.get(
+        "/databases/maindb/collections/mut/objects?limit=10&offset=30"
+    ))
+    assert p3["items"] == [] and p3["meta"]["item_count"] == 18
