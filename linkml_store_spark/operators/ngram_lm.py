@@ -89,38 +89,78 @@ LM_BROADCAST_MAX_ENTRIES = 5_000_000
 LM_BROADCAST_BYTES_PER_ENTRY = 160
 
 
+def _parse_mem(v) -> int:
+    """Spark memory-conf string -> bytes: k/m/g/t(±b) suffixes; a bare
+    number is MiB (the spark.executor.pyspark.memory convention)."""
+    s = str(v).strip().lower()
+    if s.endswith("b"):
+        s = s[:-1]
+    for suf, mult in (("t", 1 << 40), ("g", 1 << 30),
+                      ("m", 1 << 20), ("k", 1 << 10)):
+        if s.endswith(suf):
+            return int(float(s[:-1]) * mult)
+    return int(float(s)) << 20
+
+
+def _executor_budget(get, workers: int):
+    """Per-PYTHON-WORKER memory budget from EXECUTOR-side confs, or None.
+
+    The broadcast dict is deserialized once per python worker ON THE
+    EXECUTORS; on a real cluster those boxes can be smaller than the
+    driver, so sizing from driver MemAvailable overshoots (round-11
+    advice). ``spark.executor.pyspark.memory`` IS the python budget per
+    executor — half of a worker's share (the rest stays free for Arrow
+    batches in flight); ``spark.executor.memory`` is only a box-size
+    proxy — a quarter across workers, same ratio as the driver
+    heuristic."""
+    v = get("spark.executor.pyspark.memory", None)
+    if v:
+        return (_parse_mem(v) // max(workers, 1)) // 2
+    v = get("spark.executor.memory", None)
+    if v:
+        return (_parse_mem(v) // 4) // max(workers, 1)
+    return None
+
+
 def lm_broadcast_gate(spark=None) -> int:
-    """Default broadcast gate in entries: a quarter of AVAILABLE system
-    memory divided across the concurrent python workers (one per core in
-    local mode; per-executor cores on a cluster), at the measured
-    ~160 B/entry — capped at :data:`LM_BROADCAST_MAX_ENTRIES`. On a
-    128 GiB / 32-core box this lands near the cap; on a 16 GiB laptop it
-    drops to ~1M entries instead of OOMing 32 workers x 0.7 GB
-    (round-10 advice)."""
+    """Default broadcast gate in entries, at the measured ~160 B/entry —
+    capped at :data:`LM_BROADCAST_MAX_ENTRIES`.
+
+    Budget resolution: on a CLUSTER master, executor-side confs win
+    (:func:`_executor_budget` — the dict lives on executors, whose
+    memory the driver's /proc says nothing about); in local mode, or
+    when no executor conf is set, a quarter of the driver's AVAILABLE
+    memory divided across the concurrent python workers (driver box ==
+    executor box there). On a 128 GiB / 32-core box this lands near the
+    cap; on a 16 GiB laptop it drops to ~1M entries instead of OOMing
+    32 workers x 0.7 GB (round-10 advice)."""
     import os
 
-    avail = None
-    try:
-        with open("/proc/meminfo") as f:
-            for line in f:
-                if line.startswith("MemAvailable:"):
-                    avail = int(line.split()[1]) * 1024
-                    break
-    except OSError:
-        pass
-    if avail is None:
-        avail = 8 << 30  # conservative fallback when /proc is absent
     workers = os.cpu_count() or 8
+    per_worker = None
     if spark is not None:
         try:
+            conf = spark.sparkContext.getConf()
             workers = max(
-                1, int(spark.sparkContext.getConf().get(
-                    "spark.executor.cores", str(workers)
-                ))
+                1, int(conf.get("spark.executor.cores", str(workers)))
             )
+            if not conf.get("spark.master", "local").startswith("local"):
+                per_worker = _executor_budget(conf.get, workers)
         except Exception:  # noqa: BLE001 — sizing is advisory
             pass
-    per_worker = (avail // 4) // max(workers, 1)
+    if per_worker is None:
+        avail = None
+        try:
+            with open("/proc/meminfo") as f:
+                for line in f:
+                    if line.startswith("MemAvailable:"):
+                        avail = int(line.split()[1]) * 1024
+                        break
+        except OSError:
+            pass
+        if avail is None:
+            avail = 8 << 30  # conservative fallback when /proc is absent
+        per_worker = (avail // 4) // max(workers, 1)
     return max(
         100_000,
         min(LM_BROADCAST_MAX_ENTRIES,

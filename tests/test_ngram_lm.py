@@ -217,3 +217,39 @@ def test_rekey_model_roundtrip_and_oov():
     assert m[2][(v["b"], v["c"])] == 1
     assert m[2][(v[""], v["a"])] == 1  # " a".split(" ") == ["", "a"]
     assert (v["a"], -1) not in m[2]  # OOV grams always miss
+
+
+def test_executor_budget_prefers_executor_confs():
+    """Round-11 advice: on a cluster the gate sizes from EXECUTOR confs
+    (where the broadcast dict is deserialized), not driver MemAvailable.
+    pyspark.memory is the python budget (half a worker's share);
+    executor.memory is a box proxy (quarter across workers)."""
+    from linkml_store_spark.operators.ngram_lm import (
+        _executor_budget,
+        _parse_mem,
+    )
+
+    assert _parse_mem("4g") == 4 << 30
+    assert _parse_mem("512m") == 512 << 20
+    assert _parse_mem("1024") == 1 << 30  # bare number = MiB
+    assert _parse_mem("2t") == 2 << 40
+    assert _parse_mem("8gb") == 8 << 30
+
+    get = lambda k, d=None: {"spark.executor.pyspark.memory": "8g",
+                             "spark.executor.memory": "64g"}.get(k, d)
+    # pyspark.memory wins: (8 GiB / 4 workers) / 2 = 1 GiB
+    assert _executor_budget(get, 4) == 1 << 30
+    get2 = lambda k, d=None: {"spark.executor.memory": "64g"}.get(k, d)
+    # executor.memory proxy: (64 GiB / 4) / 8 workers = 2 GiB
+    assert _executor_budget(get2, 8) == 2 << 30
+    assert _executor_budget(lambda k, d=None: d, 8) is None
+
+
+def test_lm_broadcast_gate_local_mode_uses_driver_memory(spark):
+    """In local mode the driver IS the executor box: the gate keeps the
+    MemAvailable-derived sizing (and the session path equals the
+    sessionless path on this box)."""
+    from linkml_store_spark.operators.ngram_lm import lm_broadcast_gate
+
+    g = lm_broadcast_gate(spark)
+    assert 100_000 <= g <= 5_000_000
