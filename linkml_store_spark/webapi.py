@@ -33,6 +33,132 @@ except ImportError:  # pragma: no cover - optional dependency
 MAX_PAGE_SIZE = 100
 
 
+#: the /browser single-page data browser (reference
+#: ``linkml_data_browser/app.py:18-199`` semantics over this API's
+#: endpoints; DEFAULT_LIMIT there is 25 rows/page). No external assets —
+#: the page must render offline.
+_BROWSER_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>LinkML Table Browser</title>
+<style>
+ body{font-family:system-ui,sans-serif;margin:1.5rem;color:#222}
+ h1{font-size:1.3rem}
+ .row{display:flex;gap:2rem;align-items:flex-start}
+ #sidebar{min-width:240px;max-width:300px}
+ .filter{margin-bottom:.5rem}
+ .filter input{width:70%}
+ .filter button{width:1.8em}
+ table{border-collapse:collapse;font-size:.85rem}
+ th,td{border:1px solid #ccc;padding:.25rem .5rem;text-align:left}
+ th{background:#f0f0f0}
+ .facet{font-size:.8rem;margin:.25rem 0 .5rem 2em;color:#444}
+ .pager button{margin-right:.5rem}
+ #meta{margin:.5rem 0}
+</style></head><body>
+<h1>LinkML Table Browser</h1>
+<div>
+ <label>Select a Database <select id="db"></select></label>
+ <label>Select a Table <select id="coll"></select></label>
+</div>
+<div class="row">
+ <div id="sidebar"><h3>Filters</h3><div id="filters"></div></div>
+ <div id="main">
+  <div id="meta"></div>
+  <div class="pager">
+   <button onclick="go('first')">First</button>
+   <button onclick="go('prev')">Previous</button>
+   <button onclick="go('next')">Next</button>
+   <button onclick="go('last')">Last</button>
+  </div>
+  <table id="tbl"><thead></thead><tbody></tbody></table>
+ </div>
+</div>
+<script>
+const LIMIT = 25;
+let page = 0, total = 0, filters = {}, facetOpen = {};
+const $ = (id) => document.getElementById(id);
+const j = async (url) => (await fetch(url)).json();
+const base = () =>
+  `/databases/${$('db').value}/collections/${$('coll').value}`;
+const whereParam = () => {
+  const w = {};
+  for (const [k, v] of Object.entries(filters)) if (v !== '') w[k] = v;
+  return Object.keys(w).length
+    ? '&where=' + encodeURIComponent(JSON.stringify(w)) : '';
+};
+async function loadDbs() {
+  const b = await j('/databases');
+  $('db').innerHTML = (b.items || [])
+    .map((d) => `<option>${d.name}</option>`).join('');
+  await loadColls();
+}
+async function loadColls() {
+  const b = await j(`/databases/${$('db').value}/collections`);
+  $('coll').innerHTML = (b.items || [])
+    .map((c) => `<option>${c.name}</option>`).join('');
+  await loadAttrs();
+}
+async function loadAttrs() {
+  filters = {}; facetOpen = {}; page = 0;
+  const b = await j(`${base()}/attributes`);
+  $('filters').innerHTML = (b.items || []).map((a) => `
+    <div class="filter">
+     <button onclick="toggleFacet('${a.name}')">&#9660;</button>
+     <input placeholder="Filter by ${a.name}" id="f_${a.name}"
+       onchange="setFilter('${a.name}', this.value)">
+     <div class="facet" id="facet_${a.name}"></div>
+    </div>`).join('');
+  await refresh();
+}
+function setFilter(name, value) {
+  filters[name] = value; page = 0;  // filter change resets pagination
+  refresh();
+}
+async function toggleFacet(name) {
+  facetOpen[name] = !facetOpen[name];
+  await renderFacet(name);
+}
+async function renderFacet(name) {
+  const el = $('facet_' + name);
+  if (!facetOpen[name]) { el.innerHTML = ''; return; }
+  const b = await j(
+    `${base()}/facets?facet_columns=${name}${whereParam()}`);
+  const vals = ((b.data || {}).items || {})[name] || [];
+  el.innerHTML = vals.map(
+    (f) => `${f.value === null ? 'null' : f.value}: ${f.count}`
+  ).join('<br>');
+}
+async function refresh() {
+  const b = await j(
+    `${base()}/objects?limit=${LIMIT}&offset=${page * LIMIT}` +
+    whereParam());
+  total = b.meta.item_count || 0;
+  $('meta').textContent =
+    `Number of rows: ${total} — Page: ${page + 1}`;
+  const rows = (b.items || []).map((i) => i.data);
+  const cols = rows.length ? Object.keys(rows[0]) : [];
+  $('tbl').tHead.innerHTML =
+    '<tr>' + cols.map((c) => `<th>${c}</th>`).join('') + '</tr>';
+  $('tbl').tBodies[0].innerHTML = rows.map((r) =>
+    '<tr>' + cols.map((c) =>
+      `<td>${r[c] === null ? '' : r[c]}</td>`).join('') + '</tr>'
+  ).join('');
+  for (const name of Object.keys(facetOpen)) await renderFacet(name);
+}
+function go(dir) {
+  const lastPage = Math.max(0, Math.ceil(total / LIMIT) - 1);
+  if (dir === 'first') page = 0;
+  else if (dir === 'prev') page = Math.max(0, page - 1);
+  else if (dir === 'next') page = Math.min(lastPage, page + 1);
+  else page = lastPage;
+  refresh();
+}
+$('db').onchange = loadColls;
+$('coll').onchange = loadAttrs;
+loadDbs();
+</script></body></html>
+"""
+
+
 class _BadRequestError(Exception):
     """Malformed query parameter — rendered as the API's 400 envelope
     (not a Flask 500): raised by ``page_args``/``parse_where`` and
@@ -168,7 +294,18 @@ def create_app(client) -> "Flask":
             _link("self", "/"),
             _link("databases", "/databases"),
             _link("config", "/config"),
+            _link("browser", "/browser"),
         ]))
+
+    @app.get("/browser")
+    def browser():
+        # the data-browser analog of the reference's Streamlit app
+        # (linkml_data_browser/app.py:18-199): database/table selectors,
+        # per-attribute equality filters with facet toggles, a 25-row
+        # page with Prev/Next/First/Last and the pre-limit total — all
+        # rendered client-side from the EXISTING JSON endpoints (this
+        # route serves only static HTML; no query logic lives here)
+        return Response(_BROWSER_HTML, mimetype="text/html")
 
     @app.get("/config")
     def config():

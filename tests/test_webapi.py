@@ -241,3 +241,32 @@ def test_objects_paging_stays_valid_over_mutation(api):
         "/databases/maindb/collections/mut/objects?limit=10&offset=30"
     ))
     assert p3["items"] == [] and p3["meta"]["item_count"] == 18
+
+
+def test_browser_page_renders_over_existing_routes(api):
+    """The /browser data-browser page (reference Streamlit app analog):
+    static HTML that drives only EXISTING endpoints — replay the exact
+    fetch sequence the page issues and assert every route exists."""
+    r = api.get("/browser")
+    assert r.status_code == 200 and r.mimetype == "text/html"
+    html = r.get_data(as_text=True)
+    assert "LinkML Table Browser" in html
+    assert "<script>" in html and "http" not in html.split("<script>")[0], \
+        "page must carry no external assets"
+    # the page's fetch sequence, as its JS builds the URLs
+    seq = [
+        "/databases",
+        "/databases/maindb/collections",
+        "/databases/maindb/collections/issues/attributes",
+        "/databases/maindb/collections/issues/objects?limit=25&offset=0",
+        "/databases/maindb/collections/issues/objects?limit=25&offset=0"
+        "&where=%7B%22status%22%3A%20%22open%22%7D",
+        "/databases/maindb/collections/issues/facets?facet_columns=status"
+        "&where=%7B%22status%22%3A%20%22open%22%7D",
+    ]
+    for url in seq:
+        b = _body(api.get(url))
+        assert not b["errors"], url
+    # the top route advertises the browser
+    top = _body(api.get("/"))
+    assert any(l["rel"] == "browser" for l in top["links"])
