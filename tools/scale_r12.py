@@ -13,14 +13,22 @@ Sections:
   Runs ALTERNATE before/after so neither side gets a cache advantage;
   exactness is checked by result checksums (row count, sum(rank),
   sum(score)) which must be identical across every run of both plans.
+  Each plan gets one untimed SETTLE run first: round-12 diagnosis
+  (tools/cdist_diag_r12.py) showed the first 1-2 heavy runs in a fresh
+  JVM are dominated by G1 young-gen calibration (hundreds of seconds of
+  GC on identical re-runs) and by page-cache warm-up against a ~30 MB/s
+  cold-read disk — both one-time JVM/box states, not plan properties.
 
 - ``cdist``: exact COUNT(DISTINCT) at 120M rows, INTERLEAVED with the
   DuckDB companion (VERDICT r11 "What's wrong #3": the r11 rerun let
   DuckDB run fully page-cache-warm after the value gate — 3.8 s — while
   Spark drifted +30%, recording a non-comparable 12x row; the r10
-  interleaved ratio was 1.63x). Protocol: warm both once, then
-  alternate Spark / DuckDB twice each (best-of-2 per engine, shuffle
-  buster before every Spark run).
+  interleaved ratio was 1.63x). Protocol: two untimed Spark settle runs
+  (G1 calibration — see above) and one DuckDB warm pass, then alternate
+  Spark / DuckDB three timed runs each (best-of-3 per engine, shuffle
+  buster before every Spark run). The driver heap is sized by
+  session._local_driver_memory (round 12): the old flat 8g spilled
+  ~15 GB of partial-agg hash map PER RUN on this shape.
 
 Usage: python tools/scale_r12.py [sections...]   sections: dup cdist
 Prints one JSON line per measurement.
@@ -83,6 +91,10 @@ def main():
 
         walls = {"before": [], "after": []}
         checks = {}
+        for name, tgt in (("before", 10**15), ("after", None)):
+            bust()
+            chk = run(tgt)  # settle: G1 calibration + cache warm, untimed
+            checks.setdefault(name, chk)
         for rnd in range(3):
             for name, tgt in (("before", 10**15), ("after", None)):
                 bust()
@@ -131,8 +143,12 @@ def main():
             for r in duck.execute(dq).fetchall()
         )
         assert a == d, (a, d)
+        # settle: one more untimed Spark pass (the value gate above was
+        # pass 1; G1 calibration needs ~2) — DuckDB's gate pass warmed it
+        bust()
+        spark_df().collect()
         walls = {"spark": [], "duckdb": []}
-        for rnd in range(2):
+        for rnd in range(3):
             bust()
             t0 = time.perf_counter()
             spark_df().collect()
@@ -145,6 +161,7 @@ def main():
             "spark_walls_s": walls["spark"],
             "duckdb_walls_s": walls["duckdb"],
             "ratio_best": round(min(walls["spark"]) / min(walls["duckdb"]), 2),
+            "driver_memory": spark.conf.get("spark.driver.memory"),
             "r10_interleaved_ratio": 1.63,
         }), flush=True)
 
