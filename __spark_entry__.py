@@ -349,6 +349,23 @@ def q_knn_cosine(spark, sf):
     return top.select("vec_id", F.round(F.col("score"), 4).alias("score"))
 
 
+def q_knn_euclidean(spark, sf):
+    """Brute-force euclidean top-k (round 12: distance metrics through the
+    single-query kNN path — reference embedding_matcher.py:104-361 metric
+    surface on index/search.knn). Ascending rank, nulls last."""
+    from linkml_store_spark.index.search import knn
+
+    emb = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    top = knn(
+        emb.filter(F.col("vec_id") != 0), qv, vector_col="embedding",
+        k=10, metric="euclidean",
+    )
+    return top.select("vec_id", F.round(F.col("score"), 4).alias("score"))
+
+
 def q_dedup_exact(spark, sf):
     from linkml_store_spark.operators.dedup import exact_duplicates
 
@@ -2233,6 +2250,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "groupby_tpch_q1": q_groupby_tpch_q1,
     "dedup_minhash": q_dedup_minhash,
     "knn_cosine": q_knn_cosine,
+    "knn_euclidean": q_knn_euclidean,
     "count_zone_values": q_count_zone_values,
     "ann_knn_join": q_ann_knn_join,
     "find_matches": q_find_matches,
@@ -2571,6 +2589,18 @@ ORACLES: dict[str, str] = {
         FROM embeddings e, q
         WHERE e.vec_id != 0
         ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC,
+                 e.vec_id ASC
+        LIMIT 10
+    """,
+    "knn_euclidean": """
+        WITH q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+        )
+        SELECT vec_id,
+               ROUND(list_distance(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS score
+        FROM embeddings e, q
+        WHERE e.vec_id != 0
+        ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), q.qv) ASC,
                  e.vec_id ASC
         LIMIT 10
     """,

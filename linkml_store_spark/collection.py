@@ -1916,20 +1916,29 @@ class Collection:
         exact: bool = False,
         score_col: str = "score",
         keep_vector: bool = False,
+        metric: str = "cosine",
     ) -> DataFrame:
-        """Top-k rows by cosine to ``query_vector`` — auto-routed: when a
-        vector index built by ``build_vector_index`` is registered for
-        ``vector_col`` (and ``exact`` is not forced), the probed
+        """Top-k rows by ``metric`` to ``query_vector`` — auto-routed:
+        when a vector index built by ``build_vector_index`` is registered
+        for ``vector_col`` (and ``exact`` is not forced), the probed
         partition-pruned IVF plan runs — all-JVM scoring, no Python stage;
         otherwise the exact distributed brute-force plan
         (``index.search.knn``). An unindexed knn above
         ``auto_index_threshold`` rows warns once per column (or builds the
-        index itself with ``auto_index_on_knn = True``)."""
+        index itself with ``auto_index_on_knn = True``).
+
+        ``metric``: cosine (default — the reference's search metric,
+        ``utils/vector_utils.py:12-38``), dot, euclidean, manhattan.
+        cosine/dot/euclidean ride the IVF route when indexed (the probe
+        step is L2 — euclidean's home structure, dot via the
+        max-inner-product reduction); manhattan has no bucketed form and
+        always runs the exact brute-force plan."""
         from linkml_store_spark.index.search import knn as _knn
         from linkml_store_spark.operators.similarity import ivf_knn
 
-        idx = None if exact else self._vector_indexes.get(vector_col)
-        if idx is None and not exact:
+        use_index = not exact and metric != "manhattan"
+        idx = self._vector_indexes.get(vector_col) if use_index else None
+        if idx is None and use_index:
             idx = self._maybe_auto_index(vector_col)
         if idx is not None:
             assigned, centroids, nprobe = idx[:3]
@@ -1941,6 +1950,7 @@ class Collection:
                 k=k,
                 nprobe=nprobe,
                 score_col=score_col,
+                metric=metric,
             )
             return out.drop(vector_col) if not keep_vector else out
         return _knn(
@@ -1950,6 +1960,7 @@ class Collection:
             k=k,
             score_col=score_col,
             keep_vector=keep_vector,
+            metric=metric,
         )
 
     def knn_search(
@@ -1960,22 +1971,25 @@ class Collection:
         exact: bool = False,
         score_col: str = "score",
         select_cols: Optional[List[str]] = None,
+        metric: str = "cosine",
     ) -> QueryResult:
-        """Eager top-k cosine rows (the vector twin of :meth:`search`'s
-        eager contract): ``rows`` carry the payload (vector column
-        dropped) plus ``score_col``; ``ranked_rows`` pairs (score, row).
+        """Eager top-k rows by ``metric`` (the vector twin of
+        :meth:`search`'s eager contract): ``rows`` carry the payload
+        (vector column dropped) plus ``score_col``; ``ranked_rows`` pairs
+        (score, row).
 
-        Routing mirrors :meth:`query`: footer-small unindexed stores run
-        the exact cosine IN-PROCESS (one fused numpy matmul — the same
-        float64 math as the distributed Arrow kernel, zero Spark jobs),
-        A/B-checked once per store against the distributed plan; indexed
-        or big stores run :meth:`knn`'s auto-routed IVF/brute plan."""
+        Routing mirrors :meth:`query`: footer-small unindexed COSINE
+        stores run the exact cosine IN-PROCESS (one fused numpy matmul —
+        the same float64 math as the distributed Arrow kernel, zero Spark
+        jobs), A/B-checked once per store against the distributed plan;
+        indexed, big, or non-cosine stores run :meth:`knn`'s auto-routed
+        IVF/brute plan."""
         from linkml_store_spark.operators import localexec as lx
 
         def _spark() -> QueryResult:
             df = self.knn(
                 query_vector, vector_col=vector_col, k=k, exact=exact,
-                score_col=score_col, keep_vector=False,
+                score_col=score_col, keep_vector=False, metric=metric,
             )
             if select_cols:
                 df = df.select(*select_cols)
@@ -1986,6 +2000,10 @@ class Collection:
             )
 
         gate = None
+        if metric != "cosine":
+            # the local tier's fused kernel is cosine-only; distance
+            # metrics go straight to the auto-routed Spark plan
+            return _spark()
         if not exact and self._vector_indexes.get(vector_col) is None:
             gate = self._local_tier_gate()
         if gate is None:

@@ -212,6 +212,94 @@ def cosine_pairwise(a: Column, b: Column) -> Column:
     return F.pandas_udf(_kernel, T.DoubleType())(a, b)
 
 
+def sqdist_to_query_native(query_vector: Sequence[float]):
+    """Fully-JVM squared euclidean distance to one literal query vector
+    (unrolled (e[i]-q[i])^2 chain — same codegen shape, dim guard, and
+    hugeMethodLimit requirement as ``_native_dot``). ``sqrt`` at the
+    call site when the metric is euclidean proper."""
+    return lambda col: _native_sqdist(col, [float(x) for x in query_vector])
+
+
+def _native_sqdist(e: Column, qv: List[float]) -> Column:
+    out = None
+    for i, x in enumerate(qv):
+        d = e[i].cast("double") - F.lit(x)
+        term = d * d
+        out = term if out is None else out + term
+    # same dimension guards as _native_dot: LONGER vectors go null (and
+    # ascending sorts below use asc_nulls_last, so they drop out of the
+    # top-k); SHORTER vectors raise on the out-of-bounds access under ANSI
+    return out + F.when(F.get(e, len(qv)).isNull(), F.lit(0.0))
+
+
+def l1_to_query_native(query_vector: Sequence[float]):
+    """Fully-JVM manhattan distance to one literal query vector (unrolled
+    |e[i]-q[i]| chain; guards as ``_native_sqdist``)."""
+    qvf = [float(x) for x in query_vector]
+
+    def _build(e: Column) -> Column:
+        out = None
+        for i, x in enumerate(qvf):
+            term = F.abs(e[i].cast("double") - F.lit(x))
+            out = term if out is None else out + term
+        return out + F.when(F.get(e, len(qvf)).isNull(), F.lit(0.0))
+
+    return _build
+
+
+def distance_to_query(query_vector: Sequence[float], metric: str) -> Column:
+    """Arrow-native distance/score of an array column against one
+    broadcast query vector, for ``metric`` in dot/euclidean/manhattan —
+    the high-dim sibling of ``cosine_to_query`` with the same
+    ``pyarrow.ListArray`` zero-copy fast path (the flattened values
+    buffer reshapes into the matrix; ragged or null-bearing batches fall
+    back to the per-row conversion)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    if metric not in ("dot", "euclidean", "manhattan"):
+        raise ValueError(f"distance_to_query: unsupported metric {metric!r}")
+    q = np.asarray(query_vector, dtype=np.float64)
+    dim = len(q)
+
+    def _kernel(arr):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        n = len(arr)
+        if n == 0:
+            return pa.array([], type=pa.float64())
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        mm = pc.min_max(pc.list_value_length(arr)).as_py()
+        if arr.null_count == 0 and mm["min"] == dim and mm["max"] == dim:
+            vals = arr.flatten().to_numpy(zero_copy_only=False)
+            M = vals.reshape(n, dim).astype(np.float64, copy=False)
+        else:
+            M = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in arr.to_pylist()]
+            )
+        if metric == "dot":
+            s = M @ q
+        elif metric == "euclidean":
+            # |m-q|^2 = |m|^2 - 2 m.q + |q|^2 off one matmul; clip the
+            # tiny negative residue float cancellation can leave
+            s = np.sqrt(
+                np.maximum(
+                    (M * M).sum(axis=1) - 2.0 * (M @ q) + float(q @ q), 0.0
+                )
+            )
+        else:
+            s = np.abs(M - q[None, :]).sum(axis=1)
+        return pa.array(s, type=pa.float64())
+
+    return F.arrow_udf(_kernel, T.DoubleType())
+
+
+#: metrics ranked ASCENDING (smaller is closer); the rest rank descending
+ASCENDING_METRICS = frozenset({"euclidean", "manhattan"})
+
 DISTANCE_METRICS = {
     "cosine": cosine_similarity,
     "dot": dot,

@@ -38,6 +38,7 @@ def knn(
     score_col: str = "score",
     kernel: Optional[str] = None,
     keep_vector: bool = True,
+    metric: str = "cosine",
 ) -> DataFrame:
     """Distributed brute-force top-k: score every row, TakeOrdered k.
 
@@ -46,16 +47,30 @@ def knn(
     brute-force plan at any scale. Scoring strategy by dimensionality:
     dims <= NATIVE_COSINE_MAX_DIM unroll into a codegen'd JVM expression
     (no Python worker, embedding column never crosses to Arrow); larger
-    dims use the Arrow-batched numpy kernel (``cosine_to_query``) whose
-    matmul throughput wins once the expression tree stops JIT-compiling.
-    HOF-lambda cosine (interpreted) loses to both — measured 3.8x slower
-    at 200k vectors. All three produce identical top-k.
+    dims use the Arrow-batched numpy kernel (``cosine_to_query`` /
+    ``distance_to_query``) whose matmul throughput wins once the
+    expression tree stops JIT-compiling. HOF-lambda cosine (interpreted)
+    loses to both — measured 3.8x slower at 200k vectors. All kernels
+    produce identical top-k.
+
+    ``metric``: cosine (default) / dot rank DESCENDING; euclidean /
+    manhattan rank ASCENDING (nulls last either way, so dimension-
+    mismatched rows drop out of the top-k rather than topping it).
+    Reference search is cosine-only (``utils/vector_utils.py:12-38``);
+    the distance metrics mirror ``embedding_matcher``'s surface.
     """
     from linkml_store_spark.functions.vector import (
+        ASCENDING_METRICS,
         cosine_to_query,
         cosine_to_query_native,
+        distance_to_query,
+        dot_to_query_native,
+        l1_to_query_native,
+        sqdist_to_query_native,
     )
 
+    if metric not in ("cosine", "dot", "euclidean", "manhattan"):
+        raise ValueError(f"knn: unsupported metric {metric!r}")
     if kernel is None:
         kernel = "native" if len(query_vector) <= NATIVE_COSINE_MAX_DIM else "arrow"
     # explicit override: per-ROW-COUNT the trade flips too — the JVM
@@ -64,9 +79,19 @@ def knn(
     # Python-worker round trip (measured honestly in SCALING.md); at
     # bench-sized inputs "native" wins (no worker startup on the path).
     if kernel == "native":
-        score = cosine_to_query_native(query_vector)(F.col(vector_col))
+        if metric == "cosine":
+            score = cosine_to_query_native(query_vector)(F.col(vector_col))
+        elif metric == "dot":
+            score = dot_to_query_native(query_vector)(F.col(vector_col))
+        elif metric == "euclidean":
+            score = F.sqrt(sqdist_to_query_native(query_vector)(F.col(vector_col)))
+        else:
+            score = l1_to_query_native(query_vector)(F.col(vector_col))
     elif kernel == "arrow":
-        score = cosine_to_query(query_vector)(F.col(vector_col))
+        if metric == "cosine":
+            score = cosine_to_query(query_vector)(F.col(vector_col))
+        else:
+            score = distance_to_query(query_vector, metric)(F.col(vector_col))
     else:
         raise ValueError(f"unknown kernel: {kernel}")
     scored = df.withColumn(score_col, score)
@@ -77,7 +102,12 @@ def knn(
         # the sort — measured ~1.5x end-to-end at 400k x 64-d. Callers that
         # need the vectors back (MMR re-ranking) keep the default.
         scored = scored.drop(vector_col)
-    return scored.orderBy(F.desc(score_col)).limit(k)
+    order = (
+        F.asc_nulls_last(score_col)
+        if metric in ASCENDING_METRICS
+        else F.desc(score_col)
+    )
+    return scored.orderBy(order).limit(k)
 
 
 def vector_search(

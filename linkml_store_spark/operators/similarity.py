@@ -274,6 +274,7 @@ def ivf_knn(
     nprobe: int = 4,
     score_col: str = "score",
     method: str = "auto",
+    metric: str = "cosine",
 ) -> DataFrame:
     """Probe the ``nprobe`` centroids nearest the query; exact-rank within.
 
@@ -290,7 +291,18 @@ def ivf_knn(
       * ``"auto"`` — native when its requirements hold, else arrow.
     Measured honest full-re-execution at 400k × 64-d, 16 centroids,
     nprobe=4: native 0.12 s vs arrow 0.31 s vs brute 0.36 s (same-run
-    DuckDB brute 0.04 s)."""
+    DuckDB brute 0.04 s).
+
+    ``metric``: cosine (default, descending), dot (descending — probe by
+    L2 is the max-inner-product reduction), euclidean (ASCENDING —
+    k-means buckets are natively L2; the native score reuses the
+    precomputed ``__norm``: sqrt(|v|^2 - 2 v.q + |q|^2) off the same
+    unrolled dot), manhattan (ascending; no matmul/norm form, so it
+    always rides the Arrow kernel)."""
+    from linkml_store_spark.functions.vector import ASCENDING_METRICS
+
+    if metric not in ("cosine", "dot", "euclidean", "manhattan"):
+        raise ValueError(f"ivf_knn: unsupported metric {metric!r}")
     qv = np.asarray(query_vector, dtype=float)
     d = ((centroids - qv[None, :]) ** 2).sum(axis=1)
     probe = [int(i) for i in d.argsort()[:nprobe]]
@@ -298,26 +310,54 @@ def ivf_knn(
     if method == "auto":
         method = (
             "native"
-            if "__norm" in cand.columns and len(qv) <= NATIVE_DOT_MAX_DIM
+            if "__norm" in cand.columns
+            and len(qv) <= NATIVE_DOT_MAX_DIM
+            and metric != "manhattan"
             else "arrow"
         )
+    if method == "native" and metric == "manhattan":
+        raise ValueError("ivf_knn: manhattan has no native kernel (use arrow)")
     if method == "native":
         from linkml_store_spark.functions.vector import dot_to_query_native
 
-        qn = float(np.linalg.norm(qv))
-        # greatest() guard: a zero-norm row (or zero query) must score 0.0
-        # like every other kernel, not raise DIVIDE_BY_ZERO under the
-        # session's ANSI default — a zero norm implies a zero dot, so
-        # dot/max(denom, tiny) is already 0.0 (same guard as
-        # _native_cosine; a poisoned/null dot stays null -> nulls-last)
-        score = dot_to_query_native(query_vector)(F.col(vector_col)) / F.greatest(
-            F.col("__norm") * F.lit(qn), F.lit(1e-300)
-        )
+        dot_e = dot_to_query_native(query_vector)(F.col(vector_col))
+        if metric == "cosine":
+            qn = float(np.linalg.norm(qv))
+            # greatest() guard: a zero-norm row (or zero query) must score
+            # 0.0 like every other kernel, not raise DIVIDE_BY_ZERO under
+            # the session's ANSI default — a zero norm implies a zero dot,
+            # so dot/max(denom, tiny) is already 0.0 (same guard as
+            # _native_cosine; a poisoned/null dot stays null -> nulls-last)
+            score = dot_e / F.greatest(
+                F.col("__norm") * F.lit(qn), F.lit(1e-300)
+            )
+        elif metric == "dot":
+            score = dot_e
+        else:  # euclidean off the same dot + the precomputed row norm
+            q2 = float(qv @ qv)
+            score = F.sqrt(
+                F.greatest(
+                    F.col("__norm") * F.col("__norm")
+                    - F.lit(2.0) * dot_e
+                    + F.lit(q2),
+                    F.lit(0.0),
+                )
+            )
     else:
-        score = cosine_to_query(query_vector)(F.col(vector_col))
+        if metric == "cosine":
+            score = cosine_to_query(query_vector)(F.col(vector_col))
+        else:
+            from linkml_store_spark.functions.vector import distance_to_query
+
+            score = distance_to_query(query_vector, metric)(F.col(vector_col))
     scored = cand.withColumn(score_col, score)
     drop = [c for c in ("__centroid", "__norm") if c in scored.columns]
-    return scored.orderBy(F.desc(score_col)).limit(k).drop(*drop)
+    order = (
+        F.asc_nulls_last(score_col)
+        if metric in ASCENDING_METRICS
+        else F.desc(score_col)
+    )
+    return scored.orderBy(order).limit(k).drop(*drop)
 
 
 def _probe_centroids_expr(vector_col: Column, centroids: np.ndarray, nprobe: int) -> Column:
