@@ -885,16 +885,22 @@ def build_vector_index_cmd(obj: Context, vector_col, centroids, nprobe):
 @click.option("--vector-col", default="embedding", show_default=True)
 @click.option("-k", default=10, show_default=True)
 @click.option("--exact", is_flag=True, help="force the brute-force plan")
+@click.option("--metric", default="cosine", show_default=True,
+              type=click.Choice(["cosine", "dot", "euclidean", "manhattan"]),
+              help="distances (euclidean/manhattan) rank ascending")
 @OUTPUT_OPT
 @OUTPUT_FILE_OPT
 @click.pass_obj
-def knn_cmd(obj: Context, query_vector, vector_col, k, exact, output_type, output):
-    """Top-k rows by cosine to QUERY_VECTOR (JSON list) — auto-routed to
-    the IVF index when one is built, exact brute force otherwise."""
+def knn_cmd(obj: Context, query_vector, vector_col, k, exact, metric,
+            output_type, output):
+    """Top-k rows by METRIC to QUERY_VECTOR (JSON list) — auto-routed to
+    the IVF index when one is built (cosine/dot/euclidean), exact brute
+    force otherwise."""
     import json as _json
 
     qv = _json.loads(query_vector)
-    df = obj.collection.knn(qv, vector_col=vector_col, k=k, exact=exact)
+    df = obj.collection.knn(qv, vector_col=vector_col, k=k, exact=exact,
+                            metric=metric)
     _render([r.asDict(recursive=True) for r in df.collect()], output_type, output)
 
 

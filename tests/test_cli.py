@@ -317,6 +317,13 @@ def test_cli_vector_index_and_knn(wh, spark, sf_dir, tmp_path):
     r = _run(["-d", wh, "-c", "vecs", "knn", qv, "-k", "3"])
     out2 = json.loads(r.output)
     assert out2[0]["vec_id"] == rows[0]["vec_id"]
+    # distance metric: self is nearest at distance 0, ascending rank
+    r = _run(["-d", wh, "-c", "vecs", "knn", qv, "-k", "3",
+              "--metric", "euclidean"])
+    out3 = json.loads(r.output)
+    assert out3[0]["vec_id"] == rows[0]["vec_id"]
+    assert out3[0]["score"] == 0.0
+    assert [o["score"] for o in out3] == sorted(o["score"] for o in out3)
 
 
 def test_cli_find_matches_exact_and_ivf(wh, spark, tmp_path):
