@@ -1978,12 +1978,11 @@ class Collection:
         (vector column dropped) plus ``score_col``; ``ranked_rows`` pairs
         (score, row).
 
-        Routing mirrors :meth:`query`: footer-small unindexed COSINE
-        stores run the exact cosine IN-PROCESS (one fused numpy matmul —
-        the same float64 math as the distributed Arrow kernel, zero Spark
-        jobs), A/B-checked once per store against the distributed plan;
-        indexed, big, or non-cosine stores run :meth:`knn`'s auto-routed
-        IVF/brute plan."""
+        Routing mirrors :meth:`query`: footer-small unindexed stores run
+        the exact metric IN-PROCESS (one fused numpy pass — the same
+        float64 math as the distributed kernels, zero Spark jobs),
+        A/B-checked once per store against the distributed plan; indexed
+        or big stores run :meth:`knn`'s auto-routed IVF/brute plan."""
         from linkml_store_spark.operators import localexec as lx
 
         def _spark() -> QueryResult:
@@ -2000,10 +1999,6 @@ class Collection:
             )
 
         gate = None
-        if metric != "cosine":
-            # the local tier's fused kernel is cosine-only; distance
-            # metrics go straight to the auto-routed Spark plan
-            return _spark()
         if not exact and self._vector_indexes.get(vector_col) is None:
             gate = self._local_tier_gate()
         if gate is None:
@@ -2014,7 +2009,7 @@ class Collection:
             rows = lx.local_knn(
                 files, schema, vector_col, query_vector, k,
                 score_col=score_col, select_cols=select_cols,
-                session_tz=self._session_tz(),
+                session_tz=self._session_tz(), metric=metric,
             )
             return QueryResult(
                 num_rows=len(rows), rows=rows,

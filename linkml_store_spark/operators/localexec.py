@@ -1324,13 +1324,16 @@ def local_knn(
     score_col: str = "score",
     select_cols: Optional[Sequence[str]] = None,
     session_tz: Optional[str] = None,
+    metric: str = "cosine",
 ) -> List[dict]:
-    """Exact cosine top-k in-process: one fused numpy matmul over the
-    store's (gate-bounded) vectors — the same float64 math as the engine's
-    Arrow kernel (``functions/vector.cosine_to_query``). Raises Unsupported
-    on anything whose Spark-path semantics this cannot mirror: NULL or
-    ragged vectors, zero norms / non-finite scores (Spark orders NaN
-    above all doubles; numpy sorts it last)."""
+    """Exact top-k in-process: one fused numpy matmul over the store's
+    (gate-bounded) vectors — the same float64 math as the engine's Arrow
+    kernels (``functions/vector.cosine_to_query`` / ``distance_to_query``).
+    ``metric``: cosine (default) / dot rank descending, euclidean /
+    manhattan ascending — mirroring ``index.search.knn``. Raises
+    Unsupported on anything whose Spark-path semantics this cannot
+    mirror: NULL or ragged vectors, zero norms (cosine) / non-finite
+    scores (Spark orders NaN above all doubles; numpy sorts it last)."""
     import numpy as np
     import pyarrow as pa
 
@@ -1367,19 +1370,35 @@ def local_knn(
     if len(q) != dim:
         raise Unsupported("query/vector dimensionality mismatch")
     X = flat.to_numpy(zero_copy_only=False).astype(np.float64).reshape(n, dim)
-    qn = float(np.linalg.norm(q))
-    norms = np.sqrt(np.einsum("ij,ij->i", X, X))
-    denom = norms * qn
-    if qn == 0.0 or (denom == 0.0).any():
-        raise Unsupported("zero-norm vector")
-    scores = (X @ q) / denom
+    if metric == "cosine":
+        qn = float(np.linalg.norm(q))
+        norms = np.sqrt(np.einsum("ij,ij->i", X, X))
+        denom = norms * qn
+        if qn == 0.0 or (denom == 0.0).any():
+            raise Unsupported("zero-norm vector")
+        scores = (X @ q) / denom
+    elif metric == "dot":
+        scores = X @ q
+    elif metric == "euclidean":
+        # the STABLE sum-of-squared-differences form, matching the native
+        # JVM kernel (dims <= 128, the usual local-tier case) — the
+        # |x|^2 - 2 x.q + |q|^2 matmul form leaves ~1e-8 cancellation
+        # residue at near-zero distances, which the 12-sig-fig A/B parity
+        # compare would flag as a mismatch against the native plan
+        d = X - q[None, :]
+        scores = np.sqrt(np.einsum("ij,ij->i", d, d))
+    elif metric == "manhattan":
+        scores = np.abs(X - q[None, :]).sum(axis=1)
+    else:
+        raise Unsupported(f"metric {metric}")
     if not np.isfinite(scores).all():
         raise Unsupported("non-finite scores")
     kk = min(k, n)
     if kk <= 0:
         return []
-    part = np.argpartition(-scores, kk - 1)[:kk]
-    top = part[np.argsort(-scores[part], kind="stable")]
+    sgn = scores if metric in ("euclidean", "manhattan") else -scores
+    part = np.argpartition(sgn, kk - 1)[:kk]
+    top = part[np.argsort(sgn[part], kind="stable")]
     page = tbl.select(out_cols).take(pa.array(top))
     rows = _table_to_dicts(page, session_tz)
     for r, i in zip(rows, top):

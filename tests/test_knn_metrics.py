@@ -167,3 +167,33 @@ def test_collection_knn_metric_routes_and_matches(spark, tmp_path, emb_rows):
     assert [round(s, 6) for s, _ in res.ranked_rows] == [
         round(r["score"], 6) for r in routed
     ]
+
+
+def test_local_tier_knn_metrics_match_oracle(spark, tmp_path, emb_rows):
+    """The in-process local tier serves every metric with the same values
+    as the numpy oracle (and therefore the Spark plan it A/B-mirrors)."""
+    from linkml_store_spark.client import Client
+    from linkml_store_spark.operators import localexec as lx
+
+    client = Client(spark=spark)
+    db = client.attach_database(f"file:{tmp_path}/wh", alias="wh")
+    coll = db.create_collection("emb", identifier_attribute="vec_id")
+    coll.insert(spark.read.parquet(EMB))
+    qv = [float(x) for x in emb_rows[4]["embedding"]]
+
+    gate = coll._local_tier_gate()
+    assert gate is not None, "sf0.001 embeddings must be inside the gate"
+    files, schema, _total = gate
+    for metric in ("cosine", "dot", "euclidean", "manhattan"):
+        rows = lx.local_knn(
+            files, schema, "embedding", qv, 6, metric=metric
+        )
+        want = _oracle(emb_rows, qv, metric, 6)
+        assert [round(r["score"], 9) for r in rows] == [
+            round(s, 9) for _, s in want
+        ], metric
+        # end-to-end through the routed API too
+        res = coll.knn_search(qv, k=6, metric=metric)
+        assert [round(s, 9) for s, _ in res.ranked_rows] == [
+            round(s, 9) for _, s in want
+        ], metric
