@@ -297,6 +297,95 @@ def distance_to_query(query_vector: Sequence[float], metric: str) -> Column:
     return F.arrow_udf(_kernel, T.DoubleType())
 
 
+#: widest vector the unrolled column-vs-column kernels below accept —
+#: same envelope as the query-vector unrolls (the expression tree grows
+#: linearly with dim; past this the HOF form's interpreted lambda beats
+#: codegen'd megamorphic methods)
+PAIR_NATIVE_MAX_DIM = 128
+
+
+def _unrolled_fold(terms) -> Column:
+    # the exact fold the HOF kernels evaluate — aggregate(..., lit(0.0),
+    # acc + v) is ((0.0 + t0) + t1) + ... — so results are bit-identical
+    s: Column = F.lit(0.0)
+    for t in terms:
+        s = s + t
+    return s
+
+
+def pair_dot_native(a: Column, b: Column, dim: int) -> Column:
+    """Unrolled column-vs-column dot for vectors of known uniform ``dim``:
+    one array access + multiply-add per dimension, fully codegen'd (the
+    HOF ``dot`` runs its lambda interpreted per PAIR — the dominant cost
+    of every all-pairs exact plan). Same fold order as ``dot`` →
+    bit-identical values. Callers must ensure every non-null vector has
+    exactly ``dim`` elements (see ``native_pair_dim``): the plain ``a[i]``
+    access raises on shorter arrays under ANSI and silently prefixes
+    longer ones, where the HOF null-pads — the uniform-dim gate is what
+    makes the two agree."""
+    return _unrolled_fold(a[i] * b[i] for i in range(dim))
+
+
+def pair_cosine_native(
+    a: Column, b: Column, dim: int,
+    na: Column | None = None, nb: Column | None = None,
+) -> Column:
+    """Unrolled ``cosine_similarity`` for uniform-``dim`` vectors.
+    ``na``/``nb`` accept PRECOMPUTED per-row norms (``norm_native``) so an
+    n x m pair plan computes n+m norms instead of 2·n·m — the all-pairs
+    operators project them before the join. Same guard expression as the
+    HOF form (``when(n == 0, 0.0)``), same fold order → bit-identical."""
+    n = (na if na is not None else norm_native(a, dim)) * (
+        nb if nb is not None else norm_native(b, dim)
+    )
+    d = pair_dot_native(a, b, dim)
+    return F.when(n == 0, F.lit(0.0)).otherwise(d / n)
+
+
+def pair_euclidean_native(a: Column, b: Column, dim: int) -> Column:
+    """Unrolled ``euclidean_distance`` (uniform ``dim``; same fold order)."""
+    return F.sqrt(
+        _unrolled_fold((a[i] - b[i]) * (a[i] - b[i]) for i in range(dim))
+    )
+
+
+def pair_manhattan_native(a: Column, b: Column, dim: int) -> Column:
+    """Unrolled ``manhattan_distance`` (uniform ``dim``; same fold order)."""
+    return _unrolled_fold(F.abs(a[i] - b[i]) for i in range(dim))
+
+
+def norm_native(a: Column, dim: int) -> Column:
+    """Unrolled ``norm`` for uniform-``dim`` vectors (same fold order)."""
+    return F.sqrt(_unrolled_fold(a[i] * a[i] for i in range(dim)))
+
+
+PAIR_NATIVE_METRICS = {
+    "cosine": pair_cosine_native,
+    "dot": pair_dot_native,
+    "euclidean": pair_euclidean_native,
+    "manhattan": pair_manhattan_native,
+}
+
+
+def native_pair_dim(df, vector_col: str, max_dim: int = PAIR_NATIVE_MAX_DIM):
+    """Gate for the unrolled pair kernels: the first non-null vector's
+    length, verified UNIFORM across the whole column (one early-abort
+    linear job — linear probes are free next to the quadratic pair plans
+    they guard). Returns None (→ caller keeps the HOF path, whose
+    null-padding semantics ragged data needs) when the column is empty,
+    ragged, or wider than ``max_dim``."""
+    row = df.select(F.col(vector_col).alias("__v")).filter(
+        F.col(vector_col).isNotNull()
+    ).first()
+    if row is None or row[0] is None:
+        return None
+    dim = len(row[0])
+    if not 0 < dim <= max_dim:
+        return None
+    ragged = not df.filter(F.size(F.col(vector_col)) != dim).isEmpty()
+    return None if ragged else dim
+
+
 #: metrics ranked ASCENDING (smaller is closer); the rest rank descending
 ASCENDING_METRICS = frozenset({"euclidean", "manhattan"})
 

@@ -320,11 +320,45 @@ def find_matches(
                 else F.col("score") >= threshold
             )
         return out
-    pairs = lhs.crossJoin(rhs)
+    # exact cross-score: the unrolled native pair kernel when both sides
+    # are uniform-dim (guide §4 — the HOF metric lambdas run interpreted
+    # per PAIR and, for cosine, recompute both norms per pair; the
+    # unrolled forms are bit-identical by fold order, with cosine's
+    # norms precomputed per ROW). Ragged or >128-dim columns keep the
+    # HOF plan with its null-padding semantics.
+    from linkml_store_spark.functions.vector import (
+        native_pair_dim,
+        norm_native,
+        pair_cosine_native,
+        PAIR_NATIVE_METRICS,
+    )
+
+    dim_l = native_pair_dim(lhs, "__lv")
+    dim_r = native_pair_dim(rhs, "__rv") if dim_l is not None else None
+    if dim_l is not None and dim_l == dim_r:
+        if metric == "cosine":
+            lhs = lhs.withColumn("__nl", norm_native(F.col("__lv"), dim_l))
+            rhs = rhs.withColumn("__nr", norm_native(F.col("__rv"), dim_l))
+            score = pair_cosine_native(
+                F.col("__lv"), F.col("__rv"), dim_l,
+                na=F.col("__nl"), nb=F.col("__nr"),
+            )
+        else:
+            score = PAIR_NATIVE_METRICS[metric](
+                F.col("__lv"), F.col("__rv"), dim_l
+            )
+    else:
+        score = DISTANCE_METRICS[metric](F.col("__lv"), F.col("__rv"))
+    # the |L|x|R| scoring loop runs on the STREAMED side's tasks, and a
+    # single-file store scans as ONE partition — hash-repartition the
+    # streamed side to the session's core count (scale-adaptive) and pin
+    # the build side broadcast so the nested loop fans out (guide
+    # §2.5-2.6). Same pairs, same scores; only the task layout changes.
+    p = left.sparkSession.sparkContext.defaultParallelism
+    pairs = lhs.repartition(p, F.col("left_id")).crossJoin(F.broadcast(rhs))
     if exclude_self:
         pairs = pairs.filter(F.col("left_id") != F.col("right_id"))
-    fn = DISTANCE_METRICS[metric]
-    scored = pairs.withColumn("score", fn(F.col("__lv"), F.col("__rv")))
+    scored = pairs.withColumn("score", score)
     if threshold is not None:
         asc_metrics = {"euclidean", "manhattan"}
         scored = scored.filter(

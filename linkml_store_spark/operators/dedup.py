@@ -675,15 +675,45 @@ def embedding_near_dup_pairs_exact(
 ) -> DataFrame:
     """All-pairs exact cosine baseline — the oracle-checkable reference
     result the LSH variant's recall is measured against. Quadratic in row
-    count: use ``embedding_near_dup_pairs`` (LSH) at scale."""
-    from linkml_store_spark.functions.vector import cosine_similarity
+    count: use ``embedding_near_dup_pairs`` (LSH) at scale.
 
+    Scoring is the unrolled native pair kernel when the vectors are
+    uniform-dim (guide §4: the HOF lambda runs INTERPRETED per pair and
+    recomputes both norms n² times — measured 49.5 s for 20k x 20k
+    64-dim pairs at sf0.1; the unrolled dot over per-ROW precomputed
+    norms is bit-identical by fold order). Ragged/wide columns keep the
+    HOF plan."""
+    from linkml_store_spark.functions.vector import (
+        cosine_similarity,
+        native_pair_dim,
+        norm_native,
+        pair_cosine_native,
+    )
+
+    dim = native_pair_dim(df, vector_col)
     l = df.select(F.col(id_col).alias("left_id"), F.col(vector_col).alias("__vl"))
     r = df.select(F.col(id_col).alias("right_id"), F.col(vector_col).alias("__vr"))
+    if dim is not None:
+        l = l.withColumn("__nl", norm_native(F.col("__vl"), dim))
+        r = r.withColumn("__nr", norm_native(F.col("__vr"), dim))
+        score = pair_cosine_native(
+            F.col("__vl"), F.col("__vr"), dim,
+            na=F.col("__nl"), nb=F.col("__nr"),
+        )
+    else:
+        score = cosine_similarity(F.col("__vl"), F.col("__vr"))
+    # the n² scoring loop runs on the STREAMED side's tasks, and a
+    # single-file store scans as ONE partition — hash-repartition the
+    # streamed side to the session's core count (scale-adaptive, not a
+    # constant) and pin the build side broadcast so the nested loop
+    # fans out (guide §2.5-2.6: the whole quadratic stage was one task).
+    # Same pairs, same scores — only the task layout changes.
+    p = df.sparkSession.sparkContext.defaultParallelism
     return (
-        l.crossJoin(r)
+        l.repartition(p, F.col("left_id"))
+        .crossJoin(F.broadcast(r))
         .filter(F.col("left_id") < F.col("right_id"))
-        .withColumn("cosine", cosine_similarity(F.col("__vl"), F.col("__vr")))
+        .withColumn("cosine", score)
         .filter(F.col("cosine") >= threshold)
         .select("left_id", "right_id", "cosine")
     )
@@ -745,10 +775,28 @@ def embedding_near_dup_pairs(
 
     lv = signed.select(F.col(id_col).alias("left_id"), F.col(vector_col).alias("__vl"))
     rv = signed.select(F.col(id_col).alias("right_id"), F.col(vector_col).alias("__vr"))
+    # exact verify via the unrolled pair kernel when uniform-dim (the HOF
+    # lambda is interpreted per candidate pair; bit-identical fold order)
+    from linkml_store_spark.functions.vector import (
+        native_pair_dim,
+        norm_native,
+        pair_cosine_native,
+    )
+
+    vdim = native_pair_dim(df, vector_col)
+    if vdim is not None:
+        lv = lv.withColumn("__nl", norm_native(F.col("__vl"), vdim))
+        rv = rv.withColumn("__nr", norm_native(F.col("__vr"), vdim))
+        score = pair_cosine_native(
+            F.col("__vl"), F.col("__vr"), vdim,
+            na=F.col("__nl"), nb=F.col("__nr"),
+        )
+    else:
+        score = cosine_similarity(F.col("__vl"), F.col("__vr"))
     return (
         cand.join(lv, "left_id")
         .join(rv, "right_id")
-        .withColumn("cosine", cosine_similarity(F.col("__vl"), F.col("__vr")))
+        .withColumn("cosine", score)
         .filter(F.col("cosine") >= threshold)
         .select("left_id", "right_id", "cosine")
     )
