@@ -138,6 +138,70 @@ class GraphProjection:
         )
 
 
+#: edge-count gate for the driver-local connected-components fast path:
+#: 5M edges collect to ~80 MB of id pairs (well inside the auto-sized
+#: local heap) and label-propagate in under a second of numpy; override
+#: with $SPARK_GRAFT_LOCAL_CC_MAX_EDGES (0 disables the local tier).
+LOCAL_CC_MAX_EDGES = 5_000_000
+
+
+def _local_cc_max_edges() -> int:
+    import os
+
+    try:
+        return int(
+            os.environ.get("SPARK_GRAFT_LOCAL_CC_MAX_EDGES", LOCAL_CC_MAX_EDGES)
+        )
+    except ValueError:
+        return LOCAL_CC_MAX_EDGES
+
+
+def _local_connected_components(e: DataFrame, node_col: str):
+    """Driver-local min-label union-find over a collected edge list —
+    bit-identical labels to the distributed large-star/small-star loop
+    (both converge to the per-component MINIMUM id; numpy's sort order
+    for int64 and UTF-8 strings matches Spark's comparators). Returns
+    None for id types whose ordering the numpy path cannot mirror."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    utype = e.schema["u"].dataType
+    if not isinstance(
+        utype,
+        (T.LongType, T.IntegerType, T.ShortType, T.ByteType, T.StringType),
+    ):
+        return None
+    spark = e.sparkSession
+    schema = T.StructType(
+        [T.StructField(node_col, utype), T.StructField("component", utype)]
+    )
+    pdf = e.toPandas()
+    if len(pdf) == 0:
+        return spark.createDataFrame([], schema)
+    u, v = pdf["u"].to_numpy(), pdf["v"].to_numpy()
+    ids = np.unique(np.concatenate([u, v]))
+    ui = np.searchsorted(ids, u)
+    vi = np.searchsorted(ids, v)
+    # min-label propagation with pointer jumping: labels are indices into
+    # the SORTED id array, so min index == min id; labels only ever
+    # decrease, each round halves chain depth -> O(log diameter) rounds
+    lab = np.arange(len(ids), dtype=np.int64)
+    while True:
+        old = lab.copy()
+        np.minimum.at(lab, ui, lab[vi])
+        np.minimum.at(lab, vi, lab[ui])
+        while True:
+            l2 = lab[lab]
+            if np.array_equal(l2, lab):
+                break
+            lab = l2
+        if np.array_equal(lab, old):
+            break
+    out = pd.DataFrame({node_col: ids, "component": ids[lab]})
+    return spark.createDataFrame(out, schema)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "subject",
@@ -164,6 +228,32 @@ def connected_components(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+
+    # Materialize the (deduped) edge list ONCE up front — the first
+    # fixpoint iteration checkpointed it anyway — and route small edge
+    # lists to the driver-local union-find (round 12, guide §1.2/§2.4):
+    # each distributed round costs 2 star passes x several exchanges
+    # plus a checksum job, which on a few-hundred-k-edge graph is pure
+    # scheduling (measured 57 s for 135k edges / ~5 rounds at sf0.1 vs
+    # 0.3 s local, identical labels). Above the gate the O(log n)
+    # distributed loop is unchanged — the gate is row-count-derived,
+    # not tuned to this box's core count.
+    e = e.localCheckpoint(eager=True)
+    n_edges = e.count()
+    if n_edges <= _local_cc_max_edges():
+        try:
+            labels = _local_connected_components(e, node_col)
+        except Exception:  # noqa: BLE001 — exotic id types fall through
+            labels = None
+        if labels is not None:
+            if nodes is not None:
+                iso = nodes.select(F.col(node_col)).distinct().join(
+                    labels, node_col, "left_anti"
+                )
+                labels = labels.unionByName(
+                    iso.select(F.col(node_col), F.col(node_col).alias("component"))
+                )
+            return labels
 
     def both_dirs(df: DataFrame) -> DataFrame:
         return df.union(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
