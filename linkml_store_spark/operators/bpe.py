@@ -54,9 +54,11 @@ def word_frequencies(
     """(word, freq) over the corpus — the one distributed pass of BPE
     training. Lowercased whitespace words; ``max_words`` most frequent kept
     (ties by word so the cut is deterministic)."""
+    from linkml_store_spark.operators.scale import fan_out
+
     words = F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
     wf = (
-        df.select(words.alias("word"))
+        fan_out(df.select(F.col(text_col))).select(words.alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -177,8 +179,14 @@ def bpe_encode(
 ) -> DataFrame:
     """Corpus-wide encoding with a trained merge list: Arrow-batched pandas
     UDF, merge ranks broadcast in the closure, per-batch word cache.
-    Shuffle-free."""
-    return df.withColumn(out_col, _encode_udf(merges, out_col)(F.col(text_col)))
+    Shuffle-free past the input fan-out (the encode UDF otherwise runs
+    inside ONE Python worker when a one-row-group store scans as one
+    partition; no-op on pre-split inputs)."""
+    from linkml_store_spark.operators.scale import fan_out
+
+    return fan_out(df).withColumn(
+        out_col, _encode_udf(merges, out_col)(F.col(text_col))
+    )
 
 
 def bpe_token_counts(

@@ -41,9 +41,16 @@ def _doc_ngrams(df: DataFrame, text_col: str, id_col, n: int) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    from linkml_store_spark.operators.scale import fan_out
+
     keep = [F.col(id_col)] if id_col else []
+    # fan the narrow projection out before tokenize+gram+explode (a
+    # one-row-group store scans as ONE task; no-op on pre-split inputs)
+    base = fan_out(
+        df.select(*(keep + [F.col(text_col)])), key=id_col or None
+    )
     return (
-        df.select(*keep, F.explode_outer(grams).alias("ngram"))
+        base.select(*keep, F.explode_outer(grams).alias("ngram"))
         .filter(F.col("ngram").isNotNull())
         .distinct()
     )

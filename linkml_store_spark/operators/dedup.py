@@ -82,8 +82,18 @@ def _with_shingles(
     df: DataFrame, text_col: str, k: int, keep: List[str], out: str = "__sh"
 ) -> DataFrame:
     """Two-step projection: tokens first (split runs once per row), then
-    shingles from the token array."""
-    toked = df.select(*keep, _tokens(F.col(text_col)).alias("__toks"))
+    shingles from the token array. The narrow (keep, text) projection is
+    fanned out first so the tokenize+shingle stage — and everything
+    narrow-chained on top (signature unrolls, explode self-joins) — runs
+    on every core instead of the single task a one-row-group store scans
+    as (round 12; no-op on pre-split inputs, layout-only)."""
+    from linkml_store_spark.operators.scale import fan_out
+
+    base = fan_out(
+        df.select(*keep, F.col(text_col)),
+        key=keep[0] if keep else None,
+    )
+    toked = base.select(*keep, _tokens(F.col(text_col)).alias("__toks"))
     return toked.select(*keep, _shingles(F.col("__toks"), k).alias(out))
 
 
@@ -108,8 +118,14 @@ def shingle_hash_sets(
     sets equals exact string-shingle Jaccard modulo 64-bit collisions
     (~n²·2⁻⁶⁴). Pure projection — no explode, no shuffle, whole-stage
     codegen."""
+    from linkml_store_spark.operators.scale import fan_out
+
     k = shingle_size
-    toked = df.select(
+    # fan the narrow (id, text) projection out before tokenize+hash —
+    # this also parallelizes everything chained on top (the minhash
+    # permutation kernel, band buckets): a one-row-group store scans as
+    # ONE task otherwise (round 12; no-op on pre-split inputs)
+    toked = fan_out(df.select(F.col(id_col), F.col(text_col)), key=id_col).select(
         F.col(id_col), _tokens(F.col(text_col)).alias("__toks")
     )
     ht = toked.select(

@@ -83,8 +83,12 @@ def _feature_array(df, text_col, bigrams):
     """The per-document feature-string array (tokens + space-joined
     adjacent pairs) — the SAME elements hashed_ngram_features explodes,
     kept as one array column so callers can fold over it without the
-    explode."""
-    toked = df.withColumn("__t", _tokens(F.col(text_col)))
+    explode. The input is fanned out first so the tokenize+hash stage —
+    and everything narrow-chained on top — runs on every core (a
+    one-row-group store scans as ONE task; no-op on pre-split inputs)."""
+    from linkml_store_spark.operators.scale import fan_out
+
+    toked = fan_out(df).withColumn("__t", _tokens(F.col(text_col)))
     feats = F.col("__t")
     if bigrams:
         n = F.size("__t")

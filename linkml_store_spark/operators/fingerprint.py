@@ -98,8 +98,14 @@ def _winnow_parts(
         raise ValueError("k and w must be >= 1")
     if gram_hash not in ("xxhash64", "md5"):
         raise ValueError(f"unknown gram_hash: {gram_hash!r}")
+    from linkml_store_spark.operators.scale import fan_out
+
     h = _md5_low64 if gram_hash == "md5" else F.xxhash64
-    toked = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("__t"))
+    # fan the narrow (id, text) projection out before tokenize+gram-hash
+    # (a one-row-group store scans as ONE task; no-op on pre-split inputs)
+    toked = fan_out(df.select(F.col(id_col), F.col(text_col)), key=id_col).select(
+        F.col(id_col), _tokens(F.col(text_col)).alias("__t")
+    )
     n = F.size("__t")
     gidx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     grams = F.when(

@@ -35,6 +35,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# every decode stage fans its input out first (round 12): the per-item
+# codec calls run inside ONE Python worker when a one-row-group store
+# scans as one partition; fan_out is a no-op on pre-split inputs
+from linkml_store_spark.operators.scale import fan_out
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -250,7 +255,7 @@ def extract_features(
                 }
             )
 
-    return df.mapInPandas(process, schema=FEATURE_SCHEMA)
+    return fan_out(df, key="media_id").mapInPandas(process, schema=FEATURE_SCHEMA)
 
 
 def resize_images(
@@ -301,7 +306,7 @@ def resize_images(
             ]
             yield out
 
-    return df.mapInPandas(process, schema=df.schema)
+    return fan_out(df, key="media_id").mapInPandas(process, schema=df.schema)
 
 
 def sample_frames(
@@ -371,7 +376,7 @@ def animation_frames(
             if rows:
                 yield pd.DataFrame(rows)
 
-    return df.select("media_id", "payload").mapInPandas(
+    return fan_out(df.select("media_id", "payload"), key="media_id").mapInPandas(
         process, schema=ANIMATION_FRAME_SCHEMA
     )
 
@@ -425,4 +430,4 @@ def extract_audio_features(
                 )
             yield pd.DataFrame(rows)
 
-    return df.mapInPandas(process, schema=AUDIO_FEATURE_SCHEMA)
+    return fan_out(df, key="media_id").mapInPandas(process, schema=AUDIO_FEATURE_SCHEMA)

@@ -510,7 +510,14 @@ def _score_broadcast(
                 }
             )
 
-    return df.select(id_col, text_col).mapInPandas(score_batches, out_schema)
+    # fan the narrow (id, text) projection out first: the per-doc scoring
+    # kernel otherwise runs inside ONE Python worker when a one-row-group
+    # store scans as one partition (no-op on pre-split inputs)
+    from linkml_store_spark.operators.scale import fan_out
+
+    return fan_out(df.select(id_col, text_col), key=id_col).mapInPandas(
+        score_batches, out_schema
+    )
 
 
 def lm_quality_filter(

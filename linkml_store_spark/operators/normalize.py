@@ -66,10 +66,15 @@ def normalize_documents(
     """Normalize ``text_col`` in place. NFC runs first (byte form), then
     the native cleanup; ``lowercase`` last (it can denormalize NFC for a
     handful of codepoints, but tokenizers downstream don't care)."""
+    from linkml_store_spark.operators.scale import fan_out
+
     col: Column = F.col(text_col)
     if nfc:
         col = nfc_normalize(col)
     col = clean_text_expr(col)
     if lowercase:
         col = F.lower(col)
-    return df.withColumn(text_col, col)
+    # fan out first: the NFC pandas_udf otherwise runs inside ONE Python
+    # worker when a one-row-group store scans as one partition (no-op on
+    # pre-split inputs; per-row transform, layout-only)
+    return fan_out(df).withColumn(text_col, col)

@@ -167,8 +167,13 @@ def adaptive_quality_filter(
     ``score >= group threshold`` (ties at an exact data point included
     identically in any engine — the interpolated threshold equals a real
     score exactly when the rank is integral, with no arithmetic)."""
+    from linkml_store_spark.operators.scale import fan_out
     from linkml_store_spark.operators.textanalysis import quality_score
 
+    # fan out first: the inline heuristic score is evaluated in BOTH the
+    # percentile pass and the final filter pass, and a one-row-group
+    # store scans as ONE task (no-op on pre-split inputs)
+    df = fan_out(df)
     if score_col is None:
         scored = df.withColumn("__q", quality_score(F.col(text_col)))
     else:

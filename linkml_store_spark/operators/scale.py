@@ -22,6 +22,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def fan_out(
+    df: DataFrame,
+    partitions: Optional[int] = None,
+    key: Optional[str] = None,
+) -> DataFrame:
+    """Repartition a NARROW input so the heavy stage built on top of it
+    (explode/tokenize, nested-loop scoring, a Python kernel) runs on
+    every core (guide §2.5-2.6, round 12): a parquet ROW GROUP is
+    Spark's minimum scan split, so a single-row-group store scans as ONE
+    partition and everything narrow-chained onto it serializes on one
+    task — measured: the whole sf0.1 text-operator family (explode +
+    partial aggregate) ran single-task. The shuffle this adds moves only
+    the projected input rows (call it on the narrow projection, before
+    the blowup), and is a no-op when the input already carries enough
+    partitions — at cluster scale real tables arrive pre-split and this
+    never fires. ``partitions`` defaults to the session's core count
+    (scale-adaptive, not a tuned constant); pass ``key`` (e.g. the doc
+    id) for a deterministic hash layout, else round-robin."""
+    sc = df.sparkSession.sparkContext
+    p = partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    return df.repartition(p, F.col(key)) if key else df.repartition(p)
+
+
 def top_hot_keys(
     df: DataFrame, key: str, n: int = 10, sample_fraction: Optional[float] = None
 ) -> List[Tuple]:

@@ -61,6 +61,10 @@ def scrub_documents(
     add = []
     if with_counts:
         add = [c.alias(n) for n, c in pii_counts(text, kinds).items()]
+    from linkml_store_spark.operators.scale import fan_out
+
     scrubbed = scrub_expr(text, kinds).alias(out_col)
     keep = [F.col(c) for c in cols if c != out_col]
-    return df.select(*keep, scrubbed, *add)
+    # fan out first: the regex battery otherwise runs on ONE task when a
+    # one-row-group store scans as one partition (no-op when pre-split)
+    return fan_out(df).select(*keep, scrubbed, *add)

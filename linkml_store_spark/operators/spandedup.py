@@ -83,6 +83,14 @@ def ngram_windows(
     operators use it so a 64-bit birthday collision can never delete
     legitimate text (see module scale notes).
     """
+    from linkml_store_spark.operators.scale import fan_out
+
+    # tokenize+hash+explode is the heavy stage — fan the narrow (id,
+    # text) projection out first so it runs on every core (a single-
+    # row-group store otherwise scans as ONE task; no-op on pre-split
+    # inputs). Window hashes/offsets are per-doc deterministic, so the
+    # layout change is invisible downstream.
+    df = fan_out(df.select(F.col(id_col), F.col(text_col)), key=id_col)
     toks = _tokens(F.col(text_col))
     n = F.size(toks)
     starts = F.when(
@@ -575,8 +583,13 @@ def segment_occurrences(
     never leave the per-document row (fixed-window mode never builds them
     at all).
     """
+    from linkml_store_spark.operators.scale import fan_out
+
     hashes = _segment_hash_array(F.col(text_col), sep_regex, tokens_per_segment)
-    return df.select(
+    # fan the narrow (id, text) projection out before the split+hash+
+    # explode stage (single-row-group stores scan as ONE task; no-op on
+    # pre-split inputs) — per-doc hashes are deterministic, layout-only
+    return fan_out(df.select(F.col(id_col), F.col(text_col)), key=id_col).select(
         F.col(id_col),
         F.size(hashes).alias("n_segments"),
         F.posexplode(hashes).alias("seg_idx", "seg_hash"),

@@ -251,9 +251,15 @@ def repetition_stats(
 ) -> DataFrame:
     """Per-document repetition profile: duplicate-line fraction, top-bigram
     occupancy, max single-token multiplicity. All array expressions over a
-    once-materialized token column — zero shuffle, zero Python."""
+    once-materialized token column — zero shuffle, zero Python. The
+    narrow input fans out first so the per-doc array work runs on every
+    core (one-row-group stores scan as ONE task; no-op when pre-split)."""
+    from linkml_store_spark.operators.scale import fan_out
+
     t = F.col(text_col)
-    toked = df.select(id_col, text_col, _words(t).alias("__words"))
+    toked = fan_out(df.select(id_col, text_col), key=id_col).select(
+        id_col, text_col, _words(t).alias("__words")
+    )
     w = F.col("__words")
     return toked.select(
         F.col(id_col),
@@ -296,7 +302,9 @@ def domain_stats(
     """Per-domain corpus stats: documents mentioning the domain and total
     mentions — the provenance profile a crawl-based corpus audit starts
     from. Explode of a small per-row array, one aggregation."""
-    doms = df.select(
+    from linkml_store_spark.operators.scale import fan_out
+
+    doms = fan_out(df.select(F.col(id_col), F.col(text_col)), key=id_col).select(
         F.col(id_col),
         F.explode_outer(extract_domains(F.col(text_col))).alias("domain"),
     ).filter(F.col("domain").isNotNull() & (F.col("domain") != ""))
@@ -321,9 +329,11 @@ def bigram_lm_fit(
     partial-aggregated shuffle on the bigram. The model is tiny
     (|charset|^2 rows at most) regardless of corpus size.
     """
+    from linkml_store_spark.operators.scale import fan_out
+
     t = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
     big = (
-        df.select(t.alias("__t"))
+        fan_out(df.select(t.alias("__t")))
         .filter(F.length("__t") >= 2)
         .select(
             F.explode_outer(
@@ -365,9 +375,11 @@ def bigram_lm_scores(
         .distinct()
         .count()
     )
+    from linkml_store_spark.operators.scale import fan_out
+
     t = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
     docb = (
-        df.select(F.col(id_col), t.alias("__t"))
+        fan_out(df.select(F.col(id_col), t.alias("__t")), key=id_col)
         .filter(F.length("__t") >= 2)
         .select(
             id_col,
@@ -416,10 +428,13 @@ def tfidf_top_terms(
     """
     from pyspark.sql.window import Window
 
+    from linkml_store_spark.operators.scale import fan_out
+
     toks = F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+")
     toks = F.filter(toks, lambda t: F.length(t) >= min_token_len)
     terms = (
-        df.select(F.col(id_col), F.explode_outer(toks).alias("term"))
+        fan_out(df.select(F.col(id_col), F.col(text_col)), key=id_col)
+        .select(F.col(id_col), F.explode_outer(toks).alias("term"))
         .filter(F.col("term").isNotNull())
     )
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))

@@ -82,6 +82,9 @@ def test_scrub_matches_duckdb_regexes(spark, sf_dir):
 
 
 def test_scrub_plan_is_projection_only(spark, sf_dir):
+    # round 12: under-partitioned inputs get ONE narrow fan-out exchange
+    # (the regex battery otherwise runs on a single task); a pre-split
+    # input adds ZERO exchanges — the shuffle-free-at-scale property
     docs = load_table(spark, sf_dir, "documents")
     plan = (
         scrub_documents(docs, "text")
@@ -89,5 +92,12 @@ def test_scrub_plan_is_projection_only(spark, sf_dir):
         .executedPlan()
         .toString()
     )
-    assert "Exchange" not in plan
+    assert plan.count("Exchange") <= 1
     assert "EvalPython" not in plan  # no Python anywhere
+    p = spark.sparkContext.defaultParallelism
+    pre = docs.repartition(p)
+    plan_pre = (
+        scrub_documents(pre, "text")._jdf.queryExecution().executedPlan().toString()
+    )
+    # exactly the caller's own repartition exchange, nothing added
+    assert plan_pre.count("Exchange") == 1

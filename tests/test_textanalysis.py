@@ -188,11 +188,20 @@ def test_repetition_stats_plan_is_projection(spark, sf_dir):
     from linkml_store_spark.operators.textanalysis import repetition_stats
     from linkml_store_spark.sources.tables import load_table
 
+    # round 12: under-partitioned inputs get ONE narrow fan-out exchange
+    # (per-doc array work otherwise runs on a single task); a pre-split
+    # input adds ZERO — the shuffle-free-at-scale property
     docs = load_table(spark, sf_dir, "documents")
     plan = (
         repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
     )
-    assert "Exchange" not in plan and "EvalPython" not in plan
+    assert plan.count("Exchange") <= 1 and "EvalPython" not in plan
+    pre = docs.repartition(spark.sparkContext.defaultParallelism)
+    plan_pre = (
+        repetition_stats(pre)._jdf.queryExecution().executedPlan().toString()
+    )
+    # exactly the caller's own repartition exchange, nothing added
+    assert plan_pre.count("Exchange") == 1
 
 
 def test_url_and_domain_extraction(spark):
