@@ -98,6 +98,20 @@ def prepare_training_corpus(
     tc, ic = cfg.text_col, cfg.id_col
     report = {"input": docs.count()}
 
+    # Stage materialization (guide §5): the per-stage row account forces
+    # an action per stage, and the dedup plan alone references the gated
+    # corpus THREE times (signatures, shingle sets, the survivor
+    # semi-join) — left lazy, the scan+normalize+scrub chain re-executes
+    # ~13x across the pipeline's counts. localCheckpoint(eager=True)
+    # after each heavy stage makes every stage compute exactly ONCE per
+    # invocation (nothing persists across invocations — each call still
+    # computes from the input frame). At cluster scale this is one
+    # write + N-1 local reads of each stage instead of N upstream
+    # re-executions; executor-local storage is the cost, the same trade
+    # the incremental dedup operators already make.
+    def _stage(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=True)
+
     # 0. normalize byte forms FIRST — NFC/controls/whitespace variants
     # would otherwise defeat both dedup and the quality gates
     if cfg.normalize:
@@ -106,7 +120,9 @@ def prepare_training_corpus(
         docs = normalize_documents(docs, tc, nfc=cfg.nfc)
 
     # 1. scrub (in place, counts dropped — they're audit data, rejoinable)
-    scrubbed = scrub_documents(docs, tc, with_counts=False)
+    # — materialized: the quality gate below reads it twice (the
+    # repetition profile plus the join back onto the rows)
+    scrubbed = _stage(scrub_documents(docs, tc, with_counts=False))
 
     # 2. quality gate: token floor + repetition ceilings
     rep = repetition_stats(scrubbed, tc, ic).select(
@@ -121,6 +137,7 @@ def prepare_training_corpus(
         )
         .drop("dup_line_frac", "top_bigram_frac")
     )
+    gated = _stage(gated)
     report["after_quality_gate"] = gated.count()
 
     # 2b. optional per-source adaptive gate (FineWeb rationale: one global
@@ -136,6 +153,7 @@ def prepare_training_corpus(
             quantile=cfg.adaptive_quality_quantile,
             text_col=tc,
         )
+        gated = _stage(gated)
         report["after_adaptive_quality"] = gated.count()
 
     # 3. near-dedup: keep cluster canonicals (transitive, no pair blowup);
@@ -192,7 +210,7 @@ def prepare_training_corpus(
             gated, tc, ic, cfg.minhash_permutations, cfg.lsh_bands
         )
         keep = groups.filter(F.col(ic) == F.col("canonical_id")).select(ic)
-    unique = gated.join(keep, ic, "left_semi")
+    unique = _stage(gated.join(keep, ic, "left_semi"))
     report["after_dedup"] = unique.count()
 
     # 3b. optional span-level dedup: remove >=k-token runs duplicated across
@@ -202,7 +220,9 @@ def prepare_training_corpus(
         from linkml_store_spark.operators.spandedup import dedup_spans_keep_first
 
         unique = dedup_spans_keep_first(unique, tc, ic, k=cfg.span_dedup_k)
-        unique = unique.filter(bpe_token_count(F.col(tc)) >= cfg.min_tokens)
+        unique = _stage(
+            unique.filter(bpe_token_count(F.col(tc)) >= cfg.min_tokens)
+        )
         report["after_span_dedup"] = unique.count()
 
     # 3c. optional CCNet-style target-LM gate (stupid backoff — one count
@@ -215,6 +235,7 @@ def prepare_training_corpus(
         unique = lm_quality_filter(
             unique, lm_target, cfg.lm_min_logprob, tc, ic, cfg.lm_order
         )
+        unique = _stage(unique)
         report["after_lm_filter"] = unique.count()
 
     # 3d. optional DSIR selection (importance resampling toward the
@@ -228,6 +249,7 @@ def prepare_training_corpus(
         unique = dsir_select(
             d_raw, d_target, cfg.dsir_top_k, tc, ic, cfg.dsir_buckets
         ).drop("log_weight").unionByName(d_target)
+        unique = _stage(unique)
         report["after_dsir"] = unique.count()
 
     # 4. deterministic split (append-stable — docs keep their split forever)
@@ -243,6 +265,7 @@ def prepare_training_corpus(
         "chunk",
         "n_tokens",
     )
+    chunks = _stage(chunks)
     report["chunks"] = chunks.count()
 
     # 6. pack per split (sequences never mix train and eval data)
