@@ -72,6 +72,13 @@ def _fisher_udf(a: pd.Series, b: pd.Series, c: pd.Series, d: pd.Series) -> pd.Se
     return pd.Series(out)
 
 
+# The function is pure, but the marker stops the optimizer from pushing
+# the p-value filter below it AND re-evaluating it in the projection —
+# the plan otherwise carries TWO ArrowEvalPython nodes for one call and
+# every contingency row pays the hypergeometric sum twice (guide §4.4).
+_fisher_udf = _fisher_udf.asNondeterministic()
+
+
 def _category_col(df: DataFrame, classification_key: str) -> Column:
     dt = df.schema[classification_key].dataType
     if isinstance(dt, T.ArrayType):

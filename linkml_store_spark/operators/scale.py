@@ -40,6 +40,12 @@ def fan_out(
     never fires. ``partitions`` defaults to the session's core count
     (scale-adaptive, not a tuned constant); pass ``key`` (e.g. the doc
     id) for a deterministic hash layout, else round-robin."""
+    if df.isStreaming:
+        # streaming frames arrive micro-batched with the source's own
+        # partitioning, and the partition-count probe below is illegal
+        # on them (no RDD before writeStream.start()); the operators
+        # built on fan_out stay pure projections under streaming
+        return df
     sc = df.sparkSession.sparkContext
     p = partitions or sc.defaultParallelism
     if df.rdd.getNumPartitions() >= p:
