@@ -274,3 +274,50 @@ def test_jaccard_prefix_filter_matches_index_path(spark, sf_dir):
     pb = sorted((r["left_id"], r["right_id"], round(r["jaccard"], 9)) for r in b.collect())
     assert pa == pb
     assert len(pa) > 0  # sf0.001 documents contain near-duplicates
+
+
+def test_dedup_incremental_index_appends_match_recompute(spark, tmp_path):
+    """Round-12 internals pin: the index appends are derived by id
+    semi-joins against the batch's checkpointed signature/set frames —
+    the persisted rows must equal re-deriving both projections FROM the
+    survivors' text (subset-then-compute == compute-then-subset for the
+    per-row deterministic maps)."""
+    from linkml_store_spark.operators.dedup import (
+        band_buckets,
+        dedup_incremental,
+        minhash_signatures,
+        shingle_hash_sets,
+    )
+
+    rows = [
+        (1, "alpha bravo charlie delta echo foxtrot golf hotel " * 4),
+        (2, "alpha bravo charlie delta echo foxtrot golf hotel " * 4),  # dup of 1
+        (3, "completely different content about other things " * 5),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    idx = str(tmp_path / "idx")
+    surv = dedup_incremental(docs, idx, "text", verify_threshold=0.9)
+
+    stored = spark.read.parquet(idx)
+    expected = band_buckets(
+        minhash_signatures(surv, "text", "doc_id"), "doc_id"
+    )
+    got = sorted(
+        (r["doc_id"], r["band_idx"], r["band_hash"]) for r in stored.collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["band_idx"], r["band_hash"]) for r in expected.collect()
+    )
+    assert got == want
+
+    stored_sets = spark.read.parquet(idx + "_sets")
+    exp_sets = shingle_hash_sets(surv, "text", "doc_id")
+    got_s = sorted(
+        (r["doc_id"], tuple(sorted(r["shingle_hashes"])))
+        for r in stored_sets.collect()
+    )
+    want_s = sorted(
+        (r["doc_id"], tuple(sorted(r["shingle_hashes"])))
+        for r in exp_sets.collect()
+    )
+    assert got_s == want_s
