@@ -199,11 +199,20 @@ def dsir_weights(
             target_df, text_col, n_buckets, bigrams, bucket_hash
         )
         # the fitted models ARE driver-sized (≤ n_buckets rows each, the
-        # paper's 10k): collect once, fold into one dense literal
+        # paper's 10k): collect once, fold into one dense literal.
+        # The two count jobs are independent, so submit them from two
+        # driver threads (guide §2.6): the target pass back-fills
+        # executors freed by the raw pass's task tail instead of waiting
+        # for it. Each dict is built from an unordered bucket->n rowset,
+        # so concurrency cannot change the fitted table.
         import math
+        from concurrent.futures import ThreadPoolExecutor
 
-        raw_counts = {r["bucket"]: r["n"] for r in raw_b.collect()}
-        tgt_counts = {r["bucket"]: r["n"] for r in tgt_b.collect()}
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_raw = pool.submit(raw_b.collect)
+            f_tgt = pool.submit(tgt_b.collect)
+            raw_counts = {r["bucket"]: r["n"] for r in f_raw.result()}
+            tgt_counts = {r["bucket"]: r["n"] for r in f_tgt.result()}
         raw_total = float(sum(raw_counts.values()))
         tgt_total = float(sum(tgt_counts.values()))
         lr = [
