@@ -131,10 +131,16 @@ def score_quality(
     out_col: str = "quality_prob",
 ) -> DataFrame:
     """Add P(label=1) as ``out_col``; drops the intermediate feature columns
-    so the output schema is input + one double column. Shuffle-free map."""
+    so the output schema is input + one double column. Per-row map — the
+    input is fanned out first so a single-row-group store scores on
+    every core (no-op on pre-split inputs and on streams; unlike the
+    FIT, scoring has no per-task accumulator, so parallelism is pure
+    win)."""
     from pyspark.ml.functions import vector_to_array
 
-    scored = model.transform(df)
+    from linkml_store_spark.operators.scale import fan_out
+
+    scored = model.transform(fan_out(df))
     extra = [
         c
         for c in ("__words", "__bigrams", "__tf1", "__tf2", "__features",
