@@ -112,3 +112,47 @@ def test_adaptive_quality_filter_per_group_thresholds(spark):
     ref = {r["doc_id"]: r["s"] for r in df.select(
         "doc_id", quality_score(F.col("text")).alias("s")).collect()}
     assert all(abs(q[i] - ref[i]) < 1e-12 for i in q)
+
+
+def test_tuned_fit_defaults_agree_with_reference_fit(corpus):
+    """Round-13 fit sizing (num_features 1<<13, maxIter 20, tol 1e-4) must
+    stay prediction-equivalent to the heavyweight reference configuration
+    (1<<15 features, 50 iterations, library tol) — the differential gate
+    the declared quality_classifier query relies on (>= 0.85 agreement;
+    measured 0.999 at sf0.1, tools/qfit_r13.py)."""
+    fast = quality_model.train_quality_classifier(corpus)
+    ref = quality_model.train_quality_classifier(
+        corpus, num_features=1 << 15, max_iter=50, tol=None
+    )
+    f = quality_model.score_quality(fast, corpus).select(
+        "doc_id", (F.col("quality_prob") >= 0.5).alias("__f")
+    )
+    r = quality_model.score_quality(ref, corpus).select(
+        "doc_id", (F.col("quality_prob") >= 0.5).alias("__r")
+    )
+    agree = f.join(r, "doc_id").agg(
+        F.avg((F.col("__f") == F.col("__r")).cast("double"))
+    ).first()[0]
+    assert agree >= 0.85
+
+
+def test_fit_survives_prior_observe_in_session(spark, corpus):
+    """Round-13 pin: Dataset.observe anywhere in the session initializes
+    Spark 4.1's non-serializable session ObservationManager; a fitted
+    model whose training summary still captures the session then fails
+    every scoring action with "Task not serializable". The fit strips
+    the summary, so observe-then-score must work."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    spark.range(5).observe(obs, F.count(F.lit(1)).alias("n")).collect()
+    assert obs.get["n"] == 5
+
+    model = quality_model.train_quality_classifier(corpus)
+    assert not model.stages[-1].hasSummary
+    scored = quality_model.score_quality(model, corpus)
+    acc = scored.agg(
+        F.avg(((F.col("quality_prob") >= 0.5).cast("double")
+               == F.col("label")).cast("double"))
+    ).first()[0]
+    assert acc > 0.9
