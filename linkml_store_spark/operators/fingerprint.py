@@ -33,6 +33,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from linkml_store_spark.operators.dedup import _md5_low64
+from linkml_store_spark.operators.scale import stage_checkpoint
 
 
 def _tokens(text_col: Column) -> Column:
@@ -228,7 +229,7 @@ def fingerprint_overlap(
         # round-8 verdict #2). The checkpoint is the same volume the join
         # shuffle would materialize anyway; the count it enables is the
         # empty-after-prune short-circuit.
-        fps = fps.localCheckpoint(eager=True)
+        fps = stage_checkpoint(fps)
         if fps.isEmpty():
             id_t = df.schema[id_col].dataType.simpleString()
             return df.sparkSession.createDataFrame(

@@ -19,6 +19,8 @@ from typing import List, Optional, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from linkml_store_spark.operators.scale import stage_checkpoint
+
 S, P, O = "subject", "predicate", "object"
 
 
@@ -144,6 +146,17 @@ class GraphProjection:
 #: with $SPARK_GRAFT_LOCAL_CC_MAX_EDGES (0 disables the local tier).
 LOCAL_CC_MAX_EDGES = 5_000_000
 
+#: companion byte gate for the local tier: estimated driver-collected
+#: size (id content + per-cell object overhead). int64 edges stay bound
+#: by the edge gate (5M x 16 B = 80 MB); string ids are additionally
+#: bound here so long ids (URLs) cannot drag gigabytes through
+#: toPandas. Override with $SPARK_GRAFT_LOCAL_CC_MAX_BYTES.
+LOCAL_CC_MAX_BYTES = int(
+    __import__("os").environ.get(
+        "SPARK_GRAFT_LOCAL_CC_MAX_BYTES", 512 * 1024 * 1024
+    )
+)
+
 
 def _local_cc_max_edges() -> int:
     import os
@@ -238,9 +251,27 @@ def connected_components(
     # 0.3 s local, identical labels). Above the gate the O(log n)
     # distributed loop is unchanged — the gate is row-count-derived,
     # not tuned to this box's core count.
-    e = e.localCheckpoint(eager=True)
-    n_edges = e.count()
-    if n_edges <= _local_cc_max_edges():
+    e = stage_checkpoint(e)
+    # The gate count doubles as a byte estimate for STRING ids
+    # (round-13 advisory: "5M edges ~ 80 MB" only holds for int64 ids —
+    # 5M edges of long URL-ids could collect multi-GB through
+    # toPandas). Same single job: the aggregate adds avg id length for
+    # string columns, and the local tier additionally requires the
+    # estimated collected size (content + ~60 B/cell of pandas object
+    # overhead) under LOCAL_CC_MAX_BYTES.
+    from pyspark.sql import types as T
+
+    if isinstance(e.schema["u"].dataType, T.StringType):
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.length("u") + F.length("v")).alias("b"),
+        ).first()
+        n_edges = row["n"]
+        est_bytes = n_edges * ((row["b"] or 0.0) + 120.0)
+    else:
+        n_edges = e.count()
+        est_bytes = n_edges * 16.0
+    if n_edges <= _local_cc_max_edges() and est_bytes <= LOCAL_CC_MAX_BYTES:
         try:
             labels = _local_connected_components(e, node_col)
         except Exception:  # noqa: BLE001 — exotic id types fall through
@@ -286,7 +317,7 @@ def connected_components(
         e = star(star(e, large=True), large=False)
         # materialize the iteration: the lineage otherwise doubles each
         # round and Catalyst re-analyzes an exponentially growing plan
-        e = e.localCheckpoint(eager=True)
+        e = stage_checkpoint(e)
         cur = checksum(e)
         if cur == prev:
             break

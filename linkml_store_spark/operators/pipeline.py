@@ -94,23 +94,39 @@ def prepare_training_corpus(
         repetition_stats,
     )
 
+    from pyspark.sql import Observation
+
+    from linkml_store_spark.operators.scale import stage_checkpoint
+
     cfg = config or CorpusConfig()
     tc, ic = cfg.text_col, cfg.id_col
-    report = {"input": docs.count()}
+    report = {}
 
-    # Stage materialization (guide §5): the per-stage row account forces
-    # an action per stage, and the dedup plan alone references the gated
-    # corpus THREE times (signatures, shingle sets, the survivor
-    # semi-join) — left lazy, the scan+normalize+scrub chain re-executes
-    # ~13x across the pipeline's counts. localCheckpoint(eager=True)
+    # Stage materialization (guide §5): the dedup plan alone references
+    # the gated corpus THREE times (signatures, shingle sets, the
+    # survivor semi-join) — left lazy, the scan+normalize+scrub chain
+    # re-executes ~13x across the pipeline. stage_checkpoint(eager)
     # after each heavy stage makes every stage compute exactly ONCE per
     # invocation (nothing persists across invocations — each call still
-    # computes from the input frame). At cluster scale this is one
-    # write + N-1 local reads of each stage instead of N upstream
-    # re-executions; executor-local storage is the cost, the same trade
-    # the incremental dedup operators already make.
-    def _stage(df: DataFrame) -> DataFrame:
-        return df.localCheckpoint(eager=True)
+    # computes from the input frame; reliable-checkpoint knob in
+    # operators/scale.py). The per-stage row account is FUSED into the
+    # materializing action via observed metrics (round 13): a count()
+    # on a checkpointed stage was one extra full pass over it per stage
+    # — an Observation node counts the same rows as they stream into
+    # the checkpoint, so the report costs zero additional actions.
+    def _stage(df: DataFrame, count_key: Optional[str] = None) -> DataFrame:
+        if count_key is None:
+            return stage_checkpoint(df)
+        obs = Observation()
+        out = stage_checkpoint(df.observe(obs, F.count(F.lit(1)).alias("n")))
+        report[count_key] = obs.get["n"]
+        return out
+
+    # the input account rides the first materialization too: the observe
+    # node sits ON the raw input (filters cannot be pushed through
+    # CollectMetrics, so it counts exactly docs.count() rows)
+    obs_in = Observation()
+    docs = docs.observe(obs_in, F.count(F.lit(1)).alias("n"))
 
     # 0. normalize byte forms FIRST — NFC/controls/whitespace variants
     # would otherwise defeat both dedup and the quality gates
@@ -123,6 +139,7 @@ def prepare_training_corpus(
     # — materialized: the quality gate below reads it twice (the
     # repetition profile plus the join back onto the rows)
     scrubbed = _stage(scrub_documents(docs, tc, with_counts=False))
+    report["input"] = obs_in.get["n"]
 
     # 2. quality gate: token floor + repetition ceilings
     rep = repetition_stats(scrubbed, tc, ic).select(
@@ -137,8 +154,7 @@ def prepare_training_corpus(
         )
         .drop("dup_line_frac", "top_bigram_frac")
     )
-    gated = _stage(gated)
-    report["after_quality_gate"] = gated.count()
+    gated = _stage(gated, "after_quality_gate")
 
     # 2b. optional per-source adaptive gate (FineWeb rationale: one global
     # bar over-prunes clean sources and under-prunes dirty ones)
@@ -153,8 +169,7 @@ def prepare_training_corpus(
             quantile=cfg.adaptive_quality_quantile,
             text_col=tc,
         )
-        gated = _stage(gated)
-        report["after_adaptive_quality"] = gated.count()
+        gated = _stage(gated, "after_adaptive_quality")
 
     # 3. near-dedup: keep cluster canonicals (transitive, no pair blowup);
     # verified mode routes LSH candidates through exact-jaccard
@@ -210,8 +225,7 @@ def prepare_training_corpus(
             gated, tc, ic, cfg.minhash_permutations, cfg.lsh_bands
         )
         keep = groups.filter(F.col(ic) == F.col("canonical_id")).select(ic)
-    unique = _stage(gated.join(keep, ic, "left_semi"))
-    report["after_dedup"] = unique.count()
+    unique = _stage(gated.join(keep, ic, "left_semi"), "after_dedup")
 
     # 3b. optional span-level dedup: remove >=k-token runs duplicated across
     # the surviving docs (boilerplate that doc-level LSH leaves behind);
@@ -221,9 +235,9 @@ def prepare_training_corpus(
 
         unique = dedup_spans_keep_first(unique, tc, ic, k=cfg.span_dedup_k)
         unique = _stage(
-            unique.filter(bpe_token_count(F.col(tc)) >= cfg.min_tokens)
+            unique.filter(bpe_token_count(F.col(tc)) >= cfg.min_tokens),
+            "after_span_dedup",
         )
-        report["after_span_dedup"] = unique.count()
 
     # 3c. optional CCNet-style target-LM gate (stupid backoff — one count
     # fit on the target split, one scoring pass, one threshold filter)
@@ -235,8 +249,7 @@ def prepare_training_corpus(
         unique = lm_quality_filter(
             unique, lm_target, cfg.lm_min_logprob, tc, ic, cfg.lm_order
         )
-        unique = _stage(unique)
-        report["after_lm_filter"] = unique.count()
+        unique = _stage(unique, "after_lm_filter")
 
     # 3d. optional DSIR selection (importance resampling toward the
     # target split's hashed-n-gram distribution)
@@ -249,8 +262,7 @@ def prepare_training_corpus(
         unique = dsir_select(
             d_raw, d_target, cfg.dsir_top_k, tc, ic, cfg.dsir_buckets
         ).drop("log_weight").unionByName(d_target)
-        unique = _stage(unique)
-        report["after_dsir"] = unique.count()
+        unique = _stage(unique, "after_dsir")
 
     # 4. deterministic split (append-stable — docs keep their split forever)
     split = hash_split(unique, ic, cfg.split_fractions, salt=cfg.split_salt)
@@ -265,8 +277,7 @@ def prepare_training_corpus(
         "chunk",
         "n_tokens",
     )
-    chunks = _stage(chunks)
-    report["chunks"] = chunks.count()
+    chunks = _stage(chunks, "chunks")
 
     # 6. pack per split (sequences never mix train and eval data)
     packed_parts = []

@@ -229,3 +229,66 @@ def test_write_jsonl_shards_layout(spark, sf_dir, tmp_path):
     first = [sorted(_json.loads(l)["doc_id"] for l in gzip.open(f, "rt")) for f in files]
     second = [sorted(_json.loads(l)["doc_id"] for l in gzip.open(f, "rt")) for f in files2]
     assert first == second
+
+
+def test_salted_aggregate_contract(spark):
+    """Explicit phase-1/phase-2 merge contract (round 13): decomposable
+    prefixes merge by re-application, custom aliases need an explicit
+    merge fn, and anything else raises instead of silently summing."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from linkml_store_spark.operators.scale import salted_aggregate
+
+    df = spark.range(1000).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("v")
+    )
+    out = salted_aggregate(
+        df, "k",
+        [F.count(F.lit(1)).alias("count_v"), F.min("v").alias("min_v"),
+         F.max("v").alias("max_v"), F.sum("v").alias("sum_v")],
+    ).collect()
+    ref = {r["k"]: r for r in df.groupBy("k").agg(
+        F.count(F.lit(1)).alias("count_v"), F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"), F.sum("v").alias("sum_v")).collect()}
+    for r in out:
+        e = ref[r["k"]]
+        assert (r["count_v"], r["min_v"], r["max_v"], r["sum_v"]) == (
+            e["count_v"], e["min_v"], e["max_v"], e["sum_v"])
+    # custom merge: collect_set merged by flatten+distinct
+    out2 = salted_aggregate(
+        df, "k", [F.collect_set("v").alias("vals")],
+        merge={"vals": lambda c: F.array_distinct(
+            F.flatten(F.collect_list(c)))},
+    ).collect()
+    for r in out2:
+        assert sorted(r["vals"]) == sorted(
+            x["v"] for x in df.filter(F.col("k") == r["k"]).collect())
+    # non-decomposable alias without a merge rule: loud failure
+    with pytest.raises(ValueError, match="no merge rule"):
+        salted_aggregate(df, "k", [F.avg("v").alias("avg_v")])
+
+
+def test_stage_checkpoint_reliable_mode(spark, tmp_path, monkeypatch):
+    """SPARK_GRAFT_RELIABLE_CHECKPOINT=1 + a checkpoint dir routes the
+    lineage cut through reliable checkpoint() (files under the dir);
+    default stays localCheckpoint. Same rows either way."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from linkml_store_spark.operators.scale import stage_checkpoint
+
+    df = spark.range(100).select("id", (F.col("id") * 2).alias("x"))
+    local = stage_checkpoint(df)
+    assert sorted(r["x"] for r in local.collect()) == [
+        i * 2 for i in range(100)]
+
+    ckdir = str(tmp_path / "ck")
+    monkeypatch.setenv("SPARK_GRAFT_RELIABLE_CHECKPOINT", "1")
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", ckdir)
+    reliable = stage_checkpoint(df)
+    assert sorted(r["x"] for r in reliable.collect()) == [
+        i * 2 for i in range(100)]
+    assert glob.glob(ckdir + "/*/rdd-*"), "no reliable checkpoint written"
