@@ -54,6 +54,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from linkml_store_spark.operators.scale import stage_checkpoint
+
 
 def _tokens(text_col: Column) -> Column:
     return F.split(F.lower(F.trim(text_col)), r"\s+")
@@ -733,24 +735,30 @@ def span_dedup_incremental(
 
     out_col = out_col or text_col
     spark = new_df.sparkSession
-    # NOTE (round 12): the window frame is referenced three times in the
-    # cleaned-batch plan; checkpointing it was measured at parity at
-    # sf0.1 (interleaved best-of-2, 5 samples each) and materializes a
-    # per-TOKEN frame to executor-local storage — a poor trade at corpus
-    # scale where the recompute is pure map-side CPU. Left lazy.
+    # Round-13 shared-scan formulation (verdict item 4; supersedes the
+    # round-12 NOTE that left the triple-referenced window frame lazy
+    # because CHECKPOINTING it measured at parity): the tokenize+hash+
+    # explode window frame is now referenced exactly ONCE — a single
+    # per-gram occurrence-list aggregate replaces all three uses (the
+    # within-batch per-gram stats, the join back onto the windows, and
+    # the full-window semi-join against the stored index). The keep-set
+    # falls out of the aggregate itself (min-struct = canonical first
+    # occurrence, same (id, start) struct ordering as before), and the
+    # index is joined against the DISTINCT GRAMS (one row per gram)
+    # instead of against every window — strictly fewer shuffled rows.
+    # Per-gram occurrence arrays are bounded by within-BATCH gram
+    # frequency (batches are bounded; the batch operators' viral-gram
+    # cap applies corpus-side).
     win = ngram_windows(new_df, text_col, id_col, k, second_hash=True)
 
-    # within-batch duplicated windows (keep-first) …
-    dup_batch = duplicated_windows(win, id_col, cross_doc_only=True).filter(
-        ~F.col("is_canonical")
-    ).select(id_col, "start")
-    # … plus any window whose gram was already ingested. An index written
-    # by a pre-double-hash release carries only ``gram_hash``; its second
-    # hash cannot be reconstructed (it hashes the original text), so the
-    # whole index — this batch's appends included — stays in legacy
-    # single-hash mode: joining new-format rows against it would silently
-    # miss, and appending wide rows would leave a mixed-schema directory.
+    # An index written by a pre-double-hash release carries only
+    # ``gram_hash``; its second hash cannot be reconstructed (it hashes
+    # the original text), so the whole index — this batch's appends
+    # included — stays in legacy single-hash mode: joining new-format
+    # rows against it would silently miss, and appending wide rows
+    # would leave a mixed-schema directory.
     legacy_index = False
+    stored_keys = None
     if os.path.exists(index_path):
         stored = spark.read.parquet(index_path)
         legacy_index = "gram_hash2" not in stored.columns
@@ -763,15 +771,44 @@ def span_dedup_incremental(
                 "Rebuild the index to upgrade.",
                 stacklevel=2,
             )
-            join_keys = ["gram_hash"]
+            hist_keys = ["gram_hash"]
         else:
-            join_keys = ["gram_hash", "gram_hash2"]
-        dup_hist = win.join(
-            stored.select(*join_keys), join_keys, "left_semi"
-        ).select(id_col, "start")
-        dup = dup_batch.union(dup_hist).distinct()
+            hist_keys = ["gram_hash", "gram_hash2"]
+        stored_keys = stored.select(*hist_keys).distinct().withColumn(
+            "__hist", F.lit(True)
+        )
+
+    per_gram = win.groupBy("gram_hash", "gram_hash2").agg(
+        F.collect_list(
+            F.struct(F.col(id_col).alias("i"), F.col("start").alias("s"))
+        ).alias("__occ")
+    )
+    if stored_keys is not None:
+        per_gram = per_gram.join(stored_keys, hist_keys, "left")
     else:
-        dup = dup_batch
+        per_gram = per_gram.withColumn(
+            "__hist", F.lit(None).cast("boolean")
+        )
+    # a window is removed iff its gram was already ingested (ALL of its
+    # occurrences go, canonical included — the true first occurrence
+    # lives in a previous batch) or its gram spans >1 doc within this
+    # batch (keep-first: every occurrence except the min (id, start)
+    # struct — the same canonical rule as dedup_spans_keep_first)
+    hist = F.coalesce(F.col("__hist"), F.lit(False))
+    first = F.array_min(F.col("__occ"))
+    n_docs = F.size(
+        F.array_distinct(F.transform(F.col("__occ"), lambda o: o["i"]))
+    )
+    drop_occ = F.when(hist, F.col("__occ")).otherwise(
+        F.filter(F.col("__occ"), lambda o: o != first)
+    )
+    dup = (
+        per_gram.filter(hist | (n_docs > 1))
+        .select(F.explode(drop_occ).alias("__w"))
+        .select(
+            F.col("__w")["i"].alias(id_col), F.col("__w")["s"].alias("start")
+        )
+    )
 
     drop_pos = (
         dup.select(
@@ -793,7 +830,7 @@ def span_dedup_incremental(
     ).drop("__drop")
     # materialize BEFORE appending — lazy lineage re-evaluated after the
     # append would match the batch against its own just-written grams
-    cleaned = cleaned.localCheckpoint(eager=True)
+    cleaned = stage_checkpoint(cleaned)
 
     # append the SURVIVING text's grams (what the corpus now contains),
     # keeping the directory schema-consistent with what is already there
