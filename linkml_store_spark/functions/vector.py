@@ -368,22 +368,32 @@ PAIR_NATIVE_METRICS = {
 
 
 def native_pair_dim(df, vector_col: str, max_dim: int = PAIR_NATIVE_MAX_DIM):
-    """Gate for the unrolled pair kernels: the first non-null vector's
-    length, verified UNIFORM across the whole column (one early-abort
-    linear job — linear probes are free next to the quadratic pair plans
-    they guard). Returns None (→ caller keeps the HOF path, whose
-    null-padding semantics ragged data needs) when the column is empty,
-    ragged, or wider than ``max_dim``."""
-    row = df.select(F.col(vector_col).alias("__v")).filter(
-        F.col(vector_col).isNotNull()
+    """Gate for the unrolled pair kernels: the vector length, verified
+    UNIFORM across the whole column. Returns None (→ caller keeps the
+    HOF path, whose null-padding semantics ragged data needs) when the
+    column is empty, ragged, or wider than ``max_dim``.
+
+    One aggregate job — min/max of ``size()`` over the non-null rows —
+    so the input's lineage executes exactly ONCE per probe (round-13
+    advisory: the previous first()-plus-uniformity-scan shape executed
+    expensive upstream lineage twice per side before any pair work
+    started). Same decisions: null vectors are ignored by the probe
+    (as the first()/ANSI-size scan ignored them), uniform non-null
+    lengths in (0, max_dim] return that length, anything else None."""
+    row = df.agg(
+        F.min(
+            F.when(F.col(vector_col).isNotNull(), F.size(F.col(vector_col)))
+        ).alias("mn"),
+        F.max(
+            F.when(F.col(vector_col).isNotNull(), F.size(F.col(vector_col)))
+        ).alias("mx"),
     ).first()
-    if row is None or row[0] is None:
+    if row is None or row["mn"] is None:
         return None
-    dim = len(row[0])
-    if not 0 < dim <= max_dim:
+    dim = row["mn"]
+    if dim != row["mx"] or not 0 < dim <= max_dim:
         return None
-    ragged = not df.filter(F.size(F.col(vector_col)) != dim).isEmpty()
-    return None if ragged else dim
+    return dim
 
 
 #: metrics ranked ASCENDING (smaller is closer); the rest rank descending

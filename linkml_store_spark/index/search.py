@@ -354,8 +354,22 @@ def find_matches(
     # streamed side to the session's core count (scale-adaptive) and pin
     # the build side broadcast so the nested loop fans out (guide
     # §2.5-2.6). Same pairs, same scores; only the task layout changes.
+    # The broadcast hint is GATED on the right side's row count
+    # (round-13 advisory: with method='exact' pinned, or a non-routable
+    # metric above the pair gate, the right side is unbounded — an
+    # unconditional hint would push past the 8 GB / 512M-row broadcast
+    # hard cap and fail where the planner-chosen crossJoin completes);
+    # above the gate the planner keeps its own join choice.
+    from linkml_store_spark.operators.dedup import PAIR_BROADCAST_MAX_ROWS
+
+    nr_gate = right_rows
+    if nr_gate is None:
+        from linkml_store_spark.where import fast_count
+
+        nr_gate = fast_count(rhs)
     p = left.sparkSession.sparkContext.defaultParallelism
-    pairs = lhs.repartition(p, F.col("left_id")).crossJoin(F.broadcast(rhs))
+    build = F.broadcast(rhs) if nr_gate <= PAIR_BROADCAST_MAX_ROWS else rhs
+    pairs = lhs.repartition(p, F.col("left_id")).crossJoin(build)
     if exclude_self:
         pairs = pairs.filter(F.col("left_id") != F.col("right_id"))
     scored = pairs.withColumn("score", score)

@@ -693,6 +693,20 @@ def _jaccard_prefix_candidates(
 # --------------------------------------------------------------------- #
 # embedding cosine near-dup
 # --------------------------------------------------------------------- #
+#: row gate for pinning F.broadcast on the build side of the exact
+#: all-pairs plans (round-13 advisory: the hint was unconditional — a
+#: big right side would hit the 8 GB / 512M-row broadcast hard cap and
+#: FAIL where the planner-chosen nested loop merely ran slowly). 1M
+#: 64-dim double vectors frame to ~0.6 GB — comfortably under the cap,
+#: far past the point the quadratic pair count is advisable anyway.
+#: Override with $SPARK_GRAFT_PAIR_BROADCAST_MAX_ROWS.
+PAIR_BROADCAST_MAX_ROWS = int(
+    __import__("os").environ.get(
+        "SPARK_GRAFT_PAIR_BROADCAST_MAX_ROWS", 1_000_000
+    )
+)
+
+
 def embedding_near_dup_pairs_exact(
     df: DataFrame,
     vector_col: str,
@@ -733,11 +747,17 @@ def embedding_near_dup_pairs_exact(
     # streamed side to the session's core count (scale-adaptive, not a
     # constant) and pin the build side broadcast so the nested loop
     # fans out (guide §2.5-2.6: the whole quadratic stage was one task).
-    # Same pairs, same scores — only the task layout changes.
+    # Same pairs, same scores — only the task layout changes. The hint
+    # is gated on row count (PAIR_BROADCAST_MAX_ROWS): past the
+    # broadcast hard cap the planner keeps its own join choice instead
+    # of hard-failing the exact baseline.
+    from linkml_store_spark.where import fast_count
+
     p = df.sparkSession.sparkContext.defaultParallelism
+    build = r if fast_count(df) > PAIR_BROADCAST_MAX_ROWS else F.broadcast(r)
     return (
         l.repartition(p, F.col("left_id"))
-        .crossJoin(F.broadcast(r))
+        .crossJoin(build)
         .filter(F.col("left_id") < F.col("right_id"))
         .withColumn("cosine", score)
         .filter(F.col("cosine") >= threshold)
@@ -872,6 +892,8 @@ def dedup_incremental(
     """
     import os
 
+    from linkml_store_spark.operators.scale import stage_checkpoint
+
     spark = new_df.sparkSession
     # Compute the expensive tokenize+hash projections exactly ONCE per
     # batch (guide §5 localCheckpoint, §1.2 "don't compute things
@@ -891,20 +913,21 @@ def dedup_incremental(
         # set, so compute the set once and derive the signature from it
         # (bit-identical to minhash_signatures: same shingle_hash_sets
         # values, same kernel)
-        sets = shingle_hash_sets(
+        sets = stage_checkpoint(shingle_hash_sets(
             new_df, text_col, id_col, shingle_size
-        ).localCheckpoint(eager=True)
+        ))
         sig = sets.select(
             F.col(id_col),
             _minhash_perm_udf(num_perm)(F.col("shingle_hashes")).alias(
                 "minhash"
             ),
-        ).localCheckpoint(eager=True)
+        )
+        sig = stage_checkpoint(sig)
     else:
         sets = None
-        sig = minhash_signatures(
+        sig = stage_checkpoint(minhash_signatures(
             new_df, text_col, id_col, num_perm, shingle_size
-        ).localCheckpoint(eager=True)
+        ))
     buckets = band_buckets(sig, id_col, num_perm, bands)
 
     if os.path.exists(index_path):
@@ -1023,7 +1046,7 @@ def dedup_incremental(
     # index read, so a lazy result re-evaluated after the append would
     # match each doc against its own just-written buckets (and return
     # nothing)
-    survivors = survivors.localCheckpoint(eager=True)
+    survivors = stage_checkpoint(survivors)
 
     # the appended rows are exactly the already-computed per-row
     # projections restricted to the survivors (signatures/sets are
