@@ -460,7 +460,15 @@ def simhash(
     oracle replays end-to-end).
     """
     tok_fn = F.xxhash64 if token_hash == "xxhash64" else _md5_low64
-    hashed = df.select(
+    # fan out the narrow (id, text) projection BEFORE the fingerprint map
+    # (guide §2.5 input skew, round 13 — measured at 10x SF: the 64
+    # per-bit aggregate() passes over each row's token-hash array ran on
+    # the scan's task layout, and a sub-128MB text table scans as ONE
+    # split, serializing the whole simhash computation on a single core;
+    # no-op on pre-split inputs)
+    from linkml_store_spark.operators.scale import fan_out
+
+    hashed = fan_out(df.select(id_col, text_col), key=id_col).select(
         F.col(id_col),
         F.transform(_tokens(F.col(text_col)), lambda t: tok_fn(t)).alias("__hs"),
     )
@@ -632,6 +640,17 @@ def ngram_jaccard_pairs(
                 "right_id",
             )
         )
+        # pin the verify stage's parallelism (guide §2, round 13 —
+        # measured at 10x SF): the exact array_intersect/union over word
+        # shingles is CPU-heavy per PAIR, but the pair rows are small in
+        # BYTES, so AQE coalesced the post-join stage to 2 partitions and
+        # serialized ~20 s of verify CPU on two cores. An explicit
+        # numPartitions repartition is exempt from AQE coalescing; the
+        # count is the session's core count (scale-adaptive), and the
+        # exchange moves only the candidate pairs (already the smallest
+        # frame in the plan). Values unchanged — same pairs, same jaccard.
+        p = pairs.sparkSession.sparkContext.defaultParallelism
+        pairs = pairs.repartition(p, F.col("left_id"), F.col("right_id"))
     inter = F.size(F.array_intersect("__shl", "__shr"))
     union = F.size(F.array_union("__shl", "__shr"))
     jac = F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
