@@ -672,19 +672,33 @@ def q_quality_classifier(spark, sf):
             ).cast("double")
         ).alias("a")
     ).first()["a"]
-    return docs.select(
+    # fan out the RETURNED frame only (round 13, measured at 10x SF: the
+    # weak-label expression re-evaluates on the scan's task layout and a
+    # sub-128MB documents table scans as ONE split — 12.8 s serialized on
+    # one core). The FIT path above deliberately stays un-fanned (the
+    # round-12 measurement: L-BFGS pays a dense per-task gradient
+    # accumulator, so partitions make the fit slower). Same rows, same
+    # sort — the repartition precedes the orderBy.
+    from linkml_store_spark.operators.scale import fan_out
+
+    return fan_out(docs, key="doc_id").select(
         "doc_id", "label", F.lit(bool(acc >= 0.85)).alias("acc_ok")
     ).orderBy("doc_id")
 
 
 def q_text_stats(spark, sf):
+    from linkml_store_spark.operators.scale import fan_out
     from linkml_store_spark.operators.textanalysis import (
         bpe_token_count,
         punct_ratio,
         whitespace_token_count,
     )
 
-    docs = _t(spark, sf, "documents")
+    # fan_out: the BPE/punct counters are heavy per-row native expressions
+    # and a sub-128MB documents table scans as ONE split (guide §2.5,
+    # round 13 — measured 3.1 s single-task at 10x SF); no-op on
+    # pre-split inputs, values unchanged (orderBy follows)
+    docs = fan_out(_t(spark, sf, "documents"), key="doc_id")
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -2217,66 +2231,11 @@ def q_qir_having(spark, sf):
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ordering = the driver sampling window (first 50 hash-compared per
-    # round). Round 12 policy (VERDICT r11 next-round #4): the 19 queries
-    # whose latest driver row is r9 lead (fuzzy_join_names .. topn_per_group),
-    # then the five cross-round canaries (find_eq / groupby_tpch_q1 /
-    # dedup_minhash / knn_cosine / count_zone_values), then ann_knn_join and
-    # find_matches (both re-driven after this round's probe-mass salting and
-    # euclidean IVF routing changes), then an alphabetical r10 fill to 50.
-    # The remaining r10-sampled queries sit at 51-69 to lead the r13 window;
-    # the r11-sampled 50 close the registry. Everything below position 50
-    # stays value-verified by tools/oracle_compare.py's full sweep.
-    "fuzzy_join_names": q_fuzzy_join_names,
-    "groupby_objects": q_groupby_objects,
-    "hash_split_documents": q_hash_split_documents,
-    "heatmap": q_heatmap,
-    "histogram": q_histogram,
-    "join_topk_revenue": q_join_topk_revenue,
-    "json_extract": q_json_extract,
-    "keyword_filter": q_keyword_filter,
-    "lag_lead": q_lag_lead,
-    "lm_quality": q_lm_quality,
-    "normalize_documents": q_normalize_documents,
-    "resample_ffill": q_resample_ffill,
-    "resample_hourly": q_resample_hourly,
-    "rolling_1h": q_rolling_1h,
-    "rule_inference": q_rule_inference,
-    "text_lang_facet": q_text_lang_facet,
-    "text_stats": q_text_stats,
-    "token_budget_sample": q_token_budget_sample,
-    "topn_per_group": q_topn_per_group,
-    "find_eq": q_find_eq,
-    "groupby_tpch_q1": q_groupby_tpch_q1,
-    "dedup_minhash": q_dedup_minhash,
-    "knn_cosine": q_knn_cosine,
-    "knn_euclidean": q_knn_euclidean,
-    "count_zone_values": q_count_zone_values,
-    "ann_knn_join": q_ann_knn_join,
-    "find_matches": q_find_matches,
-    "find_matches_euclidean": q_find_matches_euclidean,
-    "adaptive_quality": q_adaptive_quality,
-    "bpe_tokenize": q_bpe_tokenize,
-    "corpus_pipeline": q_corpus_pipeline,
-    "dedup_exact": q_dedup_exact,
-    "dedup_groups": q_dedup_groups,
-    "dedup_incremental": q_dedup_incremental,
-    "dedup_jaccard": q_dedup_jaccard,
-    "dedup_simhash": q_dedup_simhash,
-    "describe_totalprice": q_describe_totalprice,
-    "deterministic_shuffle": q_deterministic_shuffle,
-    "distinct_status": q_distinct_status,
-    "dsir_select": q_dsir_select,
-    "embedding_dup_exact": q_embedding_dup_exact,
-    "facet_compound": q_facet_compound,
-    "facet_multiselect": q_facet_multiselect,
-    "facet_priority": q_facet_priority,
-    "facet_zone_clustered": q_facet_zone_clustered,
-    "find_exists": q_find_exists,
-    "find_in": q_find_in,
-    "find_like": q_find_like,
-    "find_mod": q_find_mod,
-    "find_nin": q_find_nin,
+    # Registry order = the driver's rotating correctness window (it
+    # samples the FIRST 50 registered queries). Round 13 rotation:
+    # the 71 queries NOT in the round-12 sample lead, so nothing
+    # stays oracle-stale for more than two rounds; the r12-sampled
+    # 50 follow. Same 121 entries, same callables - order only.
     "find_notnull": q_find_notnull,
     "find_or": q_find_or,
     "find_range": q_find_range,
@@ -2348,6 +2307,56 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_string_pruned": q_topk_string_pruned,
     "window_hourly_rollup": q_window_hourly_rollup,
     "window_latest_event": q_window_latest_event,
+    "fuzzy_join_names": q_fuzzy_join_names,
+    "groupby_objects": q_groupby_objects,
+    "hash_split_documents": q_hash_split_documents,
+    "heatmap": q_heatmap,
+    "histogram": q_histogram,
+    "join_topk_revenue": q_join_topk_revenue,
+    "json_extract": q_json_extract,
+    "keyword_filter": q_keyword_filter,
+    "lag_lead": q_lag_lead,
+    "lm_quality": q_lm_quality,
+    "normalize_documents": q_normalize_documents,
+    "resample_ffill": q_resample_ffill,
+    "resample_hourly": q_resample_hourly,
+    "rolling_1h": q_rolling_1h,
+    "rule_inference": q_rule_inference,
+    "text_lang_facet": q_text_lang_facet,
+    "text_stats": q_text_stats,
+    "token_budget_sample": q_token_budget_sample,
+    "topn_per_group": q_topn_per_group,
+    "find_eq": q_find_eq,
+    "groupby_tpch_q1": q_groupby_tpch_q1,
+    "dedup_minhash": q_dedup_minhash,
+    "knn_cosine": q_knn_cosine,
+    "knn_euclidean": q_knn_euclidean,
+    "count_zone_values": q_count_zone_values,
+    "ann_knn_join": q_ann_knn_join,
+    "find_matches": q_find_matches,
+    "find_matches_euclidean": q_find_matches_euclidean,
+    "adaptive_quality": q_adaptive_quality,
+    "bpe_tokenize": q_bpe_tokenize,
+    "corpus_pipeline": q_corpus_pipeline,
+    "dedup_exact": q_dedup_exact,
+    "dedup_groups": q_dedup_groups,
+    "dedup_incremental": q_dedup_incremental,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_simhash": q_dedup_simhash,
+    "describe_totalprice": q_describe_totalprice,
+    "deterministic_shuffle": q_deterministic_shuffle,
+    "distinct_status": q_distinct_status,
+    "dsir_select": q_dsir_select,
+    "embedding_dup_exact": q_embedding_dup_exact,
+    "facet_compound": q_facet_compound,
+    "facet_multiselect": q_facet_multiselect,
+    "facet_priority": q_facet_priority,
+    "facet_zone_clustered": q_facet_zone_clustered,
+    "find_exists": q_find_exists,
+    "find_in": q_find_in,
+    "find_like": q_find_like,
+    "find_mod": q_find_mod,
+    "find_nin": q_find_nin,
 }
 
 
