@@ -6,8 +6,8 @@ tree can be interleaved run-for-run, fresh JVM each), and prints one
 JSON line:
 
   {"repo": ..., "wall": s,              # o1+o2 end-to-end incl. appends
-   "gram_subtrees": n,                  # posexplode nodes in the
-                                        # pre-checkpoint cleaned plan
+   "gram_subtrees": n,                  # xxhash64 gram projections in
+                                        # the pre-checkpoint cleaned plan
    "checksum": [rows, total_len]}       # result equality across runs
 
 Usage: python tools/span_r13.py /root/repo [sf_dir]
@@ -48,14 +48,19 @@ def main():
 
         sd.stage_checkpoint = spy
     else:
-        orig = DataFrame.localCheckpoint
+        # pre-r13 trees call localCheckpoint directly; patch the CLASSIC
+        # DataFrame (instances override the pyspark.sql.DataFrame base,
+        # so patching the base never fires)
+        from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+        orig = CDF.localCheckpoint
 
         def spy(self, *a, **k):
             plans.append(self._sc._jvm.PythonSQLUtils.explainString(
                 self._jdf.queryExecution(), "formatted"))
             return orig(self, *a, **k)
 
-        DataFrame.localCheckpoint = spy
+        CDF.localCheckpoint = spy
 
     docs = spark.read.parquet(f"{SF}/documents.parquet").select(
         "doc_id", "text")
@@ -76,9 +81,7 @@ def main():
     wall = time.perf_counter() - t0
     shutil.rmtree(idx.rsplit("/", 1)[0], ignore_errors=True)
 
-    n_gram = max(
-        (p.lower().count("posexplode(transform") for p in plans), default=0
-    )
+    n_gram = max((p.count("xxhash64") for p in plans), default=0)
     print(json.dumps({
         "repo": REPO,
         "wall": round(wall, 2),

@@ -61,7 +61,10 @@ def main() -> None:
         def bust():
             it = tracker.shuffleStatuses().keySet().iterator()
             while it.hasNext():
-                tracker.unregisterAllMapAndMergeOutput(it.next())
+                try:
+                    tracker.unregisterAllMapAndMergeOutput(it.next())
+                except Exception:  # noqa: BLE001 — raced ContextCleaner
+                    pass
     except Exception:  # noqa: BLE001
 
         def bust():
